@@ -1,0 +1,131 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parses routed raw CDC JSON strings into the engine's normalized change
+  * shape: `payload columns ++ (mtime, _hoodie_is_deleted)`.
+  *
+  * Reference behavior being reproduced (per dialect):
+  *  - DMS (`/root/reference/glue/cdc_hudi.py:149-154`): keep
+  *    `record-type='data'` rows with `operation` in
+  *    (load, insert, update, delete); payload = `data.*`; version key
+  *    `mtime` = `metadata.timestamp` (a *string* timestamp, ordered
+  *    lexically — ISO-8601 sorts correctly, SURVEY.md §7.4.4); soft-delete
+  *    flag from `operation = 'delete'`.
+  *  - Flink/Debezium (`glue/cdc_hudi.py:156-161,165-177`): keep `op` in
+  *    (c, u, d, r); payload = the `after` image, or the `before` image for
+  *    deletes where `after` is null — the reference does that rewrite with
+  *    a regex over the raw string (`:172-175`); here it is the structural
+  *    `coalesce(after, before)`, observably equivalent post-parse and not
+  *    fragile; `mtime` = `ts_ms` (epoch-millis long); delete flag from
+  *    `op = 'd'`.
+  *
+  * The helper `operation_aws` column (op tag) and dedup rank are dropped
+  * before the sink exactly like the reference (`glue/cdc_hudi.py:146,154,161`).
+  */
+object CdcNormalize {
+
+  /** Engine-added column names (Hudi-compatible delete marker,
+    * `glue/cdc_hudi.py:153-154,160-161,183-189`). */
+  val MtimeCol = "mtime"
+  val DeletedCol = "_hoodie_is_deleted"
+  val OpCol = "operation_aws"
+
+  /** Filter raw strings for one table, parse, and normalize.
+    *
+    * @param raw   a DataFrame with a single string column `value` (the
+    *              Kafka value cast to string, `glue/cdc_hudi.py:95`)
+    * @param mode  schema-inference strategy (parity vs cached)
+    * @param strictRouting substring-parity router (default) or the
+    *              tightened parsed-field router
+    * @return None when no records routed to this table in the batch (the
+    *         reference skips such tables, `glue/cdc_hudi.py:247,267`)
+    */
+  def normalize(spark: SparkSession, raw: DataFrame, format: CdcFormat,
+                table: SyncTable,
+                mode: SchemaInference.Mode = SchemaInference.Mode.InferAlways,
+                strictRouting: Boolean = false): Option[DataFrame] = {
+    import spark.implicits._
+    val routed0 = raw.where(CdcRouter.substringMatch(col("value"), format, table))
+    if (routed0.isEmpty) return None
+
+    val values = routed0.select(col("value")).as[String]
+    var schema = SchemaInference.forTable(spark, table.id, values, mode)
+    var parsed = routed0.select(from_json(col("value"), schema).as("kdata"), col("value"))
+
+    // Cached-mode revalidation: a record that no longer fits the cached
+    // schema parses to null — re-infer (old ∪ new) and retry once.
+    if (mode == SchemaInference.Mode.Cached) {
+      val failures = parsed.where(col("kdata").isNull && col("value").isNotNull).count()
+      if (failures > 0) {
+        schema = SchemaInference.refresh(spark, table.id, values)
+        parsed = routed0.select(from_json(col("value"), schema).as("kdata"), col("value"))
+      }
+    }
+
+    val routed =
+      if (strictRouting)
+        parsed.where(CdcRouter.strictMatch(col("kdata"), format, table))
+      else parsed
+
+    val normalized = format match {
+      case CdcFormat.DmsCdc        => normalizeDms(routed, schema)
+      case _                       => normalizeDebezium(routed, schema)
+    }
+    normalized
+  }
+
+  private def fieldType(schema: StructType, name: String): Option[DataType] =
+    schema.fields.find(_.name == name).map(_.dataType)
+
+  /** DMS: payload = data.*, mtime = metadata.timestamp (string). */
+  private def normalizeDms(parsed: DataFrame, schema: StructType): Option[DataFrame] = {
+    val dataT = fieldType(schema, "data") match {
+      case Some(s: StructType) => s
+      case _                   => return None // no row images routed here
+    }
+    val meta = col("kdata.metadata")
+    val kept = parsed.where(
+      meta.getField("record-type") === "data" &&
+        meta.getField("operation").isin("load", "insert", "update", "delete"))
+    val payload = dataT.fieldNames.toSeq.map(f => col("kdata.data").getField(f).as(f))
+    val out = kept.select(payload ++ Seq(
+      meta.getField("timestamp").as(MtimeCol),
+      when(meta.getField("operation") === "delete", lit(true)).otherwise(lit(false))
+        .as(DeletedCol)): _*)
+    Some(out)
+  }
+
+  /** Debezium/Flink: payload = coalesce(after, before).*, mtime = ts_ms. */
+  private def normalizeDebezium(parsed: DataFrame, schema: StructType): Option[DataFrame] = {
+    val afterT = fieldType(schema, "after")
+    val beforeT = fieldType(schema, "before")
+    val payloadT = (afterT, beforeT) match {
+      case (Some(a: StructType), Some(b: StructType)) => SchemaInference.mergeStructs(a, b)
+      case (Some(a: StructType), _)                   => a
+      case (_, Some(b: StructType))                   => b
+      case _                                          => return None
+    }
+    // Align both images onto the merged field set so coalesce is
+    // well-typed even when only one side carries a newly-added column.
+    def image(src: String, srcT: Option[DataType]): Column = srcT match {
+      case Some(s: StructType) =>
+        struct(payloadT.fields.toSeq.map { f =>
+          if (s.fieldNames.contains(f.name))
+            col(s"kdata.$src").getField(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      case _ => lit(null).cast(payloadT)
+    }
+    val kept = parsed.where(col("kdata.op").isin("c", "u", "d", "r"))
+    val img = when(col("kdata.after").isNotNull, image("after", afterT))
+      .otherwise(image("before", beforeT))
+    val payload = payloadT.fieldNames.toSeq.map(f => img.getField(f).as(f))
+    val out = kept.select(payload ++ Seq(
+      col("kdata.ts_ms").as(MtimeCol),
+      when(col("kdata.op") === "d", lit(true)).otherwise(lit(false)).as(DeletedCol)): _*)
+    Some(out)
+  }
+}
