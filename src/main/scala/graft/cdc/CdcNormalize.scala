@@ -32,6 +32,11 @@ object CdcNormalize {
   val MtimeCol = "mtime"
   val DeletedCol = "_hoodie_is_deleted"
   val OpCol = "operation_aws"
+  /** Corrupt-record column injected during cached-schema parsing so
+    * records that no longer fit the cached schema are detectable
+    * (PERMISSIVE `from_json` otherwise yields a struct of nulls, never a
+    * null struct, so `kdata.isNull` is not a usable probe). */
+  val CorruptCol = "_graft_corrupt"
 
   /** Filter raw strings for one table, parse, and normalize.
     *
@@ -53,15 +58,31 @@ object CdcNormalize {
 
     val values = routed0.select(col("value")).as[String]
     var schema = SchemaInference.forTable(spark, table.id, values, mode)
-    var parsed = routed0.select(from_json(col("value"), schema).as("kdata"), col("value"))
 
-    // Cached-mode revalidation: a record that no longer fits the cached
-    // schema parses to null — re-infer (old ∪ new) and retry once.
+    def parseWith(s: StructType): DataFrame = {
+      // Parse with a corrupt-record sidecar so malformed-vs-schema records
+      // are observable; projections below never reference CorruptCol, so
+      // Catalyst prunes it out of the final plan.
+      val withCorrupt = StructType(s.fields :+ StructField(CorruptCol, StringType, nullable = true))
+      routed0.select(
+        from_json(col("value"), withCorrupt,
+          Map("columnNameOfCorruptRecord" -> CorruptCol)).as("kdata"),
+        col("value"))
+    }
+    var parsed = parseWith(schema)
+
+    // Cached-mode revalidation: probe for the FIRST record that fails to
+    // parse against the cached schema (cheap `limit(1)` existence check,
+    // not a full count) and re-infer (old ∪ new) once if found. Note this
+    // catches records the cached schema cannot parse; *additive* evolution
+    // (new optional JSON fields) parses cleanly and is picked up by the
+    // pipeline's periodic refresh instead (CdcPipeline.revalidateEvery).
     if (mode == SchemaInference.Mode.Cached) {
-      val failures = parsed.where(col("kdata").isNull && col("value").isNotNull).count()
-      if (failures > 0) {
+      val failed = !parsed
+        .where(col("kdata").getField(CorruptCol).isNotNull).limit(1).isEmpty
+      if (failed) {
         schema = SchemaInference.refresh(spark, table.id, values)
-        parsed = routed0.select(from_json(col("value"), schema).as("kdata"), col("value"))
+        parsed = parseWith(schema)
       }
     }
 
@@ -86,6 +107,15 @@ object CdcNormalize {
       case Some(s: StructType) => s
       case _                   => return None // no row images routed here
     }
+    // A substring-router false-positive batch can have 'data' but no
+    // 'metadata' struct (or one missing the envelope subfields); treat it
+    // like the missing-'data' case instead of throwing AnalysisException.
+    val metaOk = fieldType(schema, "metadata") match {
+      case Some(m: StructType) =>
+        Seq("record-type", "operation", "timestamp").forall(m.fieldNames.contains)
+      case _ => false
+    }
+    if (!metaOk) return None
     val meta = col("kdata.metadata")
     val kept = parsed.where(
       meta.getField("record-type") === "data" &&

@@ -51,7 +51,6 @@ object LatestPerKey {
     * Hudi's DefaultHoodieRecordPayload, `glue/cdc_hudi.py:195`). */
   def maxBy(df: DataFrame, keys: Seq[String], versionCols: Seq[Column]): DataFrame = {
     require(keys.nonEmpty, "latest-per-key needs at least one key column")
-    val payloadCols = df.columns.filterNot(keys.contains)
     val row = struct(df.columns.map(col): _*)
     val version = struct(versionCols: _*)
     val winner = max_by(row, version).as("__graft_row")

@@ -65,6 +65,10 @@ object SchemaInference {
       case (s: StructType, t: StructType) => mergeStructs(s, t)
       case (ArrayType(e1, n1), ArrayType(e2, n2)) => ArrayType(mergeType(e1, e2), n1 || n2)
       case (p, q) if p == q => p
+      // An all-null column infers as NullType; adopt the concrete type on
+      // merge instead of falling through to the StringType catch-all.
+      case (NullType, t) => t
+      case (t, NullType) => t
       case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
       case (IntegerType, LongType) | (LongType, IntegerType) => LongType
       case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType

@@ -1,0 +1,189 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash-LSH, and SimHash. Extensions beyond the reference
+  * (SURVEY.md §2.8 north star).
+  *
+  * Scale design (the 100 TB contract):
+  *  - exact dedup is a single hash aggregate on a content digest — one
+  *    shuffle of (digest, doc_id), with map-side partial aggregation;
+  *  - near-dup NEVER does an all-pairs cartesian product. Candidate pairs
+  *    come from an inverted-index / banded-signature join: explode to
+  *    (bucket_key, doc_id), shuffle on bucket_key, and only co-bucketed
+  *    docs pair up. Cost is driven by bucket occupancy, not n².
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicate groups: one survivor (min id) per distinct content.
+    * At scale, group on a fixed-width digest of the content rather than
+    * shuffling full document bodies. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_sha"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  // ---------------------------------------- word shingles (shared infra)
+
+  /** Distinct word n-gram shingles per doc: (id, shingle). The explode is
+    * map-side; downstream joins shuffle on the shingle/bucket, never on
+    * the full text. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = split(trim(lower(col(textCol))), "\\s+")
+    val grams = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", slice(w, i + 1, n)))
+    docs.select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  // ------------------------------------------------- exact n-gram Jaccard
+
+  /** All pairs with word-n-gram Jaccard >= threshold, via inverted-index
+    * self-join: docs sharing at least one shingle become candidates;
+    * intersection counts come from the join group sizes; union sizes from
+    * per-doc shingle counts. Exact (100% recall for threshold > 0) and
+    * never all-pairs — only co-shingled docs meet. Returned pairs are
+    * canonical (id_a < id_b) with the exact jaccard value.
+    *
+    * 100 TB note: a stopword-like shingle shared by every doc makes its
+    * bucket quadratic; cap bucket width by dropping shingles with document
+    * frequency above `maxDf` (sacrifices recall only for pairs whose ONLY
+    * common shingle is near-universal — at a sane threshold those pairs
+    * are far below it anyway). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val filtered =
+      if (maxDf == Long.MaxValue) sh
+      else {
+        val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDf)
+        sh.join(df, "shingle").select(col(idCol), col("shingle"))
+      }
+    val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
+    val b = filtered.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ----------------------------------------------------------- MinHash-LSH
+
+  /** MinHash signature columns: sig_i = min over shingles of a 64-bit hash
+    * seeded by i. One hash aggregate computes all k minimums (map-side
+    * partial min), so the signature pass is a single shuffle of
+    * (doc_id, k longs). */
+  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"sig_$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded-LSH candidate pairs: split the k-wide signature into `bands`
+    * bands of `rows` values, hash each band to a bucket, explode to
+    * (band, bucket, doc_id), and self-join per bucket. Docs with Jaccard j
+    * collide in at least one band with prob 1-(1-j^rows)^bands — the
+    * classic S-curve; no all-pairs comparison ever happens. */
+  def minhashCandidates(sigs: DataFrame, idCol: String,
+                        bands: Int, rows: Int): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val buckets = sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bucket"))
+    val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** End-to-end MinHash-LSH near-dup: candidates from banded LSH, then
+    * exact-Jaccard verification of ONLY the candidates (the verify join is
+    * proportional to candidate count, not n²). */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, bands: Int = 16, rows: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).persist()
+    try {
+      val cands = minhashCandidates(minhashSignatures(sh, idCol, bands * rows),
+        idCol, bands, rows)
+      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      val inter = cands
+        .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+        .join(sh.select(col(idCol).as("id_b"), col("shingle").as("shingle_b")), "id_b")
+        .where(col("shingle") === col("shingle_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+        .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+        .withColumn("jaccard",
+          col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    } finally sh.unpersist()
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per doc: sign-aggregate each bit of the token hashes.
+    * Computed as 64 conditional sums inside ONE hash aggregate — single
+    * shuffle of (doc_id, 64 ints); near-dups are pairs within a Hamming
+    * ball, found by bucketing on bit-blocks (pigeonhole), not all-pairs. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextStats.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
+    }
+    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates within `maxHamming` bits, via pigeonhole
+    * blocking: split 64 bits into (maxHamming+1) blocks — any pair within
+    * the ball agrees exactly on at least one block, so bucketing on block
+    * value has 100% recall. Hamming distance verified on candidates. */
+  def simhashNearDups(fps: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val blockCols = (0 until blocks).map { bIdx =>
+      val shiftBits = bIdx * width
+      val w = if (bIdx == blocks - 1) 64 - shiftBits else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      struct(lit(bIdx).as("blk"),
+        shiftright(col("simhash"), shiftBits).bitwiseAND(mask).as("v"))
+    }
+    val exploded = fps.select(col(idCol), col("simhash"),
+      explode(array(blockCols: _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.blk"), col("b.v"))
+    val a = exploded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("blk"), col("v"))
+    val b = exploded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("blk"), col("v"))
+    val ham = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+    a.join(b, Seq("blk", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), ham.as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

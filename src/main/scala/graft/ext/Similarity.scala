@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+  * approximate variant as the 100 TB scale path (SURVEY.md §2.8).
+  *
+  * All vector math is Catalyst higher-order functions (`zip_with` +
+  * `aggregate`) over `array<double>` — codegen-friendly, no UDFs, and the
+  * sequential fold matches DuckDB's `list_dot_product` evaluation order so
+  * results are oracle-comparable bit-for-bit (then rounded defensively).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product (deterministic summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity in double precision: dot(a,b)/(|a|·|b|). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    *
+    * Scale shape: the QUERY side is broadcast (queries are the small side
+    * by construction — a probe set, not the corpus), so the corpus is
+    * scanned once with no shuffle of vectors; the only shuffle is the
+    * top-k ranking on (query, sim), bounded by |queries| × |corpus| rows
+    * of (id, id, double) — and that ranking collapses map-side when k is
+    * small via the window's rank pushdown (Spark inserts a per-partition
+    * limit for row_number <= k filters). Similarity is rounded to 1e-6
+    * before ranking so ordering is stable across engines; ties break on
+    * neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val sim = round(cosine(col("__qv"), col("__cv")), 6)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a hash folded into [-1, 1). No RNG state, so plans are reproducible
+    * across executors and runs. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+
+  /** Random-hyperplane LSH bucket key: sign bits of `nPlanes` projections
+    * packed into a long. Cosine-similar vectors agree on most sign bits,
+    * so same-bucket vectors are likely neighbors. */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val vd = vec.cast("array<double>")
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vd, sequence(lit(0), size(vd) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: probe only candidates sharing the query's bucket
+    * in at least one of `tables` independent LSH tables. At 100 TB the
+    * corpus is bucketed once (shuffle on bucket key) and each query
+    * touches a handful of buckets instead of the full corpus — recall is
+    * tuned by (nPlanes, tables), verified in tests against the exact
+    * baseline. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nPlanes: Int = 12,
+              tables: Int = 4): DataFrame = {
+    val bucketCols = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(col(vecCol), nPlanes + t).as("bucket"))
+    }
+    def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        explode(array(bucketCols: _*)).as("bk"))
+        .select(col(id), col(v), col("bk.tbl"), col("bk.bucket"))
+    val c = withBuckets(corpus, "neighbor_id", "__cv")
+    val q = withBuckets(queries, "query_id", "__qv")
+    val sim = round(cosine(col("__qv"), col("__cv")), 6)
+    val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .distinct()
+    val scored = cands.select(col("query_id"), col("neighbor_id"), sim.as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (sim >= threshold) without an
+    * all-pairs product: candidates must share an LSH bucket; exact cosine
+    * verifies. Canonical (id_a < id_b) pairs. */
+  def cosineNearDups(vectors: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, nPlanes: Int = 10,
+                     tables: Int = 4): DataFrame = {
+    val bucketCols = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(col(vecCol), nPlanes + t).as("bucket"))
+    }
+    val bucketed = vectors.select(col(idCol), col(vecCol),
+      explode(array(bucketCols: _*)).as("bk"))
+      .select(col(idCol), col(vecCol), col("bk.tbl"), col("bk.bucket"))
+    val a = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("tbl"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("__va"), col("__vb")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+}

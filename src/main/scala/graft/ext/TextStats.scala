@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * word/token counting, quality scoring, and a lightweight language-ID
+  * heuristic. All are pure Catalyst column expressions (no UDFs), so they
+  * stay inside whole-stage codegen and scale as narrow map-side work —
+  * the only shuffles are whatever aggregation the caller adds on top.
+  *
+  * These extend the reference's surface (it has no text operators); they
+  * are the north-star ops named in SURVEY.md §2.8 / BASELINE.json.
+  */
+object TextStats {
+
+  /** Whitespace word-split (empty-trimmed). */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  def nWords(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(words(text)))
+
+  /** BPE-ish tokenization: letter runs, digit runs, single punctuation.
+    * Same regex dialect subset works in Java (Spark) and RE2 (DuckDB). */
+  val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokens(text: Column): Column = regexp_extract_all(text, lit(TokenRe), lit(0))
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  /** Stopword list used by the quality score and language ID (kept tiny
+    * and explicit so the DuckDB oracle can restate it verbatim). */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Ratio of stopwords to words, 6-decimal-rounded (rounding keeps the
+    * value oracle-comparable across engines). */
+  def stopwordRatio(text: Column): Column = {
+    val w = words(text)
+    val hits = size(filter(w, t => t.isin(EnStopwords.map(lit): _*)))
+    round(hits.cast("double") / greatest(size(w), lit(1)).cast("double"), 6)
+  }
+
+  /** Mean word length (quality signal: gibberish skews high/low). */
+  def meanWordLen(text: Column): Column = {
+    val w = words(text)
+    val total = aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    round(total.cast("double") / greatest(size(w), lit(1)).cast("double"), 6)
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column = {
+    val p = length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    round(p.cast("double") / greatest(length(text), lit(1)).cast("double"), 6)
+  }
+
+  /** Composite quality score in [0,1]: long-enough docs with normal word
+    * shape and low punctuation score high. Deterministic arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val wordScore = lit(1.0) -
+      least(abs(meanWordLen(text) - lit(5.0)) / lit(5.0), lit(1.0))
+    round(lenScore * 0.4 + punctScore * 0.3 + wordScore * 0.3, 6)
+  }
+
+  /** Language markers for the n-gram-free language-ID heuristic. Marker
+    * hits are counted per language; argmax wins, ties broken by the fixed
+    * language order below ('unk' when nothing matches). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "de", "que", "con"),
+    "fr" -> Seq("le", "la", "et", "est", "avec"),
+  )
+
+  def langId(text: Column): Column = {
+    val w = words(lower(text))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(w, t => t.isin(markers.map(lit): _*)))
+    }
+    // argmax with first-listed language winning ties (strict > on later)
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          greatest(score, bestScore))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("unk"))
+  }
+
+  /** Per-language corpus stats (doc counts + exact integer char/word
+    * totals, division-free so the oracle compare is exact). */
+  def perLangStats(documents: DataFrame): DataFrame =
+    documents.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(nWords(col("text")).cast("long")).as("total_words"),
+    ).orderBy("lang")
+}

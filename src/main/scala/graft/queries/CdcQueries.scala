@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.cdc._
+import graft.sink.KeyedUpsertTable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checkable CDC queries over the shared `events` parquet table.
+  *
+  * `events` (event_id, ts, user_id, event_type, value, props) is the CDC
+  * stand-in (FIXTURES.md §B): user_id → primary key, ts → version time,
+  * event_type → operation. Each query SYNTHESIZES real envelope JSON from
+  * those rows with `to_json`, pushes it through the actual engine
+  * (router → schema inference → normalize → dedup → merge), and the
+  * DuckDB oracle recomputes the expected result directly from the rows —
+  * so a parse/route/normalize bug anywhere in the pipeline breaks the
+  * hash match.
+  *
+  * Operation mapping (deterministic, covers every op the reference
+  * accepts, `glue/cdc_hudi.py:151,158`): click→c/insert, view→u/update,
+  * error→u/update, signup→r/load, purchase→d/delete.
+  */
+object CdcQueries {
+
+  val userTable: SyncTable = SyncTable("test_db", "user", "id")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  private def debeziumOp: Column =
+    when(col("event_type") === "click", "c")
+      .when(col("event_type") === "view", "u")
+      .when(col("event_type") === "error", "u")
+      .when(col("event_type") === "signup", "r")
+      .otherwise("d") // purchase
+
+  private def dmsOp: Column =
+    when(col("event_type") === "click", "insert")
+      .when(col("event_type") === "view", "update")
+      .when(col("event_type") === "error", "update")
+      .when(col("event_type") === "signup", "load")
+      .otherwise("delete") // purchase
+
+  private def payload: Column = struct(
+    col("user_id").as("id"),
+    col("event_id"),
+    col("event_type").as("etype"),
+    col("value"))
+
+  /** Debezium/Flink envelope JSON (FIXTURES.md §A.1): deletes carry the
+    * image in `before` with `after` null — exercising the reference's
+    * before→after rewrite path (`glue/cdc_hudi.py:165-177`), here
+    * `coalesce(after, before)`. `to_json` omits null fields, which parses
+    * back identically to explicit nulls. */
+  def debeziumStream(spark: SparkSession, sfDir: String,
+                     table: String = "user"): DataFrame = {
+    val op = debeziumOp
+    events(spark, sfDir).select(to_json(struct(
+      when(op === "d", payload).as("before"),
+      when(op =!= "d", payload).as("after"),
+      struct(lit("test_db").as("db"), lit(table).as("table")).as("source"),
+      op.as("op"),
+      unix_millis(col("ts")).as("ts_ms"))).as("value"))
+  }
+
+  /** DMS envelope JSON (FIXTURES.md §A.2); `metadata.timestamp` is a
+    * string timestamp ordered lexically (microsecond ISO-ish format). */
+  def dmsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    events(spark, sfDir).select(to_json(struct(
+      payload.as("data"),
+      struct(
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("timestamp"),
+        lit("data").as("record-type"),
+        dmsOp.as("operation"),
+        lit("test_db").as("schema-name"),
+        lit("user").as("table-name")).as("metadata"))).as("value"))
+  }
+
+  /** Full Debezium normalize: route → infer → parse → coalesce images →
+    * op filter → mtime + soft-delete. Output is the normalized change
+    * stream, one row per event. */
+  def normalizeDebezium(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = debeziumStream(spark, sfDir)
+    CdcNormalize.normalize(spark, raw, CdcFormat.MskDebeziumCdc, userTable)
+      .getOrElse(sys.error("no rows routed"))
+      .orderBy("event_id")
+  }
+
+  /** Full DMS normalize (string mtime, load/insert/update/delete ops). */
+  def normalizeDms(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = dmsStream(spark, sfDir)
+    CdcNormalize.normalize(spark, raw, CdcFormat.DmsCdc, userTable)
+      .getOrElse(sys.error("no rows routed"))
+      .orderBy("event_id")
+  }
+
+  /** W1 parity form: row_number latest-per-key over raw events. */
+  def latestPerKeyRowNumber(spark: SparkSession, sfDir: String): DataFrame =
+    LatestPerKey.rowNumber(events(spark, sfDir), Seq("user_id"), "ts",
+        tiebreak = Seq("event_id"))
+      .orderBy("user_id")
+
+  /** W1 scale form: max_by hash aggregate, identical semantics. */
+  def latestPerKeyMaxBy(spark: SparkSession, sfDir: String): DataFrame =
+    LatestPerKey.maxBy(events(spark, sfDir), Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+      .orderBy("user_id")
+
+  /** End-to-end single-batch materialization: synthesize → route →
+    * normalize → latest-per-key → drop soft-deleted. The current-state
+    * answer a reference user reads from the Hudi table. */
+  def materializeDebezium(spark: SparkSession, sfDir: String): DataFrame = {
+    val normalized = normalizeDebezium(spark, sfDir)
+    LatestPerKey.maxBy(normalized, Seq("id"),
+        Seq(col(CdcNormalize.MtimeCol), col("event_id")))
+      .where(!col(CdcNormalize.DeletedCol))
+      .select("id", "event_id", "etype", "value", CdcNormalize.MtimeCol)
+      .orderBy("id")
+  }
+
+  /** Two-batch keyed-upsert merge (K1): events split by time into two
+    * micro-batches, applied sequentially through the merge plan — final
+    * state must equal the one-shot latest-per-key (merge associativity,
+    * the effectively-exactly-once argument of SURVEY.md §2.9). */
+  def keyedUpsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val normalized = normalizeDebezium(spark, sfDir)
+    val half = normalized.agg(((min("event_id") + max("event_id")) / 2)
+      .cast("long")).head().getLong(0)
+    val b1 = normalized.where(col("event_id") <= half)
+    val b2 = normalized.where(col("event_id") > half)
+    val keys = Seq("id")
+    val state1 = KeyedUpsertTable.merge(None, b1, keys,
+      CdcNormalize.MtimeCol, tiebreak = Seq("event_id"))
+    val state2 = KeyedUpsertTable.merge(Some(state1), b2, keys,
+      CdcNormalize.MtimeCol, tiebreak = Seq("event_id"))
+    state2.select("id", "event_id", "etype", "value", CdcNormalize.MtimeCol)
+      .orderBy("id")
+  }
+
+  /** Router truth table: a mixed two-table stream (user/product by
+    * user_id parity); counts routed per configured table through the
+    * parity substring router. */
+  def routerCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val mixed = ev.select(to_json(struct(
+      when(debeziumOp =!= "d", payload).as("after"),
+      struct(lit("test_db").as("db"),
+        when(col("user_id") % 2 === 0, "user").otherwise("product").as("table"))
+        .as("source"),
+      debeziumOp.as("op"),
+      unix_millis(col("ts")).as("ts_ms"))).as("value"))
+    val counts = Seq("user", "product").map { t =>
+      mixed.where(CdcRouter.substringMatch(col("value"),
+          CdcFormat.MskDebeziumCdc, SyncTable("test_db", t, "id")))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(t).as("tbl"), col("cnt"))
+    }
+    counts.reduce(_.unionAll(_)).orderBy("tbl")
+  }
+}

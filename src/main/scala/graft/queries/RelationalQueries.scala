@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational surface over the TPC-H-ish testdata — the query
+  * shapes a user of the materialized CDC tables runs (FIXTURES.md §B:
+  * "TPC-H-ish tables back the general relational surface").
+  *
+  * Oracle-parity notes baked into every query:
+  *  - monetary aggregates are computed in DECIMAL, not double — double
+  *    summation order differs across engines, decimal is exact in both;
+  *  - every computed column is aliased identically here and in the DuckDB
+  *    SQL (the driver's compare is by column name);
+  *  - deterministic ORDER BY everywhere, ties broken by a key column.
+  *
+  * Scale notes: aggregations are partial-agg-friendly (group-by on low
+  * cardinality keys), dimension joins are explicitly `broadcast()`, and
+  * the fact table is only scanned with pushed filters + pruned columns
+  * (verified via `.explain` — PushedFilters/ReadSchema reach the scan).
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** TPC-H Q1-shaped pricing summary: partial-aggregatable group-by on a
+    * 2-value × 2-value key; one shuffle of tiny partial maps. */
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast("decimal(18,2)").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("decimal(18,2)").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("decimal(18,4)").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped: selective filters pushed to both scans, then
+    * key joins; top-10 revenue orders. The customer side is small after
+    * its filter → broadcast; lineitem↔orders is the one real shuffle. */
+  def q3Revenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(spark, sfDir, "orders")
+      .where(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("decimal(18,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped star join: region→nation→customer→orders→lineitem
+    * with the three dimension tables broadcast (they are tiny at every
+    * sf), so the plan is one shuffle join (orders↔lineitem) plus
+    * broadcast hash joins — no dimension shuffle at any scale. */
+  def q5LocalRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = t(spark, sfDir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    val region = t(spark, sfDir, "region")
+      .where(col("r_name") === "ASIA").select("r_regionkey")
+    val cust = t(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+    val ord = t(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    val li = t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust.join(broadcast(nation.join(broadcast(region),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("decimal(18,4)").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Window ranking: top-3 orders by totalprice per customer. Single
+    * shuffle on o_custkey; rank filter enables Spark's window-group-limit
+    * pushdown so partitions truncate early instead of fully sorting. */
+  def windowTop3Orders(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        dec("o_totalprice").as("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Distinct aggregate: suppliers+parts used per return flag. */
+  def distinctParts(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Semi-structured: JSON extraction from the events props column,
+    * aggregated per event type — `get_json_object` is codegen'd, no UDF. */
+  def eventsJsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** Existence/anti-join shape: customers with no orders. Broadcast of the
+    * aggregated key set at small sf; at 100 TB Spark plans a shuffled
+    * left-anti join on the same expression — the declarative form is the
+    * point. */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer").select("c_custkey", "c_name")
+    val ord = t(spark, sfDir, "orders").select("o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+  }
+}

@@ -1,0 +1,139 @@
+package graft.stream
+
+import graft.cdc._
+import graft.sink.KeyedUpsertTable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import java.util.concurrent.Executors
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.util.control.NonFatal
+
+/** The end-to-end streaming driver (SURVEY.md §2.6 K2 + §2.7 O1-O3):
+  * raw value stream → `foreachBatch` → per-table route/parse/normalize/
+  * dedup → keyed upsert sink.
+  *
+  * Reference behavior reproduced (`/root/reference/glue/cdc_hudi.py:254-287`):
+  *  - the micro-batch is pinned once (`cache()` at `:255`, `unpersist()` at
+  *    `:275`) so N table pipelines scan the source exactly once — this also
+  *    fixes the round-1 defect where `normalize`'s empty-probe + schema
+  *    inference + parse re-scanned an unpersisted batch 3-4×;
+  *  - per-table fan-out on a thread pool (`:260-274`) with FAIR scheduler
+  *    pools so concurrent table jobs share executors instead of FIFO
+  *    head-of-line blocking (`:34`); here: Scala Futures on a dedicated
+  *    ExecutionContext + `spark.scheduler.pool` local property;
+  *  - fail-fast (`:248-251,267-272`): the first table failure fails the
+  *    whole batch → Structured Streaming replays it from the checkpoint;
+  *    replay is safe because the keyed upsert is idempotent per key;
+  *  - a table with no routed records in the batch is skipped (`:247,267`).
+  *
+  * Divergence (deliberate, SURVEY.md §4.3.2): schema inference defaults to
+  * [[SchemaInference.Mode.Cached]] instead of the reference's
+  * infer-every-batch — at scale re-inference is a full extra scan per
+  * table per batch. Evolution is still caught: parse failures trigger
+  * re-inference immediately (corrupt-record probe in [[CdcNormalize]]),
+  * and `revalidateEvery` forces a periodic re-infer so purely-additive new
+  * JSON fields are picked up within N batches (the reference picks them up
+  * in 1 batch at ~Nx the scan cost). Set `schemaMode = InferAlways` for
+  * exact reference parity.
+  */
+final case class CdcPipelineConfig(
+    format: CdcFormat,
+    tables: Seq[SyncTable],
+    sinkRoot: String,
+    checkpointDir: String,
+    triggerInterval: String = "10 seconds",
+    schemaMode: SchemaInference.Mode = SchemaInference.Mode.Cached,
+    strictRouting: Boolean = false,
+    /** Force a schema re-infer every N batches (additive-evolution bound). */
+    revalidateEvery: Int = 10,
+    maxParallelTables: Int = 8)
+
+final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
+
+  private val pool = Executors.newFixedThreadPool(
+    math.max(1, math.min(config.maxParallelTables, config.tables.size)))
+  private implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+
+  /** One sink table per configured source table, rooted at
+    * `sinkRoot/<db>/<table>` (`glue/cdc_hudi.py:180` layout). */
+  val sinks: Map[String, KeyedUpsertTable] = config.tables.map { t =>
+    t.id -> new KeyedUpsertTable(
+      spark, s"${config.sinkRoot}/${t.dbName}/${t.tableName}", t.pkCols)
+  }.toMap
+
+  /** Process one micro-batch: pin it, fan out per table, fail fast. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    batch.persist()
+    try {
+      if (!batch.isEmpty) {
+        if (config.schemaMode == SchemaInference.Mode.Cached &&
+            config.revalidateEvery > 0 && batchId > 0 &&
+            batchId % config.revalidateEvery == 0)
+          config.tables.foreach(t => SchemaInference.invalidate(t.id))
+        val futures = config.tables.map { table =>
+          Future {
+            // FAIR pool per table so long writes interleave (O2).
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", table.id)
+            try {
+              CdcNormalize.normalize(spark, batch, config.format, table,
+                  config.schemaMode, config.strictRouting)
+                .foreach { normalized => sinks(table.id).upsert(normalized) }
+            } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          }
+        }
+        // Future.sequence fails as soon as any table task fails (O3);
+        // the exception propagates out of foreachBatch and kills the
+        // batch → checkpoint replay on restart.
+        Await.result(Future.sequence(futures), Duration.Inf)
+      }
+    } finally {
+      try batch.unpersist()
+      catch { case NonFatal(_) => () }
+    }
+  }
+
+  /** Wire onto a streaming DataFrame bearing a string `value` column (the
+    * Kafka value post-`CAST(value AS STRING)`, or any file/memory source
+    * for tests — the source is a config-swappable edge, SURVEY.md §7.0). */
+  def start(raw: DataFrame): StreamingQuery =
+    raw.select(col("value").cast("string").as("value"))
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(config.triggerInterval))
+      .option("checkpointLocation", config.checkpointDir)
+      .foreachBatch(processBatch _)
+      .start()
+
+  def shutdown(): Unit = pool.shutdown()
+}
+
+object CdcPipeline {
+
+  /** The reference's session settings (`glue/cdc_hudi.py:29-39`): Kryo +
+    * FAIR scheduling (Hudi-specific extensions dropped — no Hudi here). */
+  def sessionBuilder(master: String, shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+
+  /** Kafka source spec (`glue/cdc_hudi.py:82-95`) — buildable only where
+    * the spark-sql-kafka connector jar is on the classpath; in this
+    * offline environment the streaming tests use file/memory sources with
+    * identical downstream semantics. */
+  def kafkaSource(spark: SparkSession, brokers: String, topics: String,
+                  startingOffsets: String = "earliest",
+                  maxOffsetsPerTrigger: Long = 1000000L): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+}
