@@ -1,13 +1,246 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{CdcQueries, LlmQueries, RelationalQueries}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+  * extensions of §2.8) is registered here; deterministic queries carry a
+  * DuckDB oracle in [[oracleSql]] (identical column names/types and total
+  * ORDER BY on both sides — the driver compare is by name + hash).
+  * Probabilistic/hash-seeded operators (MinHash/SimHash/LSH) are
+  * rows-only here; their correctness is asserted by scalatests against
+  * exact baselines (recall bounds / blocking-completeness properties).
+  *
+  * NOTE sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
+  * (events.parquet has a TIMESTAMP(NANOS) column); Verify/Bench and the
+  * test base do. `entry` deliberately touches only lineitem so it works
+  * under any session.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    RelationalQueries.q1Pricing(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 / §2.8. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational surface over the materialized tables (SURVEY §2.2-2.5)
+    "q1_pricing"               -> (RelationalQueries.q1Pricing _),
+    "q3_revenue"               -> (RelationalQueries.q3Revenue _),
+    "q5_local_revenue"         -> (RelationalQueries.q5LocalRevenue _),
+    "window_top3_orders"       -> (RelationalQueries.windowTop3Orders _),
+    "distinct_parts"           -> (RelationalQueries.distinctParts _),
+    "events_json_extract"      -> (RelationalQueries.eventsJsonExtract _),
+    "customers_without_orders" -> (RelationalQueries.customersWithoutOrders _),
+    // --- CDC engine core (SURVEY §2.1-2.3, §2.6): route→parse→normalize→
+    //     dedup→merge, exercised through synthesized envelope JSON
+    "cdc_normalize_debezium"   -> ((s: SparkSession, d: String) => CdcQueries.normalizeDebezium(s, d)),
+    "cdc_normalize_dms"        -> ((s: SparkSession, d: String) => CdcQueries.normalizeDms(s, d)),
+    "cdc_latest_rownumber"     -> (CdcQueries.latestPerKeyRowNumber _),
+    "cdc_latest_maxby"         -> (CdcQueries.latestPerKeyMaxBy _),
+    "cdc_latest_sql"           -> (CdcQueries.latestPerKeySql _),
+    "cdc_materialize_debezium" -> (CdcQueries.materializeDebezium _),
+    "cdc_upsert_merge"         -> (CdcQueries.keyedUpsertMerge _),
+    "cdc_router_counts"        -> (CdcQueries.routerCounts _),
+    // --- LLM-pipeline extensions (SURVEY §2.8): dedup family
+    "llm_dedup_exact"          -> (LlmQueries.dedupExact _),
+    "llm_neardup_jaccard"      -> (LlmQueries.nearDupJaccard _),
+    "llm_neardup_minhash"      -> (LlmQueries.minhashNearDup _),
+    "llm_simhash_fingerprints" -> (LlmQueries.simhashFingerprints _),
+    "llm_simhash_neardup"      -> (LlmQueries.simhashNearDup _),
+    // --- similarity search
+    "llm_cosine_topk"          -> (LlmQueries.cosineTopK _),
+    "llm_cosine_topk_lsh"      -> (LlmQueries.cosineTopKLsh _),
+    "llm_cosine_neardup"       -> (LlmQueries.cosineNearDup _),
+    // --- text analysis
+    "text_stats_per_lang"      -> (LlmQueries.textStatsPerLang _),
+    "text_quality"             -> (LlmQueries.textQuality _),
+    "text_quality_score"       -> (LlmQueries.textQualityScore _),
+    "text_langid_counts"       -> (LlmQueries.langIdCounts _),
+    // --- multimodal plumbing (stub kernels, real Spark shape)
+    "mm_decode_meta"           -> (LlmQueries.mmDecodeMeta _),
+    "mm_frame_sample"          -> (LlmQueries.mmFrameSample _),
+  )
+
+  // Shared SQL fragments for the DuckDB oracles (kept identical to the
+  // Spark-side arithmetic — see TextStats / Dedup scaladoc).
+  private val W = """regexp_split_to_array(trim(text), '\s+')"""
+  private val WL = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private val NWORDS =
+    s"CASE WHEN trim(text) = '' THEN 0 ELSE len($W) END"
+  private val MEANWL =
+    s"round(CAST(list_aggregate(list_transform($W, w -> len(w)), 'sum') AS DOUBLE)" +
+      s" / CAST(greatest(len($W), 1) AS DOUBLE), 6)"
+  private val PUNCT =
+    """round(CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)""" +
+      " / CAST(greatest(len(text), 1) AS DOUBLE), 6)"
+
+  /** Latest-per-key over raw events: shared by the three W1 forms. */
+  private val LatestSql =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the probabilistic ops → driver
+    * records a weaker rows-only check (their correctness lives in the
+    * scalatest recall/property suites). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_revenue" ->
+      """SELECT l_orderkey,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_revenue" ->
+      """SELECT n_name,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "window_top3_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+        |        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |      FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "distinct_parts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    // CDC: the oracle recomputes the synthesized-envelope semantics
+    // directly from the events rows (mapping per CdcQueries scaladoc:
+    // purchase→delete, mtime = epoch millis of ts / DMS string timestamp).
+    "cdc_normalize_debezium" ->
+      """SELECT event_type AS etype, event_id, user_id AS id, value,
+        |  epoch_ms(ts) AS mtime, (event_type = 'purchase') AS _hoodie_is_deleted
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_normalize_dms" ->
+      """SELECT event_type AS etype, event_id, user_id AS id, value,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS mtime,
+        |  (event_type = 'purchase') AS _hoodie_is_deleted
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_latest_rownumber" -> LatestSql,
+    "cdc_latest_maxby"     -> LatestSql,
+    "cdc_latest_sql"       -> LatestSql,
+    "cdc_materialize_debezium" ->
+      """SELECT user_id AS id, event_id, event_type AS etype, value, epoch_ms(ts) AS mtime
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'purchase' ORDER BY id""".stripMargin,
+    "cdc_upsert_merge" ->
+      """SELECT user_id AS id, event_id, event_type AS etype, value, epoch_ms(ts) AS mtime
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'purchase' ORDER BY id""".stripMargin,
+    "cdc_router_counts" ->
+      """SELECT CASE WHEN user_id % 2 = 0 THEN 'user' ELSE 'product' END AS tbl,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY tbl""".stripMargin,
+    "llm_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "llm_neardup_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle
+         |       FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+         |       WHERE len(ws) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b,
+         |  round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+         |           JOIN sizes sb ON inter.id_b = sb.doc_id
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.12
+         |ORDER BY id_a, id_b""".stripMargin,
+    "llm_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (SELECT query_id, neighbor_id,
+        |             round(list_cosine_similarity(qv, cv), 6) AS sim
+        |           FROM q, c WHERE query_id <> neighbor_id),
+        |ranked AS (SELECT *, row_number() OVER (
+        |             PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |           FROM scored)
+        |SELECT query_id, neighbor_id, sim, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "text_stats_per_lang" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum($NWORDS) AS BIGINT) AS total_words
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST($NWORDS AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+         |  round(CAST(len(list_filter($W, w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |    / CAST(greatest(len($W), 1) AS DOUBLE), 6) AS stopword_ratio,
+         |  $MEANWL AS mean_word_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_score" ->
+      s"""SELECT doc_id, $PUNCT AS punct_ratio,
+         |  least(CAST(len(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+         |    + (1.0 - least($PUNCT * 4.0, 1.0)) * 0.3
+         |    + (1.0 - least(abs($MEANWL - 5.0) / 5.0, 1.0)) * 0.3 AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid_counts" ->
+      s"""WITH s AS (SELECT
+         |    len(list_filter($WL, w -> w IN ('the','and','of','is','with'))) AS en,
+         |    len(list_filter($WL, w -> w IN ('el','la','de','que','con'))) AS es,
+         |    len(list_filter($WL, w -> w IN ('le','la','et','est','avec'))) AS fr
+         |  FROM documents)
+         |SELECT lang_pred, count(*) AS n_docs FROM (
+         |  SELECT CASE WHEN greatest(en, es, fr) = 0 THEN 'unk'
+         |              WHEN fr > en AND fr > es THEN 'fr'
+         |              WHEN es > en THEN 'es'
+         |              ELSE 'en' END AS lang_pred
+         |  FROM s) t
+         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+    // mm_decode_meta: documents text is ASCII, so the stub header decode
+    // (first 8 bytes big-endian) is restatable over char codes.
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN octet_length(encode(text)) >= 8
+        |    THEN ascii(substr(text,1,1))*16777216 + ascii(substr(text,2,1))*65536
+        |       + ascii(substr(text,3,1))*256 + ascii(substr(text,4,1)) ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN octet_length(encode(text)) >= 8
+        |    THEN ascii(substr(text,5,1))*16777216 + ascii(substr(text,6,1))*65536
+        |       + ascii(substr(text,7,1))*256 + ascii(substr(text,8,1)) ELSE 0 END AS BIGINT) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

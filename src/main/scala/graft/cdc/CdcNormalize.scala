@@ -31,7 +31,6 @@ object CdcNormalize {
     * `glue/cdc_hudi.py:153-154,160-161,183-189`). */
   val MtimeCol = "mtime"
   val DeletedCol = "_hoodie_is_deleted"
-  val OpCol = "operation_aws"
   /** Corrupt-record column injected during cached-schema parsing so
     * records that no longer fit the cached schema are detectable
     * (PERMISSIVE `from_json` otherwise yields a struct of nulls, never a

@@ -30,12 +30,16 @@ object Dedup {
 
   /** Distinct word n-gram shingles per doc: (id, shingle). The explode is
     * map-side; downstream joins shuffle on the shingle/bucket, never on
-    * the full text. */
+    * the full text. Docs shorter than n words yield no shingles (the
+    * guard matters: `sequence(0, size-n)` would otherwise produce a
+    * descending sequence and feed `slice` illegal starts). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val w = split(trim(lower(col(textCol))), "\\s+")
-    val grams = transform(
-      sequence(lit(0), size(w) - n),
-      i => concat_ws(" ", slice(w, i + 1, n)))
+    val grams = when(size(w) >= n,
+        transform(
+          sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
     docs.select(col(idCol), explode(array_distinct(grams)).as("shingle"))
   }
 
@@ -122,10 +126,12 @@ object Dedup {
       val cands = minhashCandidates(minhashSignatures(sh, idCol, bands * rows),
         idCol, bands, rows)
       val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      // Intersection via the same inverted-index shape as jaccardPairs:
+      // expand candidates by side A's shingles, then join side B on
+      // (id_b, shingle) — never the |A|×|B| per-pair cross product.
       val inter = cands
         .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
-        .join(sh.select(col(idCol).as("id_b"), col("shingle").as("shingle_b")), "id_b")
-        .where(col("shingle") === col("shingle_b"))
+        .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
       inter
         .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")

@@ -54,13 +54,18 @@ object TextStats {
   }
 
   /** Composite quality score in [0,1]: long-enough docs with normal word
-    * shape and low punctuation score high. Deterministic arithmetic only. */
+    * shape and low punctuation score high. Deterministic arithmetic only.
+    * NOT rounded: the inputs are already 6-decimal-rounded and the
+    * remaining ops are bit-identical IEEE doubles in any engine, whereas
+    * a final round can disagree across engines at .5 boundaries (Spark
+    * rounds the exact binary expansion, DuckDB rounds x*1e6 — observed
+    * divergent on real data). */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
     val wordScore = lit(1.0) -
       least(abs(meanWordLen(text) - lit(5.0)) / lit(5.0), lit(1.0))
-    round(lenScore * 0.4 + punctScore * 0.3 + wordScore * 0.3, 6)
+    lenScore * 0.4 + punctScore * 0.3 + wordScore * 0.3
   }
 
   /** Language markers for the n-gram-free language-ID heuristic. Marker

@@ -25,8 +25,19 @@ object CdcQueries {
 
   val userTable: SyncTable = SyncTable("test_db", "user", "id")
 
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
+  /** The shared `events` table. Its `ts` column is nanosecond-precision
+    * parquet, which Spark 4 reads only as bigint nanos (sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`); the values are exact
+    * microseconds, so `DIV 1000` + `timestamp_micros` is lossless (integer
+    * division — a double-typed `/` would lose precision at 1.7e18). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+  }
 
   private def debeziumOp: Column =
     when(col("event_type") === "click", "c")
@@ -122,13 +133,20 @@ object CdcQueries {
   /** Two-batch keyed-upsert merge (K1): events split by time into two
     * micro-batches, applied sequentially through the merge plan — final
     * state must equal the one-shot latest-per-key (merge associativity,
-    * the effectively-exactly-once argument of SURVEY.md §2.9). */
+    * the effectively-exactly-once argument of SURVEY.md §2.9).
+    *
+    * The split MUST be time-monotone (all of b2 newer than b1): a delete
+    * tombstone is dropped from the materialized state after its batch, so
+    * an older-versioned event arriving in a LATER batch re-inserts the row
+    * (faithful Hudi-after-compaction semantics, SURVEY.md §2.6 K1) and
+    * would diverge from the one-shot oracle. The literal boundary is the
+    * testdata's mid-month (events span Jan 2024, TESTDATA.md); a skewed
+    * split at another sf stays correct, just less interesting. */
   def keyedUpsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val normalized = normalizeDebezium(spark, sfDir)
-    val half = normalized.agg(((min("event_id") + max("event_id")) / 2)
-      .cast("long")).head().getLong(0)
-    val b1 = normalized.where(col("event_id") <= half)
-    val b2 = normalized.where(col("event_id") > half)
+    val boundaryMs = 1705276800000L // 2024-01-15 00:00:00 UTC
+    val b1 = normalized.where(col(CdcNormalize.MtimeCol) < boundaryMs)
+    val b2 = normalized.where(col(CdcNormalize.MtimeCol) >= boundaryMs)
     val keys = Seq("id")
     val state1 = KeyedUpsertTable.merge(None, b1, keys,
       CdcNormalize.MtimeCol, tiebreak = Seq("event_id"))
@@ -156,6 +174,20 @@ object CdcQueries {
         .agg(count(lit(1)).as("cnt"))
         .select(lit(t).as("tbl"), col("cnt"))
     }
-    counts.reduce(_.unionAll(_)).orderBy("tbl")
+    counts.reduce(_.union(_)).orderBy("tbl")
+  }
+
+  /** O4 SQL entry point (`glue/cdc_hudi.py:208-210,149-159`): the W1 dedup
+    * issued as SQL text against a temp view — same Catalyst plan as the
+    * Column-API form, same oracle as [[latestPerKeyRowNumber]]. */
+  def latestPerKeySql(spark: SparkSession, sfDir: String): DataFrame = {
+    events(spark, sfDir).createOrReplaceTempView("graft_events")
+    spark.sql(
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS seqnum_aws
+        |  FROM graft_events) t
+        |WHERE seqnum_aws = 1
+        |ORDER BY user_id""".stripMargin)
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -44,6 +44,16 @@ object LlmQueries {
   def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash(docs(spark, sfDir), "doc_id", "text").orderBy("doc_id")
 
+  /** SimHash near-dup pairs within 3 bits, via pigeonhole blocking
+    * (rows-only: fingerprints are hash-seed-specific; the blocking
+    * recall property — every pair within the ball shares a block — is
+    * asserted in the scalatest). */
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashNearDups(
+        Dedup.simhash(docs(spark, sfDir), "doc_id", "text"),
+        "doc_id", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
   /** Brute-force cosine top-5 for the first 20 vectors as the query set.
     * Exact baseline for ANN; double math matches DuckDB's
     * list_cosine_similarity bit-for-bit, rounded to 1e-6 defensively. */
@@ -51,6 +61,7 @@ object LlmQueries {
     val all = emb(spark, sfDir)
     Similarity.bruteForceTopK(all, all.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("long")) // bigint: DuckDB row_number dtype
       .orderBy("query_id", "rank")
   }
 
@@ -60,6 +71,7 @@ object LlmQueries {
     val all = emb(spark, sfDir)
     Similarity.lshTopK(all, all.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
 
@@ -76,4 +88,52 @@ object LlmQueries {
       TextStats.stopwordRatio(col("text")).as("stopword_ratio"),
       TextStats.meanWordLen(col("text")).as("mean_word_len"))
     .orderBy("doc_id")
+
+  /** Per-document punctuation ratio + composite quality score. */
+  def textQualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      TextStats.punctRatio(col("text")).as("punct_ratio"),
+      TextStats.qualityScore(col("text")).as("quality_score"))
+    .orderBy("doc_id")
+
+  /** Language-ID heuristic: predicted language per doc, aggregated. */
+  def langIdCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(TextStats.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang_pred")
+
+  /** Embedding-cosine near-duplicate pairs (LSH candidates + exact
+    * verify; recall property covered by scalatest, rows-only here). */
+  def cosineNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.cosineNearDups(emb(spark, sfDir), "vec_id", "embedding",
+        threshold = 0.35) // testdata max pairwise cosine ≈0.51; 0.35 yields a real pair set
+      .orderBy("id_a", "id_b")
+
+  /** Multimodal metadata decode over synthesized blobs: the documents
+    * text bytes stand in for media payloads (no codecs in this
+    * environment, SURVEY.md §2.8); width/height come from the stub
+    * fixed-header decode inside the real `mapPartitions` plumbing. ASCII
+    * text ⇒ the oracle can restate the header arithmetic over char
+    * codes. */
+  def mmDecodeMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val blobs = docs(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    Multimodal.decodeMeta(spark, blobs, "doc_id", "blob")
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal frame sampling: 4 evenly-spaced 16-byte windows per blob
+    * (rows-only; the slicing shape is what a real frame sampler uses). */
+  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.sampleFrames(
+        docs(spark, sfDir).select(col("doc_id"),
+          col("text").cast("binary").as("blob")),
+        "doc_id", "blob", n = 4, frameBytes = 16)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame_bytes")).cast("long").as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
 }

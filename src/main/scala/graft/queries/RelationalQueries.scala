@@ -33,10 +33,13 @@ object RelationalQueries {
     t(spark, sfDir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec("l_quantity")).cast("decimal(18,2)").as("sum_qty"),
-        sum(dec("l_extendedprice")).cast("decimal(18,2)").as("sum_base_price"),
+        // Aggregate in DECIMAL (exact, order-independent) — the final
+        // cast to double is one deterministic rounding, identical in
+        // DuckDB, and avoids Decimal-vs-float dtype skew in the compare.
+        sum(dec("l_quantity")).cast("decimal(18,2)").cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("decimal(18,2)").cast("double").as("sum_base_price"),
         sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-          .cast("decimal(18,4)").as("sum_disc_price"),
+          .cast("decimal(18,4)").cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -58,7 +61,7 @@ object RelationalQueries {
       .groupBy("l_orderkey")
       .agg(sum(dec("l_extendedprice") *
           (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-        .cast("decimal(18,4)").as("revenue"))
+        .cast("decimal(18,4)").cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -83,7 +86,7 @@ object RelationalQueries {
       .groupBy("n_name")
       .agg(sum(dec("l_extendedprice") *
           (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-        .cast("decimal(18,4)").as("revenue"))
+        .cast("decimal(18,4)").cast("double").as("revenue"))
       .orderBy("n_name")
   }
 
@@ -94,9 +97,8 @@ object RelationalQueries {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     t(spark, sfDir, "orders")
-      .select(col("o_custkey"), col("o_orderkey"),
-        dec("o_totalprice").as("o_totalprice"))
-      .withColumn("rk", row_number().over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast("long")) // bigint: DuckDB row_number dtype
       .where(col("rk") <= 3)
       .orderBy("o_custkey", "rk")
   }
@@ -121,13 +123,16 @@ object RelationalQueries {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
       .orderBy("event_type")
 
-  /** Existence/anti-join shape: customers with no orders. Broadcast of the
-    * aggregated key set at small sf; at 100 TB Spark plans a shuffled
-    * left-anti join on the same expression — the declarative form is the
-    * point. */
+  /** Existence/anti-join shape: customers with no RECENT order (the
+    * unfiltered variant is vacuously empty on the dense testdata). The
+    * filter is pushed into the build side before the anti join; at 100 TB
+    * Spark plans a shuffled left-anti join on the same expression — the
+    * declarative form is the point. */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = t(spark, sfDir, "customer").select("c_custkey", "c_name")
-    val ord = t(spark, sfDir, "orders").select("o_custkey")
+    val ord = t(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit("2001-06-01").cast("timestamp"))
+      .select("o_custkey")
     cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .orderBy("c_custkey")
   }

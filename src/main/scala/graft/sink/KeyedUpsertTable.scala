@@ -43,8 +43,14 @@ final class KeyedUpsertTable(
     spark: SparkSession,
     val root: String,
     val keys: Seq[String],
-    val versionCol: String = CdcNormalize.MtimeCol) {
+    val versionCol: String = CdcNormalize.MtimeCol,
+    /** Snapshots retained after each commit (current + history for
+      * in-flight readers) — the reference's cleaner keeps 2 commits
+      * (`glue/cdc_hudi.py:198-200`); unbounded retention at one COW
+      * rewrite per micro-batch is unbounded disk growth. */
+    val retainSnapshots: Int = 2) {
   require(keys.nonEmpty, "keyed table needs at least one key column")
+  require(retainSnapshots >= 1, "must retain at least the current snapshot")
 
   private val rootPath: Path = Paths.get(root)
   private val pointer: Path = rootPath.resolve("_current")
@@ -89,6 +95,28 @@ final class KeyedUpsertTable(
     Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    cleanOldSnapshots()
+  }
+
+  /** Hudi-cleaner equivalent: after the pointer swap, delete every
+    * snapshot older than the newest `retainSnapshots`. Runs only after
+    * publish, so readers of the current snapshot are never affected. */
+  private def cleanOldSnapshots(): Unit = {
+    val snaps = Option(rootPath.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+      .sortBy(_.getName.stripPrefix("snap-").toLong)
+    snaps.dropRight(retainSnapshots).foreach { dir =>
+      import java.nio.file.{FileVisitResult, SimpleFileVisitor}
+      import java.nio.file.attribute.BasicFileAttributes
+      Files.walkFileTree(dir.toPath, new SimpleFileVisitor[Path] {
+        override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+          Files.deleteIfExists(f); FileVisitResult.CONTINUE
+        }
+        override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+          Files.deleteIfExists(d); FileVisitResult.CONTINUE
+        }
+      })
+    }
   }
 }
 
