@@ -1,0 +1,88 @@
+package graft.ext
+
+import graft.SparkSpecBase
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dedup family: shingle edge cases, exact-Jaccard hand checks, MinHash
+  * recall vs the exact baseline, SimHash blocking completeness. */
+class DedupSpec extends SparkSpecBase {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("shingles: docs shorter than n yield no shingles (no crash)") {
+    val d = docs((1L, "one"), (2L, "two words"), (3L, "a b c d"))
+    val sh = Dedup.shingles(d, "doc_id", "text", n = 3)
+    val byDoc = sh.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byDoc.contains(1L) && !byDoc.contains(2L))
+    assert(byDoc(3L) === 2L) // "a b c", "b c d"
+  }
+
+  test("exact dedup: min-id survivor and copy count") {
+    val d = docs((5L, "same text"), (2L, "same text"), (9L, "other"))
+    val out = Dedup.exact(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_copies"))).toSeq ===
+      Seq((2L, 2L), (9L, 1L)))
+  }
+
+  test("jaccardPairs: hand-computed intersection/union") {
+    // A: {a b c, b c d}; B: {b c d, c d e} → inter 1, union 3 → 1/3
+    val d = docs((1L, "a b c d"), (2L, "b c d e"))
+    val out = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.3).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Double]("jaccard") === 0.333333)
+  }
+
+  test("jaccardPairs: maxDf drops near-universal shingles (hot-bucket cap)") {
+    // every doc shares "x y z"; with maxDf=2 that shingle is dropped so
+    // the only surviving pair is the one with another common shingle
+    val d = docs((1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z a b c"))
+    val capped = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.2, maxDf = 2)
+      .collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 3L)))
+  }
+
+  test("minhash near-dups: subset of exact pairs with recall >= 0.9 on real docs") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.jaccardPairs(real, "doc_id", "text", n = 3, threshold = 0.12)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashNearDups(real, "doc_id", "text", n = 3,
+        bands = 32, rows = 2, threshold = 0.12)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact), "verified candidates must be exact pairs")
+    assert(exact.nonEmpty)
+    val recall = mh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall < 0.9 (${mh.size}/${exact.size})")
+  }
+
+  test("simhash: identical docs get identical fingerprints, disjoint docs differ") {
+    val d = docs((1L, "spark scala window merge"), (2L, "spark scala window merge"),
+      (3L, "entirely different content here"))
+    val fp = Dedup.simhash(d, "doc_id", "text").orderBy("doc_id").collect()
+      .map(_.getAs[Long]("simhash"))
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+
+  test("simhash blocking: every pair within the Hamming ball is found, outside is rejected") {
+    val s = spark; import s.implicits._
+    val base = 0x0123456789abcdefL
+    val fps = Seq(
+      (1L, base),
+      (2L, base ^ 1L),                    // hamming 1
+      (3L, base ^ (1L << 17) ^ (1L << 40) ^ (1L << 63)), // hamming 3
+      (4L, base ^ 0x0fL),                 // hamming 4 → outside ball 3
+    ).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashNearDups(fps, "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+    // fp2 vs fp3: hamming 4 → also rejected
+    assert(!pairs.contains((2L, 3L)))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.SparkSpecBase
+
+import org.apache.spark.sql.functions._
+
+/** Similarity search: cosine hand checks, exact top-k ranking, and the
+  * LSH recall bound vs the exact baseline (the claim the registry's
+  * rows-only queries rely on). */
+class SimilaritySpec extends SparkSpecBase {
+
+  test("cosine: orthogonal → 0, identical → 1, opposite → -1") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 1.0f), Seq(2.0f, 2.0f)),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f))
+    ).toDF("a", "b")
+    val sims = df.select(round(Similarity.cosine(col("a"), col("b")), 6).as("sim"))
+      .collect().map(_.getDouble(0))
+    assert(sims.toSeq === Seq(0.0, 1.0, -1.0))
+  }
+
+  test("bruteForceTopK ranks by similarity with deterministic ties") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(corpus, corpus.where(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L))
+  }
+
+  test("lshTopK recall >= 0.9 vs exact baseline on real embeddings") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = all.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(all, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"lsh recall $recall < 0.9")
+  }
+
+  test("cosineNearDups finds >= 90% of true pairs above threshold, with exact sims") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = all.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+    val b = all.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
+    val truePairs = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("__va"), col("__vb")), 6).as("sim"))
+      .where(col("sim") >= 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDups(all, "vec_id", "embedding", threshold = 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(truePairs), "LSH pairs must verify exactly")
+    assert(truePairs.nonEmpty)
+    val recall = lsh.size.toDouble / truePairs.size
+    assert(recall >= 0.9, s"near-dup recall $recall < 0.9 (${lsh.size}/${truePairs.size})")
+  }
+}

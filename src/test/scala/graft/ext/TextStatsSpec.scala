@@ -1,0 +1,46 @@
+package graft.ext
+
+import graft.SparkSpecBase
+
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkSpecBase {
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T = {
+    val s = spark; import s.implicits._
+    Seq(text).toDF("text").select(c.as("v")).head().getAs[T]("v")
+  }
+
+  test("nWords: empty, blank, and multi-space inputs") {
+    assert(one[Int](TextStats.nWords(col("text")), "") === 0)
+    assert(one[Int](TextStats.nWords(col("text")), "   ") === 0)
+    assert(one[Int](TextStats.nWords(col("text")), "a  b   c") === 3)
+  }
+
+  test("tokens: letter runs, digit runs, single punctuation") {
+    assert(one[Seq[String]](TextStats.tokens(col("text")), "ab12, cd!") ===
+      Seq("ab", "12", ",", "cd", "!"))
+  }
+
+  test("stopwordRatio and meanWordLen arithmetic") {
+    assert(one[Double](TextStats.stopwordRatio(col("text")), "the cat in hat") === 0.5)
+    assert(one[Double](TextStats.meanWordLen(col("text")), "ab cdef") === 3.0)
+    assert(one[Double](TextStats.meanWordLen(col("text")), "") === 0.0)
+  }
+
+  test("langId: marker-based argmax with unk fallback") {
+    assert(one[String](TextStats.langId(col("text")), "the cat and the dog is here") === "en")
+    assert(one[String](TextStats.langId(col("text")), "el perro que corre con la gata") === "es")
+    assert(one[String](TextStats.langId(col("text")), "le chien est avec le chat") === "fr")
+    assert(one[String](TextStats.langId(col("text")), "xyz qqq zzz") === "unk")
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val s = spark; import s.implicits._
+    val texts = Seq("", "short", "a" * 500,
+      "the quick brown fox jumps over the lazy dog and keeps running through the field")
+    val scores = texts.toDF("text")
+      .select(TextStats.qualityScore(col("text")).as("q")).collect().map(_.getDouble(0))
+    assert(scores.forall(q => q >= 0.0 && q <= 1.0))
+  }
+}

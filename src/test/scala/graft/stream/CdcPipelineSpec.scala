@@ -1,0 +1,113 @@
+package graft.stream
+
+import graft.SparkSpecBase
+import graft.cdc.{CdcFormat, SchemaInference, SyncTable}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.nio.file.Files
+
+/** K2/O1-O3 streaming e2e: MemoryStream → foreachBatch → per-table
+  * fan-out → keyed upsert sink, including delete propagation,
+  * out-of-order (stale) events across batches, checkpoint restart, and
+  * idempotent batch replay (SURVEY.md §2.9, §5). */
+class CdcPipelineSpec extends SparkSpecBase {
+
+  private val acct = SyncTable("stream_db", "acct", "id")
+
+  private def ev(id: Int, v: String, ts: Long, op: String): String =
+    if (op == "d")
+      s"""{"before":{"id":$id,"v":"$v"},"after":null,"source":{"db":"stream_db","table":"acct"},"op":"d","ts_ms":$ts}"""
+    else
+      s"""{"before":null,"after":{"id":$id,"v":"$v"},"source":{"db":"stream_db","table":"acct"},"op":"$op","ts_ms":$ts}"""
+
+  private def config(root: String, ckpt: String) = CdcPipelineConfig(
+    format = CdcFormat.MskDebeziumCdc,
+    tables = Seq(acct),
+    sinkRoot = root,
+    checkpointDir = ckpt,
+    triggerInterval = "1 second",
+    schemaMode = SchemaInference.Mode.InferAlways)
+
+  private def tableState(p: CdcPipeline): Map[Long, String] =
+    p.sinks(acct.id).read().map(_.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap)
+      .getOrElse(Map.empty)
+
+  test("streaming e2e with delete, stale event, checkpoint restart, and replay") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-sink").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+
+    val input = MemoryStream[String]
+    val p1 = new CdcPipeline(spark, config(root, ckpt))
+    val q1 = p1.start(input.toDF())
+    try {
+      input.addData(ev(1, "a1", 100, "c"), ev(2, "b1", 100, "c"))
+      q1.processAllAvailable()
+      assert(tableState(p1) === Map(1L -> "a1", 2L -> "b1"))
+    } finally { q1.stop(); p1.shutdown() }
+
+    // restart from the same checkpoint with a fresh pipeline instance
+    val p2 = new CdcPipeline(spark, config(root, ckpt))
+    val q2 = p2.start(input.toDF())
+    try {
+      input.addData(
+        ev(1, "a1", 200, "d"),   // delete k1
+        ev(2, "stale", 50, "u"), // older than stored k2 → ignored
+        ev(3, "c1", 300, "c"))   // new key
+      q2.processAllAvailable()
+      assert(tableState(p2) === Map(2L -> "b1", 3L -> "c1"))
+    } finally { q2.stop(); p2.shutdown() }
+
+    // batch replay (checkpoint recovery semantics): reprocessing the same
+    // data must be a no-op on the sink state
+    val p3 = new CdcPipeline(spark, config(root, ckpt))
+    val replay = Seq(ev(1, "a1", 200, "d"), ev(2, "stale", 50, "u"),
+      ev(3, "c1", 300, "c")).toDF("value")
+    p3.processBatch(replay, batchId = 99L)
+    assert(tableState(p3) === Map(2L -> "b1", 3L -> "c1"))
+    p3.shutdown()
+  }
+
+  test("a table with no routed records is skipped without commits") {
+    val root = Files.createTempDirectory("graft-sink2").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt2").toString
+    val s = spark; import s.implicits._
+    val p = new CdcPipeline(spark, config(root, ckpt))
+    val offTopic = Seq(
+      """{"after":{"id":1},"source":{"db":"other","table":"other"},"op":"c","ts_ms":1}""")
+      .toDF("value")
+    p.processBatch(offTopic, batchId = 0L)
+    assert(p.sinks(acct.id).read().isEmpty) // no snapshot written
+    p.shutdown()
+  }
+
+  test("offset listener records completed batch offsets") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-sink3").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt3").toString
+    val listener = new OffsetCommitListener
+    spark.streams.addListener(listener)
+    val input = MemoryStream[String]
+    val p = new CdcPipeline(spark, config(root, ckpt))
+    val q = p.start(input.toDF())
+    try {
+      input.addData(ev(1, "a1", 100, "c"))
+      q.processAllAvailable()
+      // listener events are async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.lastOffsets.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(!listener.lastOffsets.isEmpty)
+    } finally {
+      q.stop(); p.shutdown(); spark.streams.removeListener(listener)
+    }
+  }
+}
