@@ -56,7 +56,11 @@ object CdcNormalize {
     if (routed0.isEmpty) return None
 
     val values = routed0.select(col("value")).as[String]
-    var schema = SchemaInference.forTable(spark, table.id, values, mode)
+    // Cache key includes the dialect: the same logical table consumed in
+    // two envelope formats has two different envelope schemas, and a
+    // shared key would ping-pong between them via the corrupt probe.
+    val cacheKey = s"${format.name}:${table.id}"
+    var schema = SchemaInference.forTable(spark, cacheKey, values, mode)
 
     def parseWith(s: StructType): DataFrame = {
       // Parse with a corrupt-record sidecar so malformed-vs-schema records
@@ -80,7 +84,7 @@ object CdcNormalize {
       val failed = !parsed
         .where(col("kdata").getField(CorruptCol).isNotNull).limit(1).isEmpty
       if (failed) {
-        schema = SchemaInference.refresh(spark, table.id, values)
+        schema = SchemaInference.refresh(spark, cacheKey, values)
         parsed = parseWith(schema)
       }
     }

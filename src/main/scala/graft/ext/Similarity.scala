@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.functions.VectorExpressions
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -15,15 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product (deterministic summation order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential dot product (deterministic summation order — i=0..n-1,
+    * matching DuckDB's evaluation, so oracle compares are bit-exact).
+    * Codegen'd kernel, not an interpreted `aggregate` fold. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotProduct(a, b)
 
   /** Cosine similarity in double precision: dot(a,b)/(|a|·|b|). */
   def cosine(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Vector L2 norm (for precomputing per-vector norms once instead of
+    * re-folding them per candidate pair — same expression tree as
+    * [[cosine]]'s denominator, so `dot/(normA*normB)` is bit-identical). */
+  def l2(a: Column): Column = {
+    val ad = a.cast("array<double>")
+    sqrt(dot(ad, ad))
   }
 
   /** Exact brute-force top-k neighbors for each query vector.
@@ -39,9 +50,13 @@ object Similarity {
     * neighbor id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val sim = round(cosine(col("__qv"), col("__cv")), 6)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2(col(vecCol)).as("__cn"))
+    val sim = round(
+      dot(col("__qv").cast("array<double>"), col("__cv").cast("array<double>")) /
+        (col("__qn") * col("__cn")), 6)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
     val w = Window.partitionBy("query_id")
@@ -50,29 +65,30 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): a hash folded into [-1, 1). Seeding by table makes the LSH
-    * tables draw INDEPENDENT hyperplanes (a shared plane prefix would make
-    * later tables' collisions a subset of table 0's — extra tables would
-    * then add zero recall). No RNG state, so plans are reproducible across
-    * executors and runs. */
-  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(table), lit(plane), dim), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+  /** Hyperplanes are generated DRIVER-SIDE from a seed derived from
+    * (table, plane) — deterministic across executors and runs, baked into
+    * the plan as constants, zero per-row hashing. Seeding by table makes
+    * the LSH tables draw INDEPENDENT hyperplanes (a shared plane prefix
+    * would make later tables' collisions a subset of table 0's — extra
+    * tables would then add zero recall). Gaussian components = the
+    * standard rotation-invariant sign-LSH family. `MaxDim` caps supported
+    * vector width; longer vectors project on their first MaxDim dims. */
+  val MaxDim = 2048
+
+  private def planeFamily(table: Int, nPlanes: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      val rnd = new java.util.Random(0x9e3779b97f4a7c15L ^ (table.toLong << 20) ^ p.toLong)
+      Vector.fill(MaxDim)(rnd.nextGaussian())
+    }
 
   /** Random-hyperplane LSH bucket key: sign bits of `nPlanes` projections
-    * packed into a long. Cosine-similar vectors agree on most sign bits,
-    * so same-bucket vectors are likely neighbors. `table` selects an
-    * independent plane family. */
-  def lshBucket(vec: Column, nPlanes: Int, table: Int = 0): Column = {
-    val vd = vec.cast("array<double>")
-    (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vd, sequence(lit(0), size(vd) - 1),
-          (x, i) => x * planeComponent(table, p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * packed into a long, computed by one codegen'd kernel pass.
+    * Cosine-similar vectors agree on most sign bits, so same-bucket
+    * vectors are likely neighbors. `table` selects an independent plane
+    * family. */
+  def lshBucket(vec: Column, nPlanes: Int, table: Int = 0): Column =
+    VectorExpressions.signProjection(vec.cast("array<double>"),
+      planeFamily(table, nPlanes))
 
   /** Approximate top-k: probe only candidates sharing the query's bucket
     * in at least one of `tables` independent LSH tables. At 100 TB the
@@ -96,18 +112,29 @@ object Similarity {
     val bucketCols = (0 until tables).map { t =>
       struct(lit(t).as("tbl"), lshBucket(col(vecCol), nPlanes, t).as("bucket"))
     }
-    def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(v),
-        explode(array(bucketCols: _*)).as("bk"))
-        .select(col(id), col(v), col("bk.tbl"), col("bk.bucket"))
-    val c = withBuckets(corpus, "neighbor_id", "__cv")
-    val q = withBuckets(queries, "query_id", "__qv")
-    val sim = round(cosine(col("__qv"), col("__cv")), 6)
+    // Bucket streams carry IDS ONLY — deduplicating candidates on narrow
+    // (query_id, neighbor_id) rows, never shuffling vectors; embeddings
+    // are joined back exactly once per side after the distinct. (The
+    // naive form — distinct over rows carrying both vectors — was 6×
+    // slower at sf0.1 and would shuffle the corpus many times at 100 TB.)
+    def withBuckets(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), explode(array(bucketCols: _*)).as("bk"))
+        .select(col(id), col("bk.tbl"), col("bk.bucket"))
+    val c = withBuckets(corpus, "neighbor_id")
+    val q = withBuckets(queries, "query_id")
     val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    val scored = cands.select(col("query_id"), col("neighbor_id"), sim.as("sim"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2(col(vecCol)).as("__qn"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2(col(vecCol)).as("__cn"))
+    val sim = round(
+      dot(col("__qv").cast("array<double>"), col("__cv").cast("array<double>")) /
+        (col("__qn") * col("__cn")), 6)
+    val scored = cands.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -122,19 +149,24 @@ object Similarity {
     val bucketCols = (0 until tables).map { t =>
       struct(lit(t).as("tbl"), lshBucket(col(vecCol), nPlanes, t).as("bucket"))
     }
-    val bucketed = vectors.select(col(idCol), col(vecCol),
-      explode(array(bucketCols: _*)).as("bk"))
-      .select(col(idCol), col(vecCol), col("bk.tbl"), col("bk.bucket"))
-    val a = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-      col("tbl"), col("bucket"))
-    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
-      col("tbl"), col("bucket"))
-    a.join(b, Seq("tbl", "bucket"))
+    // Same id-only candidate shape as lshTopK: bucket rows carry ids,
+    // candidate dedup happens on narrow pairs, vectors join back once.
+    val bucketed = vectors.select(col(idCol), explode(array(bucketCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.tbl"), col("bk.bucket"))
+    val a = bucketed.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col("tbl"), col("bucket"))
+    val cands = a.join(b, Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val va = vectors.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      l2(col(vecCol)).as("__na"))
+    val vb = vectors.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      l2(col(vecCol)).as("__nb"))
+    cands.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("__va"), col("__vb")), 6).as("sim"))
+        round(dot(col("__va").cast("array<double>"), col("__vb").cast("array<double>")) /
+          (col("__na") * col("__nb")), 6).as("sim"))
       .where(col("sim") >= threshold)
   }
 }

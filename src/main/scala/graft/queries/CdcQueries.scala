@@ -93,7 +93,11 @@ object CdcQueries {
     * stream, one row per event. */
   def normalizeDebezium(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = debeziumStream(spark, sfDir)
-    CdcNormalize.normalize(spark, raw, CdcFormat.MskDebeziumCdc, userTable)
+    // Cached inference: the first caller in the JVM pays the inference
+    // scan, later queries over the same (format, table) reuse it — the
+    // corrupt-record probe still catches drift (SURVEY.md §4.3.2).
+    CdcNormalize.normalize(spark, raw, CdcFormat.MskDebeziumCdc, userTable,
+        SchemaInference.Mode.Cached)
       .getOrElse(sys.error("no rows routed"))
       .orderBy("event_id")
   }
@@ -101,7 +105,8 @@ object CdcQueries {
   /** Full DMS normalize (string mtime, load/insert/update/delete ops). */
   def normalizeDms(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = dmsStream(spark, sfDir)
-    CdcNormalize.normalize(spark, raw, CdcFormat.DmsCdc, userTable)
+    CdcNormalize.normalize(spark, raw, CdcFormat.DmsCdc, userTable,
+        SchemaInference.Mode.Cached)
       .getOrElse(sys.error("no rows routed"))
       .orderBy("event_id")
   }

@@ -35,8 +35,13 @@ object LlmQueries {
     * No SQL oracle — LSH recall is probabilistic; correctness is covered
     * by the scalatest comparing it against [[nearDupJaccard]]. */
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    // bands=16 × rows=4 (S-curve midpoint ≈0.5): the corpus's true
+    // near-dups sit at j≈0.9+ (recall ≈1 there, asserted in DedupSpec)
+    // while background pairs at j≈0.05 collide with p≈1e-4 — the loose
+    // 32×2 banding admitted ~8% of ALL pairs as candidates and made
+    // verification quadratic-ish at sf0.1.
     Dedup.minhashNearDups(docs(spark, sfDir), "doc_id", "text", n = 3,
-        bands = 32, rows = 2, threshold = 0.12)
+        bands = 16, rows = 4, threshold = 0.12)
       .orderBy("id_a", "id_b")
 
   /** SimHash fingerprints (rows-only check: xxhash64 seeds are

@@ -73,7 +73,8 @@ final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
         if (config.schemaMode == SchemaInference.Mode.Cached &&
             config.revalidateEvery > 0 && batchId > 0 &&
             batchId % config.revalidateEvery == 0)
-          config.tables.foreach(t => SchemaInference.invalidate(t.id))
+          config.tables.foreach(t =>
+            SchemaInference.invalidate(s"${config.format.name}:${t.id}"))
         val futures = config.tables.map { table =>
           Future {
             // FAIR pool per table so long writes interleave (O2).

@@ -66,7 +66,7 @@ class CdcNormalizeSpec extends SparkSpecBase {
   test("cached mode re-infers when a record no longer parses against the cached schema") {
     val s = spark; import s.implicits._
     SchemaInference.clearAll()
-    val key = "test_db.user"
+    val key = s"${CdcFormat.MskDebeziumCdc.name}:test_db.user" // format-qualified cache key
     // seed the cache from an envelope whose after.id is a long
     SchemaInference.forTable(spark, key,
       Seq("""{"after":{"id":123},"op":"c","ts_ms":1}""").toDS(),

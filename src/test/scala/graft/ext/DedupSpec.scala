@@ -52,7 +52,7 @@ class DedupSpec extends SparkSpecBase {
     val exact = Dedup.jaccardPairs(real, "doc_id", "text", n = 3, threshold = 0.12)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val mh = Dedup.minhashNearDups(real, "doc_id", "text", n = 3,
-        bands = 32, rows = 2, threshold = 0.12)
+        bands = 16, rows = 4, threshold = 0.12)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mh.subsetOf(exact), "verified candidates must be exact pairs")
     assert(exact.nonEmpty)
