@@ -51,6 +51,8 @@ object SparkEntry {
     "llm_neardup_minhash"      -> (LlmQueries.minhashNearDup _),
     "llm_simhash_fingerprints" -> (LlmQueries.simhashFingerprints _),
     "llm_simhash_neardup"      -> (LlmQueries.simhashNearDup _),
+    "llm_winnow_fingerprints"  -> (LlmQueries.winnowFingerprints _),
+    "llm_winnow_shared_pairs"  -> (LlmQueries.winnowSharedPairs _),
     // --- similarity search
     "llm_cosine_topk"          -> (LlmQueries.cosineTopK _),
     "llm_cosine_topk_lsh"      -> (LlmQueries.cosineTopKLsh _),

@@ -32,6 +32,14 @@ object SchemaInference {
 
   private val cache = TrieMap.empty[String, StructType]
 
+  /** Rows sampled for the initial cached-mode inference. A schema is a
+    * low-entropy property — tokenizing the whole batch to learn it is a
+    * full extra scan for nothing; records the sampled schema cannot
+    * parse are caught downstream by the corrupt-record probe, which
+    * triggers a FULL re-inference ([[refresh]]). Parity mode
+    * (InferAlways) still scans everything like the reference. */
+  val CachedSampleRows = 10000
+
   /** Single inference pass (Spark's native JSON inference, executors do
     * the tokenizing; no RDD hop — `spark.read.json(Dataset[String])`). */
   def infer(spark: SparkSession, values: Dataset[String]): StructType =
@@ -40,7 +48,8 @@ object SchemaInference {
   def forTable(spark: SparkSession, key: String, values: Dataset[String],
                mode: Mode): StructType = mode match {
     case Mode.InferAlways => infer(spark, values)
-    case Mode.Cached      => cache.getOrElseUpdate(key, infer(spark, values))
+    case Mode.Cached =>
+      cache.getOrElseUpdate(key, infer(spark, values.limit(CachedSampleRows)))
   }
 
   /** Merge-and-refresh after a detected evolution: union of old and new

@@ -31,6 +31,10 @@ object VectorExpressions {
   def signProjection(vec: Column, planes: Seq[Seq[Double]]): Column =
     GraftExpressionBridge.column(
       SignProjection(GraftExpressionBridge.expression(vec), planes))
+
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    GraftExpressionBridge.column(
+      WinnowFingerprint(GraftExpressionBridge.expression(text), k, w))
 }
 
 /** Σ a(i)·b(i) over min(|a|,|b|) elements, sequential order, double
@@ -142,5 +146,80 @@ case class SignProjection(child: Expression, planes: Seq[Seq[Double]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): SignProjection =
+    copy(child = newChild)
+}
+
+/** Winnowed document fingerprints (Schleimer et al., SIGMOD'03) with a
+  * Rabin-Karp ROLLING hash: O(n) per document — each character enters
+  * and leaves the k-gram hash once — where the equivalent higher-order-
+  * function formulation (`transform` over windows of a `transform` over
+  * grams) re-inlines the gram array per window and goes O(n²·k)
+  * (measured 246 s vs <1 s on the 500-doc corpus).
+  *
+  * Output: distinct window-minimum hashes in first-selection order.
+  * Text is lowercased; docs shorter than k+w-1 bytes yield an empty
+  * array. Interpreted eval (CodegenFallback): the per-row loop IS the
+  * work; codegen would only inline the call. */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow expects string, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  /** Avalanche finalizer (splitmix64): spreads the polynomial hash so
+    * window-minimum selection is unbiased. */
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.getBytes
+    val n = bytes.length
+    if (n < k + w - 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val nGrams = n - k + 1
+    val B = 257L
+    var pow = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    val grams = new Array[Long](nGrams)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    grams(0) = mix(h)
+    i = 1
+    while (i < nGrams) {
+      h = (h - (bytes(i - 1) & 0xff) * pow) * B + (bytes(i + k - 1) & 0xff)
+      grams(i) = mix(h)
+      i += 1
+    }
+    // winnow: record each window's min once (w is small → direct scan)
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val nWindows = nGrams - w + 1
+    var j = 0
+    while (j < nWindows) {
+      var m = grams(j)
+      var i = j + 1
+      while (i < j + w) { if (grams(i) < m) m = grams(i); i += 1 }
+      if (seen.add(m)) out += m
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
     copy(child = newChild)
 }

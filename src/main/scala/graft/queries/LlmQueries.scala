@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats, Winnowing}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -108,6 +108,24 @@ object LlmQueries {
       .select(TextStats.langId(col("text")).as("lang_pred"))
       .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang_pred")
+
+  /** Winnowing fingerprint counts per doc (rows-only: xxhash64 values
+    * are engine-specific; the substring-sharing guarantee is asserted in
+    * WinnowingSpec). */
+  def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Winnowing.fingerprints(docs(spark, sfDir), "doc_id", "text")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
+      .orderBy("doc_id")
+
+  /** Docs sharing winnowed fingerprints — substring-level copy
+    * candidates (rows-only). k=24 chars ≈ a 4-5 word span: on this
+    * small-vocabulary corpus shorter grams are near-universal (k=8
+    * admitted 30% of ALL pairs); word-soup docs only share 24-char runs
+    * when actually copied. */
+  def winnowSharedPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Winnowing.sharedFingerprintPairs(docs(spark, sfDir), "doc_id", "text",
+        k = 24, w = 4, minShared = 4, maxDf = 200)
+      .orderBy("id_a", "id_b")
 
   /** Embedding-cosine near-duplicate pairs (LSH candidates + exact
     * verify; recall property covered by scalatest, rows-only here). */
