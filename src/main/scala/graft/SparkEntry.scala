@@ -38,6 +38,7 @@ object SparkEntry {
     // --- CDC engine core (SURVEY §2.1-2.3, §2.6): route→parse→normalize→
     //     dedup→merge, exercised through synthesized envelope JSON
     "cdc_normalize_debezium"   -> ((s: SparkSession, d: String) => CdcQueries.normalizeDebezium(s, d)),
+    "cdc_normalize_strict"     -> ((s: SparkSession, d: String) => CdcQueries.normalizeStrict(s, d)),
     "cdc_normalize_dms"        -> ((s: SparkSession, d: String) => CdcQueries.normalizeDms(s, d)),
     "cdc_latest_rownumber"     -> (CdcQueries.latestPerKeyRowNumber _),
     "cdc_latest_maxby"         -> (CdcQueries.latestPerKeyMaxBy _),
@@ -144,6 +145,10 @@ object SparkEntry {
     // directly from the events rows (mapping per CdcQueries scaladoc:
     // purchase→delete, mtime = epoch millis of ts / DMS string timestamp).
     "cdc_normalize_debezium" ->
+      """SELECT event_type AS etype, event_id, user_id AS id, value,
+        |  epoch_ms(ts) AS mtime, (event_type = 'purchase') AS _hoodie_is_deleted
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_normalize_strict" ->
       """SELECT event_type AS etype, event_id, user_id AS id, value,
         |  epoch_ms(ts) AS mtime, (event_type = 'purchase') AS _hoodie_is_deleted
         |FROM events ORDER BY event_id""".stripMargin,

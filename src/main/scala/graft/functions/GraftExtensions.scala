@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for graft's custom expressions, registered through the
+  * standard `SparkSessionExtensions` hook:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  *
+  * Gives `spark.sql` users the same kernels the Column API uses:
+  *  - `graft_dot(array<double>, array<double>) → double`
+  *  - `graft_cosine(array<double>, array<double>) → double`
+  *  - `graft_winnow(text, k, w) → array<bigint>` (k, w literal ints)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_dot(a, b)")
+        DotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_cosine(a, b)")
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        Divide(DotProduct(args(0), args(1)),
+          Multiply(Sqrt(DotProduct(args(0), args(0))),
+            Sqrt(DotProduct(args(1), args(1)))))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_winnow(text, k, w)")
+        WinnowFingerprint(args(0), intLit(args(1), "k"), intLit(args(2), "w"))
+      }))
+  }
+}

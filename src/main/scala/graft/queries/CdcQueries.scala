@@ -102,6 +102,19 @@ object CdcQueries {
       .orderBy("event_id")
   }
 
+  /** Strict-router variant (SURVEY.md §7.4.3's tightened mode): routes on
+    * parsed envelope fields instead of raw-string substrings. On this
+    * clean synthesized stream the result equals the parity router's, so
+    * it shares the normalize oracle — the query exists to exercise the
+    * strict path under the driver gate. */
+  def normalizeStrict(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = debeziumStream(spark, sfDir)
+    CdcNormalize.normalize(spark, raw, CdcFormat.MskDebeziumCdc, userTable,
+        SchemaInference.Mode.Cached, strictRouting = true)
+      .getOrElse(sys.error("no rows routed"))
+      .orderBy("event_id")
+  }
+
   /** Full DMS normalize (string mtime, load/insert/update/delete ops). */
   def normalizeDms(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = dmsStream(spark, sfDir)

@@ -1,0 +1,68 @@
+package graft
+
+import graft.cdc.LatestPerKey
+import graft.ext.{Dedup, Similarity}
+import graft.queries.RelationalQueries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the 100 TB properties claimed in the
+  * scaladoc (pushdown, pruning, broadcast dims, map-side partial
+  * aggregation, no accidental cartesian products) must be visible in the
+  * optimized plans, not just asserted in comments. A refactor that
+  * silently loses one of these shapes fails here before it ships. */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q3: filters reach the parquet scans and columns are pruned") {
+    val p = plan(RelationalQueries.q3Revenue(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("GreaterThan(l_shipdate"), s"no pushed lineitem filter in:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "customer filter not pushed")
+    // pruned lineitem read: no l_quantity/l_tax in the scan schema
+    assert(!p.contains("l_tax"), "lineitem scan reads unneeded columns")
+  }
+
+  test("q5: dimension joins are broadcast, never shuffled") {
+    val p = plan(RelationalQueries.q5LocalRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast dims")
+  }
+
+  test("latest-per-key maxBy aggregates map-side (partial_max_by)") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 1L, 10L)).toDF("k", "id", "ts")
+    val p = plan(LatestPerKey.maxBy(df, Seq("k"), Seq(col("ts"))))
+    assert(p.contains("partial_max_by"), s"no map-side partial aggregation in:\n$p")
+  }
+
+  test("jaccard/minhash never plan a cartesian product") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val pj = plan(Dedup.jaccardPairs(real, "doc_id", "text", n = 3, threshold = 0.5))
+    val pm = plan(Dedup.minhashNearDups(real, "doc_id", "text", n = 3))
+    for ((nm, p) <- Seq("jaccard" -> pj, "minhash" -> pm)) {
+      assert(!p.contains("CartesianProduct"), s"$nm plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$nm plans a nested-loop join")
+    }
+  }
+
+  test("brute-force top-k broadcasts the query side (corpus never shuffled)") {
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(Similarity.bruteForceTopK(all, all.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3))
+    assert(p.contains("BroadcastExchange"), "query side should broadcast")
+  }
+
+  test("custom kernels appear in plans (graft_dot / graft_sign_projection)") {
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(Similarity.lshTopK(all, all.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, nPlanes = 2, tables = 2))
+    assert(p.contains("graft_sign_projection"), "LSH should use the codegen kernel")
+    assert(p.contains("graft_dot"), "scoring should use the codegen dot kernel")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL entry point for the custom kernels via SparkSessionExtensions.
+  * Needs its own session (extensions bind at build time). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate returns any existing default session and silently drops
+  // extensions — clear first so this builder really applies them, then
+  // restore the shared suite session as default for later suites.
+  private lazy val spark: SparkSession = {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    prior.foreach(SparkSession.setDefaultSession)
+    s
+  }
+
+  test("graft_dot and graft_cosine are callable from SQL") {
+    val row = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       graft_cosine(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c""".stripMargin)
+      .head()
+    assert(row.getDouble(0) === 11.0)
+    assert(row.getDouble(1) === 0.0)
+  }
+
+  test("graft_winnow is callable from SQL and honors the length guard") {
+    val row = spark.sql(
+      """SELECT size(graft_winnow('the quick brown fox jumps', 8, 4)) AS n,
+        |       size(graft_winnow('tiny', 8, 4)) AS z""".stripMargin)
+      .head()
+    assert(row.getInt(0) > 0)
+    assert(row.getInt(1) === 0)
+  }
+
+  test("non-literal k is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_winnow('text', length('xx'), 4)").head()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+}
