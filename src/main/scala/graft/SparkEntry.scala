@@ -249,5 +249,15 @@ object SparkEntry {
         |       + ascii(substr(text,7,1))*256 + ascii(substr(text,8,1)) ELSE 0 END AS BIGINT) AS height,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm_frame_sample: mirror the slicing arithmetic (floor, not round —
+    // Spark's cast-to-int truncates; DuckDB's rounds).
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id, octet_length(encode(text)) AS L, g AS frame_idx
+        |           FROM documents, unnest(generate_series(0, 3)) AS t(g))
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(least(16, greatest(0,
+        |    L - (CAST(floor(frame_idx * greatest(L - 16, 1) / 3.0) AS INT) + 1) + 1))
+        |    AS BIGINT) AS frame_len
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

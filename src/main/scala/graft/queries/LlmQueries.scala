@@ -156,7 +156,7 @@ object LlmQueries {
         docs(spark, sfDir).select(col("doc_id"),
           col("text").cast("binary").as("blob")),
         "doc_id", "blob", n = 4, frameBytes = 16)
-      .select(col("doc_id"), col("frame_idx"),
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         length(col("frame_bytes")).cast("long").as("frame_len"))
       .orderBy("doc_id", "frame_idx")
 }

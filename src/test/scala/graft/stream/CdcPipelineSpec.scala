@@ -73,6 +73,20 @@ class CdcPipelineSpec extends SparkSpecBase {
     p3.shutdown()
   }
 
+  test("fail-fast (O3): a failing table sink fails the whole batch") {
+    val root = Files.createTempDirectory("graft-ff").toString
+    val ckpt = Files.createTempDirectory("graft-ff-ckpt").toString
+    // occupy the sink's parent path with a plain FILE so the commit's
+    // createDirectories throws — a stand-in for any table-level failure
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "stream_db"),
+      "not-a-directory".getBytes)
+    val s = spark; import s.implicits._
+    val p = new CdcPipeline(spark, config(root, ckpt))
+    val batch = Seq(ev(1, "a1", 100, "c")).toDF("value")
+    intercept[Exception] { p.processBatch(batch, batchId = 0L) }
+    p.shutdown()
+  }
+
   test("a table with no routed records is skipped without commits") {
     val root = Files.createTempDirectory("graft-sink2").toString
     val ckpt = Files.createTempDirectory("graft-ckpt2").toString
