@@ -16,6 +16,9 @@ object Verify {
       // read natively; read as bigint nanos and convert at the loader
       // (CdcQueries.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write timestamps as TIMESTAMP_MICROS (not INT96) so the driver's
+      // readers see the same micros type DuckDB produces for the oracle.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -34,7 +34,12 @@ object CdcQueries {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        // timestamp_ntz, matching how Spark reads the other tables'
+        // (isAdjustedToUTC=false) timestamps — keeps dumped parquet
+        // tz-naive like the DuckDB oracle's output (session tz is UTC,
+        // so the wall clock is identical either way).
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
       case _ => raw
     }
   }

@@ -126,15 +126,28 @@ object CdcPipeline {
   /** Kafka source spec (`glue/cdc_hudi.py:82-95`) — buildable only where
     * the spark-sql-kafka connector jar is on the classpath; in this
     * offline environment the streaming tests use file/memory sources with
-    * identical downstream semantics. */
+    * identical downstream semantics.
+    *
+    * Parity options: start position is either a named offset or a
+    * timestamp (`startingTimestamp`, epoch millis — the reference's
+    * `startingOffsets=timestamp` mode), rate is capped by
+    * `maxOffsetsPerTrigger`, and the consumer group id is set for the
+    * offset-commit monitoring path (`glue/cdc_hudi.py:85-93`; K3). */
   def kafkaSource(spark: SparkSession, brokers: String, topics: String,
                   startingOffsets: String = "earliest",
-                  maxOffsetsPerTrigger: Long = 1000000L): DataFrame =
-    spark.readStream.format("kafka")
+                  maxOffsetsPerTrigger: Long = 1000000L,
+                  groupId: Option[String] = None,
+                  startingTimestamp: Option[Long] = None): DataFrame = {
+    val base = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topics)
-      .option("startingOffsets", startingOffsets)
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+    val withStart = startingTimestamp match {
+      case Some(ts) => base.option("startingTimestamp", ts)
+      case None     => base.option("startingOffsets", startingOffsets)
+    }
+    groupId.foldLeft(withStart)((b, g) => b.option("kafka.group.id", g))
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
+  }
 }
