@@ -1,17 +1,10 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkSessions.local(cpus)
     // Untimed warmup of the JSON/codegen hot paths: C2 compilation of the
     // parser loops costs 30-40s the first time a JSON-heavy plan runs and
     // lands on an arbitrary query otherwise (measured 45s cold vs 6s warm
@@ -21,13 +14,19 @@ object Bench {
     catch { case _: Throwable => () }
     // Deterministic order + a GC break between queries: 29 queries share
     // one JVM, and accumulated shuffle/broadcast garbage otherwise makes
-    // per-query times swing 3-5× run-to-run.
-    def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // per-query times swing 3-5× run-to-run. A failed query records the
+    // sentinel -1.0 (and logs) rather than masquerading as a fast run.
+    def timed(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       System.gc()
-      dt
+      if (ok) dt else -1.0
     }
     val first = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, timed(name, fn))
@@ -36,14 +35,15 @@ object Bench {
     // always a JIT/GC resonance artifact of the shared JVM (isolated
     // reps are stable); re-run once and keep the better steady-state
     // number. Bounded extra cost: only the outliers re-run.
-    val med = first.map(_._3).sorted.apply(first.size / 2)
+    val okTimes = first.map(_._3).filter(_ >= 0).sorted
+    val med = if (okTimes.nonEmpty) okTimes(okTimes.size / 2) else 0.0
     val results = first.map { case (name, fn, t) =>
       if (t > math.max(5.0, 3 * med)) name -> math.min(t, timed(name, fn))
       else name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,19 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
 /** Single-query timing + plan dump: `runMain graft.BenchOne <name> <sfDir>`. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkSessions.local(cpus)
     val fn = SparkEntry.queries(name)
     if (sys.env.contains("GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
     (1 to sys.env.getOrElse("GRAFT_REPS", "1").toInt).foreach { i =>

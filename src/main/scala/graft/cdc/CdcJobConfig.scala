@@ -27,6 +27,10 @@ final case class CdcJobConfig(
     kafkaBroker: String,
     topic: String,
     startingOffsets: String,
+    /** Epoch-millis start position (the reference's
+      * `startingOffsets=timestamp` mode, README.md guidance); when set it
+      * overrides `startingOffsets`. */
+    startingTimestamp: Option[Long],
     maxOffsetsPerTrigger: Long,
     threadMaxWorkers: Int,
     consumerGroup: String,
@@ -80,6 +84,8 @@ object CdcJobConfig {
       kafkaBroker = req("kafka_broker"),
       topic = req("topic"),
       startingOffsets = opt("startingOffsets", "earliest"),
+      startingTimestamp = Option(p.getProperty("starting_timestamp"))
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong),
       maxOffsetsPerTrigger = opt("max_offsets_per_trigger", "1000000").toLong,
       threadMaxWorkers = opt("thread_max_workers", "8").toInt,
       consumerGroup = opt("consumer_group", "graft-cdc"),

@@ -121,27 +121,29 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 16, rows: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).persist()
-    try {
-      val cands = minhashCandidates(minhashSignatures(sh, idCol, bands * rows),
-        idCol, bands, rows)
-      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-      // Intersection via the same inverted-index shape as jaccardPairs:
-      // expand candidates by side A's shingles, then join side B on
-      // (id_b, shingle) — never the |A|×|B| per-pair cross product.
-      val inter = cands
-        .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
-        .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
-        .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
-        .withColumn("jaccard",
-          col("n_inter").cast("double") /
-            (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-        .where(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-    } finally sh.unpersist()
+    // No persist here: this function only BUILDS a plan (a persist would
+    // be unpersisted before the caller ever runs an action, caching
+    // nothing). The repeated shingle subtrees below shuffle on the same
+    // keys, so AQE's ReusedExchange deduplicates the physical scans.
+    val sh = shingles(docs, idCol, textCol, n)
+    val cands = minhashCandidates(minhashSignatures(sh, idCol, bands * rows),
+      idCol, bands, rows)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    // Intersection via the same inverted-index shape as jaccardPairs:
+    // expand candidates by side A's shingles, then join side B on
+    // (id_b, shingle) — never the |A|×|B| per-pair cross product.
+    val inter = cands
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   // --------------------------------------------------------------- SimHash

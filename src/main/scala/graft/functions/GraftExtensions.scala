@@ -26,13 +26,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Cast any array-typed arg to array<double> so SQL callers can pass
+    * real embedding columns (array<float>) directly, matching the Column
+    * API which casts at call sites. */
+  private def asDoubles(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    Cast(e, ArrayType(DoubleType))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => {
         require(args.size == 2, "graft_dot(a, b)")
-        DotProduct(args(0), args(1))
+        DotProduct(asDoubles(args(0)), asDoubles(args(1)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
@@ -40,9 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 2, "graft_cosine(a, b)")
         import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
-        Divide(DotProduct(args(0), args(1)),
-          Multiply(Sqrt(DotProduct(args(0), args(0))),
-            Sqrt(DotProduct(args(1), args(1)))))
+        val (a, b) = (asDoubles(args(0)), asDoubles(args(1)))
+        Divide(DotProduct(a, b),
+          Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),

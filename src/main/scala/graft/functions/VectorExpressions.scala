@@ -37,15 +37,22 @@ object VectorExpressions {
       WinnowFingerprint(GraftExpressionBridge.expression(text), k, w))
 }
 
-/** Σ a(i)·b(i) over min(|a|,|b|) elements, sequential order, double
-  * precision. Inputs must be `array<double>` (cast upstream); null
-  * array → null result; arrays must not contain null elements. */
+/** Σ a(i)·b(i), sequential order, double precision. Inputs must be
+  * `array<double>` (cast upstream); null array → null result; a LENGTH
+  * MISMATCH also yields null — same surfacing-of-corruption semantics as
+  * the `zip_with` fold it replaced (which null-padded the short side and
+  * poisoned the sum) rather than silently scoring a truncated vector.
+  * Arrays must not contain null elements. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def nullable: Boolean = true
 
+  private def okType(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true // element nullability irrelevant
+    case _ => false
+  }
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)) ||
-        Seq(left, right).forall(_.dataType == ArrayType(DoubleType, containsNull = false)))
+    if (okType(left.dataType) && okType(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_dot expects array<double> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
@@ -55,10 +62,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toDoubleArray()
     val y = b.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x(i) * y(i); i += 1 }
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
     s
   }
 
@@ -66,16 +73,18 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
          |double[] $x = $a.toDoubleArray();
          |double[] $y = $b.toDoubleArray();
-         |int $n = Math.min($x.length, $y.length);
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $s += $x[$i] * $y[$i]; }
-         |${ev.value} = $s;
+         |if ($x.length != $y.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $x.length; $i++) { $s += $x[$i] * $y[$i]; }
+         |  ${ev.value} = $s;
+         |}
        """.stripMargin
     })
 

@@ -77,7 +77,10 @@ object CdcQueries {
       when(op =!= "d", payload).as("after"),
       struct(lit("test_db").as("db"), lit(table).as("table")).as("source"),
       op.as("op"),
-      unix_millis(col("ts")).as("ts_ms"))).as("value"))
+      // ts is TIMESTAMP_NTZ (see events()); unix_millis needs LTZ — the
+      // cast re-interprets the wall clock in the session tz (UTC), which
+      // is exactly the epoch the oracle's epoch_ms(ts) computes.
+      unix_millis(col("ts").cast("timestamp")).as("ts_ms"))).as("value"))
   }
 
   /** DMS envelope JSON (FIXTURES.md §A.2); `metadata.timestamp` is a
@@ -190,7 +193,7 @@ object CdcQueries {
         when(col("user_id") % 2 === 0, "user").otherwise("product").as("table"))
         .as("source"),
       debeziumOp.as("op"),
-      unix_millis(col("ts")).as("ts_ms"))).as("value"))
+      unix_millis(col("ts").cast("timestamp")).as("ts_ms"))).as("value"))
     val counts = Seq("user", "product").map { t =>
       mixed.where(CdcRouter.substringMatch(col("value"),
           CdcFormat.MskDebeziumCdc, SyncTable("test_db", t, "id")))

@@ -23,7 +23,8 @@ object CdcApp {
     val source = CdcPipeline.kafkaSource(spark, cfg.kafkaBroker, cfg.topic,
       startingOffsets = cfg.startingOffsets,
       maxOffsetsPerTrigger = cfg.maxOffsetsPerTrigger,
-      groupId = Some(cfg.consumerGroup))
+      groupId = Some(cfg.consumerGroup),
+      startingTimestamp = cfg.startingTimestamp)
     val query = pipeline.start(source)
     try query.awaitTermination()
     finally pipeline.shutdown()

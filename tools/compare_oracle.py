@@ -15,13 +15,27 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail = 0
+# every registered query must have produced a result dir — a failed dump
+# otherwise silently vanishes from this compare
+try:
+    manifest = json.load(open(f"{out_dir}/_manifest.json"))
+except FileNotFoundError:
+    manifest = []
+for name in manifest:
+    if not os.path.isdir(os.path.join(out_dir, name)):
+        print(f"{name:28s} MISSING RESULT (query failed in Verify)")
+        fail += 1
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
         continue
     spark = pd.read_parquet(d)
     if name not in oracle:
-        print(f"{name:28s} rows-only: {len(spark)} rows" + ("  !! EMPTY" if len(spark) == 0 else ""))
+        if len(spark) == 0:
+            fail += 1  # rows-only queries must be non-empty (verify SKILL.md)
+            print(f"{name:28s} rows-only: 0 rows  !! EMPTY")
+        else:
+            print(f"{name:28s} rows-only: {len(spark)} rows")
         continue
     try:
         duck = con.sql(oracle[name]).df()
