@@ -48,6 +48,7 @@ object SparkEntry {
     "cdc_router_counts"        -> (CdcQueries.routerCounts _),
     // --- LLM-pipeline extensions (SURVEY §2.8): dedup family
     "llm_dedup_exact"          -> (LlmQueries.dedupExact _),
+    "llm_dedup_corpus"         -> (LlmQueries.dedupCorpus _),
     "llm_neardup_jaccard"      -> (LlmQueries.nearDupJaccard _),
     "llm_neardup_minhash"      -> (LlmQueries.minhashNearDup _),
     "llm_simhash_fingerprints" -> (LlmQueries.simhashFingerprints _),
@@ -179,6 +180,24 @@ object SparkEntry {
     "llm_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "llm_dedup_corpus" ->
+      s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle
+         |       FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+         |       WHERE len(ws) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |losers AS (SELECT DISTINCT id_b FROM inter
+         |           JOIN sizes sa ON inter.id_a = sa.doc_id
+         |           JOIN sizes sb ON inter.id_b = sb.doc_id
+         |           WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+         |survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |JOIN survivors s ON d.doc_id = s.doc_id
+         |WHERE d.doc_id NOT IN (SELECT id_b FROM losers)
+         |ORDER BY d.doc_id""".stripMargin,
     "llm_neardup_jaccard" ->
       s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle

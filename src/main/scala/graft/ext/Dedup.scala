@@ -146,6 +146,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ------------------------------------------------- corpus materialization
+
+  /** The deduplicated corpus: exact-duplicate groups collapse to their
+    * min-id survivor, then near-duplicate pairs (from any pair source —
+    * exact Jaccard or MinHash) greedily drop the higher id of each pair.
+    * Greedy-by-id is the standard one-pass policy (connected components
+    * would need iteration; for near-dup thresholds high enough to mean
+    * "same document", greedy keeps exactly the per-cluster min id when
+    * the cluster is a clique, and never drops two docs for one pair).
+    *
+    * Scale shape: one anti-join of ids against the pair losers (bounded
+    * by pair count, not corpus size) after the exact-dedup aggregate. */
+  def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
+                    nearDupPairs: DataFrame): DataFrame = {
+    val survivors = exact(docs, idCol, textCol).select(idCol)
+    val losers = nearDupPairs.select(col("id_b").as(idCol)).distinct()
+    docs.join(survivors, idCol) // exact survivors only
+      .join(losers, Seq(idCol), "left_anti") // minus near-dup losers
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per doc: sign-aggregate each bit of the token hashes.

@@ -109,6 +109,17 @@ object LlmQueries {
       .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang_pred")
 
+  /** The pipeline-terminal dedup: the corpus a training run would
+    * actually consume — exact dups collapsed to min-id survivors, then
+    * near-dup (Jaccard ≥ 0.5) losers dropped greedily by id. */
+  def dedupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+    Dedup.dedupedCorpus(d, "doc_id", "text", pairs)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Winnowing fingerprint counts per doc (rows-only: xxhash64 values
     * are engine-specific; the substring-sharing guarantee is asserted in
     * WinnowingSpec). */
