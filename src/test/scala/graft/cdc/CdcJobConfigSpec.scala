@@ -45,6 +45,12 @@ class CdcJobConfigSpec extends AnyFunSuite {
     assert(p.tables.size === 2)
   }
 
+  test("starting_timestamp is optional and parsed as epoch millis") {
+    assert(CdcJobConfig.parse(text).startingTimestamp.isEmpty)
+    val withTs = CdcJobConfig.parse(text + "starting_timestamp = 1705276800000\n")
+    assert(withTs.startingTimestamp === Some(1705276800000L))
+  }
+
   test("missing required keys fail fast with the key name") {
     val e = intercept[IllegalArgumentException] {
       CdcJobConfig.parse("cdc_format = DMS-CDC\n")

@@ -21,6 +21,13 @@ class SimilaritySpec extends SparkSpecBase {
     assert(sims.toSeq === Seq(0.0, 1.0, -1.0))
   }
 
+  test("dot on mismatched vector lengths yields null, not a truncated score") {
+    val s = spark; import s.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(Similarity.dot(col("a"), col("b")).as("d")).head()
+    assert(r.isNullAt(0))
+  }
+
   test("bruteForceTopK ranks by similarity with deterministic ties") {
     val s = spark; import s.implicits._
     val corpus = Seq(
