@@ -34,6 +34,7 @@ object SparkEntry {
     "window_top3_orders"       -> (RelationalQueries.windowTop3Orders _),
     "distinct_parts"           -> (RelationalQueries.distinctParts _),
     "events_json_extract"      -> (RelationalQueries.eventsJsonExtract _),
+    "events_hourly"            -> (RelationalQueries.eventsHourly _),
     "customers_without_orders" -> (RelationalQueries.customersWithoutOrders _),
     // --- CDC engine core (SURVEY §2.1-2.3, §2.6): route→parse→normalize→
     //     dedup→merge, exercised through synthesized envelope JSON
@@ -137,6 +138,11 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
     "customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey

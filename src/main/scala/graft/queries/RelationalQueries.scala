@@ -123,6 +123,22 @@ object RelationalQueries {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
       .orderBy("event_type")
 
+  /** Event-time windowed aggregation (the tumbling-window shape used by
+    * streaming rollups — `window()` aligns to the epoch, so each bucket
+    * equals date_trunc('hour')): events per hour per type. Same
+    * partial-agg-friendly group-by as q1; one shuffle of tiny maps. */
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    CdcQueries.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        // decimal aggregate: double summation order differs across
+        // engines; decimal is exact (q1's oracle-parity pattern)
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
   /** Existence/anti-join shape: customers with no RECENT order (the
     * unfiltered variant is vacuously empty on the dense testdata). The
     * filter is pushed into the build side before the anti join; at 100 TB
