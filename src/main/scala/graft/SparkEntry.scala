@@ -65,6 +65,7 @@ object SparkEntry {
     "text_quality"             -> (LlmQueries.textQuality _),
     "text_quality_score"       -> (LlmQueries.textQualityScore _),
     "text_langid_counts"       -> (LlmQueries.langIdCounts _),
+    "text_langid_ngram_counts" -> (LlmQueries.langIdNgramCounts _),
     // --- multimodal plumbing (stub kernels, real Spark shape)
     "mm_decode_meta"           -> (LlmQueries.mmDecodeMeta _),
     "mm_frame_sample"          -> (LlmQueries.mmFrameSample _),
@@ -262,6 +263,22 @@ object SparkEntry {
          |              ELSE 'en' END AS lang_pred
          |  FROM s) t
          |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+    "text_langid_ngram_counts" ->
+      """WITH g AS (SELECT CASE WHEN len(lower(text)) >= 3
+        |    THEN list_transform(range(1, len(lower(text)) - 1), i -> substr(lower(text), i, 3))
+        |    ELSE [] END AS tg FROM documents),
+        |s AS (SELECT
+        |    len(list_filter(tg, t -> t IN ('the', 'he ', ' th', 'ing', 'and'))) AS en,
+        |    len(list_filter(tg, t -> t IN ('de ', ' de', 'la ', 'os ', 'ión'))) AS es,
+        |    len(list_filter(tg, t -> t IN ('le ', ' le', 'es ', 'ent', 'que'))) AS fr
+        |  FROM g)
+        |SELECT lang_pred, count(*) AS n_docs FROM (
+        |  SELECT CASE WHEN greatest(en, es, fr) = 0 THEN 'unk'
+        |              WHEN fr > en AND fr > es THEN 'fr'
+        |              WHEN es > en THEN 'es'
+        |              ELSE 'en' END AS lang_pred
+        |  FROM s) t
+        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
     // mm_decode_meta: documents text is ASCII, so the stub header decode
     // (first 8 bytes big-endian) is restatable over char codes.
     "mm_decode_meta" ->

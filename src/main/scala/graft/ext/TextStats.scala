@@ -91,6 +91,42 @@ object TextStats {
     when(best._2 > 0, best._1).otherwise(lit("unk"))
   }
 
+  /** Character trigrams (positions 1..n-2 of the lowercased text) — the
+    * currency of the classic n-gram language-ID profile method. ONE
+    * transform producing the array (never a transform-of-transform — the
+    * winnowing lesson: inner arrays re-inline per outer element). */
+  def charTrigrams(text: Column): Column = {
+    val t = lower(text)
+    when(length(t) >= 3,
+        transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Signature character trigrams per language (frequent-trigram
+    * profiles; the classic Cavnar-Trenkle shape with a tiny fixed
+    * profile so the DuckDB oracle can restate it verbatim). */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", "ing", "and"),
+    "es" -> Seq("de ", " de", "la ", "os ", "ión"),
+    "fr" -> Seq("le ", " le", "es ", "ent", "que"),
+  )
+
+  /** N-gram language ID: count profile-trigram hits per language over
+    * the doc's char trigrams; argmax wins with first-listed language
+    * breaking ties; 'unk' when no profile hits. */
+  def langIdNgram(text: Column): Column = {
+    val tg = charTrigrams(text)
+    val scores = TrigramProfiles.map { case (lang, profile) =>
+      lang -> size(filter(tg, t => t.isin(profile.map(lit): _*)))
+    }
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          greatest(score, bestScore))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("unk"))
+  }
+
   /** Per-language corpus stats (doc counts + exact integer char/word
     * totals, division-free so the oracle compare is exact). */
   def perLangStats(documents: DataFrame): DataFrame =

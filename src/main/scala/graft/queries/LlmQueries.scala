@@ -109,6 +109,13 @@ object LlmQueries {
       .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang_pred")
 
+  /** Char-trigram-profile language ID (the n-gram variant), aggregated. */
+  def langIdNgramCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(TextStats.langIdNgram(col("text")).as("lang_pred"))
+      .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang_pred")
+
   /** The pipeline-terminal dedup: the corpus a training run would
     * actually consume — exact dups collapsed to min-id survivors, then
     * near-dup (Jaccard ≥ 0.5) losers dropped greedily by id. */

@@ -35,6 +35,14 @@ class TextStatsSpec extends SparkSpecBase {
     assert(one[String](TextStats.langId(col("text")), "xyz qqq zzz") === "unk")
   }
 
+  test("langIdNgram: trigram-profile argmax with unk fallback and length guard") {
+    assert(one[String](TextStats.langIdNgram(col("text")), "the thing and the king") === "en")
+    assert(one[String](TextStats.langIdNgram(col("text")), "la casa de los niños") === "es")
+    assert(one[String](TextStats.langIdNgram(col("text")), "le chat est sur le mur que") === "fr")
+    assert(one[String](TextStats.langIdNgram(col("text")), "zz") === "unk") // < 3 chars
+    assert(one[String](TextStats.langIdNgram(col("text")), "xxxx yyyy") === "unk")
+  }
+
   test("qualityScore stays in [0,1]") {
     val s = spark; import s.implicits._
     val texts = Seq("", "short", "a" * 500,
