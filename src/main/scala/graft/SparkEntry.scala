@@ -68,6 +68,7 @@ object SparkEntry {
     "text_langid_ngram_counts" -> (LlmQueries.langIdNgramCounts _),
     // --- multimodal plumbing (stub kernels, real Spark shape)
     "mm_decode_meta"           -> (LlmQueries.mmDecodeMeta _),
+    "mm_resize_meta"           -> (LlmQueries.mmResizeMeta _),
     "mm_frame_sample"          -> (LlmQueries.mmFrameSample _),
   )
 
@@ -290,6 +291,12 @@ object SparkEntry {
         |    THEN ascii(substr(text,5,1))*16777216 + ascii(substr(text,6,1))*65536
         |       + ascii(substr(text,7,1))*256 + ascii(substr(text,8,1)) ELSE 0 END AS BIGINT) AS height,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm_resize_meta: the resized blob is 8-byte header (16,16) +
+    // min(payload, 256) bytes; decode reads the header back.
+    "mm_resize_meta" ->
+      """SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(8 + least(greatest(octet_length(encode(text)) - 8, 0), 256) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     // mm_frame_sample: mirror the slicing arithmetic (floor, not round —
     // Spark's cast-to-int truncates; DuckDB's rounds).

@@ -65,6 +65,41 @@ object Multimodal {
     out
   }
 
+  /** STUB resize: rewrites the fixed header to the target dimensions and
+    * subsamples the payload to at most targetW*targetH evenly spaced
+    * bytes (a real implementation swaps in a codec's scaler — the
+    * partition-batched shape, header contract, and size bound are the
+    * Spark-side parts that matter). Output blob layout: 8-byte header
+    * (targetW, targetH big-endian) + subsampled payload. */
+  def resizeStub(spark: SparkSession, df: DataFrame, idCol: String,
+                 blobCol: String, targetW: Int, targetH: Int): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])](enc)
+      .mapPartitions { it =>
+        // real codec/scaler init would happen once here, per partition
+        val cap = targetW * targetH
+        it.map { case (id, bytes) =>
+          val payload = if (bytes == null || bytes.length <= 8)
+            Array.empty[Byte] else bytes.drop(8)
+          val n = math.min(payload.length, cap)
+          val out = new Array[Byte](8 + n)
+          val bb = java.nio.ByteBuffer.wrap(out)
+          bb.putInt(targetW).putInt(targetH)
+          var i = 0
+          while (i < n) {
+            // evenly spaced subsample (first byte anchored)
+            val src = if (n <= 1) 0
+              else (i.toLong * (payload.length - 1) / (n - 1)).toInt
+            out(8 + i) = payload(src)
+            i += 1
+          }
+          (id, out)
+        }
+      }(enc)
+      .toDF(idCol, "blob_resized")
+  }
+
   /** STUB feature extraction: deterministic pseudo-embedding from the blob
     * bytes (content-hash folded into `dim` floats). Real systems replace
     * the kernel; the Spark contract — map-side, fixed-width array out,

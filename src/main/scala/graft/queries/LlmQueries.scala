@@ -167,6 +167,20 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Multimodal resize: stub-scaled blobs to a 16×16 target — checks the
+    * header rewrite and the size bound (8-byte header + min(payload,
+    * 256) subsampled bytes). The decode of the resized blob must report
+    * the target dimensions — the round-trip a real pipeline relies on. */
+  def mmResizeMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val blobs = docs(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val resized = Multimodal.resizeStub(spark, blobs, "doc_id", "blob", 16, 16)
+    Multimodal.decodeMeta(spark, resized, "doc_id", "blob_resized")
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal frame sampling: 4 evenly-spaced 16-byte windows per blob
     * (rows-only; the slicing shape is what a real frame sampler uses). */
   def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame =

@@ -45,6 +45,22 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames(3).getAs[Array[Byte]]("frame_bytes")(0) !== 0.toByte)
   }
 
+  test("resizeStub rewrites the header and bounds the payload; decode round-trips") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, header(640, 480, 1000)), // large payload → capped at 4*4=16
+      (2L, header(8, 8, 4)),        // small payload → kept whole
+      (3L, Array[Byte](1, 2))       // shorter than a header → empty payload
+    ).toDF("id", "blob")
+    val resized = Multimodal.resizeStub(spark, df, "id", "blob", 4, 4)
+    val meta = Multimodal.decodeMeta(spark, resized, "id", "blob_resized")
+      .orderBy("id").collect()
+    assert(meta.forall(r => r.getAs[Int]("width") === 4 && r.getAs[Int]("height") === 4))
+    assert(meta(0).getAs[Long]("n_bytes") === 8L + 16L)
+    assert(meta(1).getAs[Long]("n_bytes") === 8L + 4L)
+    assert(meta(2).getAs[Long]("n_bytes") === 8L)
+  }
+
   test("fakeFeatures is deterministic and fixed-width") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "payload".getBytes), (2L, "payload".getBytes))
