@@ -113,11 +113,17 @@ object TextStats {
 
   /** N-gram language ID: count profile-trigram hits per language over
     * the doc's char trigrams; argmax wins with first-listed language
-    * breaking ties; 'unk' when no profile hits. */
+    * breaking ties; 'unk' when no profile hits.
+    *
+    * Hit counting runs in the single-pass
+    * [[graft.functions.NgramProfileCount]] kernel — the per-language
+    * `filter`-over-`transform` form re-inlines the trigram array per
+    * language (measured 28 s vs ~1 s over the 5000-doc corpus). */
   def langIdNgram(text: Column): Column = {
-    val tg = charTrigrams(text)
-    val scores = TrigramProfiles.map { case (lang, profile) =>
-      lang -> size(filter(tg, t => t.isin(profile.map(lit): _*)))
+    val counts = graft.functions.VectorExpressions.ngramProfileCount(
+      text, TrigramProfiles.map(_._2))
+    val scores = TrigramProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(counts, i + 1)
     }
     val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
       case ((bestLang, bestScore), (lang, score)) =>

@@ -35,6 +35,10 @@ object VectorExpressions {
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     GraftExpressionBridge.column(
       WinnowFingerprint(GraftExpressionBridge.expression(text), k, w))
+
+  def ngramProfileCount(text: Column, profiles: Seq[Seq[String]]): Column =
+    GraftExpressionBridge.column(
+      NgramProfileCount(GraftExpressionBridge.expression(text), profiles))
 }
 
 /** Σ a(i)·b(i), sequential order, double precision. Inputs must be
@@ -230,5 +234,60 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+/** Per-profile n-gram hit counts in ONE pass over the lowercased text:
+  * output(i) = number of positions whose n-gram is in profiles(i). All
+  * profiles' grams must share one length. The higher-order-function
+  * formulation (per-language `filter` over a `transform`ed trigram
+  * array) re-inlines the array build per language and allocates every
+  * n-gram as a string — measured 28 s vs ~1 s on the 5000-doc corpus.
+  * Semantics identical to counting over `transform(sequence…substr)`:
+  * overlapping occurrences count, comparison is exact. */
+case class NgramProfileCount(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(profiles.nonEmpty, "need at least one profile")
+  private val n = profiles.head.head.length
+  require(profiles.flatten.forall(_.length == n), "profile grams must share one length")
+
+  /** gram → indices of the profiles containing it. */
+  @transient private lazy val index: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    for ((p, i) <- profiles.zipWithIndex; g <- p) {
+      val prev = Option(m.get(g)).getOrElse(Array.empty[Int])
+      m.put(g, prev :+ i)
+    }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_ngram_profile_count expects string, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_profile_count"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    val counts = new Array[Long](profiles.size)
+    var i = 0
+    val last = s.length - n
+    while (i <= last) {
+      val hit = index.get(s.substring(i, i + n))
+      if (hit != null) {
+        var j = 0
+        while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramProfileCount =
     copy(child = newChild)
 }
