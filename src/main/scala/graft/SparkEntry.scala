@@ -60,6 +60,7 @@ object SparkEntry {
     "llm_cosine_topk"          -> (LlmQueries.cosineTopK _),
     "llm_cosine_topk_lsh"      -> (LlmQueries.cosineTopKLsh _),
     "llm_cosine_neardup"       -> (LlmQueries.cosineNearDup _),
+    "llm_embed_stats"          -> (LlmQueries.embedStats _),
     // --- text analysis
     "text_stats_per_lang"      -> (LlmQueries.textStatsPerLang _),
     "text_quality"             -> (LlmQueries.textQuality _),
@@ -232,6 +233,12 @@ object SparkEntry {
         |           FROM scored)
         |SELECT query_id, neighbor_id, sim, rank FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "llm_embed_stats" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+        |  round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS sq_norm,
+        |  CAST(len(embedding) AS BIGINT) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "text_stats_per_lang" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -80,6 +80,18 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding hygiene stats (the pass a pipeline runs before indexing:
+    * norm distribution, zero vectors, value range). Scalar outputs via
+    * the codegen dot kernel; rounded like the similarity surface. */
+  def embedStats(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir).select(
+      col("vec_id"),
+      round(Similarity.l2(col("embedding")), 6).as("l2_norm"),
+      round(Similarity.dot(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")), 6).as("sq_norm"),
+      size(col("embedding")).cast("long").as("dim"))
+    .orderBy("vec_id")
+
   /** Per-language corpus stats: integer-exact totals. */
   def textStatsPerLang(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.perLangStats(docs(spark, sfDir))
