@@ -34,10 +34,14 @@ object SchemaInference {
 
   /** Rows sampled for the initial cached-mode inference. A schema is a
     * low-entropy property — tokenizing the whole batch to learn it is a
-    * full extra scan for nothing; records the sampled schema cannot
-    * parse are caught downstream by the corrupt-record probe, which
-    * triggers a FULL re-inference ([[refresh]]). Parity mode
-    * (InferAlways) still scans everything like the reference. */
+    * full extra scan for nothing. Detection caveat: the corrupt-record
+    * probe only catches records the cached schema cannot PARSE (type
+    * conflicts, malformed JSON) — PERMISSIVE `from_json` silently ignores
+    * extra fields, so a column ADDED after the sampled prefix is invisible
+    * to the probe and is picked up on the next `revalidateEvery` tick
+    * (periodic [[refresh]] re-inference), not immediately. Parity mode
+    * (InferAlways) still scans everything like the reference and sees new
+    * columns in the same batch. */
   val CachedSampleRows = 10000
 
   /** Single inference pass (Spark's native JSON inference, executors do

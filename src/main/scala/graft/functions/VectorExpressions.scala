@@ -274,11 +274,16 @@ case class NgramProfileCount(child: Expression, profiles: Seq[Seq[String]])
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       .toLowerCase.toString
+    // Window over CODE POINTS, not UTF-16 code units: DuckDB's substr /
+    // list_transform (the oracle) and Spark's own substring are
+    // code-point-based, so a supplementary-plane char must occupy ONE
+    // window position, not two.
+    val cps = s.codePoints().toArray
     val counts = new Array[Long](profiles.size)
     var i = 0
-    val last = s.length - n
+    val last = cps.length - n
     while (i <= last) {
-      val hit = index.get(s.substring(i, i + n))
+      val hit = index.get(new String(cps, i, n))
       if (hit != null) {
         var j = 0
         while (j < hit.length) { counts(hit(j)) += 1; j += 1 }

@@ -102,9 +102,17 @@ final class KeyedUpsertTable(
     * snapshot older than the newest `retainSnapshots`. Runs only after
     * publish, so readers of the current snapshot are never affected. */
   private def cleanOldSnapshots(): Unit = {
+    // Only exactly-numeric snap-<n> dirs participate; a stray `snap-tmp`
+    // or hand-copied dir must not throw AFTER the pointer swap already
+    // published the commit (cleanup can never fail a committed batch).
+    val numeric = "snap-(\\d+)".r
     val snaps = Option(rootPath.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
-      .sortBy(_.getName.stripPrefix("snap-").toLong)
+      .filter(_.isDirectory)
+      .flatMap(f => f.getName match {
+        case numeric(n) => Some(f -> n.toLong)
+        case _          => None
+      })
+      .sortBy(_._2).map(_._1)
     snaps.dropRight(retainSnapshots).foreach { dir =>
       import java.nio.file.{FileVisitResult, SimpleFileVisitor}
       import java.nio.file.attribute.BasicFileAttributes

@@ -43,6 +43,27 @@ class TextStatsSpec extends SparkSpecBase {
     assert(one[String](TextStats.langIdNgram(col("text")), "xxxx yyyy") === "unk")
   }
 
+  test("ngram kernel windows over code points, matching substr semantics") {
+    val s = spark; import s.implicits._
+    // The emoji is a supplementary-plane char (2 UTF-16 code units, 1 code
+    // point). Code-unit windowing would shift every window after it and
+    // disagree with Spark substr / the DuckDB oracle.
+    val texts = Seq("the 😀 king", "a😀the", "😀😀the ing and")
+    val kernel = graft.functions.VectorExpressions.ngramProfileCount(
+      col("text"), TextStats.TrigramProfiles.map(_._2))
+    // Reference formulation: per-profile filter over the substr-built
+    // trigram array (code-point semantics by construction).
+    val ref = texts.toDF("text").select(
+      array(TextStats.TrigramProfiles.map { case (_, grams) =>
+        size(filter(TextStats.charTrigrams(col("text")),
+          g => g.isin(grams.map(lit): _*))).cast("long")
+      }: _*).as("slow"))
+    val fast = texts.toDF("text").select(kernel.as("fast"))
+      .collect().map(_.getSeq[Long](0))
+    val slow = ref.collect().map(_.getSeq[Long](0))
+    assert(fast.toSeq === slow.toSeq)
+  }
+
   test("qualityScore stays in [0,1]") {
     val s = spark; import s.implicits._
     val texts = Seq("", "short", "a" * 500,

@@ -80,6 +80,18 @@ class KeyedUpsertTableSpec extends SparkSpecBase {
       Seq((1L, "a2"), (3L, "c1"), (4L, "d1")))
   }
 
+  test("table: a stray non-numeric snap-* dir never fails a committed batch") {
+    val root = Files.createTempDirectory("graft-upsert-stray")
+    Files.createDirectories(root.resolve("snap-tmp")) // e.g. a hand-copied dir
+    val t = new KeyedUpsertTable(spark, root.toString, Seq("id"))
+    t.upsert(batch((1L, "a1", 100L, false)))
+    t.upsert(batch((1L, "a2", 200L, false)))
+    t.upsert(batch((2L, "b1", 300L, false)))
+    assert(t.read().get.count() === 2)
+    // the stray dir is left alone, not deleted and not crashed on
+    assert(Files.isDirectory(root.resolve("snap-tmp")))
+  }
+
   test("associativity: one batch vs time-split batches yield the same final state") {
     val all = batch(
       (1L, "a1", 100L, false), (2L, "b1", 150L, false), (1L, "a2", 200L, false),
