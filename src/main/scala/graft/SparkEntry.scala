@@ -189,11 +189,16 @@ object SparkEntry {
     "llm_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    // The sh0→sh df-cap mirrors the engine's JaccardMaxDf = 50 hot-shingle
+    // cap (binds nothing on the test corpus; identical arithmetic).
     "llm_dedup_corpus" ->
       s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle
+         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle
          |       FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(g)
          |       WHERE len(ws) >= 3),
+         |sh AS (SELECT doc_id, shingle FROM sh0
+         |       WHERE shingle IN (SELECT shingle FROM sh0
+         |                         GROUP BY shingle HAVING count(*) <= 50)),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
          |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
@@ -209,9 +214,12 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin,
     "llm_neardup_jaccard" ->
       s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle
+         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle
          |       FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(g)
          |       WHERE len(ws) >= 3),
+         |sh AS (SELECT doc_id, shingle FROM sh0
+         |       WHERE shingle IN (SELECT shingle FROM sh0
+         |                         GROUP BY shingle HAVING count(*) <= 50)),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
          |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id

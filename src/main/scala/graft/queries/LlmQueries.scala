@@ -24,11 +24,21 @@ object LlmQueries {
       .select(col("doc_id"), col("n_copies"))
       .orderBy("doc_id")
 
+  /** Hot-shingle document-frequency cap for the registered Jaccard
+    * queries. A near-universal shingle (license boilerplate, shared
+    * header) otherwise makes its inverted-index bucket quadratic — the
+    * classic skewed-key shuffle at 100 TB. 50 caps the worst bucket at
+    * ~1.2k pairs per shingle while binding NOTHING on the test corpus
+    * (measured max df: 9 / 7 / 25 at sf0.001 / 0.01 / 0.1), so the
+    * oracle values are unchanged; the DuckDB CTE applies the same cap. */
+  val JaccardMaxDf = 50L
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join (never
-    * all-pairs). Low threshold so the word-soup corpus yields pairs. */
+    * all-pairs, df-capped per [[JaccardMaxDf]]). Low threshold so the
+    * word-soup corpus yields pairs. */
   def nearDupJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.jaccardPairs(docs(spark, sfDir), "doc_id", "text", n = 3,
-        threshold = 0.12)
+        threshold = 0.12, maxDf = JaccardMaxDf)
       .orderBy("id_a", "id_b")
 
   /** MinHash-LSH near-dup (approximate candidates, exact verification).
@@ -133,7 +143,8 @@ object LlmQueries {
     * near-dup (Jaccard ≥ 0.5) losers dropped greedily by id. */
   def dedupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5,
+      maxDf = JaccardMaxDf)
     Dedup.dedupedCorpus(d, "doc_id", "text", pairs)
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")

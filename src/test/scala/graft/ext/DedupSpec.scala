@@ -47,6 +47,18 @@ class DedupSpec extends SparkSpecBase {
     assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 3L)))
   }
 
+  test("jaccardPairs: a universal shingle stays candidate-bounded under maxDf") {
+    // 60 docs whose ONLY shared shingle is universal boilerplate: uncapped,
+    // the inverted index pairs all of them (60·59/2 = 1770 candidates);
+    // capped, the hot bucket is dropped and the candidate set is EMPTY.
+    val d = docs((1L to 60L).map(i => i -> s"common header shingle unique$i a$i b$i"): _*)
+    val uncapped = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.0)
+    assert(uncapped.count() === 60L * 59 / 2)
+    val capped = Dedup.jaccardPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.0, maxDf = 10)
+    assert(capped.count() === 0)
+  }
+
   test("minhash near-dups: subset of exact pairs with recall >= 0.9 on real docs") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.jaccardPairs(real, "doc_id", "text", n = 3, threshold = 0.12)
