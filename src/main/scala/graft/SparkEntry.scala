@@ -46,6 +46,7 @@ object SparkEntry {
     "cdc_latest_sql"           -> (CdcQueries.latestPerKeySql _),
     "cdc_materialize_debezium" -> (CdcQueries.materializeDebezium _),
     "cdc_upsert_merge"         -> (CdcQueries.keyedUpsertMerge _),
+    "cdc_catalog_table"        -> (CdcQueries.catalogTableRead _),
     "cdc_router_counts"        -> (CdcQueries.routerCounts _),
     // --- LLM-pipeline extensions (SURVEY §2.8): dedup family
     "llm_dedup_exact"          -> (LlmQueries.dedupExact _),
@@ -177,6 +178,14 @@ object SparkEntry {
         |      FROM events) t
         |WHERE rn = 1 AND event_type <> 'purchase' ORDER BY id""".stripMargin,
     "cdc_upsert_merge" ->
+      """SELECT user_id AS id, event_id, event_type AS etype, value, epoch_ms(ts) AS mtime
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'purchase' ORDER BY id""".stripMargin,
+    // Same oracle as cdc_upsert_merge: the by-name (catalog) read must
+    // equal the merged state the two-batch upsert produced.
+    "cdc_catalog_table" ->
       """SELECT user_id AS id, event_id, event_type AS etype, value, epoch_ms(ts) AS mtime
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn

@@ -19,6 +19,10 @@ object SparkSessions {
       // dumps carry the same micros timestamp type the DuckDB oracle
       // produces (INT96 would read back as tz-annotated nanos).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // catalog-sync (K1) creates databases; keep the warehouse out of
+      // the repo working tree.
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toUri.toString)
 
   def local(cores: String): SparkSession = {
     val s = localBuilder(cores, cores).getOrCreate()

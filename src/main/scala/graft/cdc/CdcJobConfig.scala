@@ -46,7 +46,8 @@ final case class CdcJobConfig(
     sinkRoot = sinkPath,
     checkpointDir = checkpointLocation,
     triggerInterval = checkpointInterval,
-    maxParallelTables = math.max(1, threadMaxWorkers))
+    maxParallelTables = math.max(1, threadMaxWorkers),
+    catalogDb = Some(sinkDbName))
 }
 
 object CdcJobConfig {

@@ -182,6 +182,27 @@ object CdcQueries {
       .orderBy("id")
   }
 
+  /** Catalog-sync end-to-end (the hive-sync equivalent,
+    * `glue/cdc_hudi.py:190-194`): the same two-batch upsert as
+    * [[keyedUpsertMerge]], but materialized through a real
+    * [[KeyedUpsertTable]] with `catalogTable` set — and the RESULT is read
+    * back by NAME via `spark.table("cdc_db.user_merged")`, exactly what a
+    * reference user does after hive-sync (`SELECT * FROM cdc_db.user`).
+    * Shares the keyed-upsert oracle: the by-name read must equal the
+    * by-path merge state. */
+  def catalogTableRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val normalized = normalizeDebezium(spark, sfDir)
+    val boundaryMs = 1705276800000L // 2024-01-15 00:00:00 UTC, see keyedUpsertMerge
+    val root = java.nio.file.Files.createTempDirectory("graft-catalog-sink")
+    val t = new KeyedUpsertTable(spark, root.toString, Seq("id"),
+      tiebreak = Seq("event_id"), catalogTable = Some("cdc_db.user_merged"))
+    t.upsert(normalized.where(col(CdcNormalize.MtimeCol) < boundaryMs))
+    t.upsert(normalized.where(col(CdcNormalize.MtimeCol) >= boundaryMs))
+    spark.table("cdc_db.user_merged")
+      .select("id", "event_id", "etype", "value", CdcNormalize.MtimeCol)
+      .orderBy("id")
+  }
+
   /** Router truth table: a mixed two-table stream (user/product by
     * user_id parity); counts routed per configured table through the
     * parity substring router. */

@@ -48,9 +48,20 @@ final class KeyedUpsertTable(
       * in-flight readers) — the reference's cleaner keeps 2 commits
       * (`glue/cdc_hudi.py:198-200`); unbounded retention at one COW
       * rewrite per micro-batch is unbounded disk growth. */
-    val retainSnapshots: Int = 2) {
+    val retainSnapshots: Int = 2,
+    /** Deterministic tiebreak columns applied after `versionCol` (e.g. an
+      * event id) so version-tied rows merge reproducibly. */
+    val tiebreak: Seq[String] = Nil,
+    /** Hive-sync equivalent: when set (`[db.]table`), every commit
+      * (re)registers the current snapshot under this name in the session
+      * catalog, so users query `spark.table("db.table")` by name — the
+      * reference syncs each table into Glue/Hive the same way
+      * (`glue/cdc_hudi.py:190-194`). */
+    val catalogTable: Option[String] = None) {
   require(keys.nonEmpty, "keyed table needs at least one key column")
   require(retainSnapshots >= 1, "must retain at least the current snapshot")
+  require(catalogTable.forall(_.split('.').length <= 2),
+    s"catalogTable must be [db.]table, got $catalogTable")
 
   private val rootPath: Path = Paths.get(root)
   private val pointer: Path = rootPath.resolve("_current")
@@ -77,7 +88,7 @@ final class KeyedUpsertTable(
   /** Apply one batch of change rows (payload ++ mtime ++
     * `_hoodie_is_deleted`). Pure-plan merge; one action (the write). */
   def upsert(batch: DataFrame): Unit = {
-    val merged = KeyedUpsertTable.merge(read(), batch, keys, versionCol)
+    val merged = KeyedUpsertTable.merge(read(), batch, keys, versionCol, tiebreak)
     commit(merged)
   }
 
@@ -95,7 +106,26 @@ final class KeyedUpsertTable(
     Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    syncCatalog()
     cleanOldSnapshots()
+  }
+
+  /** (Re)register the current snapshot in the session catalog under
+    * [[catalogTable]] — the hive-sync step (`glue/cdc_hudi.py:190-194`).
+    * Location-based (external) tables are metadata-only: DROP never
+    * touches data, and re-creating re-derives the schema so column
+    * evolution propagates to by-name readers. Runs after the pointer
+    * swap, mirroring Hudi's sync-after-commit ordering. */
+  def syncCatalog(): Unit = catalogTable.foreach { fqn =>
+    currentSnapshot().foreach { snap =>
+      val parts = fqn.split('.')
+      val quoted = parts.map(p => s"`$p`").mkString(".")
+      if (parts.length == 2)
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS `${parts(0)}`")
+      spark.sql(s"DROP TABLE IF EXISTS $quoted")
+      spark.sql(s"CREATE TABLE $quoted USING parquet " +
+        s"LOCATION '${rootPath.resolve(snap).toUri}'")
+    }
   }
 
   /** Hudi-cleaner equivalent: after the pointer swap, delete every

@@ -50,7 +50,11 @@ final case class CdcPipelineConfig(
     strictRouting: Boolean = false,
     /** Force a schema re-infer every N batches (additive-evolution bound). */
     revalidateEvery: Int = 10,
-    maxParallelTables: Int = 8)
+    maxParallelTables: Int = 8,
+    /** When set, every sink table is hive-sync'd into the session catalog
+      * as `<catalogDb>.<tableName>` on each commit (the reference's
+      * Glue-sync, `glue/cdc_hudi.py:190-194`). */
+    catalogDb: Option[String] = None)
 
 final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
 
@@ -62,7 +66,8 @@ final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
     * `sinkRoot/<db>/<table>` (`glue/cdc_hudi.py:180` layout). */
   val sinks: Map[String, KeyedUpsertTable] = config.tables.map { t =>
     t.id -> new KeyedUpsertTable(
-      spark, s"${config.sinkRoot}/${t.dbName}/${t.tableName}", t.pkCols)
+      spark, s"${config.sinkRoot}/${t.dbName}/${t.tableName}", t.pkCols,
+      catalogTable = config.catalogDb.map(db => s"$db.${t.tableName}"))
   }.toMap
 
   /** Process one micro-batch: pin it, fan out per table, fail fast. */

@@ -80,6 +80,27 @@ class KeyedUpsertTableSpec extends SparkSpecBase {
       Seq((1L, "a2"), (3L, "c1"), (4L, "d1")))
   }
 
+  test("catalog sync: spark.table reads the latest snapshot across swaps and evolution") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-upsert-catalog").toString
+    val t = new KeyedUpsertTable(spark, root, Seq("id"),
+      catalogTable = Some("graft_test_db.synced"))
+    t.upsert(batch((1L, "a1", 100L, false)))
+    assert(spark.table("graft_test_db.synced").orderBy("id").collect()
+      .map(_.getAs[String]("v")).toSeq === Seq("a1"))
+    // snapshot swap: the by-name read must follow the pointer
+    t.upsert(batch((1L, "a2", 200L, false), (2L, "b1", 200L, false)))
+    assert(spark.table("graft_test_db.synced").orderBy("id").collect()
+      .map(_.getAs[String]("v")).toSeq === Seq("a2", "b1"))
+    // schema evolution: a new column must appear to by-name readers
+    t.upsert(Seq((3L, "c1", "extra", 300L, false))
+      .toDF("id", "v", "note", CdcNormalize.MtimeCol, CdcNormalize.DeletedCol))
+    val evolved = spark.table("graft_test_db.synced")
+    assert(evolved.columns.contains("note"))
+    assert(evolved.where($"id" === 3L).head().getAs[String]("note") === "extra")
+    assert(evolved.count() === 3)
+  }
+
   test("table: a stray non-numeric snap-* dir never fails a committed batch") {
     val root = Files.createTempDirectory("graft-upsert-stray")
     Files.createDirectories(root.resolve("snap-tmp")) // e.g. a hand-copied dir
