@@ -47,6 +47,7 @@ object SparkEntry {
     "cdc_materialize_debezium" -> (CdcQueries.materializeDebezium _),
     "cdc_upsert_merge"         -> (CdcQueries.keyedUpsertMerge _),
     "cdc_catalog_table"        -> (CdcQueries.catalogTableRead _),
+    "cdc_composite_key"        -> (CdcQueries.compositeKeyMerge _),
     "cdc_router_counts"        -> (CdcQueries.routerCounts _),
     // --- LLM-pipeline extensions (SURVEY §2.8): dedup family
     "llm_dedup_exact"          -> (LlmQueries.dedupExact _),
@@ -183,6 +184,15 @@ object SparkEntry {
         |        PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 AND event_type <> 'purchase' ORDER BY id""".stripMargin,
+    // Composite record key: latest per (id, etype); purchases are deletes
+    // and never survive as keys.
+    "cdc_composite_key" ->
+      """SELECT user_id AS id, event_type AS etype, event_id, value, epoch_ms(ts) AS mtime
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'purchase' ORDER BY id, etype""".stripMargin,
     // Same oracle as cdc_upsert_merge: the by-name (catalog) read must
     // equal the merged state the two-batch upsert produced.
     "cdc_catalog_table" ->

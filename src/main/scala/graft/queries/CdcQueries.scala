@@ -182,6 +182,29 @@ object CdcQueries {
       .orderBy("id")
   }
 
+  /** Composite-primary-key end-to-end (ref `glue/cdc_hudi.py:148,157`:
+    * `primary_key` is comma-split into a multi-column record key). The
+    * SyncTable carries `"id,etype"`; routing, normalize, and the
+    * two-batch merge all run off `pkCols`, so the comma-split config
+    * path is exercised from properties text to merged state. Every
+    * purchase row is a delete, so (id,'purchase') keys never survive —
+    * the oracle partitions by BOTH columns and drops purchases. */
+  def compositeKeyMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = SyncTable("test_db", "user", "id,etype")
+    val normalized = CdcNormalize.normalize(spark, debeziumStream(spark, sfDir),
+        CdcFormat.MskDebeziumCdc, table, SchemaInference.Mode.Cached)
+      .getOrElse(sys.error("no rows routed"))
+    val boundaryMs = 1705276800000L // 2024-01-15, see keyedUpsertMerge
+    val b1 = normalized.where(col(CdcNormalize.MtimeCol) < boundaryMs)
+    val b2 = normalized.where(col(CdcNormalize.MtimeCol) >= boundaryMs)
+    val state1 = KeyedUpsertTable.merge(None, b1, table.pkCols,
+      CdcNormalize.MtimeCol, tiebreak = Seq("event_id"))
+    val state2 = KeyedUpsertTable.merge(Some(state1), b2, table.pkCols,
+      CdcNormalize.MtimeCol, tiebreak = Seq("event_id"))
+    state2.select("id", "etype", "event_id", "value", CdcNormalize.MtimeCol)
+      .orderBy("id", "etype")
+  }
+
   /** Catalog-sync end-to-end (the hive-sync equivalent,
     * `glue/cdc_hudi.py:190-194`): the same two-batch upsert as
     * [[keyedUpsertMerge]], but materialized through a real
