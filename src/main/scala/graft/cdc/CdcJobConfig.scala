@@ -47,7 +47,8 @@ final case class CdcJobConfig(
     checkpointDir = checkpointLocation,
     triggerInterval = checkpointInterval,
     maxParallelTables = math.max(1, threadMaxWorkers),
-    catalogDb = Some(sinkDbName))
+    catalogDb = Some(sinkDbName),
+    disableMsg = disableMsg)
 }
 
 object CdcJobConfig {

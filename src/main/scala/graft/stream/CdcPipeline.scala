@@ -54,7 +54,15 @@ final case class CdcPipelineConfig(
     /** When set, every sink table is hive-sync'd into the session catalog
       * as `<catalogDb>.<tableName>` on each commit (the reference's
       * Glue-sync, `glue/cdc_hudi.py:190-194`). */
-    catalogDb: Option[String] = None)
+    catalogDb: Option[String] = None,
+    /** O5 debug sampling gate (`config/job.properties:9` `disable_msg`,
+      * used at `glue/cdc_hudi.py:105-113,245,257`): when FALSE, each
+      * pipeline stage logs a schema + 5-row sample via `take(n)` (a
+      * short-circuiting LocalLimit). True (the reference's default)
+      * performs zero extra actions. */
+    disableMsg: Boolean = true,
+    /** Where debug samples go; swappable so tests can capture them. */
+    debugLog: String => Unit = s => Console.err.println(s))
 
 final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
 
@@ -70,11 +78,21 @@ final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
       catalogTable = config.catalogDb.map(db => s"$db.${t.tableName}"))
   }.toMap
 
+  /** The reference's per-stage observability loop (`glue/cdc_hudi.py:
+    * 105-113`): schema tree + 5 sample rows, gated on `disable_msg`. A
+    * no-op (no action, no sample) when disabled. */
+  private def debugSample(stage: String, batchId: Long, df: DataFrame): Unit =
+    if (!config.disableMsg)
+      config.debugLog(
+        s"[graft-cdc] batch=$batchId stage=$stage\n" +
+          graft.util.Debug.dfExampleString(df))
+
   /** Process one micro-batch: pin it, fan out per table, fail fast. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     batch.persist()
     try {
       if (!batch.isEmpty) {
+        debugSample("raw", batchId, batch)
         if (config.schemaMode == SchemaInference.Mode.Cached &&
             config.revalidateEvery > 0 && batchId > 0 &&
             batchId % config.revalidateEvery == 0)
@@ -87,7 +105,13 @@ final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
             try {
               CdcNormalize.normalize(spark, batch, config.format, table,
                   config.schemaMode, config.strictRouting)
-                .foreach { normalized => sinks(table.id).upsert(normalized) }
+                .foreach { normalized =>
+                  debugSample(s"normalized:${table.id}", batchId, normalized)
+                  sinks(table.id).upsert(normalized)
+                  if (!config.disableMsg)
+                    sinks(table.id).read()
+                      .foreach(debugSample(s"merged:${table.id}", batchId, _))
+                }
             } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
           }
         }

@@ -100,6 +100,36 @@ class CdcPipelineSpec extends SparkSpecBase {
     p.shutdown()
   }
 
+  test("disable_msg (O5): stage samples logged when enabled, none when disabled") {
+    val s = spark; import s.implicits._
+    val batch = Seq(ev(1, "a1", 100, "c"), ev(2, "b1", 200, "c")).toDF("value")
+
+    // enabled: raw / normalized / merged samples, schema tree + rows
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val root1 = Files.createTempDirectory("graft-dbg1").toString
+    val p1 = new CdcPipeline(spark, config(root1,
+        Files.createTempDirectory("graft-dbg1-ckpt").toString)
+      .copy(disableMsg = false, debugLog = m => captured.synchronized { captured += m }))
+    p1.processBatch(batch, batchId = 0L)
+    p1.shutdown()
+    val stages = captured.map(_.linesIterator.next()).toSeq
+    assert(stages.exists(_.contains("stage=raw")))
+    assert(stages.exists(_.contains("stage=normalized:stream_db.acct")))
+    assert(stages.exists(_.contains("stage=merged:stream_db.acct")))
+    assert(captured.forall(_.contains("root")), "samples carry the schema tree")
+    assert(captured.exists(_.contains("a1")), "samples carry data rows")
+
+    // disabled (the default): the debug path must never run — a throwing
+    // logger would fail the batch if any stage sampled
+    val root2 = Files.createTempDirectory("graft-dbg2").toString
+    val p2 = new CdcPipeline(spark, config(root2,
+        Files.createTempDirectory("graft-dbg2-ckpt").toString)
+      .copy(debugLog = _ => throw new IllegalStateException("sampled while disabled")))
+    p2.processBatch(batch, batchId = 0L)
+    assert(p2.sinks(acct.id).read().get.count() === 2)
+    p2.shutdown()
+  }
+
   test("offset listener records completed batch offsets") {
     val s = spark
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
