@@ -50,7 +50,13 @@ object CdcNormalize {
   def normalize(spark: SparkSession, raw: DataFrame, format: CdcFormat,
                 table: SyncTable,
                 mode: SchemaInference.Mode = SchemaInference.Mode.InferAlways,
-                strictRouting: Boolean = false): Option[DataFrame] = {
+                strictRouting: Boolean = false,
+                /** Cached mode only: re-infer on this batch and MERGE with
+                  * the cached schema (old ∪ new) instead of trusting the
+                  * cache — the pipeline's `revalidateEvery` tick. A merge,
+                  * not a reset: a column absent from this batch's sample
+                  * must not vanish for later batches that still carry it. */
+                forceRefresh: Boolean = false): Option[DataFrame] = {
     import spark.implicits._
     val routed0 = raw.where(CdcRouter.substringMatch(col("value"), format, table))
     if (routed0.isEmpty) return None
@@ -60,7 +66,10 @@ object CdcNormalize {
     // two envelope formats has two different envelope schemas, and a
     // shared key would ping-pong between them via the corrupt probe.
     val cacheKey = s"${format.name}:${table.id}"
-    var schema = SchemaInference.forTable(spark, cacheKey, values, mode)
+    var schema =
+      if (mode == SchemaInference.Mode.Cached && forceRefresh)
+        SchemaInference.refresh(spark, cacheKey, values)
+      else SchemaInference.forTable(spark, cacheKey, values, mode)
 
     def parseWith(s: StructType): DataFrame = {
       // Parse with a corrupt-record sidecar so malformed-vs-schema records

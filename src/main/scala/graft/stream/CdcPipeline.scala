@@ -93,18 +93,20 @@ final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
     try {
       if (!batch.isEmpty) {
         debugSample("raw", batchId, batch)
-        if (config.schemaMode == SchemaInference.Mode.Cached &&
-            config.revalidateEvery > 0 && batchId > 0 &&
-            batchId % config.revalidateEvery == 0)
-          config.tables.foreach(t =>
-            SchemaInference.invalidate(s"${config.format.name}:${t.id}"))
+        // revalidateEvery tick: merge-refresh (old ∪ new) inside normalize
+        // — NOT a cache invalidate, which would drop columns absent from
+        // this batch's sample and silently lose their later values.
+        val revalidate = config.schemaMode == SchemaInference.Mode.Cached &&
+          config.revalidateEvery > 0 && batchId > 0 &&
+          batchId % config.revalidateEvery == 0
         val futures = config.tables.map { table =>
           Future {
             // FAIR pool per table so long writes interleave (O2).
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", table.id)
             try {
               CdcNormalize.normalize(spark, batch, config.format, table,
-                  config.schemaMode, config.strictRouting)
+                  config.schemaMode, config.strictRouting,
+                  forceRefresh = revalidate)
                 .foreach { normalized =>
                   debugSample(s"normalized:${table.id}", batchId, normalized)
                   sinks(table.id).upsert(normalized)

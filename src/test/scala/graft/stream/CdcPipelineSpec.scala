@@ -100,6 +100,66 @@ class CdcPipelineSpec extends SparkSpecBase {
     p.shutdown()
   }
 
+  test("streaming schema evolution: revalidateEvery picks up added columns, probe widens types") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import s.implicits._
+    val evo = SyncTable("stream_db", "evo", "id")
+    // fresh cache key for this table; other suites share the JVM-wide cache
+    SchemaInference.invalidate(s"${CdcFormat.MskDebeziumCdc.name}:${evo.id}")
+    def evoEv(payload: String, ts: Long): String =
+      s"""{"before":null,"after":$payload,"source":{"db":"stream_db","table":"evo"},"op":"c","ts_ms":$ts}"""
+    val root = Files.createTempDirectory("graft-evo").toString
+    val cfg = CdcPipelineConfig(
+      format = CdcFormat.MskDebeziumCdc,
+      tables = Seq(evo),
+      sinkRoot = root,
+      checkpointDir = Files.createTempDirectory("graft-evo-ckpt").toString,
+      triggerInterval = "1 second",
+      schemaMode = SchemaInference.Mode.Cached,
+      revalidateEvery = 2)
+    val input = MemoryStream[String]
+    val p = new CdcPipeline(spark, cfg)
+    val q = p.start(input.toDF())
+    def state(): Seq[org.apache.spark.sql.Row] =
+      p.sinks(evo.id).read().get.orderBy("id").collect().toSeq
+    try {
+      // batch 0: cached schema inferred as {id long, v string, num long}
+      input.addData(evoEv("""{"id":1,"v":"a1","num":10}""", 100))
+      q.processAllAvailable()
+      assert(state().map(_.getAs[String]("v")) === Seq("a1"))
+
+      // batch 1 adds a column; PERMISSIVE parse silently drops it (the
+      // documented additive-evolution bound — NOT caught by the probe)
+      input.addData(evoEv("""{"id":2,"v":"b1","note":"lost"}""", 200))
+      q.processAllAvailable()
+      assert(!p.sinks(evo.id).read().get.columns.contains("note"))
+
+      // batch 2 is a revalidateEvery tick: re-infer sees the new column;
+      // the sink null-pads history (rows 1-2 predate it). The tick is a
+      // MERGE refresh: num is absent from this batch yet must survive in
+      // the cached schema (proven by batch 3 below).
+      input.addData(evoEv("""{"id":3,"v":"c1","note":"kept"}""", 300))
+      q.processAllAvailable()
+      val s2 = state()
+      assert(p.sinks(evo.id).read().get.columns.contains("note"))
+      assert(s2.map(r => Option(r.getAs[String]("note"))) ===
+        Seq(None, None, Some("kept")))
+
+      // batch 3 (NOT a tick): num arrives as a float the cached long
+      // schema cannot parse → corrupt probe fires → immediate re-infer,
+      // long ∪ double widens, history casts
+      input.addData(evoEv("""{"id":4,"v":"d1","num":2.5}""", 400))
+      q.processAllAvailable()
+      val evolved = p.sinks(evo.id).read().get
+      assert(evolved.schema("num").dataType.typeName === "double")
+      val s3 = state()
+      assert(s3.map(r => Option(r.getAs[Any]("num"))) ===
+        Seq(Some(10.0), None, None, Some(2.5)))
+    } finally { q.stop(); p.shutdown() }
+  }
+
   test("disable_msg (O5): stage samples logged when enabled, none when disabled") {
     val s = spark; import s.implicits._
     val batch = Seq(ev(1, "a1", 100, "c"), ev(2, "b1", 200, "c")).toDF("value")
