@@ -39,15 +39,21 @@ object Similarity {
 
   /** Exact brute-force top-k neighbors for each query vector.
     *
-    * Scale shape: the QUERY side is broadcast (queries are the small side
-    * by construction — a probe set, not the corpus), so the corpus is
-    * scanned once with no shuffle of vectors; the only shuffle is the
-    * top-k ranking on (query, sim), bounded by |queries| × |corpus| rows
-    * of (id, id, double) — and that ranking collapses map-side when k is
-    * small via the window's rank pushdown (Spark inserts a per-partition
+    * Scale shape: the QUERY side is broadcast by default (queries are the
+    * small side by construction — a probe set, not the corpus), so the
+    * corpus is scanned once with no shuffle of vectors; the only shuffle
+    * is the top-k ranking on (query, sim), bounded by |queries| × |corpus|
+    * rows of (id, id, double) — and that ranking collapses map-side when k
+    * is small via the window's rank pushdown (Spark inserts a per-partition
     * limit for row_number <= k filters). Similarity is rounded to 1e-6
     * before ranking so ordering is stable across engines; ties break on
-    * neighbor id. */
+    * neighbor id.
+    *
+    * CONTRACT: the query set must fit in a broadcast — the all-pairs
+    * pairing is a non-equi join, so there is no shuffled form that isn't
+    * a nested-loop in disguise. For query sets too large to broadcast use
+    * [[lshTopK]] with `broadcastQueries = false`, whose bucket joins are
+    * equi-joins and shuffle cleanly. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
@@ -72,7 +78,10 @@ object Similarity {
     * would make later tables' collisions a subset of table 0's — extra
     * tables would then add zero recall). Gaussian components = the
     * standard rotation-invariant sign-LSH family. `MaxDim` caps supported
-    * vector width; longer vectors project on their first MaxDim dims. */
+    * vector width; a WIDER vector raises a clear kernel error (silent
+    * first-MaxDim truncation would degrade buckets invisibly). Shorter
+    * vectors are fine: projecting on the first dim Gaussian components is
+    * distributionally identical to drawing planes at dim. */
   val MaxDim = 2048
 
   private def planeFamily(table: Int, nPlanes: Int): Seq[Seq[Double]] =
@@ -97,18 +106,26 @@ object Similarity {
     * tuned by (nPlanes, tables), verified in tests against the exact
     * baseline.
     *
-    * Default tuning note: with sign-LSH, per-table recall for a neighbor
-    * at angle θ is (1-θ/π)^nPlanes, so FEW planes + MANY tables is the
-    * high-recall corner (each table prunes ~2^nPlanes×); more planes
+    * Default tuning note — READ BEFORE USING AT SCALE: with sign-LSH,
+    * per-table recall for a neighbor at angle θ is (1-θ/π)^nPlanes, so
+    * FEW planes + MANY tables is the high-recall corner; more planes
     * shrink candidate sets at the cost of recall. The defaults
-    * (4 planes × 32 tables) hold recall ≥0.9 even for the weak,
-    * near-orthogonal neighbors of the random test corpus (measured
-    * per-table collision ≈0.12 there → 1-(1-0.12)^32 ≈ 0.98); corpora
-    * with real cluster structure reach the same recall with far fewer
-    * tables. Asserted by the scalatest against [[bruteForceTopK]]. */
+    * (4 planes × 32 tables) are tuned for the WORST CASE — the isotropic
+    * random test corpus, whose "neighbors" sit near 90° (measured
+    * per-table collision ≈0.12 → union over 32 tables admits most of the
+    * corpus as candidates, i.e. the prune is intentionally near-disabled
+    * to hold recall ≥0.9 there; asserted by the scalatest against
+    * [[bruteForceTopK]]). Real embedding corpora have cluster structure
+    * (true neighbors at small angles): use [[ScaleNPlanes]]×[[ScaleTables]]
+    * there, and check the prune is actually pruning with
+    * [[candidateFraction]] before trusting an LSH configuration at scale.
+    *
+    * `broadcastQueries = false` switches both query-side joins to plain
+    * shuffled equi-joins for query sets too large to broadcast. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 4,
-              tables: Int = 32): DataFrame = {
+              tables: Int = 32,
+              broadcastQueries: Boolean = true): DataFrame = {
     val bucketCols = (0 until tables).map { t =>
       struct(lit(t).as("tbl"), lshBucket(col(vecCol), nPlanes, t).as("bucket"))
     }
@@ -121,23 +138,63 @@ object Similarity {
       df.select(col(idCol).as(id), explode(array(bucketCols: _*)).as("bk"))
         .select(col(id), col("bk.tbl"), col("bk.bucket"))
     val c = withBuckets(corpus, "neighbor_id")
-    val q = withBuckets(queries, "query_id")
-    val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val q0 = withBuckets(queries, "query_id")
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val cands = c.join(q, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+    val qv0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       l2(col(vecCol)).as("__qn"))
+    val qv = if (broadcastQueries) broadcast(qv0) else qv0
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       l2(col(vecCol)).as("__cn"))
     val sim = round(
       dot(col("__qv").cast("array<double>"), col("__cv").cast("array<double>")) /
         (col("__qn") * col("__cn")), 6)
-    val scored = cands.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+    val scored = cands.join(qv, "query_id").join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Scale-oriented LSH preset for corpora with real cluster structure
+    * (true neighbors at small angles): 12 planes prune each table ~4096×
+    * on isotropic noise while a neighbor at θ ≤ 30° still collides per
+    * table with p = (1-θ/π)^12 ≈ 0.11, giving 1-(1-0.11)^8 ≈ 0.61 per
+    * table union — and real duplicate-grade neighbors (θ ≤ 15°) reach
+    * ≈0.97. On the isotropic TEST corpus this preset has low recall by
+    * design; the 4×32 defaults exist for that worst case. */
+  val ScaleNPlanes = 12
+  val ScaleTables = 8
+
+  /** Observability for LSH tuning: the fraction of all |queries|×|corpus|
+    * pairs admitted as candidates by an (nPlanes, tables) configuration.
+    * A fraction near 1.0 means the ANN path has degenerated to brute
+    * force plus bucketing overhead — measure this (cheap: id-only joins)
+    * before trusting a configuration at a new scale or corpus. */
+  def candidateFraction(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, nPlanes: Int,
+                        tables: Int): DataFrame = {
+    val bucketCols = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(col(vecCol), nPlanes, t).as("bucket"))
+    }
+    def withBuckets(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), explode(array(bucketCols: _*)).as("bk"))
+        .select(col(id), col("bk.tbl"), col("bk.bucket"))
+    val cands = withBuckets(corpus, "neighbor_id")
+      .join(withBuckets(queries, "query_id"), Seq("tbl", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val nPairs = cands.agg(count(lit(1)).as("n_candidates"))
+    val denom = corpus.agg(count(lit(1)).as("__nc"))
+      .crossJoin(queries.agg(count(lit(1)).as("__nq")))
+    nPairs.crossJoin(denom).select(
+      col("n_candidates"),
+      (col("__nc") * col("__nq")).as("n_possible"),
+      (col("n_candidates").cast("double") /
+        (col("__nc") * col("__nq")).cast("double")).as("fraction"))
   }
 
   /** Embedding-cosine near-duplicate pairs (sim >= threshold) without an

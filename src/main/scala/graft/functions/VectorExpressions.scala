@@ -119,6 +119,14 @@ case class SignProjection(child: Expression, planes: Seq[Seq[Double]])
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    // A vector SHORTER than the planes is fine (projecting on the first
+    // dim Gaussian components ≡ drawing planes at dim); a LONGER vector
+    // would be silently truncated — reject it loudly instead.
+    if (v.length > matrix(0).length)
+      throw new IllegalArgumentException(
+        s"graft_sign_projection: vector dim ${v.length} exceeds the plane " +
+          s"family dim ${matrix(0).length} (Similarity.MaxDim) — raise MaxDim " +
+          "or reduce the embedding")
     var bits = 0L
     var p = 0
     while (p < matrix.length) {
@@ -145,6 +153,12 @@ case class SignProjection(child: Expression, planes: Seq[Seq[Double]])
       val i = ctx.freshName("i")
       s"""
          |double[] $v = $c.toDoubleArray();
+         |if ($v.length > $mat[0].length) {
+         |  throw new IllegalArgumentException(
+         |    "graft_sign_projection: vector dim " + $v.length +
+         |    " exceeds the plane family dim " + $mat[0].length +
+         |    " (Similarity.MaxDim) — raise MaxDim or reduce the embedding");
+         |}
          |long $bits = 0L;
          |for (int $p = 0; $p < $mat.length; $p++) {
          |  double[] $w = $mat[$p];

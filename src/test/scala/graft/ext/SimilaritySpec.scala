@@ -53,6 +53,42 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.9, s"lsh recall $recall < 0.9")
   }
 
+  test("a vector wider than MaxDim is rejected loudly, never truncated") {
+    val s = spark; import s.implicits._
+    val wide = Seq((1L, Seq.fill(Similarity.MaxDim + 1)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      wide.select(Similarity.lshBucket(col("embedding"), nPlanes = 4)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("exceeds the plane family dim")))
+  }
+
+  test("lshTopK with broadcastQueries=false returns identical results") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = all.where(col("vec_id") < 10)
+    def run(bc: Boolean) =
+      Similarity.lshTopK(all, q, "vec_id", "embedding", k = 5, broadcastQueries = bc)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(run(true) === run(false))
+  }
+
+  test("candidateFraction: the scale preset actually prunes isotropic noise") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = all.where(col("vec_id") < 20)
+    def frac(p: Int, t: Int): Double =
+      Similarity.candidateFraction(all, q, "vec_id", "embedding", p, t)
+        .head().getAs[Double]("fraction")
+    val recallPreset = frac(4, 32)   // worst-case tuning: prune near-disabled
+    val scalePreset = frac(Similarity.ScaleNPlanes, Similarity.ScaleTables)
+    assert(scalePreset < 0.05,
+      s"scale preset admits $scalePreset of all pairs — not pruning")
+    assert(scalePreset < recallPreset / 10,
+      s"scale preset ($scalePreset) should prune >=10x harder than the " +
+        s"recall preset ($recallPreset)")
+  }
+
   test("cosineNearDups finds >= 90% of true pairs above threshold, with exact sims") {
     val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = all.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
