@@ -64,9 +64,17 @@ object Dedup {
     val filtered =
       if (maxDf == Long.MaxValue) sh
       else {
-        val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxDf)
-        sh.join(df, "shingle").select(col(idCol), col("shingle"))
+        // Window count, not agg+join-back: ONE shuffle on shingle (which
+        // the inverted-index self-join below needs anyway, so the
+        // partitioning is reused) instead of a second scan + join of the
+        // full shingle stream. The count is per-partition after the
+        // shuffle; no driver-side or broadcast state, so an adversarial
+        // corpus with MANY hot shingles still streams.
+        import org.apache.spark.sql.expressions.Window
+        sh.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy("shingle")))
+          .where(col("__df") <= maxDf)
+          .select(col(idCol), col("shingle"))
       }
     val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
