@@ -48,6 +48,7 @@ object SparkEntry {
     "cdc_upsert_merge"         -> (CdcQueries.keyedUpsertMerge _),
     "cdc_catalog_table"        -> (CdcQueries.catalogTableRead _),
     "cdc_composite_key"        -> (CdcQueries.compositeKeyMerge _),
+    "cdc_bucketed_merge"       -> (CdcQueries.bucketedMerge _),
     "cdc_router_counts"        -> (CdcQueries.routerCounts _),
     // --- LLM-pipeline extensions (SURVEY §2.8): dedup family
     "llm_dedup_exact"          -> (LlmQueries.dedupExact _),
@@ -193,6 +194,14 @@ object SparkEntry {
         |        ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 AND event_type <> 'purchase' ORDER BY id, etype""".stripMargin,
+    // Same oracle as cdc_upsert_merge: the incremental bucketed layout
+    // must produce the identical merged state.
+    "cdc_bucketed_merge" ->
+      """SELECT user_id AS id, event_id, event_type AS etype, value, epoch_ms(ts) AS mtime
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'purchase' ORDER BY id""".stripMargin,
     // Same oracle as cdc_upsert_merge: the by-name (catalog) read must
     // equal the merged state the two-batch upsert produced.
     "cdc_catalog_table" ->

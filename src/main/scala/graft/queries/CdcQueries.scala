@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.cdc._
-import graft.sink.KeyedUpsertTable
+import graft.sink.{BucketedUpsertTable, KeyedUpsertTable}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -242,6 +242,25 @@ object CdcQueries {
     t.upsert(normalized.where(col(CdcNormalize.MtimeCol) < boundaryMs))
     t.upsert(normalized.where(col(CdcNormalize.MtimeCol) >= boundaryMs))
     spark.table("cdc_db.user_merged")
+      .select("id", "event_id", "etype", "value", CdcNormalize.MtimeCol)
+      .orderBy("id")
+  }
+
+  /** Incremental (bucketed) sink end-to-end: the same two time-monotone
+    * batches as [[keyedUpsertMerge]] applied through a real
+    * [[BucketedUpsertTable]] — batch 2 rewrites only the buckets its keys
+    * hash into, yet the read-back state must equal the full-COW oracle
+    * exactly (the incremental layout is an optimization, never a
+    * semantics change). */
+  def bucketedMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val normalized = normalizedDebeziumShared(spark, sfDir)
+    val boundaryMs = 1705276800000L // 2024-01-15, see keyedUpsertMerge
+    val root = java.nio.file.Files.createTempDirectory("graft-bucketed-sink")
+    val t = new BucketedUpsertTable(spark, root.toString, Seq("id"),
+      nBuckets = 8, tiebreak = Seq("event_id"))
+    t.upsert(normalized.where(col(CdcNormalize.MtimeCol) < boundaryMs))
+    t.upsert(normalized.where(col(CdcNormalize.MtimeCol) >= boundaryMs))
+    t.read().get
       .select("id", "event_id", "etype", "value", CdcNormalize.MtimeCol)
       .orderBy("id")
   }

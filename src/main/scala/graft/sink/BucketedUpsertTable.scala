@@ -1,0 +1,227 @@
+package graft.sink
+
+import graft.cdc.{CdcNormalize, SchemaInference}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** The incremental variant of [[KeyedUpsertTable]]: rows are hash-
+  * bucketed by record key and a micro-batch rewrites ONLY the buckets its
+  * keys land in — the other buckets' parquet files are carried forward by
+  * reference, untouched.
+  *
+  * Same externally-observable semantics as the COW table (latest-wins
+  * merge via [[KeyedUpsertTable.merge]], hard deletes, schema evolution,
+  * atomic pointer-swap visibility, snapshot retention) but the write
+  * amplification per batch is `touched_buckets / n_buckets` of the table
+  * instead of 1.0. This is the Hudi file-group model: at 100 TB a
+  * micro-batch touching 1% of keys rewrites ~1% of the table (bounded
+  * below by one file group per touched bucket), not the world.
+  *
+  * Layout (all inside `root`):
+  * {{{
+  *   data/commit-<n>/__bucket=<b>/part-*.parquet   immutable data dirs
+  *   snap-<n>/_buckets.json                        manifest: bucket -> data dir
+  *   _current                                      pointer file (atomic swap)
+  * }}}
+  * A snapshot is a MANIFEST, not a directory of data: commit k's manifest
+  * maps every non-empty bucket to the data dir that last rewrote it
+  * (possibly many commits old). Readers resolve the pointer, then the
+  * manifest, then read per-bucket dirs — so an in-flight reader of
+  * snapshot k is unaffected by commit k+1 (its referenced data dirs are
+  * retained as long as snapshot k is).
+  *
+  * Schema evolution: an ADDITIVE or WIDENING batch schema triggers a
+  * full rewrite of all buckets (the migration commit — same cost as one
+  * COW batch); steady-state batches with the stored schema stay
+  * incremental. Per-bucket dirs therefore always share one schema.
+  *
+  * Driver-side state is bounded by `nBuckets` (the touched-bucket set and
+  * the manifest map), never by data size — the only collect in this file
+  * is `<= nBuckets` ints, a planning decision like AQE's stats.
+  */
+final class BucketedUpsertTable(
+    spark: SparkSession,
+    val root: String,
+    val keys: Seq[String],
+    val versionCol: String = CdcNormalize.MtimeCol,
+    val nBuckets: Int = 16,
+    val retainSnapshots: Int = 2,
+    val tiebreak: Seq[String] = Nil) {
+  require(keys.nonEmpty, "keyed table needs at least one key column")
+  require(nBuckets >= 1, "need at least one bucket")
+  require(retainSnapshots >= 1, "must retain at least the current snapshot")
+
+  private val rootPath: Path = Paths.get(root)
+  private val pointer: Path = rootPath.resolve("_current")
+  private val mapper = new ObjectMapper()
+
+  /** Bucket id of a row: non-negative Murmur3 hash of the key columns —
+    * deterministic across runs/executors (Spark's `hash` is fixed-seed). */
+  private def bucketCol = pmod(hash(keys.map(col): _*), lit(nBuckets))
+
+  private val BucketDirPrefix = "__bucket="
+
+  // ------------------------------------------------------------- manifest
+
+  private case class Manifest(schemaDdl: String, buckets: Map[Int, String])
+
+  private def manifestPath(snap: String): Path =
+    rootPath.resolve(snap).resolve("_buckets.json")
+
+  private def writeManifest(snap: String, m: Manifest): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("schema", m.schemaDdl)
+    val b = node.putObject("buckets")
+    m.buckets.foreach { case (k, v) => b.put(k.toString, v) }
+    Files.createDirectories(rootPath.resolve(snap))
+    Files.write(manifestPath(snap),
+      mapper.writeValueAsBytes(node))
+  }
+
+  private def readManifest(snap: String): Manifest = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(snap)))
+    val buckets = node.get("buckets").fields().asScala
+      .map(e => e.getKey.toInt -> e.getValue.asText()).toMap
+    Manifest(node.get("schema").asText(), buckets)
+  }
+
+  def currentSnapshot(): Option[String] =
+    if (Files.exists(pointer))
+      Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim)
+        .filter(_.nonEmpty)
+    else None
+
+  /** The data dir currently serving bucket `b`, if non-empty (test /
+    * observability hook: untouched buckets keep the same dir across
+    * commits). */
+  def bucketDir(b: Int): Option[String] =
+    currentSnapshot().map(readManifest).flatMap(_.buckets.get(b))
+
+  // ----------------------------------------------------------------- read
+
+  /** Current table state: per-bucket reads aligned onto the manifest
+    * schema, unioned. One scan per non-empty bucket (parallel file
+    * listing; bucket count is a small constant). */
+  def read(): Option[DataFrame] = currentSnapshot().map { snap =>
+    val m = readManifest(snap)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    if (m.buckets.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      m.buckets.values.toSeq.sorted
+        .map(dir => spark.read.schema(schema)
+          .parquet(rootPath.resolve(dir).toString))
+        .reduce(_.unionByName(_))
+  }
+
+  // --------------------------------------------------------------- upsert
+
+  /** Apply one batch: merge against ONLY the touched buckets' stored
+    * rows, rewrite those buckets, carry the rest forward by reference.
+    * A schema-changing batch falls back to a full rewrite (migration). */
+  def upsert(batch: DataFrame): Unit = {
+    val commitId = currentSnapshot() match {
+      case Some(s) => s.stripPrefix("snap-").toLong + 1
+      case None    => 0L
+    }
+    val current = currentSnapshot().map(readManifest)
+    val storedSchema = current.map(m => StructType.fromDDL(m.schemaDdl))
+    val evolved = storedSchema.exists(s =>
+      SchemaInference.mergeStructs(s, batch.schema) != s)
+
+    val (mergedToWrite, carried) =
+      if (current.isEmpty || evolved) {
+        // first commit or migration commit: full rewrite, nothing carried
+        (KeyedUpsertTable.merge(read(), batch, keys, versionCol, tiebreak),
+          Map.empty[Int, String])
+      } else {
+        val m = current.get
+        // Bounded planning collect: <= nBuckets ints, independent of data
+        // size (the write job needs the touched-dir list driver-side).
+        val touched = batch.select(bucketCol.as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val schema = StructType.fromDDL(m.schemaDdl)
+        val storedTouched = m.buckets.view.filterKeys(touched).values.toSeq.sorted match {
+          case Nil  => None
+          case dirs => Some(dirs.map(d => spark.read.schema(schema)
+              .parquet(rootPath.resolve(d).toString))
+            .reduce(_.unionByName(_)))
+        }
+        (KeyedUpsertTable.merge(storedTouched, batch, keys, versionCol, tiebreak),
+          m.buckets.view.filterKeys(b => !touched(b)).toMap)
+      }
+
+    // One write job, partitioned by bucket: only the merged (touched or
+    // full) rows are written; the bucket column lives in the dir name.
+    val dataDir = s"data/commit-$commitId"
+    mergedToWrite.withColumn("__bucket", bucketCol)
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(rootPath.resolve(dataDir).toString)
+
+    // Buckets actually present in the new write (a bucket whose keys all
+    // deleted produces no dir and drops out of the manifest).
+    val written = Option(rootPath.resolve(dataDir).toFile.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(BucketDirPrefix))
+      .map(f => f.getName.stripPrefix(BucketDirPrefix).toInt ->
+        s"$dataDir/${f.getName}")
+      .toMap
+
+    val snap = s"snap-$commitId"
+    writeManifest(snap, Manifest(mergedToWrite.schema.toDDL, carried ++ written))
+    val tmp = rootPath.resolve("_current.tmp")
+    Files.write(tmp, snap.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    clean()
+  }
+
+  // -------------------------------------------------------------- cleaner
+
+  /** Retain the newest `retainSnapshots` manifests and every data dir any
+    * of them references; delete the rest. Runs only after the pointer
+    * swap; tolerates stray non-numeric dirs (never fails a published
+    * commit). */
+  private def clean(): Unit = {
+    val numeric = "snap-(\\d+)".r
+    val snaps = Option(rootPath.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap(f => f.getName match {
+        case numeric(n) => Some(f -> n.toLong)
+        case _          => None
+      })
+      .sortBy(_._2).map(_._1)
+    val (drop, keep) = snaps.splitAt(math.max(0, snaps.length - retainSnapshots))
+    val referenced: Set[String] = keep.flatMap { dir =>
+      scala.util.Try(readManifest(dir.getName)).toOption.toSeq
+        .flatMap(_.buckets.values.map(_.split('/').take(2).mkString("/")))
+    }.toSet
+    drop.foreach(d => deleteRecursively(d.toPath))
+    val dataRoot = rootPath.resolve("data")
+    Option(dataRoot.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !referenced.contains(s"data/${f.getName}"))
+      .foreach(f => deleteRecursively(f.toPath))
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import java.nio.file.{FileVisitResult, SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
+    Files.walkFileTree(p, new SimpleFileVisitor[Path] {
+      override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+        Files.deleteIfExists(f); FileVisitResult.CONTINUE
+      }
+      override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+        Files.deleteIfExists(d); FileVisitResult.CONTINUE
+      }
+    })
+  }
+}

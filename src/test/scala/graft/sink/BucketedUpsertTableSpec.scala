@@ -1,0 +1,125 @@
+package graft.sink
+
+import graft.SparkSpecBase
+import graft.cdc.CdcNormalize
+
+import org.apache.spark.sql.DataFrame
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** K1 incremental variant: the bucketed sink must preserve the COW
+  * table's observable merge semantics while rewriting ONLY touched
+  * buckets — untouched buckets' files stay byte-identical across
+  * commits (the whole point of the layout). */
+class BucketedUpsertTableSpec extends SparkSpecBase {
+
+  private val M = CdcNormalize.MtimeCol
+  private val D = CdcNormalize.DeletedCol
+
+  private def batch(rows: (Long, String, Long, Boolean)*): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("id", "v", M, D)
+  }
+
+  private def state(t: BucketedUpsertTable): Map[Long, String] =
+    t.read().get.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+
+  private def filesUnder(p: Path): Map[String, Long] =
+    Files.walk(p).iterator().asScala
+      .filter(f => Files.isRegularFile(f) && f.getFileName.toString.startsWith("part-"))
+      .map(f => p.relativize(f).toString -> Files.getLastModifiedTime(f).toMillis)
+      .toMap
+
+  test("bucketed merge semantics match the COW table across batches") {
+    val broot = Files.createTempDirectory("graft-bkt").toString
+    val kroot = Files.createTempDirectory("graft-cow").toString
+    val bt = new BucketedUpsertTable(spark, broot, Seq("id"), nBuckets = 4,
+      tiebreak = Seq("id"))
+    val kt = new KeyedUpsertTable(spark, kroot, Seq("id"), tiebreak = Seq("id"))
+    val batches = Seq(
+      batch((1L, "a1", 100L, false), (2L, "b1", 100L, false), (7L, "g1", 100L, false)),
+      batch((1L, "a2", 200L, false)),
+      batch((2L, "bdel", 300L, true), (9L, "h1", 300L, false)),
+      batch((2L, "b2", 400L, false)))
+    batches.foreach { b => bt.upsert(b); kt.upsert(b) }
+    val expected = kt.read().get.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(state(bt) === expected)
+    assert(state(bt) === Map(1L -> "a2", 2L -> "b2", 7L -> "g1", 9L -> "h1"))
+    // replaying the last batch is a no-op (checkpoint recovery)
+    bt.upsert(batches.last)
+    assert(state(bt) === expected)
+  }
+
+  test("a commit leaves untouched buckets' data dirs and files byte-identical") {
+    val root = Files.createTempDirectory("graft-bkt-inc")
+    // many keys so several buckets are populated
+    val t = new BucketedUpsertTable(spark, root.toString, Seq("id"), nBuckets = 8)
+    t.upsert(batch((1L to 40L).map(i => (i, s"v$i", 100L, false)): _*))
+    val before = (0 until 8).map(b => b -> t.bucketDir(b)).toMap
+    assert(before.values.count(_.isDefined) >= 4, "fixture should fill several buckets")
+    val beforeBytes = before.collect { case (b, Some(dir)) =>
+      b -> filesUnder(root.resolve(dir)).keySet.map(f =>
+        f -> java.util.Arrays.hashCode(Files.readAllBytes(root.resolve(dir).resolve(f))))
+    }
+
+    // second commit touches exactly one key → exactly one bucket
+    t.upsert(batch((1L, "v1b", 200L, false)))
+    val after = (0 until 8).map(b => b -> t.bucketDir(b)).toMap
+    val touched = after.filter { case (b, d) => d != before(b) }.keySet
+    assert(touched.size === 1, s"exactly one bucket should be rewritten, got $touched")
+    // every untouched bucket: same dir reference, same files, same bytes
+    before.foreach { case (b, dirOpt) =>
+      if (!touched(b)) {
+        assert(after(b) === dirOpt)
+        dirOpt.foreach { dir =>
+          val now = filesUnder(root.resolve(dir)).keySet.map(f =>
+            f -> java.util.Arrays.hashCode(Files.readAllBytes(root.resolve(dir).resolve(f))))
+          assert(now === beforeBytes(b), s"bucket $b files changed")
+        }
+      }
+    }
+    assert(state(t)(1L) === "v1b")
+  }
+
+  test("retention: old snapshots drop but dirs referenced by kept manifests survive") {
+    val root = Files.createTempDirectory("graft-bkt-gc")
+    val t = new BucketedUpsertTable(spark, root.toString, Seq("id"),
+      nBuckets = 4, retainSnapshots = 2)
+    t.upsert(batch((1L to 20L).map(i => (i, s"v$i", 100L, false)): _*))
+    // five incremental commits on one key; old commit dirs for OTHER
+    // buckets must survive because retained manifests still reference them
+    (1 to 5).foreach(i => t.upsert(batch((1L, s"v1-$i", 100L + i, false))))
+    val snaps = Option(root.toFile.listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-")).map(_.getName)
+    assert(snaps.length <= 2, s"snapshot GC failed: ${snaps.mkString(",")}")
+    assert(state(t).size === 20)
+    assert(state(t)(1L) === "v1-5")
+    // disk holds everything the CURRENT manifest references (commit-0's
+    // carried buckets included), may hold what the previous kept manifest
+    // references (commit-4), and nothing older that went unreferenced
+    val referenced = (0 until 4).flatMap(t.bucketDir)
+      .map(_.split('/').take(2).mkString("/")).toSet
+    val onDisk = Option(root.resolve("data").toFile.listFiles()).get
+      .filter(_.isDirectory).map(f => s"data/${f.getName}").toSet
+    assert(referenced.subsetOf(onDisk))
+    assert(onDisk.subsetOf(referenced + "data/commit-4"))
+    Seq("data/commit-1", "data/commit-2", "data/commit-3")
+      .foreach(d => assert(!onDisk.contains(d), s"$d should have been cleaned"))
+  }
+
+  test("schema evolution triggers a migration rewrite; by-name reads still align") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-bkt-evo").toString
+    val t = new BucketedUpsertTable(spark, root, Seq("id"), nBuckets = 4)
+    t.upsert(batch((1L, "a1", 100L, false), (2L, "b1", 100L, false)))
+    t.upsert(Seq((3L, "c1", "extra", 200L, false))
+      .toDF("id", "v", "note", M, D))
+    val out = t.read().get.orderBy("id").collect()
+    assert(out.length === 3)
+    assert(out.map(r => Option(r.getAs[String]("note"))).toSeq ===
+      Seq(None, None, Some("extra")))
+  }
+}

@@ -73,6 +73,23 @@ class MergePropertySpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed table equals the naive fold for random time-split sequences") {
+    for (seed <- 30L to 32L) {
+      val ev = sample(seed)
+      val expected = naive(ev).map { case (k, (v, _)) => k -> v }
+      val root = java.nio.file.Files.createTempDirectory(s"graft-bkt-prop$seed")
+      val t = new BucketedUpsertTable(spark, root.toString, Seq("id"),
+        nBuckets = 4, tiebreak = Seq("seq"))
+      val boundary = 10L
+      val b1 = ev.filter(_._3 <= boundary)
+      val b2 = ev.filter(_._3 > boundary)
+      Seq(b1, b2).filter(_.nonEmpty).foreach(b => t.upsert(toDf(b)))
+      val got = t.read().get.collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+      assert(got === expected, s"bucketed state mismatch, seed=$seed")
+    }
+  }
+
   test("empty-batch merge is a no-op (replay safety) for random states") {
     for (seed <- 20L to 23L) {
       val ev = sample(seed)
