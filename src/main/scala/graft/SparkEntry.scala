@@ -70,6 +70,7 @@ object SparkEntry {
     "text_quality_score"       -> (LlmQueries.textQualityScore _),
     "text_langid_counts"       -> (LlmQueries.langIdCounts _),
     "text_langid_ngram_counts" -> (LlmQueries.langIdNgramCounts _),
+    "text_tfidf_top_terms"     -> (LlmQueries.tfIdfTopTerms _),
     // --- multimodal plumbing (stub kernels, real Spark shape)
     "mm_decode_meta"           -> (LlmQueries.mmDecodeMeta _),
     "mm_resize_meta"           -> (LlmQueries.mmResizeMeta _),
@@ -323,6 +324,23 @@ object SparkEntry {
         |              ELSE 'en' END AS lang_pred
         |  FROM s) t
         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+    // tf·N/df with LINEAR idf (no ln): pure IEEE int-ratio math, so the
+    // doubles are bit-identical across engines.
+    "text_tfidf_top_terms" ->
+      s"""WITH w AS (SELECT doc_id, unnest($WL) AS term FROM documents),
+         |t AS (SELECT doc_id, term FROM w WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |             CAST(tf AS DOUBLE) * n / df AS score
+         |           FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (SELECT *, row_number() OVER (
+         |             PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+         |           FROM scored)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |  score, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // mm_decode_meta: documents text is ASCII, so the stub header decode
     // (first 8 bytes big-endian) is restatable over char codes.
     "mm_decode_meta" ->

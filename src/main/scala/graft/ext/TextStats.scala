@@ -133,6 +133,37 @@ object TextStats {
     when(best._2 > 0, best._1).otherwise(lit("unk"))
   }
 
+  /** Top-k characteristic terms per document by a tf-idf-style score.
+    *
+    * Score = tf · N / df — LINEAR inverse document frequency rather than
+    * the textbook log: the ordering within a document is identical for
+    * any monotone idf transform, and avoiding `ln` keeps the score a
+    * pure IEEE int-ratio computation that DuckDB reproduces bit-for-bit
+    * (libm log implementations are not cross-engine reproducible).
+    *
+    * Scale shape: two hash aggregates (tf on (doc, term), df on term —
+    * both map-side partial) and one join of tf against the term
+    * dictionary (df), which is vocabulary-sized, not corpus-sized; the
+    * corpus count N is a 1-row broadcast. Ties rank deterministically by
+    * term. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col(idCol), explode(words(lower(col(textCol)))).as("term"))
+      .where(col("term") =!= "")
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term").agg(count_distinct(col(idCol)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * col("__n") / col("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Per-language corpus stats (doc counts + exact integer char/word
     * totals, division-free so the oracle compare is exact). */
   def perLangStats(documents: DataFrame): DataFrame =

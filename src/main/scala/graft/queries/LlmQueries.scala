@@ -138,6 +138,12 @@ object LlmQueries {
       .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang_pred")
 
+  /** Top-3 characteristic terms per doc (tf·N/df score, linear idf —
+    * see [[TextStats.tfIdfTopTerms]]). */
+  def tfIdfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.tfIdfTopTerms(docs(spark, sfDir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
   /** The pipeline-terminal dedup: the corpus a training run would
     * actually consume — exact dups collapsed to min-id survivors, then
     * near-dup (Jaccard ≥ 0.5) losers dropped greedily by id. */

@@ -64,6 +64,24 @@ class TextStatsSpec extends SparkSpecBase {
     assert(fast.toSeq === slow.toSeq)
   }
 
+  test("tfIdfTopTerms: hand-computed scores, deterministic tie ranks") {
+    val s = spark; import s.implicits._
+    // N=3 docs. Doc1: "cat" tf=2 df=1 → 2·3/1=6; "the" tf=2 df=3 → 2;
+    // "sat" tf=1 df=2 → 1.5. Ties order by term.
+    val docs = Seq(
+      (1L, "the cat the cat sat"),
+      (2L, "the dog sat"),
+      (3L, "the bird")).toDF("doc_id", "text")
+    val out = TextStats.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank")))
+    assert(out.toSeq === Seq(
+      (1L, "cat", 6.0, 1L), (1L, "the", 2.0, 2L),
+      (2L, "dog", 3.0, 1L), (2L, "sat", 1.5, 2L),
+      (3L, "bird", 3.0, 1L), (3L, "the", 1.0, 2L)))
+  }
+
   test("qualityScore stays in [0,1]") {
     val s = spark; import s.implicits._
     val texts = Seq("", "short", "a" * 500,
