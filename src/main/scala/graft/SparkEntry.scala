@@ -35,6 +35,7 @@ object SparkEntry {
     "distinct_parts"           -> (RelationalQueries.distinctParts _),
     "events_json_extract"      -> (RelationalQueries.eventsJsonExtract _),
     "events_hourly"            -> (RelationalQueries.eventsHourly _),
+    "events_sessions"          -> (RelationalQueries.eventsSessions _),
     "customers_without_orders" -> (RelationalQueries.customersWithoutOrders _),
     // --- CDC engine core (SURVEY §2.1-2.3, §2.6): route→parse→normalize→
     //     dedup→merge, exercised through synthesized envelope JSON
@@ -71,6 +72,7 @@ object SparkEntry {
     "text_langid_counts"       -> (LlmQueries.langIdCounts _),
     "text_langid_ngram_counts" -> (LlmQueries.langIdNgramCounts _),
     "text_tfidf_top_terms"     -> (LlmQueries.tfIdfTopTerms _),
+    "llm_sample_strata"        -> (LlmQueries.sampleStrata _),
     // --- multimodal plumbing (stub kernels, real Spark shape)
     "mm_decode_meta"           -> (LlmQueries.mmDecodeMeta _),
     "mm_resize_meta"           -> (LlmQueries.mmResizeMeta _),
@@ -150,6 +152,21 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // 6h-gap sessionization: lag flag → running sum → per-session rollup,
+    // all integer epoch-millis arithmetic.
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events),
+        |flagged AS (SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+        |                            OR ts_ms - lag(ts_ms) OVER w > 21600000
+        |                           THEN 1 ELSE 0 END AS is_new
+        |            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |ids AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |        FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        |FROM ids GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -324,6 +341,15 @@ object SparkEntry {
         |              ELSE 'en' END AS lang_pred
         |  FROM s) t
         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+    // Key-hash sampling: the Knuth-scramble bucket is pure BIGINT
+    // arithmetic, so DuckDB selects the identical 20% of documents.
+    "llm_sample_strata" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE ((doc_id * 2654435761) % 1000000007) % 1000000 < 200000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // tf·N/df with LINEAR idf (no ln): pure IEEE int-ratio math, so the
     // doubles are bit-identical across engines.
     "text_tfidf_top_terms" ->

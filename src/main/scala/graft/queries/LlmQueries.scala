@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats, Winnowing}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextStats, Winnowing}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -137,6 +137,19 @@ object LlmQueries {
       .select(TextStats.langIdNgram(col("text")).as("lang_pred"))
       .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang_pred")
+
+  /** Reproducible 20% corpus sample via key-hash selection, reported as
+    * per-language doc counts + id checksums (see [[Sampling]] — the
+    * point is that retries/repartitions/other engines select the exact
+    * same documents, which the DuckDB oracle proves). */
+  def sampleStrata(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.deterministicSample(docs(spark, sfDir), "doc_id",
+        perMillion = 200000)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
 
   /** Top-3 characteristic terms per doc (tf·N/df score, linear idf —
     * see [[TextStats.tfIdfTopTerms]]). */

@@ -139,6 +139,18 @@ object RelationalQueries {
         col("n_events"), col("sum_value"))
       .orderBy("hour_start", "event_type")
 
+  /** Gap-based sessionization over the events stream (6-hour inactivity
+    * gap): per-user sessions with event counts and integer-exact epoch
+    * spans. One shuffle on user_id shared by both window passes and the
+    * rollup — see [[graft.ext.Sessionize]]. */
+  def eventsSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = CdcQueries.events(spark, sfDir)
+    graft.ext.Sessionize.sessions(ev, Seq("user_id"),
+        unix_millis(col("ts").cast("timestamp")), gapMs = 6L * 3600 * 1000,
+        tiebreak = Seq(col("event_id")))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Existence/anti-join shape: customers with no RECENT order (the
     * unfiltered variant is vacuously empty on the dense testdata). The
     * filter is pushed into the build side before the anti join; at 100 TB

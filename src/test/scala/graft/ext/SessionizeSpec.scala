@@ -1,0 +1,53 @@
+package graft.ext
+
+import graft.SparkSpecBase
+
+import org.apache.spark.sql.functions._
+
+/** Gap sessionization: hand-checked boundaries, per-key independence,
+  * deterministic tie handling; hash sampling: reproducibility under
+  * repartition (the property rand() lacks). */
+class SessionizeSpec extends SparkSpecBase {
+
+  test("sessionize: gap starts a new session, equal-gap stays, keys independent") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      (1L, 0L), (1L, 100L), (1L, 101L),  // session 1 (gaps 100, 1)
+      (1L, 300L),                        // gap 199 > 100 → session 2
+      (2L, 0L), (2L, 100L)               // other key: own session 1 (gap == 100 stays)
+    ).toDF("uid", "ts")
+    val out = Sessionize.sessions(ev, Seq("uid"), col("ts"), gapMs = 100L)
+      .orderBy("uid", "session_id").collect()
+      .map(r => (r.getAs[Long]("uid"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 3L, 0L, 101L),
+      (1L, 2L, 1L, 300L, 300L),
+      (2L, 1L, 2L, 0L, 100L)))
+  }
+
+  test("sessionize: single shuffle — both windows and the rollup share one exchange") {
+    val s = spark; import s.implicits._
+    val ev = Seq((1L, 0L), (1L, 50L), (2L, 0L)).toDF("uid", "ts")
+    val plan = Sessionize.sessions(ev, Seq("uid"), col("ts"), gapMs = 100L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected one hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("deterministicSample: same selection under repartition, rate in range") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 2000L).map(i => (i, s"d$i")).toDF("id", "v")
+    val a = Sampling.deterministicSample(docs, "id", perMillion = 200000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs.repartition(13), "id", perMillion = 200000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "sample must be stable under repartition")
+    // ~20% with slack: the scramble is a hash, not a guarantee per range
+    assert(a.size > 2000 * 0.12 && a.size < 2000 * 0.28, s"rate off: ${a.size}/2000")
+    // monotone: a smaller rate selects a subset
+    val c = Sampling.deterministicSample(docs, "id", perMillion = 100000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a))
+  }
+}
