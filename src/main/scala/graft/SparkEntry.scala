@@ -73,6 +73,7 @@ object SparkEntry {
     "text_langid_ngram_counts" -> (LlmQueries.langIdNgramCounts _),
     "text_tfidf_top_terms"     -> (LlmQueries.tfIdfTopTerms _),
     "llm_sample_strata"        -> (LlmQueries.sampleStrata _),
+    "llm_pack_stats"           -> (LlmQueries.packStats _),
     // --- multimodal plumbing (stub kernels, real Spark shape)
     "mm_decode_meta"           -> (LlmQueries.mmDecodeMeta _),
     "mm_resize_meta"           -> (LlmQueries.mmResizeMeta _),
@@ -350,6 +351,21 @@ object SparkEntry {
         |FROM documents
         |WHERE ((doc_id * 2654435761) % 1000000007) % 1000000 < 200000
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Concat-then-chunk packing: shard scramble, running token sum, and
+    // integer chunk division — all integer-exact in both engines.
+    "llm_pack_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    ((doc_id * 2654435761) % 1000000007) % 1000000 % 8 AS shard,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |laid AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset
+        |         FROM d)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(start_offset // 2048 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM laid GROUP BY shard, pack_id
+        |ORDER BY shard, pack_id""".stripMargin,
     // tf·N/df with LINEAR idf (no ln): pure IEEE int-ratio math, so the
     // doubles are bit-identical across engines.
     "text_tfidf_top_terms" ->

@@ -151,6 +151,14 @@ object LlmQueries {
         sum(col("n_chars")).as("total_chars"))
       .orderBy("lang")
 
+  /** Training-sequence packing: concat-then-chunk pack assignment over 8
+    * shards with a 2048-token budget, rolled up per pack (see
+    * [[graft.ext.Packing]]). */
+  def packStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Packing.packs(docs(spark, sfDir), "doc_id", "text",
+        nShards = 8, budgetTokens = 2048L)
+      .orderBy("shard", "pack_id")
+
   /** Top-3 characteristic terms per doc (tf·N/df score, linear idf —
     * see [[TextStats.tfIdfTopTerms]]). */
   def tfIdfTopTerms(spark: SparkSession, sfDir: String): DataFrame =

@@ -35,6 +35,29 @@ class SessionizeSpec extends SparkSpecBase {
     assert(exchanges === 1, s"expected one hash exchange, got $exchanges:\n$plan")
   }
 
+  test("packing: concat-then-chunk offsets, budget cuts, spill-over property") {
+    val s = spark; import s.implicits._
+    // one shard so the layout is a single deterministic stream
+    val docs = Seq(
+      (1L, "a b c d"),    // 4 tokens, offset 0  → pack 0
+      (2L, "e f g"),      // 3 tokens, offset 4  → pack 0
+      (3L, "h i j k l"),  // 5 tokens, offset 7  → pack 0 (spills past 10)
+      (4L, "m n")         // 2 tokens, offset 12 → pack 1
+    ).toDF("doc_id", "text")
+    val out = Packing.concatChunk(docs, "doc_id", "text",
+        nShards = 1, budgetTokens = 10L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_offset"),
+        r.getAs[Long]("pack_id")))
+    assert(out.toSeq === Seq((1L, 0L, 0L), (2L, 4L, 0L), (3L, 7L, 0L), (4L, 12L, 1L)))
+    val packs = Packing.packs(docs, "doc_id", "text", 1, 10L)
+      .orderBy("pack_id").collect()
+      .map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("pack_tokens")))
+    // pack 0 holds 12 tokens: only its LAST doc spills past the cut
+    assert(packs.toSeq === Seq((0L, 3L, 12L), (1L, 1L, 2L)))
+  }
+
   test("deterministicSample: same selection under repartition, rate in range") {
     val s = spark; import s.implicits._
     val docs = (1L to 2000L).map(i => (i, s"d$i")).toDF("id", "v")
