@@ -65,6 +65,7 @@ object SparkEntry {
     "llm_cosine_topk_lsh"      -> (LlmQueries.cosineTopKLsh _),
     "llm_cosine_neardup"       -> (LlmQueries.cosineNearDup _),
     "llm_embed_stats"          -> (LlmQueries.embedStats _),
+    "llm_quantize_stats"       -> (LlmQueries.quantizeStats _),
     // --- text analysis
     "text_stats_per_lang"      -> (LlmQueries.textStatsPerLang _),
     "text_quality"             -> (LlmQueries.textQuality _),
@@ -294,6 +295,23 @@ object SparkEntry {
         |  round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS sq_norm,
         |  CAST(len(embedding) AS BIGINT) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // int8 quantization audit: floor codes (round diverges across
+    // engines), elementwise IEEE double math in fixed order.
+    "llm_quantize_stats" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS max_abs FROM v),
+        |q AS (SELECT vec_id, e, max_abs,
+        |        CASE WHEN max_abs = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(e, x -> CAST(floor(x * 127.0 / max_abs) AS BIGINT))
+        |        END AS codes
+        |      FROM m)
+        |SELECT vec_id, max_abs,
+        |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+    |  CASE WHEN max_abs = 0 THEN 0.0
+        |       ELSE list_max(list_transform(generate_series(1, len(e)),
+        |              i -> abs(e[i] - CAST(codes[i] AS DOUBLE) * max_abs / 127.0)))
+        |  END AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "text_stats_per_lang" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -102,6 +102,13 @@ object LlmQueries {
       size(col("embedding")).cast("long").as("dim"))
     .orderBy("vec_id")
 
+  /** int8 quantization audit over the embeddings: per-vector scale,
+    * exact code checksum, worst reconstruction error (see
+    * [[graft.ext.Quantize]]). */
+  def quantizeStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Quantize.stats(emb(spark, sfDir), "vec_id", "embedding")
+      .orderBy("vec_id")
+
   /** Per-language corpus stats: integer-exact totals. */
   def textStatsPerLang(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.perLangStats(docs(spark, sfDir))

@@ -89,6 +89,25 @@ class SimilaritySpec extends SparkSpecBase {
         s"recall preset ($recallPreset)")
   }
 
+  test("quantize: codes bounded, error within one quantization step, zero vector safe") {
+    val s = spark; import s.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+    val audited = Quantize.stats(real, "vec_id", "embedding").collect()
+    audited.foreach { r =>
+      val mx = r.getAs[Double]("max_abs")
+      val err = r.getAs[Double]("max_err")
+      assert(err <= mx / 127.0 + 1e-12,
+        s"vec ${r.get(0)}: err $err exceeds one step ${mx / 127.0}")
+    }
+    val codes = real.select(Quantize.int8Codes(col("embedding")).as("q"))
+      .select(explode(col("q")).as("c")).agg(min("c"), max("c")).head()
+    assert(codes.getLong(0) >= -128 && codes.getLong(1) <= 127)
+    val zero = Seq((1L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val zr = Quantize.stats(zero, "vec_id", "embedding").head()
+    assert(zr.getAs[Long]("code_sum") === 0L && zr.getAs[Double]("max_err") === 0.0)
+  }
+
   test("cosineNearDups finds >= 90% of true pairs above threshold, with exact sims") {
     val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = all.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
