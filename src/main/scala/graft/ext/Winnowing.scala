@@ -51,9 +51,14 @@ object Winnowing {
     val filtered =
       if (maxDf == Long.MaxValue) fps
       else {
-        val df = fps.groupBy("fingerprint").agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxDf)
-        fps.join(df, "fingerprint").select(col(idCol), col("fingerprint"))
+        // Window count, not agg+join-back (the jaccardPairs lesson: the
+        // join-back re-scans and re-shuffles the full stream; the window
+        // shares the one shuffle the self-join below needs anyway).
+        import org.apache.spark.sql.expressions.Window
+        fps.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy("fingerprint")))
+          .where(col("__df") <= maxDf)
+          .select(col(idCol), col("fingerprint"))
       }
     val a = filtered.select(col(idCol).as("id_a"), col("fingerprint"))
     val b = filtered.select(col(idCol).as("id_b"), col("fingerprint"))

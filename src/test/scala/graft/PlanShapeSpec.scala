@@ -58,6 +58,36 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastExchange"), "query side should broadcast")
   }
 
+  test("capped jaccard plans a window df-filter, not a join-back re-scan") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(Dedup.jaccardPairs(real, "doc_id", "text", n = 3,
+      threshold = 0.5, maxDf = 50))
+    assert(p.contains("Window"), "maxDf should be a window count")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // no join-back: the df cap must not appear as an extra shingle join
+    // (window + the inverted-index self-join only; AQE reuses the
+    // identical shingle exchanges at runtime)
+    assert(!p.toLowerCase.contains("sortmergejoin [shingle"),
+      s"df cap should not join back on shingle:\n$p")
+  }
+
+  test("tf-idf: corpus count N is a 1-row broadcast, aggregates are partial") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.TextStats.tfIdfTopTerms(real, "doc_id", "text", k = 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "N should join via broadcast, not shuffle")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"tf/df aggregates should be map-side partial in:\n$p")
+  }
+
+  test("deterministic sampling is a scan-side filter — no shuffle before the agg") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.Sampling.deterministicSample(real, "doc_id", 200000)
+      .groupBy("lang").count())
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"sample+agg should shuffle exactly once:\n$p")
+  }
+
   test("custom kernels appear in plans (graft_dot / graft_sign_projection)") {
     val all = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(Similarity.lshTopK(all, all.where(col("vec_id") < 5),
