@@ -54,7 +54,7 @@ final class BucketedUpsertTable(
     val versionCol: String = CdcNormalize.MtimeCol,
     val nBuckets: Int = 16,
     val retainSnapshots: Int = 2,
-    val tiebreak: Seq[String] = Nil) {
+    val tiebreak: Seq[String] = Nil) extends UpsertSink {
   require(keys.nonEmpty, "keyed table needs at least one key column")
   require(nBuckets >= 1, "need at least one bucket")
   require(retainSnapshots >= 1, "must retain at least the current snapshot")

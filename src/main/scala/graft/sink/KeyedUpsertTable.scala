@@ -57,7 +57,7 @@ final class KeyedUpsertTable(
       * catalog, so users query `spark.table("db.table")` by name — the
       * reference syncs each table into Glue/Hive the same way
       * (`glue/cdc_hudi.py:190-194`). */
-    val catalogTable: Option[String] = None) {
+    val catalogTable: Option[String] = None) extends UpsertSink {
   require(keys.nonEmpty, "keyed table needs at least one key column")
   require(retainSnapshots >= 1, "must retain at least the current snapshot")
   require(catalogTable.forall(_.split('.').length <= 2),

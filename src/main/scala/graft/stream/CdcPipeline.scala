@@ -62,7 +62,14 @@ final case class CdcPipelineConfig(
       * performs zero extra actions. */
     disableMsg: Boolean = true,
     /** Where debug samples go; swappable so tests can capture them. */
-    debugLog: String => Unit = s => Console.err.println(s))
+    debugLog: String => Unit = s => Console.err.println(s),
+    /** When set, sink tables use the INCREMENTAL bucketed layout with
+      * this many hash buckets per table — a micro-batch rewrites only
+      * touched buckets instead of the full COW rewrite (the 100 TB
+      * path; see [[graft.sink.BucketedUpsertTable]]). Catalog sync is a
+      * COW-layout feature (single-location external tables) and is not
+      * applied to bucketed sinks. */
+    bucketedSink: Option[Int] = None)
 
 final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
 
@@ -72,10 +79,15 @@ final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
 
   /** One sink table per configured source table, rooted at
     * `sinkRoot/<db>/<table>` (`glue/cdc_hudi.py:180` layout). */
-  val sinks: Map[String, KeyedUpsertTable] = config.tables.map { t =>
-    t.id -> new KeyedUpsertTable(
-      spark, s"${config.sinkRoot}/${t.dbName}/${t.tableName}", t.pkCols,
-      catalogTable = config.catalogDb.map(db => s"$db.${t.tableName}"))
+  val sinks: Map[String, graft.sink.UpsertSink] = config.tables.map { t =>
+    val root = s"${config.sinkRoot}/${t.dbName}/${t.tableName}"
+    t.id -> (config.bucketedSink match {
+      case Some(n) =>
+        new graft.sink.BucketedUpsertTable(spark, root, t.pkCols, nBuckets = n)
+      case None =>
+        new KeyedUpsertTable(spark, root, t.pkCols,
+          catalogTable = config.catalogDb.map(db => s"$db.${t.tableName}"))
+    })
   }.toMap
 
   /** The reference's per-stage observability loop (`glue/cdc_hudi.py:

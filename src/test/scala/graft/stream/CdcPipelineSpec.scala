@@ -190,6 +190,21 @@ class CdcPipelineSpec extends SparkSpecBase {
     p2.shutdown()
   }
 
+  test("bucketed sink option: same pipeline semantics, incremental layout on disk") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-bkt-pipe").toString
+    val p = new CdcPipeline(spark, config(root,
+        Files.createTempDirectory("graft-bkt-pipe-ckpt").toString)
+      .copy(bucketedSink = Some(4)))
+    p.processBatch(Seq(ev(1, "a1", 100, "c"), ev(2, "b1", 100, "c")).toDF("value"), 0L)
+    p.processBatch(Seq(ev(1, "a2", 200, "u"), ev(2, "bdel", 200, "d")).toDF("value"), 1L)
+    assert(tableState(p) === Map(1L -> "a2"))
+    // the sink root uses the manifest layout, not COW snapshot dirs
+    val tableRoot = java.nio.file.Paths.get(root, "stream_db", "acct")
+    assert(java.nio.file.Files.isDirectory(tableRoot.resolve("data")))
+    p.shutdown()
+  }
+
   test("offset listener records completed batch offsets") {
     val s = spark
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
