@@ -42,6 +42,7 @@ object SparkEntry {
     "cdc_normalize_debezium"   -> ((s: SparkSession, d: String) => CdcQueries.normalizeDebezium(s, d)),
     "cdc_normalize_strict"     -> ((s: SparkSession, d: String) => CdcQueries.normalizeStrict(s, d)),
     "cdc_normalize_dms"        -> ((s: SparkSession, d: String) => CdcQueries.normalizeDms(s, d)),
+    "cdc_normalize_flink"      -> ((s: SparkSession, d: String) => CdcQueries.normalizeFlink(s, d)),
     "cdc_latest_rownumber"     -> (CdcQueries.latestPerKeyRowNumber _),
     "cdc_latest_maxby"         -> (CdcQueries.latestPerKeyMaxBy _),
     "cdc_latest_sql"           -> (CdcQueries.latestPerKeySql _),
@@ -189,6 +190,10 @@ object SparkEntry {
       """SELECT event_type AS etype, event_id, user_id AS id, value,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS mtime,
         |  (event_type = 'purchase') AS _hoodie_is_deleted
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_normalize_flink" ->
+      """SELECT event_type AS etype, event_id, user_id AS id, value,
+        |  epoch_ms(ts) AS mtime, (event_type = 'purchase') AS _hoodie_is_deleted
         |FROM events ORDER BY event_id""".stripMargin,
     "cdc_latest_rownumber" -> LatestSql,
     "cdc_latest_maxby"     -> LatestSql,

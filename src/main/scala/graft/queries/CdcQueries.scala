@@ -142,6 +142,20 @@ object CdcQueries {
       .orderBy("event_id")
   }
 
+  /** FLINK-CDC dialect normalize: the envelope is Debezium-shaped and the
+    * reference treats the two identically (`glue/cdc_hudi.py:126,156,168`)
+    * — this query proves OUR engine does too, running the same stream
+    * through the FlinkCdc format tag against the same oracle. Separate
+    * schema-cache key (format is part of the key), so the inference path
+    * is exercised independently. */
+  def normalizeFlink(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = debeziumStream(spark, sfDir)
+    CdcNormalize.normalize(spark, raw, CdcFormat.FlinkCdc, userTable,
+        SchemaInference.Mode.Cached)
+      .getOrElse(sys.error("no rows routed"))
+      .orderBy("event_id")
+  }
+
   /** Full DMS normalize (string mtime, load/insert/update/delete ops). */
   def normalizeDms(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = dmsStream(spark, sfDir)
