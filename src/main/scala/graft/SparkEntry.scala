@@ -64,6 +64,7 @@ object SparkEntry {
     // --- similarity search
     "llm_cosine_topk"          -> (LlmQueries.cosineTopK _),
     "llm_cosine_topk_lsh"      -> (LlmQueries.cosineTopKLsh _),
+    "llm_cosine_topk_lsh_scale" -> (LlmQueries.cosineTopKLshScale _),
     "llm_cosine_neardup"       -> (LlmQueries.cosineNearDup _),
     "llm_embed_stats"          -> (LlmQueries.embedStats _),
     "llm_quantize_stats"       -> (LlmQueries.quantizeStats _),

@@ -90,6 +90,20 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The SCALE-preset LSH top-k (12 planes × 8 tables): the prune that
+    * actually prunes — candidate fraction <0.05 on this corpus
+    * (spec-measured) vs the recall preset's deliberate ~1.0. Lower
+    * recall on isotropic noise by design; on clustered production
+    * embeddings this is the 100 TB configuration. Rows-only. */
+  def cosineTopKLshScale(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = emb(spark, sfDir)
+    Similarity.lshTopK(all, all.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5,
+        nPlanes = Similarity.ScaleNPlanes, tables = Similarity.ScaleTables)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding hygiene stats (the pass a pipeline runs before indexing:
     * norm distribution, zero vectors, value range). Scalar outputs via
     * the codegen dot kernel; rounded like the similarity surface. */
