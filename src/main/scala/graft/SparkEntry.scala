@@ -75,6 +75,8 @@ object SparkEntry {
     "text_langid_counts"       -> (LlmQueries.langIdCounts _),
     "text_langid_ngram_counts" -> (LlmQueries.langIdNgramCounts _),
     "text_tfidf_top_terms"     -> (LlmQueries.tfIdfTopTerms _),
+    "text_vocab_stats"         -> (LlmQueries.vocabStats _),
+    "text_clean_stats"         -> (LlmQueries.cleanStats _),
     "llm_sample_strata"        -> (LlmQueries.sampleStrata _),
     "llm_pack_stats"           -> (LlmQueries.packStats _),
     // --- multimodal plumbing (stub kernels, real Spark shape)
@@ -366,6 +368,20 @@ object SparkEntry {
         |              ELSE 'en' END AS lang_pred
         |  FROM s) t
         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+    "text_vocab_stats" ->
+      s"""WITH w AS (SELECT doc_id, unnest($WL) AS term FROM documents),
+         |t AS (SELECT doc_id, term FROM w WHERE term <> ''),
+         |d AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |      FROM t GROUP BY term)
+         |SELECT CAST(sum(tf) AS BIGINT) AS n_occurrences,
+         |  count(*) AS n_distinct_terms,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax_docfreq,
+         |  CAST(max(df) AS BIGINT) AS max_df
+         |FROM d""".stripMargin,
+    "text_clean_stats" ->
+      """SELECT doc_id, CAST(len(text) AS BIGINT) AS raw_len,
+        |  CAST(len(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS BIGINT) AS clean_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Key-hash sampling: the Knuth-scramble bucket is pure BIGINT
     // arithmetic, so DuckDB selects the identical 20% of documents.
     "llm_sample_strata" ->

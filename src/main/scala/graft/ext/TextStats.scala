@@ -164,6 +164,29 @@ object TextStats {
         col("score"), col("rank"))
   }
 
+  /** Cleaning pass: collapse whitespace runs to single spaces and trim —
+    * the first stage of any pretraining text pipeline. Pure codegen'd
+    * regexp, map-side. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Corpus vocabulary statistics: occurrence total, distinct terms,
+    * hapax legomena (terms in exactly one document), and the widest
+    * document frequency — the health numbers a corpus build reports.
+    * Two hash aggregates (term dictionary, then a 1-row fold). */
+  def vocabStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs
+      .select(col(idCol), explode(words(lower(col(textCol)))).as("term"))
+      .where(col("term") =!= "")
+    terms.groupBy("term")
+      .agg(count(lit(1)).as("tf"), count_distinct(col(idCol)).as("df"))
+      .agg(
+        sum(col("tf")).as("n_occurrences"),
+        count(lit(1)).as("n_distinct_terms"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax_docfreq"),
+        max(col("df")).as("max_df"))
+  }
+
   /** Per-language corpus stats (doc counts + exact integer char/word
     * totals, division-free so the oracle compare is exact). */
   def perLangStats(documents: DataFrame): DataFrame =

@@ -172,6 +172,19 @@ object LlmQueries {
         sum(col("n_chars")).as("total_chars"))
       .orderBy("lang")
 
+  /** Corpus vocabulary health numbers (see [[TextStats.vocabStats]]). */
+  def vocabStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.vocabStats(docs(spark, sfDir), "doc_id", "text")
+
+  /** Cleaning-pass audit: original vs whitespace-normalized lengths per
+    * doc ([[TextStats.cleanText]] is the op; the lengths prove it). */
+  def cleanStats(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("raw_len"),
+      length(TextStats.cleanText(col("text"))).cast("long").as("clean_len"))
+    .orderBy("doc_id")
+
   /** Training-sequence packing: concat-then-chunk pack assignment over 8
     * shards with a 2048-token budget, rolled up per pack (see
     * [[graft.ext.Packing]]). */
