@@ -82,6 +82,22 @@ class TextStatsSpec extends SparkSpecBase {
       (3L, "bird", 3.0, 1L), (3L, "the", 1.0, 2L)))
   }
 
+  test("cleanText collapses whitespace runs and trims") {
+    assert(one[String](TextStats.cleanText(col("text")), "  a\t\tb \n c  ") === "a b c")
+    assert(one[String](TextStats.cleanText(col("text")), "") === "")
+  }
+
+  test("vocabStats: hand-computed dictionary numbers") {
+    val s = spark; import s.implicits._
+    // terms: the(tf2,df2) cat(tf2,df1) sat(tf1,df1) dog(tf1,df1)
+    val docs = Seq((1L, "the cat cat sat"), (2L, "the dog")).toDF("doc_id", "text")
+    val r = TextStats.vocabStats(docs, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_occurrences") === 6L)
+    assert(r.getAs[Long]("n_distinct_terms") === 4L)
+    assert(r.getAs[Long]("n_hapax_docfreq") === 3L) // cat, sat, dog
+    assert(r.getAs[Long]("max_df") === 2L)
+  }
+
   test("qualityScore stays in [0,1]") {
     val s = spark; import s.implicits._
     val texts = Seq("", "short", "a" * 500,
