@@ -35,6 +35,25 @@ class SessionizeSpec extends SparkSpecBase {
     assert(exchanges === 1, s"expected one hash exchange, got $exchanges:\n$plan")
   }
 
+  test("saltedJoin: identical results to the plain join on skewed data") {
+    val s = spark; import s.implicits._
+    // 90% of fact rows share one hot key
+    val fact = (1L to 1000L).map(i => (i, if (i <= 900) 1L else i % 7))
+      .toDF("row_id", "key")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "d"), (6L, "e"))
+      .toDF("key", "label")
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select("row_id", "key", "label").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = normalize(fact.join(dim, Seq("key")))
+    val salted = normalize(SkewJoin.saltedJoin(fact, dim, "key", "row_id", salts = 8))
+    assert(salted === plain)
+    assert(plain.nonEmpty)
+    // determinism under re-evaluation (what rand()-salting would break)
+    val again = normalize(SkewJoin.saltedJoin(fact, dim, "key", "row_id", salts = 8))
+    assert(again === salted)
+  }
+
   test("packing: concat-then-chunk offsets, budget cuts, spill-over property") {
     val s = spark; import s.implicits._
     // one shard so the layout is a single deterministic stream
