@@ -7,6 +7,9 @@ import org.apache.spark.sql.SparkSession
   * (nanosAsLong, micros timestamps) silently drift between the verified
   * path and the benches. */
 object SparkSessions {
+  private lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft-warehouse").toUri.toString
+
   def localBuilder(cores: String, shufflePartitions: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
@@ -20,9 +23,9 @@ object SparkSessions {
       // produces (INT96 would read back as tz-annotated nanos).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // catalog-sync (K1) creates databases; keep the warehouse out of
-      // the repo working tree.
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toUri.toString)
+      // the repo working tree. One dir per JVM (getOrCreate ignores the
+      // config after the first session anyway).
+      .config("spark.sql.warehouse.dir", warehouseDir)
 
   def local(cores: String): SparkSession = {
     val s = localBuilder(cores, cores).getOrCreate()

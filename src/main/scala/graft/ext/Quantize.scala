@@ -42,12 +42,24 @@ object Quantize {
 
   /** Quantization audit table: per-vector scale, code checksum, and the
     * worst reconstruction error (bounded by maxabs/127 — asserted in
-    * the spec and implied by floor's ±1 code error). */
+    * the spec and implied by floor's ±1 code error). maxAbs and the
+    * code array are materialized once as intermediate columns —
+    * Catalyst does not reliably dedupe repeated higher-order-function
+    * subtrees, and inlining them re-runs the O(dim) lambdas per use. */
   def stats(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
-    vectors.select(
-      col(idCol),
-      maxAbs(col(vecCol)).as("max_abs"),
-      aggregate(int8Codes(col(vecCol)), lit(0L), (acc, q) => acc + q)
-        .as("code_sum"),
-      maxReconstructionError(col(vecCol)).as("max_err"))
+    vectors
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("max_abs", maxAbs(col("__v")))
+      .withColumn("__codes",
+        when(col("max_abs") === 0.0, transform(col("__v"), _ => lit(0L)))
+          .otherwise(transform(col("__v"),
+            x => floor(x * lit(127.0) / col("max_abs")).cast("long"))))
+      .select(
+        col(idCol),
+        col("max_abs"),
+        aggregate(col("__codes"), lit(0L), (acc, q) => acc + q).as("code_sum"),
+        when(col("max_abs") === 0.0, lit(0.0)).otherwise(
+          array_max(zip_with(col("__v"), col("__codes"),
+            (x, q) => abs(x - q.cast("double") * col("max_abs") / lit(127.0)))))
+          .as("max_err"))
 }

@@ -122,23 +122,30 @@ object Similarity {
     *
     * `broadcastQueries = false` switches both query-side joins to plain
     * shuffled equi-joins for query sets too large to broadcast. */
+  /** (id, tbl, bucket) stream for `tables` independent LSH tables — the
+    * shared candidate-generation currency of lshTopK / cosineNearDups /
+    * candidateFraction (one definition so they can never drift apart).
+    * Bucket streams carry IDS ONLY — candidates dedup on narrow id
+    * pairs, never shuffling vectors; embeddings join back exactly once
+    * per side after the distinct. (The naive form — distinct over rows
+    * carrying both vectors — was 6× slower at sf0.1 and would shuffle
+    * the corpus many times at 100 TB.) */
+  private def bucketStream(df: DataFrame, idCol: String, outId: String,
+                           vecCol: String, nPlanes: Int,
+                           tables: Int): DataFrame = {
+    val bucketCols = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(col(vecCol), nPlanes, t).as("bucket"))
+    }
+    df.select(col(idCol).as(outId), explode(array(bucketCols: _*)).as("bk"))
+      .select(col(outId), col("bk.tbl"), col("bk.bucket"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int = 4,
               tables: Int = 32,
               broadcastQueries: Boolean = true): DataFrame = {
-    val bucketCols = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(col(vecCol), nPlanes, t).as("bucket"))
-    }
-    // Bucket streams carry IDS ONLY — deduplicating candidates on narrow
-    // (query_id, neighbor_id) rows, never shuffling vectors; embeddings
-    // are joined back exactly once per side after the distinct. (The
-    // naive form — distinct over rows carrying both vectors — was 6×
-    // slower at sf0.1 and would shuffle the corpus many times at 100 TB.)
-    def withBuckets(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), explode(array(bucketCols: _*)).as("bk"))
-        .select(col(id), col("bk.tbl"), col("bk.bucket"))
-    val c = withBuckets(corpus, "neighbor_id")
-    val q0 = withBuckets(queries, "query_id")
+    val c = bucketStream(corpus, idCol, "neighbor_id", vecCol, nPlanes, tables)
+    val q0 = bucketStream(queries, idCol, "query_id", vecCol, nPlanes, tables)
     val q = if (broadcastQueries) broadcast(q0) else q0
     val cands = c.join(q, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -177,14 +184,9 @@ object Similarity {
   def candidateFraction(corpus: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, nPlanes: Int,
                         tables: Int): DataFrame = {
-    val bucketCols = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(col(vecCol), nPlanes, t).as("bucket"))
-    }
-    def withBuckets(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), explode(array(bucketCols: _*)).as("bk"))
-        .select(col(id), col("bk.tbl"), col("bk.bucket"))
-    val cands = withBuckets(corpus, "neighbor_id")
-      .join(withBuckets(queries, "query_id"), Seq("tbl", "bucket"))
+    val cands = bucketStream(corpus, idCol, "neighbor_id", vecCol, nPlanes, tables)
+      .join(bucketStream(queries, idCol, "query_id", vecCol, nPlanes, tables),
+        Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val nPairs = cands.agg(count(lit(1)).as("n_candidates"))
@@ -203,13 +205,8 @@ object Similarity {
   def cosineNearDups(vectors: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, nPlanes: Int = 4,
                      tables: Int = 16): DataFrame = {
-    val bucketCols = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(col(vecCol), nPlanes, t).as("bucket"))
-    }
-    // Same id-only candidate shape as lshTopK: bucket rows carry ids,
-    // candidate dedup happens on narrow pairs, vectors join back once.
-    val bucketed = vectors.select(col(idCol), explode(array(bucketCols: _*)).as("bk"))
-      .select(col(idCol), col("bk.tbl"), col("bk.bucket"))
+    // Same id-only candidate shape as lshTopK, via the shared stream.
+    val bucketed = bucketStream(vectors, idCol, idCol, vecCol, nPlanes, tables)
     val a = bucketed.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
     val b = bucketed.select(col(idCol).as("id_b"), col("tbl"), col("bucket"))
     val cands = a.join(b, Seq("tbl", "bucket"))

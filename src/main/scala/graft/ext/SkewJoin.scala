@@ -28,6 +28,15 @@ object SkewJoin {
                  rowId: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salts >= 1, "need at least one salt")
+    // Right/full outer would emit every unmatched SMALL row once per
+    // salt replica — silently wrong cardinality. Only join types whose
+    // unmatched-row semantics live on the large (salted) side are sound.
+    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+    require(ok(joinType.toLowerCase.replace("_", "")) ||
+        ok(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not $joinType " +
+        "(the replicated small side would duplicate unmatched rows)")
     val salted = large.withColumn("__salt",
       pmod(Sampling.bucket(col(rowId)), lit(salts)))
     val replicated = small.withColumn("__salt",

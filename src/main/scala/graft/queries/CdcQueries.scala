@@ -120,8 +120,17 @@ object CdcQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def normalizedDebeziumShared(spark: SparkSession, sfDir: String): DataFrame =
-    sharedNormalized.getOrElseUpdate((spark, sfDir),
-      normalizeDebeziumRaw(spark, sfDir).persist())
+    sharedNormalized.get((spark, sfDir)) match {
+      case Some(df) => df
+      case None =>
+        // compute-then-putIfAbsent: getOrElseUpdate's thunk is not
+        // atomic, and the losing racer must unpersist its copy
+        val df = normalizeDebeziumRaw(spark, sfDir).persist()
+        sharedNormalized.putIfAbsent((spark, sfDir), df) match {
+          case Some(winner) => df.unpersist(); winner
+          case None         => df
+        }
+    }
 
   /** Full Debezium normalize: route → infer → parse → coalesce images →
     * op filter → mtime + soft-delete. Output is the normalized change

@@ -176,8 +176,18 @@ final class BucketedUpsertTable(
         s"$dataDir/${f.getName}")
       .toMap
 
+    // Manifest schema: the TABLE schema, never the batch's. On the
+    // incremental path a narrower batch landing in previously-empty
+    // buckets would otherwise narrow the manifest and silently null out
+    // the carried buckets' extra columns on read; merging with the
+    // stored schema keeps it the union (a no-op on migration commits,
+    // where mergedToWrite already carries the evolved schema).
+    val tableSchema = storedSchema match {
+      case Some(s) => SchemaInference.mergeStructs(s, mergedToWrite.schema)
+      case None    => mergedToWrite.schema
+    }
     val snap = s"snap-$commitId"
-    writeManifest(snap, Manifest(mergedToWrite.schema.toDDL, carried ++ written))
+    writeManifest(snap, Manifest(tableSchema.toDDL, carried ++ written))
     val tmp = rootPath.resolve("_current.tmp")
     Files.write(tmp, snap.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,

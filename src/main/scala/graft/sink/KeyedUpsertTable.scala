@@ -122,9 +122,21 @@ final class KeyedUpsertTable(
       val quoted = parts.map(p => s"`$p`").mkString(".")
       if (parts.length == 2)
         spark.sql(s"CREATE DATABASE IF NOT EXISTS `${parts(0)}`")
-      spark.sql(s"DROP TABLE IF EXISTS $quoted")
-      spark.sql(s"CREATE TABLE $quoted USING parquet " +
-        s"LOCATION '${rootPath.resolve(snap).toUri}'")
+      val loc = rootPath.resolve(snap).toUri
+      // Steady state: ALTER ... SET LOCATION — metadata-only with NO
+      // visibility gap for concurrent by-name readers. DROP+CREATE only
+      // when the schema changed (the catalog entry pins the schema from
+      // creation time) or the table doesn't exist yet; that brief gap is
+      // confined to evolution commits.
+      val sameSchema = spark.catalog.tableExists(fqn) &&
+        scala.util.Try(spark.table(fqn).schema ==
+          spark.read.parquet(loc.toString).schema).getOrElse(false)
+      if (sameSchema)
+        spark.sql(s"ALTER TABLE $quoted SET LOCATION '$loc'")
+      else {
+        spark.sql(s"DROP TABLE IF EXISTS $quoted")
+        spark.sql(s"CREATE TABLE $quoted USING parquet LOCATION '$loc'")
+      }
     }
   }
 

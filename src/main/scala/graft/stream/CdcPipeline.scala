@@ -79,6 +79,18 @@ final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
 
   /** One sink table per configured source table, rooted at
     * `sinkRoot/<db>/<table>` (`glue/cdc_hudi.py:180` layout). */
+  /** Catalog names: `tableName` alone unless two configured tables
+    * share it (e.g. db1.user + db2.user), in which case each colliding
+    * table gets `dbName_tableName` — two sinks DROP/CREATE-ing one
+    * catalog name would otherwise clobber each other every commit. */
+  private val catalogNameOf: Map[String, String] = {
+    val byName = config.tables.groupBy(_.tableName)
+    config.tables.map { t =>
+      t.id -> (if (byName(t.tableName).size > 1) s"${t.dbName}_${t.tableName}"
+               else t.tableName)
+    }.toMap
+  }
+
   val sinks: Map[String, graft.sink.UpsertSink] = config.tables.map { t =>
     val root = s"${config.sinkRoot}/${t.dbName}/${t.tableName}"
     t.id -> (config.bucketedSink match {
@@ -86,7 +98,7 @@ final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
         new graft.sink.BucketedUpsertTable(spark, root, t.pkCols, nBuckets = n)
       case None =>
         new KeyedUpsertTable(spark, root, t.pkCols,
-          catalogTable = config.catalogDb.map(db => s"$db.${t.tableName}"))
+          catalogTable = config.catalogDb.map(db => s"$db.${catalogNameOf(t.id)}"))
     })
   }.toMap
 

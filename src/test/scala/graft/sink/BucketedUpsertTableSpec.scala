@@ -110,6 +110,28 @@ class BucketedUpsertTableSpec extends SparkSpecBase {
       .foreach(d => assert(!onDisk.contains(d), s"$d should have been cleaned"))
   }
 
+  test("a narrower batch into an empty bucket never narrows the table schema") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val root = Files.createTempDirectory("graft-bkt-narrow").toString
+    val t = new BucketedUpsertTable(spark, root, Seq("id"), nBuckets = 64)
+    // commit 0: rows WITH the extra column
+    t.upsert(Seq((1L, "a1", "keep-a", 100L, false), (2L, "b1", "keep-b", 100L, false))
+      .toDF("id", "v", "note", M, D))
+    // find a key hashing to a bucket neither 1 nor 2 occupies
+    def bucketOf(k: Long): Int =
+      Seq(k).toDF("id").select(pmod(hash(col("id")), lit(64))).head().getInt(0)
+    val used = Set(bucketOf(1L), bucketOf(2L))
+    val fresh = (3L to 200L).find(k => !used(bucketOf(k))).get
+    // commit 1: a NARROWER batch (no 'note') into a previously-empty bucket
+    t.upsert(batch((fresh, "c1", 200L, false)))
+    val state = t.read().get.orderBy("id").collect()
+    assert(t.read().get.columns.contains("note"),
+      "table schema must keep the carried buckets' columns")
+    assert(state.map(r => Option(r.getAs[String]("note"))).toSeq ===
+      Seq(Some("keep-a"), Some("keep-b"), None))
+  }
+
   test("schema evolution triggers a migration rewrite; by-name reads still align") {
     val s = spark; import s.implicits._
     val root = Files.createTempDirectory("graft-bkt-evo").toString

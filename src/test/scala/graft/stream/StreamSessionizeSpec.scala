@@ -49,6 +49,20 @@ class StreamSessionizeSpec extends SparkSpecBase {
         (1L, 1L, 2L, 1000L, 2000L),
         (2L, 1L, 1L, 1000L, 1000L),
         (1L, 2L, 1L, 50000L, 50000L)))
+
+      // uid2 returns after its timeout-close: numbering must CONTINUE
+      // (session 2, not a duplicate session 1) — the id-continuity
+      // sentinel at work; its 70s gap from 61s watermark closes at 81s
+      input.addData((2L, 70000L))
+      q.processAllAvailable()
+      input.addData((3L, 81000L))
+      q.processAllAvailable()
+      assert(rows() === Set(
+        (1L, 1L, 2L, 1000L, 2000L),
+        (2L, 1L, 1L, 1000L, 1000L),
+        (1L, 2L, 1L, 50000L, 50000L),
+        (2L, 2L, 1L, 70000L, 70000L),
+        (3L, 1L, 1L, 61000L, 61000L))) // uid3 s1 closed once watermark hit 81s
     } finally q.stop()
   }
 }
