@@ -31,19 +31,17 @@ object Bench {
     val first = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, timed(name, fn))
     }
-    // Outlier re-time: a query measured far above the pack is almost
-    // always a JIT/GC resonance artifact of the shared JVM (isolated
-    // reps are stable); re-run once and keep the better steady-state
-    // number. Bounded extra cost: only the outliers re-run.
-    val okTimes = first.map(_._3).filter(_ >= 0).sorted
-    val med = if (okTimes.nonEmpty) okTimes(okTimes.size / 2) else 0.0
+    // Heavy-tail re-time: queries above 5s swing wildly in the shared
+    // JVM (one LSH query measured 5.5-18.8s across reps on identical
+    // code), which blinds round-over-round regression detection exactly
+    // where it matters. Median-of-3 is robust to a single JIT/GC
+    // resonance outlier in either direction; bounded extra cost (only
+    // the heavy queries re-run). Failed reps (-1.0 sentinel) drop out of
+    // the median; a query whose FIRST run failed stays failed.
     val results = first.map { case (name, fn, t) =>
-      if (t > math.max(5.0, 3 * med)) {
-        // Keep the valid first measurement if the retry hits the -1.0
-        // failure sentinel — min() would otherwise record the sentinel
-        // and make a succeeded query look failed.
-        val r = timed(name, fn)
-        name -> (if (r < 0) t else math.min(t, r))
+      if (t > 5.0) {
+        val reps = Seq(t, timed(name, fn), timed(name, fn)).filter(_ >= 0).sorted
+        name -> (if (reps.isEmpty) -1.0 else reps(reps.size / 2))
       } else name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

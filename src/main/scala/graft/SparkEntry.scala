@@ -51,7 +51,10 @@ object SparkEntry {
     "cdc_catalog_table"        -> (CdcQueries.catalogTableRead _),
     "cdc_composite_key"        -> (CdcQueries.compositeKeyMerge _),
     "cdc_bucketed_merge"       -> (CdcQueries.bucketedMerge _),
+    "cdc_bucketed_catalog"     -> (CdcQueries.bucketedCatalogRead _),
     "cdc_router_counts"        -> (CdcQueries.routerCounts _),
+    "cdc_router_counts_dms"    -> (CdcQueries.routerCountsDms _),
+    "skew_join_sales"          -> (RelationalQueries.skewJoinSales _),
     // --- LLM-pipeline extensions (SURVEY §2.8): dedup family
     "llm_dedup_exact"          -> (LlmQueries.dedupExact _),
     "llm_dedup_corpus"         -> (LlmQueries.dedupCorpus _),
@@ -66,6 +69,7 @@ object SparkEntry {
     "llm_cosine_topk_lsh"      -> (LlmQueries.cosineTopKLsh _),
     "llm_cosine_topk_lsh_scale" -> (LlmQueries.cosineTopKLshScale _),
     "llm_cosine_neardup"       -> (LlmQueries.cosineNearDup _),
+    "llm_cosine_neardup_scale" -> (LlmQueries.cosineNearDupScale _),
     "llm_embed_stats"          -> (LlmQueries.embedStats _),
     "llm_quantize_stats"       -> (LlmQueries.quantizeStats _),
     // --- text analysis
@@ -230,6 +234,14 @@ object SparkEntry {
         |        PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 AND event_type <> 'purchase' ORDER BY id""".stripMargin,
+    // Same oracle again: the bucketed sink's catalog VIEW read by name
+    // must equal the merged state (the 100 TB layout's hive-sync).
+    "cdc_bucketed_catalog" ->
+      """SELECT user_id AS id, event_id, event_type AS etype, value, epoch_ms(ts) AS mtime
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'purchase' ORDER BY id""".stripMargin,
     // Same oracle as cdc_upsert_merge: the by-name (catalog) read must
     // equal the merged state the two-batch upsert produced.
     "cdc_catalog_table" ->
@@ -242,6 +254,25 @@ object SparkEntry {
       """SELECT CASE WHEN user_id % 2 = 0 THEN 'user' ELSE 'product' END AS tbl,
         |  count(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY tbl""".stripMargin,
+    // DMS mixed stream: control records are rejected by the router, so
+    // every count covers data records only; 'any' is the regex config
+    // (user|product) matching both tables.
+    "cdc_router_counts_dms" ->
+      """SELECT tbl, cnt FROM (
+        |  SELECT 'user' AS tbl, count(*) AS cnt FROM events WHERE user_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'product' AS tbl, count(*) AS cnt FROM events WHERE user_id % 2 <> 0
+        |  UNION ALL
+        |  SELECT 'any' AS tbl, count(*) AS cnt FROM events
+        |) t ORDER BY tbl""".stripMargin,
+    // Salted join ≡ plain join: the oracle computes the unsalted
+    // semantics; the Spark side runs through SkewJoin.saltedJoin.
+    "skew_join_sales" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        |FROM orders JOIN nation
+        |  ON (CASE WHEN o_orderkey % 10 < 7 THEN 0 ELSE o_orderkey % 25 END) = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

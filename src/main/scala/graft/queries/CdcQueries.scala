@@ -259,7 +259,7 @@ object CdcQueries {
   def catalogTableRead(spark: SparkSession, sfDir: String): DataFrame = {
     val normalized = normalizedDebeziumShared(spark, sfDir)
     val boundaryMs = 1705276800000L // 2024-01-15 00:00:00 UTC, see keyedUpsertMerge
-    val root = java.nio.file.Files.createTempDirectory("graft-catalog-sink")
+    val root = tempSinkDir("graft-catalog-sink")
     val t = new KeyedUpsertTable(spark, root.toString, Seq("id"),
       tiebreak = Seq("event_id"), catalogTable = Some("cdc_db.user_merged"))
     t.upsert(normalized.where(col(CdcNormalize.MtimeCol) < boundaryMs))
@@ -278,7 +278,7 @@ object CdcQueries {
   def bucketedMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val normalized = normalizedDebeziumShared(spark, sfDir)
     val boundaryMs = 1705276800000L // 2024-01-15, see keyedUpsertMerge
-    val root = java.nio.file.Files.createTempDirectory("graft-bucketed-sink")
+    val root = tempSinkDir("graft-bucketed-sink")
     val t = new BucketedUpsertTable(spark, root.toString, Seq("id"),
       nBuckets = 8, tiebreak = Seq("event_id"))
     t.upsert(normalized.where(col(CdcNormalize.MtimeCol) < boundaryMs))
@@ -286,6 +286,48 @@ object CdcQueries {
     t.read().get
       .select("id", "event_id", "etype", "value", CdcNormalize.MtimeCol)
       .orderBy("id")
+  }
+
+  /** Catalog sync for the INCREMENTAL layout — the 100 TB configuration
+    * must also serve `SELECT * FROM cdc_db.<table>` (the reference
+    * hive-syncs every table unconditionally, `glue/cdc_hudi.py:190-194`).
+    * Same two-batch upsert as [[bucketedMerge]] but with `catalogTable`
+    * set, and the RESULT is read back BY NAME: batch 2 is an incremental
+    * commit (touched buckets only), so the by-name read exercises the
+    * view-over-manifest sync path across a mixed-commit-age manifest.
+    * Shares the bucketed-merge oracle. */
+  def bucketedCatalogRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val normalized = normalizedDebeziumShared(spark, sfDir)
+    val boundaryMs = 1705276800000L // 2024-01-15, see keyedUpsertMerge
+    val root = tempSinkDir("graft-bucketed-catalog")
+    val t = new BucketedUpsertTable(spark, root.toString, Seq("id"),
+      nBuckets = 8, tiebreak = Seq("event_id"),
+      catalogTable = Some("cdc_db.user_bucketed"))
+    t.upsert(normalized.where(col(CdcNormalize.MtimeCol) < boundaryMs))
+    t.upsert(normalized.where(col(CdcNormalize.MtimeCol) >= boundaryMs))
+    spark.table("cdc_db.user_bucketed")
+      .select("id", "event_id", "etype", "value", CdcNormalize.MtimeCol)
+      .orderBy("id")
+  }
+
+  /** Temp sink roots for the materializing queries, deleted on JVM exit
+    * so repeated in-process bench/verify runs don't accumulate tmp dirs. */
+  private def tempSinkDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scala.util.Try {
+        import java.nio.file.{FileVisitResult, Files, Path, SimpleFileVisitor}
+        import java.nio.file.attribute.BasicFileAttributes
+        Files.walkFileTree(p, new SimpleFileVisitor[Path] {
+          override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+            Files.deleteIfExists(f); FileVisitResult.CONTINUE
+          }
+          override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+            Files.deleteIfExists(d); FileVisitResult.CONTINUE
+          }
+        })
+      }: Unit))
+    p
   }
 
   /** Router truth table: a mixed two-table stream (user/product by
@@ -309,16 +351,53 @@ object CdcQueries {
     counts.reduce(_.union(_)).orderBy("tbl")
   }
 
+  /** DMS-dialect router truth table over a MIXED stream: user/product
+    * data records by user_id parity PLUS a control record per 'error'
+    * event (DMS emits `"record-type":"control"` frames for DDL — the
+    * reference rejects them inside `filter_table`,
+    * `glue/cdc_hudi.py:123`). Three routing configs are counted: the two
+    * literal table names and a REGEX config `(user|product)` — configured
+    * names are interpolated into the match pattern verbatim and may be
+    * regexes (`/root/reference/README.md:38`). Control records match
+    * every table-name pattern yet must appear in NO count. */
+  def routerCountsDms(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val tableName =
+      when(col("user_id") % 2 === 0, "user").otherwise("product")
+    def meta(recordType: String): Column = struct(
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("timestamp"),
+      lit(recordType).as("record-type"),
+      dmsOp.as("operation"),
+      lit("test_db").as("schema-name"),
+      tableName.as("table-name"))
+    val data = ev.select(to_json(struct(
+      payload.as("data"), meta("data").as("metadata"))).as("value"))
+    val control = ev.where(col("event_type") === "error")
+      .select(to_json(struct(meta("control").as("metadata"))).as("value"))
+    val mixed = data.unionByName(control)
+    val counts = Seq("user" -> "user", "product" -> "product",
+        "any" -> "(user|product)").map { case (label, pat) =>
+      mixed.where(CdcRouter.substringMatch(col("value"), CdcFormat.DmsCdc,
+          SyncTable("test_db", pat, "id")))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(label).as("tbl"), col("cnt"))
+    }
+    counts.reduce(_.union(_)).orderBy("tbl")
+  }
+
   /** O4 SQL entry point (`glue/cdc_hudi.py:208-210,149-159`): the W1 dedup
-    * issued as SQL text against a temp view — same Catalyst plan as the
-    * Column-API form, same oracle as [[latestPerKeyRowNumber]]. */
+    * issued as SQL text against a GLOBAL temp view — the reference uses
+    * `createOrReplaceGlobalTempView` (`glue/cdc_hudi.py:209`), making the
+    * view visible across sessions under the `global_temp` namespace. Same
+    * Catalyst plan as the Column-API form, same oracle as
+    * [[latestPerKeyRowNumber]]. */
   def latestPerKeySql(spark: SparkSession, sfDir: String): DataFrame = {
-    events(spark, sfDir).createOrReplaceTempView("graft_events")
+    events(spark, sfDir).createOrReplaceGlobalTempView("graft_events")
     spark.sql(
       """SELECT event_id, ts, user_id, event_type, value, props FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS seqnum_aws
-        |  FROM graft_events) t
+        |  FROM global_temp.graft_events) t
         |WHERE seqnum_aws = 1
         |ORDER BY user_id""".stripMargin)
   }

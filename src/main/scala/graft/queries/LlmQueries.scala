@@ -236,6 +236,21 @@ object LlmQueries {
         threshold = 0.35) // testdata max pairwise cosine ≈0.51; 0.35 yields a real pair set
       .orderBy("id_a", "id_b")
 
+  /** The SCALE-preset near-dup (12 planes × 8 tables) — the configuration
+    * you'd actually run at 100 TB, where the candidate prune must prune
+    * (spec-measured ≥10× fewer candidates than the recall preset). On
+    * this isotropic corpus the aggressive prune admits few pairs by
+    * design, so the query emits EVERY surviving candidate with its exact
+    * verified cosine plus the near-dup flag — the candidate set IS the
+    * observable the scale claim rests on (rows-only; the recall/prune
+    * properties live in SimilaritySpec). */
+  def cosineNearDupScale(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.cosineNearDups(emb(spark, sfDir), "vec_id", "embedding",
+        threshold = -1.0, // keep all verified candidates; flag the dups
+        nPlanes = Similarity.ScaleNPlanes, tables = Similarity.ScaleTables)
+      .withColumn("is_neardup", col("sim") >= 0.35)
+      .orderBy("id_a", "id_b")
+
   /** Multimodal metadata decode over synthesized blobs: the documents
     * text bytes stand in for media payloads (no codecs in this
     * environment, SURVEY.md §2.8); width/height come from the stub

@@ -90,6 +90,31 @@ object RelationalQueries {
       .orderBy("n_name")
   }
 
+  /** Salted skew join end-to-end ([[graft.ext.SkewJoin]]): orders carry a
+    * DELIBERATELY skewed derived dimension key (~70% of rows land on key
+    * 0 — the "default tenant" shape) joined to the 25-row nation dim
+    * through `saltedJoin`, which spreads each key over 8 sub-keys via a
+    * deterministic scramble of the row-unique `o_orderkey`. Results must
+    * be IDENTICAL to the plain join — the DuckDB oracle computes exactly
+    * that — while the salt lets the hot key fan out over 8 tasks instead
+    * of one straggler (plan-asserted in SessionizeSpec). At 100 TB this
+    * is the fallback when AQE can't split the skew (hash-agg build sides,
+    * groupBy-feeding joins). */
+  def skewJoinSales(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("nkey",
+        when(col("o_orderkey") % 10 < 7, lit(0L))
+          .otherwise(col("o_orderkey") % 25).cast("long"))
+    val dim = t(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("nkey"), col("n_name"))
+    graft.ext.SkewJoin.saltedJoin(ord, dim, "nkey", rowId = "o_orderkey", salts = 8)
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("decimal(18,2)").cast("double").as("total_price"))
+      .orderBy("n_name")
+  }
+
   /** Window ranking: top-3 orders by totalprice per customer. Single
     * shuffle on o_custkey; rank filter enables Spark's window-group-limit
     * pushdown so partitions truncate early instead of fully sorting. */

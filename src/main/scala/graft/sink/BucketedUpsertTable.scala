@@ -54,10 +54,22 @@ final class BucketedUpsertTable(
     val versionCol: String = CdcNormalize.MtimeCol,
     val nBuckets: Int = 16,
     val retainSnapshots: Int = 2,
-    val tiebreak: Seq[String] = Nil) extends UpsertSink {
+    val tiebreak: Seq[String] = Nil,
+    /** Hive-sync equivalent for the INCREMENTAL layout: when set
+      * (`[db.]table`), every commit (re)publishes the current manifest as
+      * a catalog VIEW over the referenced bucket dirs, so users query
+      * `spark.table("db.table")` by name exactly as with the COW sink's
+      * external table ([[KeyedUpsertTable.syncCatalog]]) — the reference
+      * hive-syncs every table unconditionally
+      * (`/root/reference/glue/cdc_hudi.py:190-194`). A view (not an
+      * external table) because a snapshot is a MANIFEST over many data
+      * dirs from different commits — no single LOCATION exists. */
+    val catalogTable: Option[String] = None) extends UpsertSink {
   require(keys.nonEmpty, "keyed table needs at least one key column")
   require(nBuckets >= 1, "need at least one bucket")
   require(retainSnapshots >= 1, "must retain at least the current snapshot")
+  require(catalogTable.forall(_.split('.').length <= 2),
+    s"catalogTable must be [db.]table, got $catalogTable")
 
   private val rootPath: Path = Paths.get(root)
   private val pointer: Path = rootPath.resolve("_current")
@@ -107,9 +119,12 @@ final class BucketedUpsertTable(
 
   // ----------------------------------------------------------------- read
 
-  /** Current table state: per-bucket reads aligned onto the manifest
-    * schema, unioned. One scan per non-empty bucket (parallel file
-    * listing; bucket count is a small constant). */
+  /** Current table state: ONE multi-path scan over every referenced
+    * bucket dir, aligned onto the manifest schema (per-bucket dirs share
+    * one schema by construction — see the evolution note above). A
+    * per-dir-scan-then-union alternative builds an O(nBuckets)-deep plan
+    * tree: harmless at 16 buckets, an analyzer/plan-string blowup at a
+    * realistic 256-4096. */
   def read(): Option[DataFrame] = currentSnapshot().map { snap =>
     val m = readManifest(snap)
     val schema = StructType.fromDDL(m.schemaDdl)
@@ -117,11 +132,13 @@ final class BucketedUpsertTable(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      m.buckets.values.toSeq.sorted
-        .map(dir => spark.read.schema(schema)
-          .parquet(rootPath.resolve(dir).toString))
-        .reduce(_.unionByName(_))
+      spark.read.schema(schema).parquet(bucketPaths(m): _*)
   }
+
+  /** Absolute paths of every bucket dir a manifest references (sorted for
+    * plan determinism). */
+  private def bucketPaths(m: Manifest): Seq[String] =
+    m.buckets.values.toSeq.sorted.map(d => rootPath.resolve(d).toString)
 
   // --------------------------------------------------------------- upsert
 
@@ -150,12 +167,11 @@ final class BucketedUpsertTable(
         val touched = batch.select(bucketCol.as("__b")).distinct()
           .collect().map(_.getInt(0)).toSet
         val schema = StructType.fromDDL(m.schemaDdl)
-        val storedTouched = m.buckets.view.filterKeys(touched).values.toSeq.sorted match {
-          case Nil  => None
-          case dirs => Some(dirs.map(d => spark.read.schema(schema)
-              .parquet(rootPath.resolve(d).toString))
-            .reduce(_.unionByName(_)))
-        }
+        val storedTouched =
+          bucketPaths(Manifest(m.schemaDdl, m.buckets.view.filterKeys(touched).toMap)) match {
+            case Nil  => None
+            case dirs => Some(spark.read.schema(schema).parquet(dirs: _*))
+          }
         (KeyedUpsertTable.merge(storedTouched, batch, keys, versionCol, tiebreak),
           m.buckets.view.filterKeys(b => !touched(b)).toMap)
       }
@@ -192,7 +208,41 @@ final class BucketedUpsertTable(
     Files.write(tmp, snap.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    syncCatalog()
     clean()
+  }
+
+  /** (Re)publish the current manifest under [[catalogTable]] as a catalog
+    * view — the bucketed layout's hive-sync step, running after the
+    * pointer swap like Hudi's sync-after-commit. The view body is one
+    * `SELECT <cols> FROM parquet.`<dir>`` branch per referenced bucket
+    * dir, UNION ALL'd: per-bucket dirs share one schema by construction
+    * (migration commits rewrite every bucket), and the explicit column
+    * list pins positional alignment. `CREATE OR REPLACE VIEW` is a
+    * metadata-only swap, so incremental AND migration commits both
+    * refresh by-name readers with no data copy; schema evolution
+    * propagates because the view is re-derived from the new manifest. */
+  def syncCatalog(): Unit = catalogTable.foreach { fqn =>
+    currentSnapshot().foreach { snap =>
+      val m = readManifest(snap)
+      val schema = StructType.fromDDL(m.schemaDdl)
+      val parts = fqn.split('.')
+      val quoted = parts.map(p => s"`$p`").mkString(".")
+      if (parts.length == 2)
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS `${parts(0)}`")
+      val cols = schema.fields.map(f => s"`${f.name}`").mkString(", ")
+      val body = bucketPaths(m) match {
+        case Nil =>
+          // all keys deleted: an empty relation with the table schema
+          val typed = schema.fields
+            .map(f => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`")
+            .mkString(", ")
+          s"SELECT $typed WHERE 1 = 0"
+        case dirs =>
+          dirs.map(d => s"SELECT $cols FROM parquet.`$d`").mkString(" UNION ALL ")
+      }
+      spark.sql(s"CREATE OR REPLACE VIEW $quoted AS $body")
+    }
   }
 
   // -------------------------------------------------------------- cleaner

@@ -66,9 +66,10 @@ final case class CdcPipelineConfig(
     /** When set, sink tables use the INCREMENTAL bucketed layout with
       * this many hash buckets per table — a micro-batch rewrites only
       * touched buckets instead of the full COW rewrite (the 100 TB
-      * path; see [[graft.sink.BucketedUpsertTable]]). Catalog sync is a
-      * COW-layout feature (single-location external tables) and is not
-      * applied to bucketed sinks. */
+      * path; see [[graft.sink.BucketedUpsertTable]]). `catalogDb`
+      * applies to both layouts: COW syncs an external table, bucketed
+      * syncs a per-commit-refreshed view (the reference hive-syncs every
+      * table unconditionally, `glue/cdc_hudi.py:190-194`). */
     bucketedSink: Option[Int] = None)
 
 final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
@@ -93,12 +94,13 @@ final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
 
   val sinks: Map[String, graft.sink.UpsertSink] = config.tables.map { t =>
     val root = s"${config.sinkRoot}/${t.dbName}/${t.tableName}"
+    val catalogName = config.catalogDb.map(db => s"$db.${catalogNameOf(t.id)}")
     t.id -> (config.bucketedSink match {
       case Some(n) =>
-        new graft.sink.BucketedUpsertTable(spark, root, t.pkCols, nBuckets = n)
+        new graft.sink.BucketedUpsertTable(spark, root, t.pkCols, nBuckets = n,
+          catalogTable = catalogName)
       case None =>
-        new KeyedUpsertTable(spark, root, t.pkCols,
-          catalogTable = config.catalogDb.map(db => s"$db.${catalogNameOf(t.id)}"))
+        new KeyedUpsertTable(spark, root, t.pkCols, catalogTable = catalogName)
     })
   }.toMap
 

@@ -54,6 +54,25 @@ class SessionizeSpec extends SparkSpecBase {
     assert(again === salted)
   }
 
+  test("saltedJoin: the salt participates in the shuffle so the hot key spreads") {
+    val s = spark; import s.implicits._
+    val fact = (1L to 1000L).map(i => (i, 1L)).toDF("row_id", "key") // one hot key
+    val dim = Seq((1L, "hot")).toDF("key", "label")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SkewJoin.saltedJoin(fact, dim, "key", "row_id", salts = 8)
+        .queryExecution.executedPlan.toString
+      assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(plan).isDefined,
+        s"__salt must be part of the join's shuffle partitioning:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the single hot key really fans out: its rows land on >1 sub-key
+    val subKeys = fact
+      .select(pmod(Sampling.bucket(col("row_id")), lit(8)).as("salt"))
+      .distinct().count()
+    assert(subKeys > 1, s"salt produced only $subKeys sub-key(s) for the hot key")
+  }
+
   test("packing: concat-then-chunk offsets, budget cuts, spill-over property") {
     val s = spark; import s.implicits._
     // one shard so the layout is a single deterministic stream

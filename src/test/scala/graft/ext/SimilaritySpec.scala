@@ -82,11 +82,35 @@ class SimilaritySpec extends SparkSpecBase {
         .head().getAs[Double]("fraction")
     val recallPreset = frac(4, 32)   // worst-case tuning: prune near-disabled
     val scalePreset = frac(Similarity.ScaleNPlanes, Similarity.ScaleTables)
+    info(f"candidateFraction recall-preset(4x32)=$recallPreset%.4f " +
+      f"scale-preset(${Similarity.ScaleNPlanes}x${Similarity.ScaleTables})=$scalePreset%.4f")
     assert(scalePreset < 0.05,
       s"scale preset admits $scalePreset of all pairs — not pruning")
     assert(scalePreset < recallPreset / 10,
       s"scale preset ($scalePreset) should prune >=10x harder than the " +
         s"recall preset ($recallPreset)")
+  }
+
+  test("cosineNearDups scale preset: exact sims; its dup pairs nest in the recall preset's") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("sim")).toMap
+    // threshold -1.0 = every verified candidate (what the registered
+    // llm_cosine_neardup_scale query emits)
+    val scale = pairs(Similarity.cosineNearDups(all, "vec_id", "embedding",
+      threshold = -1.0, nPlanes = Similarity.ScaleNPlanes,
+      tables = Similarity.ScaleTables))
+    val recall = pairs(Similarity.cosineNearDups(all, "vec_id", "embedding",
+      threshold = 0.35))
+    info(s"scale-preset candidates=${scale.size}, recall-preset dups=${recall.size}")
+    assert(scale.nonEmpty, "scale preset should still admit some candidates")
+    val scaleDups = scale.filter(_._2 >= 0.35)
+    scaleDups.foreach { case (pair, sim) =>
+      assert(recall.contains(pair),
+        s"scale-preset dup $pair missing from the near-full recall preset")
+      assert(recall(pair) === sim, s"verified sim differs for $pair")
+    }
   }
 
   test("quantize: codes bounded, error within one quantization step, zero vector safe") {

@@ -132,6 +132,36 @@ class BucketedUpsertTableSpec extends SparkSpecBase {
       Seq(Some("keep-a"), Some("keep-b"), None))
   }
 
+  test("catalog sync: by-name reads track incremental AND migration commits") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-bkt-cat").toString
+    val t = new BucketedUpsertTable(spark, root, Seq("id"), nBuckets = 4,
+      catalogTable = Some("bkt_db.synced"))
+    // commit 0 (full): view exists and equals read()
+    t.upsert(batch((1L, "a1", 100L, false), (2L, "b1", 100L, false),
+      (7L, "g1", 100L, false)))
+    assert(spark.catalog.tableExists("bkt_db.synced"))
+    def byName: Map[Long, String] = spark.table("bkt_db.synced").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(byName === state(t))
+    // commit 1 (incremental — touches one bucket): the view must serve
+    // the NEW manifest, i.e. a mix of commit-0 and commit-1 data dirs
+    t.upsert(batch((1L, "a2", 200L, false)))
+    assert(byName === state(t))
+    assert(byName(1L) === "a2" && byName(2L) === "b1")
+    // commit 2 (migration — adds a column, full rewrite): by-name schema
+    // evolves and values still match
+    t.upsert(Seq((2L, "b2", "extra", 300L, false)).toDF("id", "v", "note", M, D))
+    assert(spark.table("bkt_db.synced").columns.contains("note"))
+    assert(byName === state(t))
+    assert(spark.table("bkt_db.synced").where($"id" === 2L)
+      .select("note").head().getString(0) === "extra")
+    // commit 3 (incremental after migration): steady state holds
+    t.upsert(batch((7L, "g2", 400L, false)))
+    assert(byName === state(t))
+    assert(byName(7L) === "g2")
+  }
+
   test("schema evolution triggers a migration rewrite; by-name reads still align") {
     val s = spark; import s.implicits._
     val root = Files.createTempDirectory("graft-bkt-evo").toString

@@ -205,6 +205,56 @@ class CdcPipelineSpec extends SparkSpecBase {
     p.shutdown()
   }
 
+  test("streaming bucketed sink: evolution fires ONE migration rewrite, then back to incremental") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-bkt-evo-pipe").toString
+    val cfg = config(root,
+        Files.createTempDirectory("graft-bkt-evo-pipe-ckpt").toString)
+      .copy(bucketedSink = Some(4))
+    val input = MemoryStream[String]
+    val p = new CdcPipeline(spark, cfg)
+    val bt = p.sinks(acct.id).asInstanceOf[graft.sink.BucketedUpsertTable]
+    def dirs(): Map[Int, Option[String]] =
+      (0 until 4).map(b => b -> bt.bucketDir(b)).toMap
+    val q = p.start(input.toDF())
+    try {
+      // batch 0: initial full commit over several buckets
+      input.addData((1 to 12).map(i => ev(i, s"v$i", 100, "c")): _*)
+      q.processAllAvailable()
+      val d0 = dirs()
+      assert(d0.values.count(_.isDefined) >= 2, "fixture should fill several buckets")
+      // batch 1: one key, same schema → incremental (exactly one dir changes)
+      input.addData(ev(1, "v1b", 200, "u"))
+      q.processAllAvailable()
+      val d1 = dirs()
+      assert(d1.count { case (b, d) => d != d0(b) } === 1,
+        s"steady-state batch must rewrite exactly one bucket: $d0 -> $d1")
+      // batch 2: a NEW column arrives → the migration commit rewrites
+      // every non-empty bucket, all into ONE commit dir
+      input.addData(
+        """{"before":null,"after":{"id":2,"v":"v2b","note":"n"},""" +
+          """"source":{"db":"stream_db","table":"acct"},"op":"u","ts_ms":300}""")
+      q.processAllAvailable()
+      val d2 = dirs()
+      assert(d2.filter(_._2.isDefined).forall { case (b, d) => d != d1(b) },
+        s"migration must rewrite every bucket: $d1 -> $d2")
+      assert(d2.values.flatten.map(_.split('/')(1)).toSet.size === 1,
+        "migration is ONE full-rewrite commit, not per-bucket commits")
+      assert(bt.read().get.columns.contains("note"))
+      // batch 3: schema back to steady state → incremental again
+      input.addData(ev(3, "v3b", 400, "u"))
+      q.processAllAvailable()
+      val d3 = dirs()
+      assert(d3.count { case (b, d) => d != d2(b) } === 1,
+        s"post-migration batch must return to incremental: $d2 -> $d3")
+      assert(tableState(p) === (Map(1L -> "v1b", 2L -> "v2b", 3L -> "v3b") ++
+        (4 to 12).map(i => i.toLong -> s"v$i").toMap))
+    } finally { q.stop(); p.shutdown() }
+  }
+
   test("offset listener records completed batch offsets") {
     val s = spark
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
