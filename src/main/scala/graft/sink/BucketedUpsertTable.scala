@@ -215,13 +215,24 @@ final class BucketedUpsertTable(
   /** (Re)publish the current manifest under [[catalogTable]] as a catalog
     * view — the bucketed layout's hive-sync step, running after the
     * pointer swap like Hudi's sync-after-commit. The view body is one
-    * `SELECT <cols> FROM parquet.`<dir>`` branch per referenced bucket
-    * dir, UNION ALL'd: per-bucket dirs share one schema by construction
-    * (migration commits rewrite every bucket), and the explicit column
-    * list pins positional alignment. `CREATE OR REPLACE VIEW` is a
-    * metadata-only swap, so incremental AND migration commits both
-    * refresh by-name readers with no data copy; schema evolution
-    * propagates because the view is re-derived from the new manifest. */
+    * `SELECT <cols> FROM parquet.`<commit dir>` WHERE __bucket IN (…)`
+    * branch per COMMIT DIR the manifest references, UNION ALL'd — NOT
+    * one branch per bucket dir: a manifest references at most
+    * `retainSnapshots`-ish commit dirs but up to `nBuckets` bucket dirs,
+    * and at a realistic 256-4096 buckets a per-bucket body makes every
+    * by-name query pay an O(nBuckets)-deep analyzer pass. Reading the
+    * commit dir turns `__bucket=<b>` into a discovered partition column,
+    * so the `IN` list is STATIC partition pruning — only the referenced
+    * bucket dirs are scanned, superseded siblings in older commit dirs
+    * are pruned out, and the filter is values, not plan branches.
+    *
+    * Per-bucket dirs share one schema by construction (migration commits
+    * rewrite every bucket), and the explicit column list pins positional
+    * alignment and projects the partition column away. `CREATE OR
+    * REPLACE VIEW` is a metadata-only swap, so incremental AND migration
+    * commits both refresh by-name readers with no data copy; schema
+    * evolution propagates because the view is re-derived from the new
+    * manifest. */
   def syncCatalog(): Unit = catalogTable.foreach { fqn =>
     currentSnapshot().foreach { snap =>
       val m = readManifest(snap)
@@ -231,16 +242,25 @@ final class BucketedUpsertTable(
       if (parts.length == 2)
         spark.sql(s"CREATE DATABASE IF NOT EXISTS `${parts(0)}`")
       val cols = schema.fields.map(f => s"`${f.name}`").mkString(", ")
-      val body = bucketPaths(m) match {
-        case Nil =>
+      val body =
+        if (m.buckets.isEmpty) {
           // all keys deleted: an empty relation with the table schema
           val typed = schema.fields
             .map(f => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`")
             .mkString(", ")
           s"SELECT $typed WHERE 1 = 0"
-        case dirs =>
-          dirs.map(d => s"SELECT $cols FROM parquet.`$d`").mkString(" UNION ALL ")
-      }
+        } else {
+          // bucket -> "data/commit-<n>/__bucket=<b>" grouped by commit dir
+          m.buckets.toSeq
+            .map { case (b, dir) => dir.split('/').take(2).mkString("/") -> b }
+            .groupBy(_._1).toSeq.sortBy(_._1)
+            .map { case (commitDir, entries) =>
+              val ids = entries.map(_._2).sorted.mkString(", ")
+              s"SELECT $cols FROM parquet.`${rootPath.resolve(commitDir)}`" +
+                s" WHERE `__bucket` IN ($ids)"
+            }
+            .mkString(" UNION ALL ")
+        }
       spark.sql(s"CREATE OR REPLACE VIEW $quoted AS $body")
     }
   }

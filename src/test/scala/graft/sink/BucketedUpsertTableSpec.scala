@@ -162,6 +162,29 @@ class BucketedUpsertTableSpec extends SparkSpecBase {
     assert(byName(7L) === "g2")
   }
 
+  test("catalog view body is O(referenced commits), not O(buckets), at 256 buckets") {
+    val root = Files.createTempDirectory("graft-bkt-wide").toString
+    val t = new BucketedUpsertTable(spark, root, Seq("id"), nBuckets = 256,
+      catalogTable = Some("bkt_db.wide"))
+    // commit 0 populates many buckets; commit 1 touches exactly one key
+    t.upsert(batch((1L to 400L).map(i => (i, s"v$i", 100L, false)): _*))
+    t.upsert(batch((1L, "v1b", 200L, false)))
+    val referencedBuckets = (0 until 256).count(t.bucketDir(_).isDefined)
+    assert(referencedBuckets > 100, "fixture should fill >100 of 256 buckets")
+    // the view text must have one branch per referenced COMMIT DIR (two
+    // here: commit-0 carried + commit-1 touched), not per bucket dir
+    val viewSql = spark.sql("SHOW CREATE TABLE bkt_db.wide").head().getString(0)
+    val branches = viewSql.sliding("UNION ALL".length).count(_ == "UNION ALL") + 1
+    assert(branches === 2, s"expected 2 commit-dir branches, got $branches")
+    // pruning correctness: commit-0 still holds the superseded dir for
+    // key 1's bucket; the IN-list must exclude it (no dup, new value wins)
+    val byName = spark.table("bkt_db.wide").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(spark.table("bkt_db.wide").count() === 400L)
+    assert(byName === state(t))
+    assert(byName(1L) === "v1b" && byName(2L) === "v2")
+  }
+
   test("schema evolution triggers a migration rewrite; by-name reads still align") {
     val s = spark; import s.implicits._
     val root = Files.createTempDirectory("graft-bkt-evo").toString
