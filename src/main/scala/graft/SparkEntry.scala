@@ -43,6 +43,8 @@ object SparkEntry {
     "cdc_normalize_strict"     -> ((s: SparkSession, d: String) => CdcQueries.normalizeStrict(s, d)),
     "cdc_normalize_dms"        -> ((s: SparkSession, d: String) => CdcQueries.normalizeDms(s, d)),
     "cdc_normalize_flink"      -> ((s: SparkSession, d: String) => CdcQueries.normalizeFlink(s, d)),
+    "cdc_normalize_inferalways" -> ((s: SparkSession, d: String) => CdcQueries.normalizeInferAlways(s, d)),
+    "cdc_materialize_dms"      -> (CdcQueries.materializeDms _),
     "cdc_latest_rownumber"     -> (CdcQueries.latestPerKeyRowNumber _),
     "cdc_latest_maxby"         -> (CdcQueries.latestPerKeyMaxBy _),
     "cdc_latest_sql"           -> (CdcQueries.latestPerKeySql _),
@@ -202,6 +204,25 @@ object SparkEntry {
       """SELECT event_type AS etype, event_id, user_id AS id, value,
         |  epoch_ms(ts) AS mtime, (event_type = 'purchase') AS _hoodie_is_deleted
         |FROM events ORDER BY event_id""".stripMargin,
+    // Same oracle as cdc_normalize_debezium: InferAlways is the
+    // reference's per-batch inference mode; the RESULT must be identical
+    // to the cached mode, only the inference path differs.
+    "cdc_normalize_inferalways" ->
+      """SELECT event_type AS etype, event_id, user_id AS id, value,
+        |  epoch_ms(ts) AS mtime, (event_type = 'purchase') AS _hoodie_is_deleted
+        |FROM events ORDER BY event_id""".stripMargin,
+    // DMS lexical ordering: dedup ranks by the STRING timestamp DESC
+    // (fixed-width format, so lexical == chronological) — the oracle
+    // orders by the very same string.
+    "cdc_materialize_dms" ->
+      """SELECT user_id AS id, event_id, event_type AS etype, value,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS mtime
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id
+        |        ORDER BY strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') DESC,
+        |                 event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'purchase' ORDER BY id""".stripMargin,
     "cdc_latest_rownumber" -> LatestSql,
     "cdc_latest_maxby"     -> LatestSql,
     "cdc_latest_sql"       -> LatestSql,

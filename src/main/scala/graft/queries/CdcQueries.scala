@@ -165,13 +165,66 @@ object CdcQueries {
       .orderBy("event_id")
   }
 
-  /** Full DMS normalize (string mtime, load/insert/update/delete ops). */
-  def normalizeDms(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Exact-parity schema mode: the reference re-infers the envelope
+    * schema on EVERY batch (`glue/cdc_hudi.py:234`); `Mode.Cached` (the
+    * documented improvement) is what every other normalize query runs.
+    * This variant runs the per-batch inference path against the same
+    * oracle, so the parity mode itself sits under the driver gate. */
+  def normalizeInferAlways(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = debeziumStream(spark, sfDir)
+    CdcNormalize.normalize(spark, raw, CdcFormat.MskDebeziumCdc, userTable,
+        SchemaInference.Mode.InferAlways)
+      .getOrElse(sys.error("no rows routed"))
+      .orderBy("event_id")
+  }
+
+  /** The DMS engine path without the presentation sort (shared by the
+    * normalize query and the queries derived from it). */
+  private def normalizeDmsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = dmsStream(spark, sfDir)
     CdcNormalize.normalize(spark, raw, CdcFormat.DmsCdc, userTable,
         SchemaInference.Mode.Cached)
       .getOrElse(sys.error("no rows routed"))
-      .orderBy("event_id")
+  }
+
+  /** Session-scoped shared DMS normalize, mirroring
+    * [[normalizedDebeziumShared]] (same compute-then-putIfAbsent race
+    * rule): the JSON parse pass runs once per (session, sfDir) for the
+    * normalize + materialize pair. */
+  private val sharedNormalizedDms =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def normalizedDmsShared(spark: SparkSession, sfDir: String): DataFrame =
+    sharedNormalizedDms.get((spark, sfDir)) match {
+      case Some(df) => df
+      case None =>
+        val df = normalizeDmsRaw(spark, sfDir).persist()
+        sharedNormalizedDms.putIfAbsent((spark, sfDir), df) match {
+          case Some(winner) => df.unpersist(); winner
+          case None         => df
+        }
+    }
+
+  /** Full DMS normalize (string mtime, load/insert/update/delete ops). */
+  def normalizeDms(spark: SparkSession, sfDir: String): DataFrame =
+    normalizedDmsShared(spark, sfDir).orderBy("event_id")
+
+  /** End-to-end DMS materialization — the LEXICAL-ordering semantics the
+    * reference applies to DMS streams: dedup orders by the STRING
+    * `metadata.timestamp` descending (`glue/cdc_hudi.py:151`), not a
+    * numeric epoch like Debezium's `ts_ms` (`:158`). The mtime format
+    * (`yyyy-MM-dd HH:mm:ss.SSSSSS`, fixed width) makes lexical order
+    * chronological, which is exactly why the reference can get away with
+    * string comparison — this query pins OUR engine to the same rule
+    * under the hash gate (struct `max_by` compares the string field
+    * binary-lexically, as DuckDB's `ORDER BY ... DESC` does). */
+  def materializeDms(spark: SparkSession, sfDir: String): DataFrame = {
+    val normalized = normalizedDmsShared(spark, sfDir)
+    LatestPerKey.maxBy(normalized, Seq("id"),
+        Seq(col(CdcNormalize.MtimeCol), col("event_id")))
+      .where(!col(CdcNormalize.DeletedCol))
+      .select("id", "event_id", "etype", "value", CdcNormalize.MtimeCol)
+      .orderBy("id")
   }
 
   /** W1 parity form: row_number latest-per-key over raw events. */
