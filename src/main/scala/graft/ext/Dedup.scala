@@ -174,6 +174,98 @@ object Dedup {
       .join(losers, Seq(idCol), "left_anti") // minus near-dup losers
   }
 
+  // ------------------------------------------------- connected components
+
+  /** Connected components of the near-dup pair graph: (id, comp) for
+    * every node appearing in `pairs`, where `comp` is the component's
+    * minimum id. Alternating large-star / small-star (the MapReduce CC
+    * algorithm of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — each round is two hash aggregates + joins over
+    * the edge list, state lives entirely in the edge DataFrame, and the
+    * round count is O(log²) in component size, NOT O(diameter) like
+    * naive label propagation. This is the standard 100 TB upgrade over
+    * [[dedupedCorpus]]'s greedy pair-drop, which under-collapses
+    * non-clique clusters (A~C, B~C keeps both A and B).
+    *
+    * Scale notes: every round ends in `localCheckpoint` — iterative
+    * self-referencing plans otherwise grow an exponentially deep lineage
+    * that stalls the analyzer long before the data is big. Convergence
+    * is detected by an (edge-count, sum(u), sum(v)) signature — one
+    * 3-long-row action per round, a bounded planning decision like AQE
+    * stats. Fails loudly (not silently wrong) if `maxIter` rounds don't
+    * converge; near-dup graphs converge in a handful (log² of the
+    * largest cluster). */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 16): DataFrame = {
+    val spark = pairs.sparkSession
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).as("u"),
+        least(col(idA), col(idB)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    def signature(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum("u"), lit(0L)), coalesce(sum("v"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: around each node u (symmetric view), link every
+      // STRICTLY LARGER neighbor v to m = min(neighbors ∪ {u}). Output
+      // edges are big→small (v > u >= m), preserving components.
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(lsMins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: edges are already directed big→small, so grouping by
+      // the big endpoint u sees only smaller neighbors; link them (and u)
+      // to their minimum m.
+      val ssMins = ls.groupBy("u").agg(min("v").as("m"))
+      val withM = ls.join(ssMins, "u")
+      val ss = withM.select(col("u"), col("m").as("v"))
+        .union(withM.where(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val next = signature(ss)
+      converged = next == sig
+      sig = next
+      edges = ss
+      iter += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxIter rounds")
+    // At the fixpoint the edge set is a star per component (non-root →
+    // component min); roots map to themselves. min() guards the last
+    // pre-convergence shape where a node could briefly hold two parents.
+    val nodes = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id"))).distinct()
+    nodes.join(
+        edges.groupBy(col("u").as("id")).agg(min("v").as("root")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
+  }
+
+  /** [[dedupedCorpus]] with component-exact collapsing: each connected
+    * component of the near-dup graph keeps exactly its min-id member
+    * (greedy pair-drop keeps one doc per PAIR-loser set, which
+    * over-keeps non-clique clusters). Same one-anti-join scale shape —
+    * the non-root set is bounded by the pair-graph node count. */
+  def dedupedCorpusCC(docs: DataFrame, idCol: String, textCol: String,
+                      nearDupPairs: DataFrame): DataFrame = {
+    val survivors = exact(docs, idCol, textCol).select(idCol)
+    val nonRoots = connectedComponents(nearDupPairs)
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(survivors, idCol)
+      .join(nonRoots, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per doc: sign-aggregate each bit of the token hashes.

@@ -211,6 +211,20 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Connected components over the same capped near-dup pair graph as
+    * [[dedupCorpus]]: (doc_id, comp) with comp = min id of the cluster,
+    * via bounded-iteration large-star/small-star. The oracle recomputes
+    * components with a recursive CTE over the identical pair set, so the
+    * iterative DataFrame algorithm is hash-checked end to end. */
+  def dedupCc(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5,
+      maxDf = JaccardMaxDf)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing fingerprint counts per doc (rows-only: xxhash64 values
     * are engine-specific; the substring-sharing guarantee is asserted in
     * WinnowingSpec). */

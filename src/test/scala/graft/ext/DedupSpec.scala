@@ -59,6 +59,40 @@ class DedupSpec extends SparkSpecBase {
     assert(capped.count() === 0)
   }
 
+  test("connected components: chains, stars, and singleton-free node set") {
+    val s = spark; import s.implicits._
+    // chain 1-2-3-4 (diameter > 1 forces real iteration), star 10<-{11,12,13},
+    // isolated pair 20-21; node 99 appears nowhere
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 10L),
+      (10L, 13L), (20L, 21L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: long path converges within the iteration bound") {
+    val s = spark; import s.implicits._
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(cc.size === 40 && cc.values.forall(_ == 1L))
+  }
+
+  test("CC corpus dedup collapses non-clique clusters greedy pair-drop over-keeps") {
+    // A~C and B~C with no A~B pair: greedy drops only C (the id_b loser),
+    // keeping both A and B; CC keeps exactly the component min A.
+    val s = spark; import s.implicits._
+    val d = docs((1L, "doc a"), (2L, "doc b"), (3L, "doc c"), (9L, "unrelated"))
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val greedy = Dedup.dedupedCorpus(d, "doc_id", "text", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cc = Dedup.dedupedCorpusCC(d, "doc_id", "text", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(greedy === Set(1L, 2L, 9L)) // the documented under-collapse
+    assert(cc === Set(1L, 9L))
+  }
+
   test("minhash near-dups: subset of exact pairs with recall >= 0.9 on real docs") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.jaccardPairs(real, "doc_id", "text", n = 3, threshold = 0.12)
