@@ -185,6 +185,52 @@ class BucketedUpsertTableSpec extends SparkSpecBase {
     assert(byName(1L) === "v1b" && byName(2L) === "v2")
   }
 
+  test("crash replay: a commit interrupted before the pointer swap converges on re-run") {
+    def rmTree(p: Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    val root = Files.createTempDirectory("graft-bkt-crash")
+    val twinRoot = Files.createTempDirectory("graft-bkt-crash-twin")
+    val t = new BucketedUpsertTable(spark, root.toString, Seq("id"), nBuckets = 8)
+    val twin = new BucketedUpsertTable(spark, twinRoot.toString, Seq("id"), nBuckets = 8)
+    val ptr = root.resolve("_current")
+    val b1 = batch((1L to 20L).map(i => (i, s"v$i", 100L, false)): _*)
+    val b2 = batch((1L, "v1b", 200L, false), (9L, "v9del", 200L, true))
+    val b3 = batch((2L, "v2b", 300L, false))
+    Seq(b1, b2, b3).foreach(twin.upsert)
+
+    t.upsert(b1)
+    // crash type A — commit 1 dies after the data-dir write, before the
+    // manifest: simulate by rolling the published commit fully back
+    t.upsert(b2)
+    Files.write(ptr, "snap-0".getBytes)
+    rmTree(root.resolve("snap-1"))
+    assert(Files.exists(root.resolve("data/commit-1")), "orphaned data dir expected")
+    t.upsert(b2) // replay of the same batch must converge
+    assert(t.currentSnapshot() === Some("snap-1"))
+
+    // crash type B — commit 2 dies after the manifest write, before the
+    // pointer swap: roll back the pointer only, keep snap-2
+    t.upsert(b3)
+    Files.write(ptr, "snap-1".getBytes)
+    assert(Files.exists(root.resolve("snap-2").resolve("_buckets.json")))
+    t.upsert(b3) // replay
+    assert(t.currentSnapshot() === Some("snap-2"))
+
+    // converged state equals the never-crashed twin, and the replayed
+    // commit dirs are referenced (no orphans accumulate beyond retention)
+    assert(state(t) === state(twin))
+    assert(state(t)(1L) === "v1b" && state(t)(2L) === "v2b" && !state(t).contains(9L))
+    val referenced = (0 until 8).flatMap(t.bucketDir)
+      .map(_.split('/').take(2).mkString("/")).toSet
+    val onDisk = Option(root.resolve("data").toFile.listFiles()).get
+      .filter(_.isDirectory).map(f => s"data/${f.getName}").toSet
+    assert(referenced.subsetOf(onDisk))
+    // retention=2 keeps at most the previous snapshot's dirs beyond the
+    // referenced set — anything older (incl. crash leftovers) is gone
+    assert((onDisk -- referenced).forall(_ == "data/commit-1"))
+  }
+
   test("schema evolution triggers a migration rewrite; by-name reads still align") {
     val s = spark; import s.implicits._
     val root = Files.createTempDirectory("graft-bkt-evo").toString

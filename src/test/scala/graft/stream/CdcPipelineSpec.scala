@@ -73,6 +73,38 @@ class CdcPipelineSpec extends SparkSpecBase {
     p3.shutdown()
   }
 
+  test("catalog-name collision: db1.user + db2.user sync as db1_user / db2_user") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-col").toString
+    val ckpt = Files.createTempDirectory("graft-col-ckpt").toString
+    def evd(db: String, id: Int, v: String, ts: Long): String =
+      s"""{"before":null,"after":{"id":$id,"v":"$v"},"source":{"db":"$db","table":"user"},"op":"c","ts_ms":$ts}"""
+    val cfg = CdcPipelineConfig(
+      format = CdcFormat.MskDebeziumCdc,
+      tables = Seq(SyncTable("db1", "user", "id"), SyncTable("db2", "user", "id")),
+      sinkRoot = root, checkpointDir = ckpt,
+      schemaMode = SchemaInference.Mode.InferAlways,
+      catalogDb = Some("col_db"))
+    val p = new CdcPipeline(spark, cfg)
+    def vals(t: String): Map[Long, String] = spark.table(t).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    try {
+      p.processBatch(
+        Seq(evd("db1", 1, "a1", 100), evd("db2", 1, "x1", 100)).toDF("value"), 0L)
+      // both colliding tables get the db-qualified catalog name; the bare
+      // name is never synced (it would be clobbered on every commit)
+      assert(spark.catalog.tableExists("col_db.db1_user"))
+      assert(spark.catalog.tableExists("col_db.db2_user"))
+      assert(!spark.catalog.tableExists("col_db.user"))
+      assert(vals("col_db.db1_user") === Map(1L -> "a1"))
+      assert(vals("col_db.db2_user") === Map(1L -> "x1"))
+      // a later commit touching ONE of them must not clobber the other
+      p.processBatch(Seq(evd("db1", 2, "a2", 200)).toDF("value"), 1L)
+      assert(vals("col_db.db1_user") === Map(1L -> "a1", 2L -> "a2"))
+      assert(vals("col_db.db2_user") === Map(1L -> "x1"))
+    } finally p.shutdown()
+  }
+
   test("fail-fast (O3): a failing table sink fails the whole batch") {
     val root = Files.createTempDirectory("graft-ff").toString
     val ckpt = Files.createTempDirectory("graft-ff-ckpt").toString
