@@ -71,6 +71,22 @@ class PlanShapeSpec extends SparkSpecBase {
       s"df cap should not join back on shingle:\n$p")
   }
 
+  test("connected components: star joins only, and iteration state is checkpointed") {
+    val s = spark; import s.implicits._
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"CC should never plan an all-pairs join:\n$p")
+    // the returned mapping must read the CHECKPOINTED fixpoint edges, not
+    // re-derive the whole iteration lineage (which would make the final
+    // plan depth proportional to rounds × per-round operators)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"CC result should scan checkpointed edges:\n$p")
+    assert(p.linesIterator.size < 80,
+      s"CC final plan should be flat, got ${p.linesIterator.size} lines")
+  }
+
   test("tf-idf: corpus count N is a 1-row broadcast, aggregates are partial") {
     val real = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ext.TextStats.tfIdfTopTerms(real, "doc_id", "text", k = 3))
