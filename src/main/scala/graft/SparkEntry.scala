@@ -71,6 +71,8 @@ object SparkEntry {
     "llm_cosine_topk"          -> (LlmQueries.cosineTopK _),
     "llm_cosine_topk_lsh"      -> (LlmQueries.cosineTopKLsh _),
     "llm_cosine_topk_lsh_scale" -> (LlmQueries.cosineTopKLshScale _),
+    "llm_cosine_topk_ivf"      -> (LlmQueries.cosineTopKIvf _),
+    "llm_ivf_cells"            -> (LlmQueries.ivfCellStats _),
     "llm_cosine_neardup"       -> (LlmQueries.cosineNearDup _),
     "llm_cosine_neardup_scale" -> (LlmQueries.cosineNearDupScale _),
     "llm_embed_stats"          -> (LlmQueries.embedStats _),

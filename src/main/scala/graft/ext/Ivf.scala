@@ -1,0 +1,210 @@
+package graft.ext
+
+import graft.functions.VectorExpressions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-Flat approximate nearest-neighbor search: a coarse spherical
+  * k-means quantizer partitions the corpus into `nCells` inverted lists;
+  * a query probes only its `nProbe` nearest cells and verifies exact
+  * cosine inside them (the classic IVF index design, re-expressed as
+  * DataFrame ops — SURVEY.md §2.8's "IVF or LSH-bucketed variant as the
+  * scale path", the IVF half).
+  *
+  * Contrast with [[Similarity.lshTopK]]: LSH is data-INDEPENDENT (random
+  * hyperplanes, no training, recall bought with more tables), IVF is
+  * data-ADAPTED — centroids learn the corpus's cluster structure, so the
+  * same probe budget buys more recall on real embedding corpora, at the
+  * cost of a training pass and a stale-centroid story under corpus
+  * drift. A 100 TB pipeline wants both on the shelf; the recall/prune
+  * trade is asserted against the exact baseline in IvfSpec.
+  *
+  * Scale shape:
+  *  - TRAINING runs on a bounded deterministic sample: `maxTrain` rows
+  *    picked by the [[Sampling]] key scramble via orderBy+limit — Spark
+  *    plans TakeOrderedAndProject (per-partition top-N, one merge),
+  *    never a full sort. Lloyd then iterates driver-side over that
+  *    sample: at the defaults ≤ 25600 × dim doubles (~13 MB at dim 64) —
+  *    planning metadata of the same kind as the LSH plane family, NOT a
+  *    corpus-sized collect (coarse quantizers are conventionally trained
+  *    on a sample this size). Assignment and search stay fully
+  *    distributed.
+  *  - ASSIGN/PROBE are one codegen'd kernel pass per row
+  *    ([[graft.functions.NearestCells]]); the centroids ride into the
+  *    plan as constants — no join against a centroid table, nothing
+  *    shuffled to find a cell.
+  *  - The probe join is an EQUI-join on `cell`: at 100 TB the corpus is
+  *    written bucketed by cell once and each query touches `nProbe`
+  *    buckets. Candidate streams carry IDS ONLY (vectors join back
+  *    exactly once per side, same discipline as `Similarity`'s
+  *    bucketStream), and candidate pairs are unique BY CONSTRUCTION — a
+  *    corpus vector lives in exactly one cell and a query's probed cells
+  *    are distinct — so the `distinct()` shuffle the LSH path must pay
+  *    is absent here.
+  */
+object Ivf {
+
+  /** Trained coarse quantizer: unit-norm centroid rows (spherical
+    * k-means — dot ranking against unit centroids ≡ cosine ranking). */
+  final case class Model(centroids: Array[Array[Double]]) {
+    require(centroids.nonEmpty, "empty model")
+    def nCells: Int = centroids.length
+    def dim: Int = centroids(0).length
+    private[ext] def asSeq: Seq[Seq[Double]] = centroids.map(_.toSeq).toSeq
+  }
+
+  /** Train `nCells` spherical-k-means centroids on a bounded
+    * deterministic sample of `corpus`. Reproducible end to end: the
+    * sample is scramble-ordered (same rows every run/retry/engine),
+    * seeding takes the first `nCells` DISTINCT sample vectors in that
+    * order, and all ties break on the lower index — two calls yield
+    * bit-identical models (asserted in IvfSpec). Zero vectors are
+    * excluded from training (no direction to learn); empty cells keep
+    * their previous centroid. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
+            maxTrain: Int = 25600, iters: Int = 10): Model = {
+    require(nCells >= 1 && iters >= 0 && maxTrain >= 1, "bad train params")
+    val sample = corpus
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull)
+      .orderBy(Sampling.bucket(col("__id")), col("__id"))
+      .limit(maxTrain)
+      .select("__v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map(unit)
+      .filter(_ != null)
+    require(sample.nonEmpty, "IVF training: no non-zero vectors in corpus")
+    val dim = sample(0).length
+    var cents = seedCentroids(sample, nCells)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Int](nCells)
+      sample.foreach { v =>
+        val c = nearest(cents, v)
+        val sv = sums(c)
+        var i = 0
+        while (i < dim) { sv(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      cents = Array.tabulate(nCells) { c =>
+        // normalizing the sum ≡ normalizing the mean; a zero-sum or
+        // empty cell keeps its centroid (stays a valid, possibly unused
+        // cell rather than NaN-poisoning every later assignment)
+        val u = if (counts(c) == 0) null else unit(sums(c))
+        if (u == null) cents(c) else u
+      }
+      it += 1
+    }
+    Model(cents)
+  }
+
+  /** First `k` distinct sample vectors in scramble order; if the corpus
+    * has fewer distinct directions than cells, the surplus seeds repeat
+    * (their cells simply end up empty — harmless, probes still work). */
+  private def seedCentroids(sample: Array[Array[Double]],
+                            k: Int): Array[Array[Double]] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Array[Double]](k)
+    val seen = new scala.collection.mutable.HashSet[Seq[Double]]()
+    var i = 0
+    while (i < sample.length && out.size < k) {
+      if (seen.add(sample(i).toSeq)) out += sample(i)
+      i += 1
+    }
+    i = 0
+    while (out.size < k) { out += sample(i % sample.length); i += 1 }
+    out.toArray
+  }
+
+  /** v/|v|, or null for the zero vector. */
+  private def unit(v: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    if (s == 0.0) null
+    else {
+      val n = math.sqrt(s)
+      val o = new Array[Double](v.length)
+      i = 0
+      while (i < v.length) { o(i) = v(i) / n; i += 1 }
+      o
+    }
+  }
+
+  /** argmax dot (ties → lower index), driver-side Lloyd inner loop. */
+  private def nearest(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bs = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val w = cents(c)
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * w(i); i += 1 }
+      if (s > bs) { bs = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The cell a vector belongs to (nearest centroid, kernel pass). */
+  def cellOf(vec: Column, model: Model): Column =
+    element_at(
+      VectorExpressions.nearestCells(vec.cast("array<double>"), model.asSeq, 1), 1)
+
+  /** Corpus with its `cell` assignment — at 100 TB, write this bucketed
+    * by `cell` once and every later probe is a bucket-pruned read. */
+  def assignCells(df: DataFrame, vecCol: String, model: Model): DataFrame =
+    df.withColumn("cell", cellOf(col(vecCol), model))
+
+  /** Inverted-list occupancy: vectors per cell. The balance check to run
+    * before trusting an IVF configuration — one near-universal cell
+    * means the quantizer degenerated and probes stop pruning. */
+  def cellStats(corpus: DataFrame, vecCol: String, model: Model): DataFrame =
+    assignCells(corpus, vecCol, model)
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+
+  /** (query_id, neighbor_id) candidate pairs: corpus vectors in any of
+    * the query's `nProbe` nearest cells. Id-only streams; pairs unique
+    * by construction (no distinct — see object scaladoc). */
+  def probeCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, model: Model, nProbe: Int,
+                      broadcastQueries: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      cellOf(col(vecCol), model).as("cell"))
+    val q0 = queries.select(col(idCol).as("query_id"),
+      explode(VectorExpressions.nearestCells(
+        col(vecCol).cast("array<double>"), model.asSeq, nProbe)).as("cell"))
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    c.join(q, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+  }
+
+  /** Approximate top-k: probe `nProbe` cells, verify exact cosine inside
+    * them (rounded to 1e-6 with id tie-breaks — the same deterministic
+    * ranking contract as [[Similarity.bruteForceTopK]]). */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+           vecCol: String, k: Int, model: Model, nProbe: Int,
+           broadcastQueries: Boolean = true): DataFrame = {
+    val cands = probeCandidates(corpus, queries, idCol, vecCol, model,
+      nProbe, broadcastQueries)
+    val qv0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      Similarity.l2(col(vecCol)).as("__qn"))
+    val qv = if (broadcastQueries) broadcast(qv0) else qv0
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      Similarity.l2(col(vecCol)).as("__cn"))
+    val sim = round(
+      Similarity.dot(col("__qv").cast("array<double>"),
+        col("__cv").cast("array<double>")) / (col("__qn") * col("__cn")), 6)
+    val scored = cands.join(qv, "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -39,6 +39,10 @@ object VectorExpressions {
   def ngramProfileCount(text: Column, profiles: Seq[Seq[String]]): Column =
     GraftExpressionBridge.column(
       NgramProfileCount(GraftExpressionBridge.expression(text), profiles))
+
+  def nearestCells(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    GraftExpressionBridge.column(
+      NearestCells(GraftExpressionBridge.expression(vec), centroids, nProbe))
 }
 
 /** Σ a(i)·b(i), sequential order, double precision. Inputs must be
@@ -308,5 +312,119 @@ case class NgramProfileCount(child: Expression, profiles: Seq[Seq[String]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): NgramProfileCount =
+    copy(child = newChild)
+}
+
+/** Indices of the `nProbe` nearest centroids by dot product, descending
+  * (centroids are unit-normalized at training time, so dot ranking ≡
+  * cosine ranking), in one codegen'd pass: the whole IVF cell-assign /
+  * probe step per row, no centroid table join. Ties keep the LOWER
+  * centroid index (strict comparisons throughout) — deterministic across
+  * retries and engines. A vector whose dim differs from the centroids'
+  * is corruption (the model was trained on this corpus), surfaced as an
+  * error rather than a silently wrong cell. */
+case class NearestCells(child: Expression, centroids: Seq[Seq[Double]],
+                        nProbe: Int) extends UnaryExpression {
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(nProbe >= 1 && nProbe <= centroids.size,
+    s"nProbe must be in [1, ${centroids.size}]")
+  require(centroids.forall(_.length == centroids.head.length),
+    "centroid rows must share one dim")
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_cells expects array<double>, got ${t.sql}")
+    }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    if (v.length != matrix(0).length)
+      throw new IllegalArgumentException(
+        s"graft_nearest_cells: vector dim ${v.length} != centroid dim " +
+          s"${matrix(0).length} — the IVF model was trained on a different embedding")
+    val bestIdx = new Array[Int](nProbe)
+    val bestS = new Array[Double](nProbe)
+    var filled = 0
+    var p = 0
+    while (p < matrix.length) {
+      val w = matrix(p)
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * w(i); i += 1 }
+      if (filled < nProbe) {
+        var j = filled; filled += 1
+        while (j > 0 && bestS(j - 1) < s) {
+          bestS(j) = bestS(j - 1); bestIdx(j) = bestIdx(j - 1); j -= 1
+        }
+        bestS(j) = s; bestIdx(j) = p
+      } else if (s > bestS(nProbe - 1)) {
+        var j = nProbe - 1
+        while (j > 0 && bestS(j - 1) < s) {
+          bestS(j) = bestS(j - 1); bestIdx(j) = bestIdx(j - 1); j -= 1
+        }
+        bestS(j) = s; bestIdx(j) = p
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bestIdx, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("centroids", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ctx.freshName("v")
+      val bi = ctx.freshName("bestIdx")
+      val bs = ctx.freshName("bestS")
+      val filled = ctx.freshName("filled")
+      val p = ctx.freshName("p")
+      val w = ctx.freshName("w")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |double[] $v = $c.toDoubleArray();
+         |if ($v.length != $mat[0].length) {
+         |  throw new IllegalArgumentException(
+         |    "graft_nearest_cells: vector dim " + $v.length +
+         |    " != centroid dim " + $mat[0].length +
+         |    " — the IVF model was trained on a different embedding");
+         |}
+         |int[] $bi = new int[$nProbe];
+         |double[] $bs = new double[$nProbe];
+         |int $filled = 0;
+         |for (int $p = 0; $p < $mat.length; $p++) {
+         |  double[] $w = $mat[$p];
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $v.length; $i++) { $s += $v[$i] * $w[$i]; }
+         |  if ($filled < $nProbe) {
+         |    int $j = $filled++;
+         |    while ($j > 0 && $bs[$j-1] < $s) {
+         |      $bs[$j] = $bs[$j-1]; $bi[$j] = $bi[$j-1]; $j--;
+         |    }
+         |    $bs[$j] = $s; $bi[$j] = $p;
+         |  } else if ($s > $bs[$nProbe - 1]) {
+         |    int $j = $nProbe - 1;
+         |    while ($j > 0 && $bs[$j-1] < $s) {
+         |      $bs[$j] = $bs[$j-1]; $bi[$j] = $bi[$j-1]; $j--;
+         |    }
+         |    $bs[$j] = $s; $bi[$j] = $p;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($bi, $filled));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
     copy(child = newChild)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextStats, Winnowing}
+import graft.ext.{Dedup, Ivf, Multimodal, Sampling, Similarity, TextStats, Winnowing}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -103,6 +103,38 @@ object LlmQueries {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
+
+  /** Session-scoped shared IVF model: both registered IVF queries probe
+    * the SAME trained quantizer (training is deterministic, so this is a
+    * pure compute cache — same putIfAbsent race rule as the shared
+    * normalize/pair caches; Model is a plain value, nothing persisted). */
+  private val sharedIvfModel =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Ivf.Model]
+
+  private def ivfModel(spark: SparkSession, sfDir: String): Ivf.Model =
+    sharedIvfModel.getOrElseUpdate((spark, sfDir),
+      Ivf.train(emb(spark, sfDir), "vec_id", "embedding", nCells = 16))
+
+  /** IVF-Flat approximate top-k (the data-adapted ANN scale path, vs the
+    * data-independent LSH twin). nProbe=4 of 16 cells = a 4× nominal
+    * prune. Rows-only: centroids are engine-trained; the recall-vs-exact
+    * and prune properties live in IvfSpec on a clustered corpus, where
+    * IVF's adaptivity actually shows (this isotropic test corpus is
+    * LSH's worst case and IVF's too — by design). */
+  def cosineTopKIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = emb(spark, sfDir)
+    Ivf.topK(all, all.where(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, ivfModel(spark, sfDir), nProbe = 4)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF inverted-list occupancy — the index-balance observable you
+    * check before trusting an IVF configuration at a new scale
+    * (rows-only: cell ids are centroid-dependent). */
+  def ivfCellStats(spark: SparkSession, sfDir: String): DataFrame =
+    Ivf.cellStats(emb(spark, sfDir), "embedding", ivfModel(spark, sfDir))
+      .orderBy("cell")
 
   /** Embedding hygiene stats (the pass a pipeline runs before indexing:
     * norm distribution, zero vectors, value range). Scalar outputs via
