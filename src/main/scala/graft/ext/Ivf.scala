@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.functions.VectorExpressions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -149,6 +149,30 @@ object Ivf {
       c += 1
     }
     best
+  }
+
+  /** Persist a trained model as a tiny (cell, centroid) parquet table.
+    * A real pipeline trains the quantizer ONCE and reuses it across
+    * ingest/search jobs (retraining per job would silently reshuffle
+    * every stored cell assignment); this is the train-once artifact. */
+  def save(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model saved by [[save]] — bit-identical round trip
+    * (doubles pass through parquet unchanged; asserted in IvfSpec). */
+  def load(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .orderBy("cell").collect()
+    require(rows.nonEmpty, s"empty IVF model at $path")
+    require(rows.map(_.getInt(0)).toSeq == rows.indices,
+      s"IVF model at $path has missing/duplicate cells")
+    Model(rows.map(_.getSeq[Double](1).toArray))
   }
 
   /** The cell a vector belongs to (nearest centroid, kernel pass). */

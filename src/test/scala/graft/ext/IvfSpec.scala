@@ -117,6 +117,35 @@ class IvfSpec extends SparkSpecBase {
     assert(stats.map(_.getLong(1)).sum === 6L)
   }
 
+  test("nProbe == nCells degenerates to the exact baseline, bit for bit") {
+    // Exhaustive probe ≡ brute force: same pairs, same sims, same ranks.
+    // This pins the verify stage's scoring contract to bruteForceTopK's —
+    // any drift in rounding/tie-breaks between the two paths fails here.
+    val all = clustered(centers = 4, per = 20)
+    val q = all.where(col("vec_id") < 7)
+    val model = Ivf.train(all, "vec_id", "embedding", nCells = 4)
+    val exact = Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val ivf = Ivf.topK(all, q, "vec_id", "embedding", k = 5, model, nProbe = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(ivf.toSeq === exact.toSeq)
+  }
+
+  test("save/load round-trips the model bit-identically") {
+    val all = clustered()
+    val model = Ivf.train(all, "vec_id", "embedding", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-model").toString
+    try {
+      Ivf.save(spark, model, s"$dir/m")
+      val back = Ivf.load(spark, s"$dir/m")
+      assert(back.nCells === model.nCells)
+      for (c <- model.centroids.indices)
+        assert(back.centroids(c).toSeq === model.centroids(c).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("plan: probe join is an equi-join — no cartesian, no nested loop") {
     val all = clustered()
     val model = Ivf.train(all, "vec_id", "embedding", nCells = 8)
