@@ -176,6 +176,28 @@ object RelationalQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** As-of attribution: each click joined to the user's most recent
+    * view at or before it (left-outer — early clicks attribute to
+    * null). The temporal-join operator [[graft.ext.AsOfJoin]]: one
+    * shuffle, window-filled, oracle-checked against DuckDB's native
+    * ASOF LEFT JOIN. */
+  def eventsAsofAttrib(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = CdcQueries.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "event_type")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.where(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    graft.ext.AsOfJoin.backward(clicks, views,
+        leftKeys = Seq("user_id"), rightKeys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("event_id", "ts"), rightTiebreak = "event_id")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id").as("view_event_id"),
+        col("asof_ts").as("view_ts"))
+      .orderBy("event_id")
+  }
+
   /** Existence/anti-join shape: customers with no RECENT order (the
     * unfiltered variant is vacuously empty on the dense testdata). The
     * filter is pushed into the build side before the anti join; at 100 TB

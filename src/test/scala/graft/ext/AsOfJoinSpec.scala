@@ -1,0 +1,75 @@
+package graft.ext
+
+import graft.SparkSpecBase
+
+import org.apache.spark.sql.Row
+
+/** As-of join semantics: backward match, left-outer nulls, inclusive vs
+  * strict boundaries, deterministic tie resolution, and the one-shuffle
+  * plan shape the 100 TB claim rests on. */
+class AsOfJoinSpec extends SparkSpecBase {
+
+  private def asof(inclusive: Boolean = true) = {
+    val s = spark; import s.implicits._
+    val clicks = Seq(
+      (1L, "a", 5L), (2L, "a", 10L), (3L, "a", 15L), (4L, "a", 25L),
+      (5L, "b", 50L) // user with no views at all
+    ).toDF("event_id", "user", "t")
+    val views = Seq(
+      (101L, "a", 10L, 1.0), (102L, "a", 20L, 2.0)
+    ).toDF("event_id", "user", "t", "score")
+    AsOfJoin.backward(clicks, views,
+      leftKeys = Seq("user"), rightKeys = Seq("user"),
+      leftTime = "t", rightTime = "t",
+      payload = Seq("event_id", "score"), rightTiebreak = "event_id",
+      inclusive = inclusive)
+      .orderBy("event_id")
+      .select("event_id", "asof_event_id", "asof_score")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+  }
+
+  test("backward match per click, left-outer null before any view / for keyless users") {
+    assert(asof().toSeq === Seq(
+      (1L, null, null),        // t=5: before any view
+      (2L, 101L, 1.0),         // t=10: equal timestamp matches (inclusive)
+      (3L, 101L, 1.0),         // t=15: latest at-or-before is t=10
+      (4L, 102L, 2.0),         // t=25: latest is t=20
+      (5L, null, null)))       // user b has no views
+  }
+
+  test("strict mode excludes the equal-timestamp right row") {
+    assert(asof(inclusive = false).toSeq === Seq(
+      (1L, null, null),
+      (2L, null, null),        // t=10 view no longer matches the t=10 click
+      (3L, 101L, 1.0),
+      (4L, 102L, 2.0),
+      (5L, null, null)))
+  }
+
+  test("ties on (key, time) resolve to the highest tiebreak, all payload columns together") {
+    val s = spark; import s.implicits._
+    val clicks = Seq((1L, "a", 10L)).toDF("event_id", "user", "t")
+    val views = Seq(
+      (101L, "a", 10L, 1.0), (102L, "a", 10L, 2.0), (99L, "a", 10L, 0.5)
+    ).toDF("event_id", "user", "t", "score")
+    val out = AsOfJoin.backward(clicks, views, Seq("user"), Seq("user"),
+      "t", "t", Seq("event_id", "score"), rightTiebreak = "event_id")
+      .select("asof_event_id", "asof_score").head()
+    assert(out === Row(102L, 2.0)) // highest id wins, score comes WITH it
+  }
+
+  test("plan: exactly one shuffle, no cartesian product, no nested loop") {
+    val s = spark; import s.implicits._
+    val clicks = Seq((1L, "a", 5L)).toDF("event_id", "user", "t")
+    val views = Seq((101L, "a", 4L, 1.0)).toDF("event_id", "user", "t", "score")
+    val p = AsOfJoin.backward(clicks, views, Seq("user"), Seq("user"),
+      "t", "t", Seq("event_id"), rightTiebreak = "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of join planned a cross product:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles === 1, s"expected exactly 1 shuffle, got $shuffles:\n$p")
+  }
+}
