@@ -37,6 +37,7 @@ object SparkEntry {
     "events_hourly"            -> (RelationalQueries.eventsHourly _),
     "events_sessions"          -> (RelationalQueries.eventsSessions _),
     "events_asof_attrib"       -> (RelationalQueries.eventsAsofAttrib _),
+    "events_asof_next"         -> (RelationalQueries.eventsAsofNext _),
     "customers_without_orders" -> (RelationalQueries.customersWithoutOrders _),
     // --- CDC engine core (SURVEY §2.1-2.3, §2.6): route→parse→normalize→
     //     dedup→merge, exercised through synthesized envelope JSON
@@ -199,6 +200,16 @@ object SparkEntry {
         |  v.event_id AS view_event_id, v.ts AS view_ts
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "events_asof_next" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |            FROM events),
+        |clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+        |views  AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  v.event_id AS next_view_event_id, v.ts AS next_view_ts
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts <= v.ts
         |ORDER BY c.event_id""".stripMargin,
     // CDC: the oracle recomputes the synthesized-envelope semantics
     // directly from the events rows (mapping per CdcQueries scaladoc:

@@ -1,14 +1,14 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (temporal) join: for each left row, the single most recent
-  * right row at or before the left row's time, per key — the classic
-  * attribution / point-in-time-lookup operator that Spark has no native
-  * form of (SURVEY.md §2.5 extension; DuckDB's `ASOF JOIN` is the
-  * oracle).
+/** As-of (temporal) join: for each left row, the single nearest right
+  * row at or before (backward) / at or after (forward) the left row's
+  * time, per key — the classic attribution / point-in-time-lookup
+  * operator that Spark has no native form of (SURVEY.md §2.5 extension;
+  * DuckDB's `ASOF JOIN` is the oracle).
   *
   * Formulation: tag both sides, UNION, and fill right payloads forward
   * with `last(_, ignoreNulls)` over a (key, time, side, tiebreak)-ordered
@@ -18,24 +18,34 @@ import org.apache.spark.sql.functions._
   *    `l JOIN r ON keys AND rt <= lt` is a range join Spark can only
   *    plan as a per-key cross product — quadratic in rows per key.
   *  - Tie resolution costs nothing: right rows at the same (key, time)
-  *    sort by `rightTiebreak` ascending, so the running `last()` already
-  *    selects the highest tiebreak — no pre-dedup pass, no second
-  *    shuffle.
+  *    sort so that the running `last()` already selects the winning
+  *    tiebreak — no pre-dedup pass, no second shuffle.
   *  - State is one value per payload column: `last(ignoreNulls)` over a
   *    running frame evaluates streaming within each partition.
   *  - Left-outer semantics for free: a left row before any right row
   *    finds only nulls in its frame.
+  *  - `forward` is the same plan with the time sort reversed;
+  *    `tolerance` is a post-window mask on the matched time — neither
+  *    adds a shuffle.
   *
   * Determinism: `rightTiebreak` must be unique per (key, time) — an id
-  * column — making "the most recent right row" unique under retries and
-  * engine changes. At equal timestamps the right row sorts BEFORE the
-  * left row (inclusive `<=`, DuckDB ASOF semantics) unless
-  * `inclusive = false` (strict `<`).
+  * column. Backward resolves (key, time) ties to the HIGHEST tiebreak
+  * ("latest wins", matching the merge discipline elsewhere in the
+  * engine); forward to the LOWEST ("earliest wins") — each is the
+  * natural continuation of its time direction. At equal timestamps the
+  * right row matches (inclusive, DuckDB ASOF semantics) unless
+  * `inclusive = false`.
+  *
+  * Payload columns are carried TOGETHER from the single matched right
+  * row (the fills share one window); a payload column that is null IN
+  * the right data would fall back to an older row's value independently
+  * — pass non-null payload columns.
   */
 object AsOfJoin {
 
-  /** Backward as-of join. Output = every left row + each payload column
-    * `p` as `asof_p` (null when no right row qualifies).
+  /** Backward as-of join: nearest right row with t <= left t (strict <
+    * when `inclusive = false`). Output = every left row + each payload
+    * column `p` as `asof_p` (null when no right row qualifies).
     *
     * @param leftKeys  left equi-key columns, positionally paired with
     *                  `rightKeys`
@@ -43,14 +53,39 @@ object AsOfJoin {
     *                  `rightTime`)
     * @param payload   right columns to carry onto left rows
     * @param rightTiebreak right column breaking (key, time) ties
-    * @param inclusive true: match right rows with t <= left t (ASOF
-    *                  default); false: strict <
+    * @param tolerance optional max distance between left time and the
+    *                  matched right time: a Column comparable against
+    *                  `leftTime - rightTime` (an INTERVAL literal for
+    *                  timestamp columns, a number for numeric times);
+    *                  matches farther away become nulls
     */
   def backward(left: DataFrame, right: DataFrame,
                leftKeys: Seq[String], rightKeys: Seq[String],
                leftTime: String, rightTime: String,
                payload: Seq[String], rightTiebreak: String,
-               inclusive: Boolean = true): DataFrame = {
+               inclusive: Boolean = true,
+               tolerance: Option[Column] = None): DataFrame =
+    asofImpl(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      payload, rightTiebreak, inclusive, forward = false, tolerance)
+
+  /** Forward as-of join: nearest right row with t >= left t (strict >
+    * when `inclusive = false`); ties resolve to the lowest tiebreak.
+    * Same output contract and plan shape as [[backward]]. */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKeys: Seq[String], rightKeys: Seq[String],
+              leftTime: String, rightTime: String,
+              payload: Seq[String], rightTiebreak: String,
+              inclusive: Boolean = true,
+              tolerance: Option[Column] = None): DataFrame =
+    asofImpl(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      payload, rightTiebreak, inclusive, forward = true, tolerance)
+
+  private def asofImpl(left: DataFrame, right: DataFrame,
+                       leftKeys: Seq[String], rightKeys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       payload: Seq[String], rightTiebreak: String,
+                       inclusive: Boolean, forward: Boolean,
+                       tolerance: Option[Column]): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "need positionally-paired non-empty key lists")
     require(payload.nonEmpty, "need at least one payload column")
@@ -58,12 +93,14 @@ object AsOfJoin {
     val fills = payload.indices.map(i => s"__p$i")
     val leftSide = if (inclusive) 1 else 0
     val tbType = right.schema(rightTiebreak).dataType
+    val rtType = right.schema(rightTime).dataType
 
     val leftCols = left.columns.toSeq
     val l = left.select(
       leftKeys.zip(keys).map { case (k, a) => col(k).as(a) } ++
         Seq(col(leftTime).as("__t"), lit(leftSide).as("__side"),
-          lit(null).cast(tbType).as("__tb")) ++
+          lit(null).cast(tbType).as("__tb"),
+          lit(null).cast(rtType).as("__rt")) ++
         leftCols.map(col) ++
         fills.zip(payload).map { case (a, p) =>
           lit(null).cast(right.schema(p).dataType).as(a)
@@ -71,18 +108,32 @@ object AsOfJoin {
     val r = right.select(
       rightKeys.zip(keys).map { case (k, a) => col(k).as(a) } ++
         Seq(col(rightTime).as("__t"), lit(1 - leftSide).as("__side"),
-          col(rightTiebreak).as("__tb")) ++
+          col(rightTiebreak).as("__tb"), col(rightTime).as("__rt")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         fills.zip(payload).map { case (a, p) => col(p).as(a) }: _*)
 
+    // Scan order: time ascending for backward, descending for forward —
+    // the running last() then always holds "the nearest qualifying right
+    // row so far". Side orders right rows into a left row's frame only
+    // when the bound admits them; tiebreak order makes last() pick the
+    // winner (backward: asc scan → highest; forward: desc scan → lowest).
+    val dir: Column => Column = if (forward) _.desc else _.asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .orderBy(dir(col("__t")), col("__side").asc, dir(col("__tb")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedT = last(col("__rt"), ignoreNulls = true).over(w)
+    val withinTolerance = tolerance match {
+      case None => lit(true)
+      case Some(tol) =>
+        val dist = if (forward) matchedT - col("__t") else col("__t") - matchedT
+        dist <= tol
+    }
     l.unionByName(r)
       .select(
         (leftCols.map(col) :+ (col("__side") === leftSide).as("__is_left")) ++
           fills.zip(payload).map { case (a, p) =>
-            last(col(a), ignoreNulls = true).over(w).as(s"asof_$p")
+            when(withinTolerance, last(col(a), ignoreNulls = true).over(w))
+              .as(s"asof_$p")
           }: _*)
       .where(col("__is_left")).drop("__is_left")
   }

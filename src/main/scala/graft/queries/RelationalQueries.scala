@@ -198,6 +198,27 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Forward twin of [[eventsAsofAttrib]]: each click joined to the
+    * user's NEXT view at or after it — the reversed-scan direction
+    * through the same one-shuffle plan, oracle-checked against DuckDB
+    * ASOF with the inequality flipped. */
+  def eventsAsofNext(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = CdcQueries.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "event_type")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.where(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    graft.ext.AsOfJoin.forward(clicks, views,
+        leftKeys = Seq("user_id"), rightKeys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("event_id", "ts"), rightTiebreak = "event_id")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id").as("next_view_event_id"),
+        col("asof_ts").as("next_view_ts"))
+      .orderBy("event_id")
+  }
+
   /** Existence/anti-join shape: customers with no RECENT order (the
     * unfiltered variant is vacuously empty on the dense testdata). The
     * filter is pushed into the build side before the anti join; at 100 TB

@@ -3,6 +3,7 @@ package graft.ext
 import graft.SparkSpecBase
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.lit
 
 /** As-of join semantics: backward match, left-outer nulls, inclusive vs
   * strict boundaries, deterministic tie resolution, and the one-shuffle
@@ -58,6 +59,61 @@ class AsOfJoinSpec extends SparkSpecBase {
       "t", "t", Seq("event_id", "score"), rightTiebreak = "event_id")
       .select("asof_event_id", "asof_score").head()
     assert(out === Row(102L, 2.0)) // highest id wins, score comes WITH it
+  }
+
+  private def asofFwd(inclusive: Boolean = true) = {
+    val s = spark; import s.implicits._
+    val clicks = Seq(
+      (1L, "a", 5L), (2L, "a", 10L), (3L, "a", 15L), (4L, "a", 25L),
+      (5L, "b", 50L)
+    ).toDF("event_id", "user", "t")
+    val views = Seq(
+      (101L, "a", 10L), (102L, "a", 20L)
+    ).toDF("event_id", "user", "t")
+    AsOfJoin.forward(clicks, views,
+      leftKeys = Seq("user"), rightKeys = Seq("user"),
+      leftTime = "t", rightTime = "t",
+      payload = Seq("event_id"), rightTiebreak = "event_id",
+      inclusive = inclusive)
+      .orderBy("event_id")
+      .select("event_id", "asof_event_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+  }
+
+  test("forward finds the earliest view at-or-after; inclusive boundary; ties to lowest id") {
+    assert(asofFwd().toSeq === Seq(
+      (1L, 101L),   // t=5 → next view at 10
+      (2L, 101L),   // t=10 → equal timestamp matches (inclusive)
+      (3L, 102L),   // t=15 → next is 20
+      (4L, null),   // t=25 → nothing after
+      (5L, null)))
+    assert(asofFwd(inclusive = false)(1) === ((2L, 102L))) // strict: skips t=10
+    val s = spark; import s.implicits._
+    val oneClick = Seq((1L, "a", 10L)).toDF("event_id", "user", "t")
+    val tiedViews = Seq((102L, "a", 10L), (99L, "a", 10L), (101L, "a", 10L))
+      .toDF("event_id", "user", "t")
+    val tied = AsOfJoin.forward(oneClick, tiedViews, Seq("user"), Seq("user"),
+      "t", "t", Seq("event_id"), rightTiebreak = "event_id").head()
+    assert(tied.getLong(3) === 99L) // forward ties: EARLIEST (lowest id) wins
+  }
+
+  test("tolerance masks matches farther than the bound, in both directions") {
+    val s = spark; import s.implicits._
+    val clicks = Seq((1L, "a", 100L), (2L, "a", 13L)).toDF("event_id", "user", "t")
+    val views = Seq((101L, "a", 10L)).toDF("event_id", "user", "t")
+    val back = AsOfJoin.backward(clicks, views, Seq("user"), Seq("user"),
+      "t", "t", Seq("event_id"), rightTiebreak = "event_id",
+      tolerance = Some(lit(5L)))
+      .orderBy("event_id").select("asof_event_id").collect()
+    assert(back(0).isNullAt(0), "match at distance 90 must mask under tolerance 5")
+    assert(back(1).getLong(0) === 101L, "match at distance 3 must survive")
+    val fwdClicks = Seq((1L, "a", 2L), (2L, "a", 8L)).toDF("event_id", "user", "t")
+    val fwd = AsOfJoin.forward(fwdClicks, views, Seq("user"), Seq("user"),
+      "t", "t", Seq("event_id"), rightTiebreak = "event_id",
+      tolerance = Some(lit(5L)))
+      .orderBy("event_id").select("asof_event_id").collect()
+    assert(fwd(0).isNullAt(0), "forward distance 8 masks under tolerance 5")
+    assert(fwd(1).getLong(0) === 101L, "forward distance 2 survives")
   }
 
   test("plan: exactly one shuffle, no cartesian product, no nested loop") {
