@@ -86,6 +86,7 @@ object SparkEntry {
     "text_langid_counts"       -> (LlmQueries.langIdCounts _),
     "text_langid_ngram_counts" -> (LlmQueries.langIdNgramCounts _),
     "text_tfidf_top_terms"     -> (LlmQueries.tfIdfTopTerms _),
+    "text_repetition_stats"    -> (LlmQueries.textRepetitionStats _),
     "text_vocab_stats"         -> (LlmQueries.vocabStats _),
     "text_clean_stats"         -> (LlmQueries.cleanStats _),
     "llm_sample_strata"        -> (LlmQueries.sampleStrata _),
@@ -189,6 +190,39 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    // Repetition quality signals: the oracle recomputes the kernel's
+    // single-pass counters with explode+group SQL (same split/trim/lower).
+    "text_repetition_stats" ->
+      """WITH base AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+        |words AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS w
+        |          FROM base WHERE t <> ''),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+        |wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |                  CAST(max(c) AS BIGINT) AS top_word_count,
+        |                  CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS repeated_words
+        |           FROM wc GROUP BY 1),
+        |warr AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS ws
+        |         FROM base WHERE t <> ''),
+        |bi AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS b
+        |       FROM warr WHERE len(ws) >= 2),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bi GROUP BY 1, 2),
+        |bstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |                  CAST(max(c) AS BIGINT) AS top_bigram_count FROM bc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(w.n_words, 0) AS n_words,
+        |  coalesce(w.top_word_count, 0) AS top_word_count,
+        |  coalesce(w.repeated_words, 0) AS repeated_words,
+        |  coalesce(b.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(b.top_bigram_count, 0) AS top_bigram_count,
+        |  round(CAST(coalesce(w.repeated_words, 0) AS DOUBLE) /
+        |        CAST(greatest(coalesce(w.n_words, 0), 1) AS DOUBLE), 6) AS repeated_word_fraction,
+        |  round(CAST(coalesce(b.top_bigram_count, 0) AS DOUBLE) /
+        |        CAST(greatest(coalesce(b.n_bigrams, 0), 1) AS DOUBLE), 6) AS top_bigram_fraction
+        |FROM documents d
+        |LEFT JOIN wstats w ON d.doc_id = w.doc_id
+        |LEFT JOIN bstats b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // As-of attribution: DuckDB's native ASOF LEFT JOIN vs our
     // union+window formulation — the temporal-join semantics check.
     "events_asof_attrib" ->

@@ -28,6 +28,29 @@ object TextStats {
 
   def nTokens(text: Column): Column = size(tokens(text))
 
+  /** Gopher-style repetition quality signals, one kernel pass per doc
+    * (see [[graft.functions.RepetitionStats]]): word/bigram frequency
+    * counters plus the two derived fractions real corpus filters
+    * threshold on (duplicate-word fraction, top-bigram fraction —
+    * heavily repetitive docs are boilerplate or generation loops). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rs = graft.functions.VectorExpressions.repetitionStats(col(textCol))
+    df.select(col(idCol), rs.as("__rs"))
+      .select(
+        col(idCol),
+        element_at(col("__rs"), 1).as("n_words"),
+        element_at(col("__rs"), 2).as("top_word_count"),
+        element_at(col("__rs"), 3).as("repeated_words"),
+        element_at(col("__rs"), 4).as("n_bigrams"),
+        element_at(col("__rs"), 5).as("top_bigram_count"))
+      .withColumn("repeated_word_fraction",
+        round(col("repeated_words").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"), 6))
+      .withColumn("top_bigram_fraction",
+        round(col("top_bigram_count").cast("double") /
+          greatest(col("n_bigrams"), lit(1L)).cast("double"), 6))
+  }
+
   /** Stopword list used by the quality score and language ID (kept tiny
     * and explicit so the DuckDB oracle can restate it verbatim). */
   val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")

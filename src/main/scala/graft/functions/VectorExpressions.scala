@@ -43,6 +43,10 @@ object VectorExpressions {
   def nearestCells(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
     GraftExpressionBridge.column(
       NearestCells(GraftExpressionBridge.expression(vec), centroids, nProbe))
+
+  def repetitionStats(text: Column): Column =
+    GraftExpressionBridge.column(
+      RepetitionStats(GraftExpressionBridge.expression(text)))
 }
 
 /** Σ a(i)·b(i), sequential order, double precision. Inputs must be
@@ -426,5 +430,71 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]],
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
+/** Gopher-style repetition counters in ONE pass over the lowercased,
+  * space-trimmed, whitespace-split text:
+  * `[n_words, top_word_count, repeated_word_count, n_bigrams,
+  * top_bigram_count]` — the inputs to duplicate-word / top-n-gram
+  * fraction quality filters. Per-row hash counting IS the work
+  * (CodegenFallback, same argument as [[NgramProfileCount]]); the
+  * map-side single pass is the 100 TB shape — the equivalent
+  * explode → groupBy(doc, word) shuffles the entire corpus's words.
+  * Splitting/lowering/trimming mirror `regexp_split_to_array(
+  * trim(lower(text)), '\s+')` exactly (space-only trim, shared
+  * Java/RE2 `\s` class) so a DuckDB oracle can restate the counts. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_repetition_stats expects string, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_repetition_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val lowered = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toLowerCase.toString
+    // space-only trim, matching SQL trim() in Spark and DuckDB (Java's
+    // String.trim would also strip \t\n and diverge from the oracle)
+    var st = 0
+    var en = lowered.length
+    while (st < en && lowered.charAt(st) == ' ') st += 1
+    while (en > st && lowered.charAt(en - 1) == ' ') en -= 1
+    val t = lowered.substring(st, en)
+    if (t.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill(5)(0L))
+    val ws = t.split("\\s+")
+    val wc = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < ws.length) { wc.merge(ws(i), 1L, _ + _); i += 1 }
+    var topW = 0L
+    var repeated = 0L
+    wc.values.forEach { c =>
+      if (c > topW) topW = c
+      if (c > 1) repeated += c
+    }
+    val nBigrams = math.max(ws.length - 1, 0).toLong
+    var topB = 0L
+    if (nBigrams > 0) {
+      val bc = new java.util.HashMap[String, Long]()
+      i = 1
+      while (i < ws.length) {
+        bc.merge(ws(i - 1) + " " + ws(i), 1L, _ + _)
+        i += 1
+      }
+      bc.values.forEach { c => if (c > topB) topB = c }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(ws.length.toLong, topW, repeated, nBigrams, topB))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
 }

@@ -204,6 +204,12 @@ object LlmQueries {
         sum(col("n_chars")).as("total_chars"))
       .orderBy("lang")
 
+  /** Per-document repetition quality signals (Gopher-style duplicate-
+    * word / top-bigram fractions; see [[TextStats.repetitionStats]]). */
+  def textRepetitionStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextStats.repetitionStats(docs(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Corpus vocabulary health numbers (see [[TextStats.vocabStats]]). */
   def vocabStats(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.vocabStats(docs(spark, sfDir), "doc_id", "text")

@@ -82,6 +82,26 @@ class TextStatsSpec extends SparkSpecBase {
       (3L, "bird", 3.0, 1L), (3L, "the", 1.0, 2L)))
   }
 
+  test("repetitionStats: hand-computed counters, case folding, empty/blank docs") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),    // a:3 b:2; bigrams: "a b"x2 "b a"x2
+      (2L, "x"),            // single word, no bigrams
+      (3L, ""),             // empty → all zeros
+      (4L, "   "),          // blank → all zeros
+      (5L, "The the THE")   // case-insensitive: the x3
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(got(0) === ((1L, 5L, 3L, 5L, 4L, 2L, 1.0, 0.5)))
+    assert(got(1) === ((2L, 1L, 1L, 0L, 0L, 0L, 0.0, 0.0)))
+    assert(got(2) === ((3L, 0L, 0L, 0L, 0L, 0L, 0.0, 0.0)))
+    assert(got(3) === ((4L, 0L, 0L, 0L, 0L, 0L, 0.0, 0.0)))
+    assert(got(4) === ((5L, 3L, 3L, 3L, 2L, 2L, 1.0, 1.0)))
+  }
+
   test("cleanText collapses whitespace runs and trims") {
     assert(one[String](TextStats.cleanText(col("text")), "  a\t\tb \n c  ") === "a b c")
     assert(one[String](TextStats.cleanText(col("text")), "") === "")
