@@ -38,6 +38,7 @@ object SparkEntry {
     "events_sessions"          -> (RelationalQueries.eventsSessions _),
     "events_asof_attrib"       -> (RelationalQueries.eventsAsofAttrib _),
     "events_asof_next"         -> (RelationalQueries.eventsAsofNext _),
+    "orders_window_shipments"  -> (RelationalQueries.ordersWindowShipments _),
     "customers_without_orders" -> (RelationalQueries.customersWithoutOrders _),
     // --- CDC engine core (SURVEY §2.1-2.3, §2.6): route→parse→normalize→
     //     dedup→merge, exercised through synthesized envelope JSON
@@ -235,6 +236,15 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.event_id""".stripMargin,
+    // Point-in-interval grid join vs DuckDB's native inequality join.
+    "orders_window_shipments" ->
+      """WITH pts AS (SELECT o.o_custkey AS ck, l.l_shipdate AS p
+        |             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |iv AS (SELECT o_orderkey, o_custkey AS ck, o_orderdate AS lo,
+        |              o_orderdate + INTERVAL 30 DAY AS hi FROM orders)
+        |SELECT iv.o_orderkey, CAST(count(*) AS BIGINT) AS n_shipments
+        |FROM iv JOIN pts ON pts.ck = iv.ck AND pts.p >= iv.lo AND pts.p <= iv.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_asof_next" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
         |            FROM events),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -217,6 +217,31 @@ object RelationalQueries {
         col("asof_event_id").as("next_view_event_id"),
         col("asof_ts").as("next_view_ts"))
       .orderBy("event_id")
+  }
+
+  /** Point-in-interval grid join ([[graft.ext.IntervalJoin]]): each
+    * order opens a 30-day window; same-customer lineitem shipments
+    * inside the window attribute to it. Day-number domain (the testdata
+    * timestamps are day-aligned), 30-day buckets → each interval spans
+    * at most 2 buckets. The oracle is DuckDB's native inequality join
+    * over the identical frames. */
+  def ordersWindowShipments(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = (c: Column) =>
+      datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("long")
+    val orders = t(spark, sfDir, "orders")
+    val pts = t(spark, sfDir, "lineitem")
+      .join(orders.select(col("o_orderkey").as("__ok"), col("o_custkey")),
+        col("l_orderkey") === col("__ok"))
+      .select(col("o_custkey").as("ck"), days(col("l_shipdate")).as("p"))
+    val iv = orders.select(col("o_orderkey").as("win_orderkey"),
+      col("o_custkey").as("ck"), days(col("o_orderdate")).as("lo"),
+      (days(col("o_orderdate")) + 30L).as("hi"))
+    graft.ext.IntervalJoin.pointInInterval(pts, iv,
+        pointKeys = Seq("ck"), intervalKeys = Seq("ck"),
+        pointCol = "p", loCol = "lo", hiCol = "hi", bucketWidth = 30L)
+      .groupBy(col("win_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipments"))
+      .orderBy("o_orderkey")
   }
 
   /** Existence/anti-join shape: customers with no RECENT order (the
