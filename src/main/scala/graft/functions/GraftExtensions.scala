@@ -17,6 +17,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `graft_dot(array<double>, array<double>) → double`
   *  - `graft_cosine(array<double>, array<double>) → double`
   *  - `graft_winnow(text, k, w) → array<bigint>` (k, w literal ints)
+  *  - `graft_repetition_stats(text) → array<bigint>` ([n_words,
+  *    top_word_count, repeated_words, n_bigrams, top_bigram_count])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -59,6 +61,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 3, "graft_winnow(text, k, w)")
         WinnowFingerprint(args(0), intLit(args(1), "k"), intLit(args(2), "w"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName,
+        "graft_repetition_stats"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_repetition_stats(text)")
+        RepetitionStats(args(0))
       }))
   }
 }

@@ -48,4 +48,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("graft_repetition_stats is callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_repetition_stats('a b a b a') AS s").head()
+    assert(r.getSeq[Long](0) === Seq(5L, 3L, 5L, 4L, 2L))
+  }
 }
