@@ -88,6 +88,7 @@ object SparkEntry {
     "text_langid_ngram_counts" -> (LlmQueries.langIdNgramCounts _),
     "text_tfidf_top_terms"     -> (LlmQueries.tfIdfTopTerms _),
     "text_repetition_stats"    -> (LlmQueries.textRepetitionStats _),
+    "docs_length_quantiles"    -> (LlmQueries.docsLengthQuantiles _),
     "text_vocab_stats"         -> (LlmQueries.vocabStats _),
     "text_clean_stats"         -> (LlmQueries.cleanStats _),
     "llm_sample_strata"        -> (LlmQueries.sampleStrata _),
@@ -191,6 +192,15 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    // Exact per-language length quantiles (type-7 interpolation in both
+    // engines; integer inputs → bit-identical doubles).
+    "docs_length_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90,
+        |  quantile_cont(n_chars, 0.99) AS p99,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // Repetition quality signals: the oracle recomputes the kernel's
     // single-pass counters with explode+group SQL (same split/trim/lower).
     "text_repetition_stats" ->

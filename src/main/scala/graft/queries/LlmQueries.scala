@@ -204,6 +204,21 @@ object LlmQueries {
         sum(col("n_chars")).as("total_chars"))
       .orderBy("lang")
 
+  /** Per-language EXACT document-length quantiles (the length-filter
+    * calibration numbers a corpus pipeline reads before thresholding).
+    * Spark's `percentile` aggregate accumulates a value→count map with
+    * map-side partial merge — exact and scalable for bounded integer
+    * domains like lengths (an approx sketch would not hash-match the
+    * oracle); both engines use type-7 linear interpolation, so the
+    * doubles agree bit-for-bit on integer inputs. */
+  def docsLengthQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).groupBy("lang").agg(
+      expr("percentile(n_chars, 0.5)").as("p50"),
+      expr("percentile(n_chars, 0.9)").as("p90"),
+      expr("percentile(n_chars, 0.99)").as("p99"),
+      count(lit(1)).as("n_docs"))
+    .orderBy("lang")
+
   /** Per-document repetition quality signals (Gopher-style duplicate-
     * word / top-bigram fractions; see [[TextStats.repetitionStats]]). */
   def textRepetitionStats(spark: SparkSession, sfDir: String): DataFrame =
