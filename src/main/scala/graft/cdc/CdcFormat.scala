@@ -43,7 +43,7 @@ object CdcFormat {
   * (`/root/reference/README.md:38`).
   */
 final case class SyncTable(dbName: String, tableName: String, primaryKey: String) {
-  def pkCols: Seq[String] = primaryKey.split(",").map(_.trim).filter(_.nonEmpty)
+  def pkCols: Seq[String] = primaryKey.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
   /** Identifier used for sink paths / scheduler pools / schema-cache keys. */
   def id: String = s"$dbName.$tableName"
 }

@@ -51,13 +51,13 @@ object LatestPerKey {
     * Hudi's DefaultHoodieRecordPayload, `glue/cdc_hudi.py:195`). */
   def maxBy(df: DataFrame, keys: Seq[String], versionCols: Seq[Column]): DataFrame = {
     require(keys.nonEmpty, "latest-per-key needs at least one key column")
-    val row = struct(df.columns.map(col): _*)
+    val row = struct(df.columns.toSeq.map(col): _*)
     val version = struct(versionCols: _*)
     val winner = max_by(row, version).as("__graft_row")
     df.groupBy(keys.map(col): _*)
       .agg(winner)
       .select(col("__graft_row.*"))
-      .select(df.columns.map(col): _*) // restore original column order
+      .select(df.columns.toSeq.map(col): _*) // restore original column order
   }
 
   def maxBy(df: DataFrame, keys: Seq[String], versionCol: String): DataFrame =

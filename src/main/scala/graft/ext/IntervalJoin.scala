@@ -60,7 +60,7 @@ object IntervalJoin {
         col(s"__pt.$pointCol") <= col(s"__iv.$hiCol")
     val ivKeep = intervals.columns.filterNot(intervalKeys.contains)
     p.join(i, keyCond && contained)
-      .select(points.columns.map(c => col(s"__pt.$c")) ++
+      .select(points.columns.toSeq.map(c => col(s"__pt.$c")) ++
         ivKeep.map(c => col(s"__iv.$c")): _*)
   }
 }

@@ -100,7 +100,7 @@ final class BucketedUpsertTable(
 
   private def readManifest(snap: String): Manifest = {
     val node = mapper.readTree(Files.readAllBytes(manifestPath(snap)))
-    val buckets = node.get("buckets").fields().asScala
+    val buckets = node.get("buckets").properties().iterator().asScala
       .map(e => e.getKey.toInt -> e.getValue.asText()).toMap
     Manifest(node.get("schema").asText(), buckets)
   }
