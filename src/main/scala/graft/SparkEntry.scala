@@ -39,6 +39,8 @@ object SparkEntry {
     "events_asof_attrib"       -> (RelationalQueries.eventsAsofAttrib _),
     "events_asof_next"         -> (RelationalQueries.eventsAsofNext _),
     "orders_window_shipments"  -> (RelationalQueries.ordersWindowShipments _),
+    "events_pivot_counts"      -> (RelationalQueries.eventsPivotCounts _),
+    "q1_rollup"                -> (RelationalQueries.q1Rollup _),
     "customers_without_orders" -> (RelationalQueries.customersWithoutOrders _),
     // --- CDC engine core (SURVEY §2.1-2.3, §2.6): route→parse→normalize→
     //     dedup→merge, exercised through synthesized envelope JSON
@@ -246,6 +248,24 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.event_id""".stripMargin,
+    // Pivot: fixed value list, FILTER-count equivalence (absent → 0).
+    "events_pivot_counts" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // ROLLUP with grouping id (Spark grouping_id bit order = 2*g(rf)+g(ls)).
+    "q1_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) * 2 +
+        |    CAST(grouping(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     // Point-in-interval grid join vs DuckDB's native inequality join.
     "orders_window_shipments" ->
       """WITH pts AS (SELECT o.o_custkey AS ck, l.l_shipdate AS p

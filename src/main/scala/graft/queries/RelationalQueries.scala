@@ -244,6 +244,37 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Pivot (wide aggregation): per-user event counts spread across one
+    * column per event type. The value list is FIXED (no collect-distinct
+    * pre-job — at 100 TB discovering pivot values costs a full scan;
+    * a pipeline pins them), and absent combinations coalesce to 0 to
+    * match SQL FILTER-count semantics. */
+  def eventsPivotCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    CdcQueries.events(spark, sfDir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .count()
+      .select(col("user_id") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  /** Hierarchical totals: ROLLUP over (returnflag, linestatus) with the
+    * grouping id — subtotal rows materialize in ONE aggregation pass
+    * (partial-agg friendly), not one job per level. Decimal sums per the
+    * q1 oracle-parity discipline. */
+  def q1Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Existence/anti-join shape: customers with no RECENT order (the
     * unfiltered variant is vacuously empty on the dense testdata). The
     * filter is pushed into the build side before the anti join; at 100 TB
