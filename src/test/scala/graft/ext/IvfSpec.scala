@@ -131,6 +131,27 @@ class IvfSpec extends SparkSpecBase {
     assert(ivf.toSeq === exact.toSeq)
   }
 
+  test("random corpora with duplicate vectors: exhaustive probe == brute force") {
+    val s = spark; import s.implicits._
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      // 60 vectors over only 20 distinct directions → duplicate vectors,
+      // duplicate seeds, empty cells; dim 8
+      val base = Array.fill(20)(Array.fill(8)(rnd.nextGaussian()))
+      val rows = (0 until 60).map { i =>
+        (i.toLong, base(rnd.nextInt(20)).toSeq)
+      }
+      val all = rows.toDF("vec_id", "embedding")
+      val q = all.where(col("vec_id") < 10)
+      val model = Ivf.train(all, "vec_id", "embedding", nCells = 6)
+      val exact = Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 4)
+        .orderBy("query_id", "rank").collect().map(_.toSeq)
+      val ivf = Ivf.topK(all, q, "vec_id", "embedding", k = 4, model, nProbe = 6)
+        .orderBy("query_id", "rank").collect().map(_.toSeq)
+      assert(ivf.toSeq === exact.toSeq, s"seed=$seed")
+    }
+  }
+
   test("save/load round-trips the model bit-identically") {
     val all = clustered()
     val model = Ivf.train(all, "vec_id", "embedding", nCells = 8)
