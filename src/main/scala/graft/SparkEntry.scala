@@ -77,6 +77,7 @@ object SparkEntry {
     "llm_cosine_topk_lsh"      -> (LlmQueries.cosineTopKLsh _),
     "llm_cosine_topk_lsh_scale" -> (LlmQueries.cosineTopKLshScale _),
     "llm_cosine_topk_ivf"      -> (LlmQueries.cosineTopKIvf _),
+    "llm_cosine_topk_ivf_indexed" -> (LlmQueries.cosineTopKIvfIndexed _),
     "llm_ivf_cells"            -> (LlmQueries.ivfCellStats _),
     "llm_cosine_neardup"       -> (LlmQueries.cosineNearDup _),
     "llm_cosine_neardup_scale" -> (LlmQueries.cosineNearDupScale _),

@@ -217,6 +217,15 @@ object Ivf {
            broadcastQueries: Boolean = true): DataFrame = {
     val cands = probeCandidates(corpus, queries, idCol, vecCol, model,
       nProbe, broadcastQueries)
+    verifyTopK(cands, corpus, queries, idCol, vecCol, k, broadcastQueries)
+  }
+
+  /** Shared exact-verify + ranking stage: vectors join the id-only
+    * candidate pairs once per side; window top-k with the deterministic
+    * (sim desc, id asc) contract. */
+  private def verifyTopK(cands: DataFrame, corpus: DataFrame,
+                         queries: DataFrame, idCol: String, vecCol: String,
+                         k: Int, broadcastQueries: Boolean): DataFrame = {
     val qv0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       Similarity.l2(col(vecCol)).as("__qn"))
     val qv = if (broadcastQueries) broadcast(qv0) else qv0
@@ -230,5 +239,43 @@ object Ivf {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Persist the corpus as a searchable IVF index: the model artifact
+    * plus the data laid out ONE PARQUET PARTITION DIRECTORY PER CELL.
+    * This is the one-time 100 TB bucketing pass the probe path relies
+    * on — after it, a search reads `nProbe` directories, not the
+    * corpus. */
+  def writeIndex(corpus: DataFrame, vecCol: String, model: Model,
+                 path: String): Unit = {
+    save(corpus.sparkSession, model, s"$path/model")
+    assignCells(corpus, vecCol, model)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/data")
+  }
+
+  /** Top-k against a written index. The queries' probe cells resolve
+    * first (bounded: |queries| × nProbe ints — the query set is a probe
+    * set by contract; same bounded-collect planning discipline as the
+    * bucketed sink's manifest), then the corpus scan is STATICALLY
+    * pruned to those partition directories — `PartitionFilters` in the
+    * scan, asserted in IvfSpec — and cell assignments come from the
+    * layout, not a re-derivation. Ranking is identical to [[topK]]
+    * (spec-asserted equal). */
+  def topKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  nProbe: Int): DataFrame = {
+    val model = load(spark, s"$path/model")
+    val probes = queries.select(col(idCol).as("query_id"),
+      explode(VectorExpressions.nearestCells(
+        col(vecCol).cast("array<double>"), model.asSeq, nProbe)).as("cell"))
+    val qCells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$path/data")
+      .where(col("cell").isin(qCells.toIndexedSeq: _*))
+    val cands = corpus.select(col(idCol).as("neighbor_id"), col("cell"))
+      .join(broadcast(probes), "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    verifyTopK(cands, corpus, queries, idCol, vecCol, k,
+      broadcastQueries = true)
   }
 }

@@ -136,6 +136,31 @@ object LlmQueries {
     Ivf.cellStats(emb(spark, sfDir), "embedding", ivfModel(spark, sfDir))
       .orderBy("cell")
 
+  /** Session-scoped written IVF index (one write per session+sf, like
+    * the other materializing caches; temp dir cleaned on JVM exit). */
+  private val sharedIvfIndex =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def ivfIndexDir(spark: SparkSession, sfDir: String): String =
+    sharedIvfIndex.getOrElseUpdate((spark, sfDir), {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index")
+      dir.toFile.deleteOnExit()
+      Ivf.writeIndex(emb(spark, sfDir), "embedding",
+        ivfModel(spark, sfDir), dir.toString)
+      dir.toString
+    })
+
+  /** The SERVING path: top-k against the written cell-partitioned
+    * index — the probe reads only the probed partition directories
+    * (partition pruning asserted in IvfSpec; equality with the
+    * in-memory [[cosineTopKIvf]] asserted there too). Rows-only. */
+  def cosineTopKIvfIndexed(spark: SparkSession, sfDir: String): DataFrame =
+    Ivf.topKIndexed(spark, ivfIndexDir(spark, sfDir),
+        emb(spark, sfDir).where(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+
   /** Embedding hygiene stats (the pass a pipeline runs before indexing:
     * norm distribution, zero vectors, value range). Scalar outputs via
     * the codegen dot kernel; rounded like the similarity surface. */

@@ -167,6 +167,29 @@ class IvfSpec extends SparkSpecBase {
     }
   }
 
+  test("written index: partition-pruned probe returns exactly the in-memory results") {
+    val all = clustered()
+    val q = all.where(col("vec_id") < 3) // 3 queries → few probed cells
+    val model = Ivf.train(all, "vec_id", "embedding", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    try {
+      Ivf.writeIndex(all, "embedding", model, s"$dir/idx")
+      val indexed = Ivf.topKIndexed(spark, s"$dir/idx", q, "vec_id",
+        "embedding", k = 5, nProbe = 2)
+      val inMem = Ivf.topK(all, q, "vec_id", "embedding", k = 5, model,
+        nProbe = 2)
+      assert(indexed.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq ===
+        inMem.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq)
+      // the scan must carry a partition filter on cell — the serving
+      // path reads probed directories, not the corpus
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [cell"),
+        s"no partition pruning in indexed probe:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("plan: probe join is an equi-join — no cartesian, no nested loop") {
     val all = clustered()
     val model = Ivf.train(all, "vec_id", "embedding", nCells = 8)
