@@ -40,6 +40,7 @@ object SparkEntry {
     "events_asof_next"         -> (RelationalQueries.eventsAsofNext _),
     "orders_window_shipments"  -> (RelationalQueries.ordersWindowShipments _),
     "events_pivot_counts"      -> (RelationalQueries.eventsPivotCounts _),
+    "events_user_running"      -> (RelationalQueries.eventsUserRunning _),
     "q1_rollup"                -> (RelationalQueries.q1Rollup _),
     "customers_without_orders" -> (RelationalQueries.customersWithoutOrders _),
     // --- CDC engine core (SURVEY §2.1-2.3, §2.6): route→parse→normalize→
@@ -258,6 +259,20 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Window breadth: running decimal sum (ROWS frame), lag gap, lead,
+    // ntile — one shared window order, deterministic tie-break.
+    "events_user_running" ->
+      """SELECT event_id, user_id,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER wf AS DECIMAL(18,6)) AS DOUBLE) AS run_sum,
+        |  epoch_ms(CAST(ts AS TIMESTAMP)) - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER wo AS gap_ms,
+        |  lead(event_type) OVER wo AS next_type,
+        |  CAST(ntile(4) OVER wo AS BIGINT) AS quartile
+        |FROM events
+        |WINDOW
+        |  wo AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // ROLLUP with grouping id (Spark grouping_id bit order = 2*g(rf)+g(ls)).
     "q1_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -275,6 +275,28 @@ object RelationalQueries {
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Window-function breadth in one pass: running decimal sum (explicit
+    * ROWS frame), lag-based inter-arrival gap, lead lookahead, and
+    * ntile quartiles — all over ONE (user, time, id)-ordered window, so
+    * Spark plans a single shuffle + sort shared by every function. The
+    * order key is fully deterministic (ties break on event_id); the sum
+    * runs in DECIMAL per the q1 oracle-parity discipline. */
+  def eventsUserRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrder = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val wFrame = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    CdcQueries.events(spark, sfDir).select(
+      col("event_id"), col("user_id"),
+      sum(col("value").cast("decimal(18,6)")).over(wFrame)
+        .cast("decimal(18,6)").cast("double").as("run_sum"),
+      (unix_millis(col("ts").cast("timestamp")) -
+        lag(unix_millis(col("ts").cast("timestamp")), 1).over(wOrder))
+        .as("gap_ms"),
+      lead(col("event_type"), 1).over(wOrder).as("next_type"),
+      ntile(4).over(wOrder).cast("long").as("quartile"))
+    .orderBy("event_id")
+  }
+
   /** Existence/anti-join shape: customers with no RECENT order (the
     * unfiltered variant is vacuously empty on the dense testdata). The
     * filter is pushed into the build side before the anti join; at 100 TB
