@@ -41,6 +41,7 @@ object SparkEntry {
     "orders_window_shipments"  -> (RelationalQueries.ordersWindowShipments _),
     "events_pivot_counts"      -> (RelationalQueries.eventsPivotCounts _),
     "events_user_running"      -> (RelationalQueries.eventsUserRunning _),
+    "lineitem_unpivot_charges" -> (RelationalQueries.lineitemUnpivotCharges _),
     "q1_rollup"                -> (RelationalQueries.q1Rollup _),
     "customers_without_orders" -> (RelationalQueries.customersWithoutOrders _),
     // --- CDC engine core (SURVEY §2.1-2.3, §2.6): route→parse→normalize→
@@ -259,6 +260,16 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Unpivot: UNION ALL restatement, labels = source column names.
+    "lineitem_unpivot_charges" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, 'l_extendedprice' AS component, l_extendedprice AS amount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, component,
+        |  CAST(CAST(sum(CAST(amount AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS total,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Window breadth: running decimal sum (ROWS frame), lag gap, lead,
     // ntile — one shared window order, deterministic tie-break.
     "events_user_running" ->

@@ -297,6 +297,24 @@ object RelationalQueries {
     .orderBy("event_id")
   }
 
+  /** Unpivot (melt — the reshape inverse of [[eventsPivotCounts]]):
+    * the three charge components become (component, amount) rows via
+    * Spark's native `unpivot` (a Generate, map-side — no shuffle until
+    * the aggregate), then a per-flag decimal rollup. */
+  def lineitemUnpivotCharges(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        variableColumnName = "component",
+        valueColumnName = "amount")
+      .groupBy("l_returnflag", "component")
+      .agg(sum(col("amount").cast("decimal(18,6)")).cast("decimal(18,6)")
+          .cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "component")
+
   /** Existence/anti-join shape: customers with no RECENT order (the
     * unfiltered variant is vacuously empty on the dense testdata). The
     * filter is pushed into the build side before the anti join; at 100 TB
