@@ -42,6 +42,7 @@ object SparkEntry {
     "events_pivot_counts"      -> (RelationalQueries.eventsPivotCounts _),
     "events_user_running"      -> (RelationalQueries.eventsUserRunning _),
     "lineitem_unpivot_charges" -> (RelationalQueries.lineitemUnpivotCharges _),
+    "q18_large_orders"         -> (RelationalQueries.q18LargeOrders _),
     "q1_rollup"                -> (RelationalQueries.q1Rollup _),
     "customers_without_orders" -> (RelationalQueries.customersWithoutOrders _),
     // --- CDC engine core (SURVEY §2.1-2.3, §2.6): route→parse→normalize→
@@ -260,6 +261,19 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q18 shape: HAVING subquery semi-gates the join; deterministic top-100.
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 120)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_qty
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        |GROUP BY 1,2,3,4,5
+        |ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
     // Unpivot: UNION ALL restatement, labels = source column names.
     "lineitem_unpivot_charges" ->
       """WITH u AS (

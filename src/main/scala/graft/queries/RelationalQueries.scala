@@ -315,6 +315,32 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "component")
 
+  /** TPC-H q18 shape (large-volume orders): an aggregate-HAVING subquery
+    * gates the main join via LEFT SEMI — the build side shrinks to
+    * qualifying orderkeys BEFORE the wide join, and the final top-100
+    * rides the sort-limit (TakeOrderedAndProject, no full sort).
+    * Deterministic limit: ties break on o_orderkey. */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__q"))
+      .where(col("__q") > 120)
+      .select(col("l_orderkey").as("__big_ok"))
+    val oBig = t(spark, sfDir, "orders")
+      .join(big, col("o_orderkey") === col("__big_ok"), "left_semi")
+    t(spark, sfDir, "customer").select("c_custkey", "c_name")
+      .join(oBig, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double")
+          .as("o_totalprice"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)")
+        .cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Existence/anti-join shape: customers with no RECENT order (the
     * unfiltered variant is vacuously empty on the dense testdata). The
     * filter is pushed into the build side before the anti join; at 100 TB
