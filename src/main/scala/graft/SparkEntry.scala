@@ -43,6 +43,8 @@ object SparkEntry {
     "events_user_running"      -> (RelationalQueries.eventsUserRunning _),
     "lineitem_unpivot_charges" -> (RelationalQueries.lineitemUnpivotCharges _),
     "q18_large_orders"         -> (RelationalQueries.q18LargeOrders _),
+    "events_audience_sets"     -> (RelationalQueries.eventsAudienceSets _),
+    "events_approx_distinct"   -> (RelationalQueries.eventsApproxDistinct _),
     "q1_rollup"                -> (RelationalQueries.q1Rollup _),
     "customers_without_orders" -> (RelationalQueries.customersWithoutOrders _),
     // --- CDC engine core (SURVEY §2.1-2.3, §2.6): route→parse→normalize→
@@ -261,6 +263,18 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Set operations: INTERSECT/EXCEPT restated verbatim in DuckDB.
+    "events_audience_sets" ->
+      """SELECT user_id, 'click_and_purchase' AS audience FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'view_no_purchase' AS audience FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY audience, user_id""".stripMargin,
     // q18 shape: HAVING subquery semi-gates the join; deterministic top-100.
     "q18_large_orders" ->
       """WITH big AS (

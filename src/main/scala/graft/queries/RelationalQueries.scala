@@ -341,6 +341,34 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** Set-operation coverage (§2.5: absent in the reference): INTERSECT
+    * and EXCEPT both plan as hash semi/anti joins over distinct keys —
+    * no sort, partial-distinct map-side. Engaged-vs-converted user
+    * audiences from the events stream. */
+  def eventsAudienceSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = CdcQueries.events(spark, sfDir)
+    def users(kind: String) =
+      ev.where(col("event_type") === kind).select("user_id")
+    val both = users("click").intersect(users("purchase"))
+      .select(col("user_id"), lit("click_and_purchase").as("audience"))
+    val lost = users("view").except(users("purchase"))
+      .select(col("user_id"), lit("view_no_purchase").as("audience"))
+    both.unionByName(lost).orderBy("audience", "user_id")
+  }
+
+  /** Distributed cardinality sketch (HLL++ via approx_count_distinct,
+    * rsd 2%): the 100 TB distinct-count staple — fixed-size mergeable
+    * sketches combine map-side, where exact count(DISTINCT) shuffles
+    * every value. Rows-only under the driver gate (sketch estimates are
+    * engine-specific); the relative-error bound vs the exact counts is
+    * asserted in SketchSpec. */
+  def eventsApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    CdcQueries.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("value"), rsd = 0.02).as("approx_values"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+      .orderBy("event_type")
+
   /** Existence/anti-join shape: customers with no RECENT order (the
     * unfiltered variant is vacuously empty on the dense testdata). The
     * filter is pushed into the build side before the anti join; at 100 TB
