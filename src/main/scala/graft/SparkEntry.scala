@@ -45,6 +45,7 @@ object SparkEntry {
     "q18_large_orders"         -> (RelationalQueries.q18LargeOrders _),
     "events_audience_sets"     -> (RelationalQueries.eventsAudienceSets _),
     "events_approx_distinct"   -> (RelationalQueries.eventsApproxDistinct _),
+    "q17_avg_yearly"           -> (RelationalQueries.q17AvgYearly _),
     "q1_rollup"                -> (RelationalQueries.q1Rollup _),
     "customers_without_orders" -> (RelationalQueries.customersWithoutOrders _),
     // --- CDC engine core (SURVEY §2.1-2.3, §2.6): route→parse→normalize→
@@ -275,6 +276,14 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT user_id FROM events WHERE event_type = 'purchase')
         |ORDER BY audience, user_id""".stripMargin,
+    // q17 shape: correlated scalar subquery, restated verbatim in DuckDB.
+    "q17_avg_yearly" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |         AS avg_yearly
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
     // q18 shape: HAVING subquery semi-gates the join; deterministic top-100.
     "q18_large_orders" ->
       """WITH big AS (

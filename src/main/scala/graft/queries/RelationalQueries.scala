@@ -369,6 +369,23 @@ object RelationalQueries {
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
       .orderBy("event_type")
 
+  /** TPC-H q17 shape through the SQL path: a CORRELATED scalar subquery
+    * (per-part 20%-of-average threshold) that Catalyst decorrelates
+    * into an aggregate + equi-join — no per-row re-execution. The
+    * quantity averages are exact in double (integral values, exact
+    * partial sums → order-independent), so the filter threshold is
+    * engine-reproducible; the money sum stays decimal. */
+  def q17AvgYearly(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    spark.sql(
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |         AS avg_yearly
+        |FROM q17_lineitem l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM q17_lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+  }
+
   /** Existence/anti-join shape: customers with no RECENT order (the
     * unfiltered variant is vacuously empty on the dense testdata). The
     * filter is pushed into the build side before the anti join; at 100 TB

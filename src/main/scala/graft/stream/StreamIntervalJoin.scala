@@ -22,18 +22,29 @@ object StreamIntervalJoin {
 
   /** Column names of `left` and `right` must be disjoint (streaming
     * joins have no alias disambiguation across restarts). `lookback` is
-    * an interval Column, e.g. `expr("INTERVAL 10 SECONDS")`. */
+    * an interval Column, e.g. `expr("INTERVAL 10 SECONDS")`.
+    *
+    * `joinType` "inner" (default) emits matches as they arrive;
+    * "left_outer" ALSO emits each unmatched left row null-padded — but
+    * only once the watermark proves no in-window right row can still
+    * arrive (Spark holds the left row in state until its window is
+    * closed; asserted in the spec). That is the streaming form of the
+    * batch as-of join's left-outer contract. */
   def backwardWithin(left: DataFrame, right: DataFrame,
                      leftKey: String, rightKey: String,
                      leftTime: String, rightTime: String,
-                     delayThreshold: String, lookback: Column): DataFrame = {
+                     delayThreshold: String, lookback: Column,
+                     joinType: String = "inner"): DataFrame = {
     require((left.columns.toSet & right.columns.toSet).isEmpty,
       "stream-stream join requires disjoint column names")
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"unsupported joinType $joinType")
     val l = left.withWatermark(leftTime, delayThreshold)
     val r = right.withWatermark(rightTime, delayThreshold)
     l.join(r,
       col(leftKey) === col(rightKey) &&
         col(rightTime) >= col(leftTime) - lookback &&
-        col(rightTime) <= col(leftTime))
+        col(rightTime) <= col(leftTime),
+      joinType)
   }
 }

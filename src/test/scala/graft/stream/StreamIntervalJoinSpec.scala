@@ -62,4 +62,47 @@ class StreamIntervalJoinSpec extends SparkSpecBase {
       assert(rows() === Set((1L, 10000L, 5000L), (3L, 20000L, 20000L)))
     } finally q.stop()
   }
+
+  test("left_outer emits the null-padded row only after the watermark closes its window") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import s.implicits._
+
+    val clicks = MemoryStream[(Long, Long)]
+    val views = MemoryStream[(Long, Long)]
+    val cl = clicks.toDS().toDF("cu", "cms")
+      .select(col("cu"), timestamp_millis(col("cms")).as("click_ts"))
+    val vw = views.toDS().toDF("vu", "vms")
+      .select(col("vu"), timestamp_millis(col("vms")).as("view_ts"))
+    val joined = StreamIntervalJoin.backwardWithin(cl, vw,
+      "cu", "vu", "click_ts", "view_ts",
+      delayThreshold = "0 seconds", lookback = expr("INTERVAL 10 SECONDS"),
+      joinType = "left_outer")
+    val q = joined
+      .select(col("cu"), unix_millis(col("click_ts")).as("ct"),
+        col("vu").isNull.as("unmatched"))
+      .writeStream.format("memory").queryName("graft_ssjoin_outer")
+      .outputMode("append").start()
+    try {
+      def rows(): Set[(Long, Long, Boolean)] =
+        spark.table("graft_ssjoin_outer").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+      // a matched click emits immediately; an unmatched one does NOT —
+      // a matching view could still arrive within its 10s window
+      views.addData((1L, 5000L))
+      clicks.addData((1L, 10000L), (2L, 10000L))
+      q.processAllAvailable()
+      assert(rows() === Set((1L, 10000L, false)))
+
+      // watermark jumps past user 2's window (10s + lookback) → the
+      // null-padded row materializes in the no-data follow-up batch
+      views.addData((9L, 60000L))
+      clicks.addData((9L, 60000L))
+      q.processAllAvailable()
+      assert(rows() === Set((1L, 10000L, false), (9L, 60000L, false),
+        (2L, 10000L, true)))
+    } finally q.stop()
+  }
 }
