@@ -72,6 +72,7 @@ object SparkEntry {
     "llm_dedup_exact"          -> (LlmQueries.dedupExact _),
     "llm_dedup_corpus"         -> (LlmQueries.dedupCorpus _),
     "llm_dedup_cc"             -> (LlmQueries.dedupCc _),
+    "llm_dedup_corpus_cc"      -> (LlmQueries.dedupCorpusCc _),
     "llm_neardup_jaccard"      -> (LlmQueries.nearDupJaccard _),
     "llm_neardup_minhash"      -> (LlmQueries.minhashNearDup _),
     "llm_simhash_fingerprints" -> (LlmQueries.simhashFingerprints _),
@@ -513,6 +514,36 @@ object SparkEntry {
          |          SELECT reach.id, e.v AS r FROM reach JOIN edges e ON reach.r = e.u)
          |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS comp
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // CC-collapsed terminal corpus: the same recursive-CTE components,
+    // feeding exact-survivor selection minus non-representatives.
+    "llm_dedup_corpus_cc" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, $WL AS ws FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle
+         |       FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+         |       WHERE len(ws) >= 3),
+         |sh AS (SELECT doc_id, shingle FROM sh0
+         |       WHERE shingle IN (SELECT shingle FROM sh0
+         |                         GROUP BY shingle HAVING count(*) <= 50)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |          JOIN sizes sa ON inter.id_a = sa.doc_id
+         |          JOIN sizes sb ON inter.id_b = sb.doc_id
+         |          WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM nodes
+         |          UNION
+         |          SELECT reach.id, e.v AS r FROM reach JOIN edges e ON reach.r = e.u),
+         |comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |JOIN survivors s ON d.doc_id = s.doc_id
+         |WHERE d.doc_id NOT IN (SELECT id FROM comps WHERE comp <> id)
+         |ORDER BY d.doc_id""".stripMargin,
     "llm_neardup_jaccard" ->
       s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
          |sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle

@@ -317,6 +317,16 @@ object LlmQueries {
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy("doc_id")
 
+  /** The CC-collapsed terminal corpus over the same shared pair set —
+    * the principled upgrade of [[dedupCorpus]]'s greedy drop (see
+    * [[Dedup.dedupedCorpusCC]]); oracle = the recursive-CTE components
+    * feeding the identical survivor selection. */
+  def dedupCorpusCc(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.dedupedCorpusCC(docs(spark, sfDir), "doc_id", "text",
+        cappedPairs(spark, sfDir))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
   /** Winnowing fingerprint counts per doc (rows-only: xxhash64 values
     * are engine-specific; the substring-sharing guarantee is asserted in
     * WinnowingSpec). */
