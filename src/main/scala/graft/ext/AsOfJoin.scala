@@ -105,7 +105,15 @@ object AsOfJoin {
         fills.zip(payload).map { case (a, p) =>
           lit(null).cast(right.schema(p).dataType).as(a)
         }: _*)
-    val r = right.select(
+    // SQL join semantics: a null key never matches. The window formulation
+    // would otherwise GROUP null keys together (partitionBy treats null as
+    // a value) and invent matches no equality join produces — so null-key
+    // right rows are dropped (they can match nothing), and null-key left
+    // rows then sit in partitions with no right rows → null payloads, the
+    // correct left-outer result.
+    val r = right
+      .where(rightKeys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
       rightKeys.zip(keys).map { case (k, a) => col(k).as(a) } ++
         Seq(col(rightTime).as("__t"), lit(1 - leftSide).as("__side"),
           col(rightTiebreak).as("__tb"), col(rightTime).as("__rt")) ++

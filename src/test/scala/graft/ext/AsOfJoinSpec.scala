@@ -116,6 +116,24 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(fwd(1).getLong(0) === 101L, "forward distance 2 survives")
   }
 
+  test("null keys never match (SQL join semantics), on either side") {
+    val s = spark; import s.implicits._
+    val clicks = Seq(
+      (1L, Option("a"), 10L),
+      (2L, Option.empty[String], 10L) // null-key left row
+    ).toDF("event_id", "user", "t")
+    val views = Seq(
+      (101L, Option("a"), 5L),
+      (102L, Option.empty[String], 5L) // null-key right row: matches nothing
+    ).toDF("event_id", "user", "t")
+    val out = AsOfJoin.backward(clicks, views, Seq("user"), Seq("user"),
+        "t", "t", Seq("event_id"), rightTiebreak = "event_id")
+      .orderBy("event_id").select("event_id", "asof_event_id").collect()
+    assert(out(0).getLong(1) === 101L)   // real key matches normally
+    assert(out(1).isNullAt(1),           // null != null in a join
+      "null-key rows must not match each other")
+  }
+
   test("plan: exactly one shuffle, no cartesian product, no nested loop") {
     val s = spark; import s.implicits._
     val clicks = Seq((1L, "a", 5L)).toDF("event_id", "user", "t")
