@@ -105,14 +105,15 @@ object AsOfJoin {
         fills.zip(payload).map { case (a, p) =>
           lit(null).cast(right.schema(p).dataType).as(a)
         }: _*)
-    // SQL join semantics: a null key never matches. The window formulation
-    // would otherwise GROUP null keys together (partitionBy treats null as
-    // a value) and invent matches no equality join produces — so null-key
-    // right rows are dropped (they can match nothing), and null-key left
-    // rows then sit in partitions with no right rows → null payloads, the
-    // correct left-outer result.
+    // SQL join semantics: a null key or null time never matches. The
+    // window formulation would otherwise GROUP null keys together
+    // (partitionBy treats null as a value) and SORT null times to an end
+    // of the partition (feeding fills no inequality admits) — so right
+    // rows with a null key or time are dropped (they can match nothing);
+    // null-key left rows then sit in right-free partitions, and
+    // null-TIME left rows are masked to null payloads below.
     val r = right
-      .where(rightKeys.map(col(_).isNotNull).reduce(_ && _))
+      .where((rightKeys :+ rightTime).map(col(_).isNotNull).reduce(_ && _))
       .select(
       rightKeys.zip(keys).map { case (k, a) => col(k).as(a) } ++
         Seq(col(rightTime).as("__t"), lit(1 - leftSide).as("__side"),
@@ -130,12 +131,14 @@ object AsOfJoin {
       .orderBy(dir(col("__t")), col("__side").asc, dir(col("__tb")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedT = last(col("__rt"), ignoreNulls = true).over(w)
-    val withinTolerance = tolerance match {
+    val baseGate = tolerance match {
       case None => lit(true)
       case Some(tol) =>
         val dist = if (forward) matchedT - col("__t") else col("__t") - matchedT
         dist <= tol
     }
+    // null-time left rows match nothing (no inequality is true of null)
+    val withinTolerance = col("__t").isNotNull && baseGate
     l.unionByName(r)
       .select(
         (leftCols.map(col) :+ (col("__side") === leftSide).as("__is_left")) ++

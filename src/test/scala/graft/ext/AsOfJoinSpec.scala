@@ -134,6 +134,34 @@ class AsOfJoinSpec extends SparkSpecBase {
       "null-key rows must not match each other")
   }
 
+  test("null times never match: left null-time masks, right null-time drops, both directions") {
+    val s = spark; import s.implicits._
+    val clicks = Seq(
+      (1L, "a", Option(10L)),
+      (2L, "a", Option.empty[Long]) // null-time left row
+    ).toDF("event_id", "user", "t")
+    val views = Seq(
+      (101L, "a", Option(5L)),
+      (102L, "a", Option.empty[Long]), // null-time right row
+      (103L, "a", Option(20L))
+    ).toDF("event_id", "user", "t")
+    def run(forward: Boolean) = {
+      val joined = if (forward)
+        AsOfJoin.forward(clicks, views, Seq("user"), Seq("user"),
+          "t", "t", Seq("event_id"), rightTiebreak = "event_id")
+      else
+        AsOfJoin.backward(clicks, views, Seq("user"), Seq("user"),
+          "t", "t", Seq("event_id"), rightTiebreak = "event_id")
+      joined.orderBy("event_id").select("event_id", "asof_event_id").collect()
+    }
+    val back = run(forward = false)
+    assert(back(0).getLong(1) === 101L) // t=10 → view at 5, NOT the null-time row
+    assert(back(1).isNullAt(1), "null-time left row must not match (backward)")
+    val fwd = run(forward = true)
+    assert(fwd(0).getLong(1) === 103L)  // t=10 → next view at 20
+    assert(fwd(1).isNullAt(1), "null-time left row must not match (forward)")
+  }
+
   test("plan: exactly one shuffle, no cartesian product, no nested loop") {
     val s = spark; import s.implicits._
     val clicks = Seq((1L, "a", 5L)).toDF("event_id", "user", "t")
