@@ -35,14 +35,17 @@ object TextStats {
     * heavily repetitive docs are boilerplate or generation loops). */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val rs = graft.functions.VectorExpressions.repetitionStats(col(textCol))
+    // null text → all-zero counters, matching the oracle's LEFT JOIN +
+    // coalesce convention (and the empty-string case)
+    def stat(i: Int) = coalesce(element_at(col("__rs"), i), lit(0L))
     df.select(col(idCol), rs.as("__rs"))
       .select(
         col(idCol),
-        element_at(col("__rs"), 1).as("n_words"),
-        element_at(col("__rs"), 2).as("top_word_count"),
-        element_at(col("__rs"), 3).as("repeated_words"),
-        element_at(col("__rs"), 4).as("n_bigrams"),
-        element_at(col("__rs"), 5).as("top_bigram_count"))
+        stat(1).as("n_words"),
+        stat(2).as("top_word_count"),
+        stat(3).as("repeated_words"),
+        stat(4).as("n_bigrams"),
+        stat(5).as("top_bigram_count"))
       .withColumn("repeated_word_fraction",
         round(col("repeated_words").cast("double") /
           greatest(col("n_words"), lit(1L)).cast("double"), 6))

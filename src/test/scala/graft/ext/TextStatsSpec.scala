@@ -85,12 +85,13 @@ class TextStatsSpec extends SparkSpecBase {
   test("repetitionStats: hand-computed counters, case folding, empty/blank docs") {
     val s = spark; import s.implicits._
     val docs = Seq(
-      (1L, "a b a b a"),    // a:3 b:2; bigrams: "a b"x2 "b a"x2
-      (2L, "x"),            // single word, no bigrams
-      (3L, ""),             // empty → all zeros
-      (4L, "   "),          // blank → all zeros
-      (5L, "The the THE")   // case-insensitive: the x3
+      (1L, Option("a b a b a")),  // a:3 b:2; bigrams: "a b"x2 "b a"x2
+      (2L, Option("x")),          // single word, no bigrams
+      (3L, Option("")),           // empty → all zeros
+      (4L, Option("   ")),        // blank → all zeros
+      (5L, Option("The the THE")) // case-insensitive: the x3
     ).toDF("doc_id", "text")
+      .unionByName(Seq((6L, Option.empty[String])).toDF("doc_id", "text"))
     val got = TextStats.repetitionStats(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -100,6 +101,7 @@ class TextStatsSpec extends SparkSpecBase {
     assert(got(2) === ((3L, 0L, 0L, 0L, 0L, 0L, 0.0, 0.0)))
     assert(got(3) === ((4L, 0L, 0L, 0L, 0L, 0L, 0.0, 0.0)))
     assert(got(4) === ((5L, 3L, 3L, 3L, 2L, 2L, 1.0, 1.0)))
+    assert(got(5) === ((6L, 0L, 0L, 0L, 0L, 0L, 0.0, 0.0))) // null text → zeros
   }
 
   test("cleanText collapses whitespace runs and trims") {
