@@ -14,36 +14,51 @@ import org.scalacheck.rng.Seed
   * across every (direction, bound, tolerance) combination. */
 class AsOfJoinPropertySpec extends SparkSpecBase {
 
-  /** (id, key, t, payload) rows; ids unique per side by construction. */
-  private val rowGen: Gen[(Long, Long, Long)] = for {
-    k <- Gen.choose(0L, 3L)
-    t <- Gen.choose(0L, 15L)
-  } yield (0L, k, t)
+  /** (id, key, t, payload) rows; ids unique per side by construction.
+    * Keys and times are OPTIONAL: nulls exercise the SQL-semantics rule
+    * that a null key or time matches nothing. */
+  private val rowGen: Gen[(Option[Long], Option[Long])] = for {
+    k <- Gen.frequency(9 -> Gen.choose(0L, 3L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long]))
+    t <- Gen.frequency(9 -> Gen.choose(0L, 15L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long]))
+  } yield (k, t)
 
-  private def sample(seed: Long, n: Int, idBase: Long): List[(Long, Long, Long, Double)] =
+  private def sample(seed: Long, n: Int,
+                     idBase: Long): List[(Long, Option[Long], Option[Long], Double)] =
     Gen.listOfN(n, rowGen).apply(Gen.Parameters.default, Seed(seed)).get
       .zipWithIndex
-      .map { case ((_, k, t), i) => (idBase + i, k, t, (idBase + i) * 0.5) }
+      .map { case ((k, t), i) => (idBase + i, k, t, (idBase + i) * 0.5) }
 
   /** Naive spec: scan all right rows per left row. Backward: max t with
     * t <= lt (or < when strict), ties to highest id; forward: min t with
-    * t >= lt (or >), ties to lowest id; tolerance masks by distance. */
-  private def naive(left: List[(Long, Long, Long, Double)],
-                    right: List[(Long, Long, Long, Double)],
+    * t >= lt (or >), ties to lowest id; tolerance masks by distance.
+    * A null key or time on either side admits nothing (SQL join
+    * semantics). */
+  private def naive(left: List[(Long, Option[Long], Option[Long], Double)],
+                    right: List[(Long, Option[Long], Option[Long], Double)],
                     forward: Boolean, inclusive: Boolean,
                     tolerance: Option[Long]): Map[Long, Option[Long]] =
-    left.map { case (lid, lk, lt, _) =>
-      val cands = right.filter { case (_, rk, rt, _) =>
-        rk == lk && (
-          if (forward) { if (inclusive) rt >= lt else rt > lt }
-          else { if (inclusive) rt <= lt else rt < lt })
+    left.map { case (lid, lkO, ltO, _) =>
+      val cands = right.filter { case (_, rkO, rtO, _) =>
+        (lkO, ltO, rkO, rtO) match {
+          case (Some(lk), Some(lt), Some(rk), Some(rt)) =>
+            rk == lk && (
+              if (forward) { if (inclusive) rt >= lt else rt > lt }
+              else { if (inclusive) rt <= lt else rt < lt })
+          case _ => false
+        }
       }
       val best =
         if (cands.isEmpty) None
         else if (forward) Some(cands.minBy { case (rid, _, rt, _) => (rt, rid) })
         else Some(cands.maxBy { case (rid, _, rt, _) => (rt, rid) })
-      val masked = best.filter { case (_, _, rt, _) =>
-        tolerance.forall(tol => (if (forward) rt - lt else lt - rt) <= tol)
+      val masked = best.filter { case (_, _, rtO, _) =>
+        tolerance.forall { tol =>
+          // best nonEmpty ⇒ this left row's time and the match's time exist
+          val (rt, lt) = (rtO.get, ltO.get)
+          (if (forward) rt - lt else lt - rt) <= tol
+        }
       }
       lid -> masked.map(_._1)
     }.toMap
