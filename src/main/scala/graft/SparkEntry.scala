@@ -47,6 +47,7 @@ object SparkEntry {
     "events_approx_distinct"   -> (RelationalQueries.eventsApproxDistinct _),
     "q17_avg_yearly"           -> (RelationalQueries.q17AvgYearly _),
     "q1_rollup"                -> (RelationalQueries.q1Rollup _),
+    "q1_cube"                  -> (RelationalQueries.q1Cube _),
     "customers_without_orders" -> (RelationalQueries.customersWithoutOrders _),
     // --- CDC engine core (SURVEY §2.1-2.3, §2.6): route→parse→normalize→
     //     dedup→merge, exercised through synthesized envelope JSON
@@ -330,6 +331,14 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q1_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) * 2 +
+        |    CAST(grouping(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     // Point-in-interval grid join vs DuckDB's native inequality join.
     "orders_window_shipments" ->

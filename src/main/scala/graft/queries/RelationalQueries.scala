@@ -386,6 +386,20 @@ object RelationalQueries {
         |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
   }
 
+  /** CUBE twin of [[q1Rollup]]: all four grouping sets — including the
+    * linestatus-only subtotals ROLLUP skips — still one aggregation
+    * pass. */
+  def q1Cube(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Existence/anti-join shape: customers with no RECENT order (the
     * unfiltered variant is vacuously empty on the dense testdata). The
     * filter is pushed into the build side before the anti join; at 100 TB
