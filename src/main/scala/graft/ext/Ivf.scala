@@ -66,6 +66,13 @@ object Ivf {
   def train(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
             maxTrain: Int = 25600, iters: Int = 10): Model = {
     require(nCells >= 1 && iters >= 0 && maxTrain >= 1, "bad train params")
+    // the deterministic sample scrambles the NUMERIC id; a string id
+    // would cast to null and silently de-determinize training
+    require(corpus.schema(idCol).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"IVF training requires a numeric id column, got " +
+        s"${corpus.schema(idCol).dataType.sql} for $idCol — pre-fold string " +
+        "ids to a long (e.g. xxhash64)")
     val sample = corpus
       .select(col(idCol).cast("long").as("__id"),
         col(vecCol).cast("array<double>").as("__v"))

@@ -105,6 +105,15 @@ class IvfSpec extends SparkSpecBase {
     assert(e.getMessage != null)
   }
 
+  test("a non-numeric id column is rejected loudly (silent null-cast would de-determinize)") {
+    val s = spark; import s.implicits._
+    val bad = Seq(("a", Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ivf.train(bad, "vec_id", "embedding", nCells = 1)
+    }
+    assert(e.getMessage.contains("numeric id"))
+  }
+
   test("duplicate-heavy corpus with more cells than distinct vectors still trains") {
     val s = spark; import s.implicits._
     val dup = Seq.tabulate(6)(i => (i.toLong, Seq(1.0, 0.0, 0.0)))
