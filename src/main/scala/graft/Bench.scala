@@ -57,10 +57,20 @@ object Bench {
         // stdout is only the few [bench-one] lines.
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val p = pb.start()
-        val out = new String(p.getInputStream.readAllBytes())
+        // Drain stdout on a daemon thread: a blocking readAllBytes here
+        // would never reach the waitFor timeout, so a wedged forked
+        // query would hang the whole bench instead of falling back.
+        val outBuf = new java.io.ByteArrayOutputStream()
+        val drain = new Thread(() =>
+          try p.getInputStream.transferTo(outBuf)
+          catch { case _: Throwable => () })
+        drain.setDaemon(true)
+        drain.start()
         val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
         if (!done) { p.destroyForcibly(); None }
         else {
+          drain.join(10000)
+          val out = outBuf.toString
           val Rep = """\[bench-one\] \S+ rep\d+ rows=\d+ ([0-9.]+) s""".r
           val reps = Rep.findAllMatchIn(out).map(_.group(1).toDouble).toSeq
           if (p.exitValue() == 0 && reps.size == 3) Some(reps) else None

@@ -91,6 +91,14 @@ object AsOfJoin {
     require(payload.nonEmpty, "need at least one payload column")
     val keys = leftKeys.indices.map(i => s"__k$i")
     val fills = payload.indices.map(i => s"__p$i")
+    // reject inputs whose columns collide with the synthesized working
+    // columns or the asof_* outputs — an ambiguous name would otherwise
+    // bind arbitrarily inside the window sort (same guard discipline as
+    // IntervalJoin)
+    val internal = (keys ++ fills ++ Seq("__t", "__side", "__tb", "__rt",
+      "__is_left")).toSet ++ payload.map(p => s"asof_$p")
+    val clash = (left.columns.toSet ++ right.columns.toSet) & internal
+    require(clash.isEmpty, s"column name collision with as-of internals: $clash")
     val leftSide = if (inclusive) 1 else 0
     val tbType = right.schema(rightTiebreak).dataType
     val rtType = right.schema(rightTime).dataType

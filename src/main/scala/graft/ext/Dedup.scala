@@ -192,7 +192,10 @@ object Dedup {
     * that stalls the analyzer long before the data is big. Convergence
     * is detected by an (edge-count, sum(u), sum(v)) signature — one
     * 3-long-row action per round, a bounded planning decision like AQE
-    * stats. Fails loudly (not silently wrong) if `maxIter` rounds don't
+    * stats — CONFIRMED by an exact set-equality check when the signature
+    * matches (signatures can collide between distinct edge sets; the
+    * exact check is paid once, at the true fixpoint). Fails loudly (not
+    * silently wrong) if `maxIter` rounds don't
     * converge; near-dup graphs converge in a handful (log² of the
     * largest cluster). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
@@ -205,7 +208,8 @@ object Dedup {
       .localCheckpoint()
     def signature(e: DataFrame): (Long, Long, Long) = {
       val r = e.agg(count(lit(1)),
-        coalesce(sum("u"), lit(0L)), coalesce(sum("v"), lit(0L))).head()
+        coalesce(sum(col("u").cast("long")), lit(0L)),
+        coalesce(sum(col("v").cast("long")), lit(0L))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     var sig = signature(edges)
@@ -233,7 +237,13 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       val next = signature(ss)
-      converged = next == sig
+      // The signature is only a FAST-PATH hint: two different edge sets
+      // can share (count, sum(u), sum(v)). Convergence is confirmed by
+      // exact set equality (both sides are distinct, counts are equal
+      // when the signatures match, so an empty except ⇒ same set) —
+      // paid only when signatures collide, normally once at the true
+      // fixpoint.
+      converged = next == sig && ss.exceptAll(edges).isEmpty
       sig = next
       edges = ss
       iter += 1

@@ -42,9 +42,27 @@ object IntervalJoin {
     val clash = (points.columns.toSet & intervals.columns.toSet) --
       pointKeys.zip(intervalKeys).collect { case (p, i) if p == i => p }
     require(clash.isEmpty, s"column name collision: $clash")
+    // exact-matching contract ⇒ exact bucketing: a double-based
+    // floor(v/w) rounds the 53-bit mantissa first and can misplace
+    // values >= 2^53 (hash-derived positions, nano epochs) by a bucket,
+    // silently losing pairs — so the domain is integral and buckets are
+    // computed with exact long floor-division
+    for ((df, c) <- Seq(points -> pointCol, intervals -> loCol,
+        intervals -> hiCol)) {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      require(Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(c).dataType),
+        s"pointInInterval needs integral domain columns, got " +
+          s"${df.schema(c).dataType.sql} for $c")
+    }
 
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") / lit(bucketWidth.toDouble)).cast("long")
+    def bucketOf(c: org.apache.spark.sql.Column) = {
+      val v = c.cast("long")
+      // v - pmod(v, w) is the greatest multiple of w <= v (floor), and
+      // being exactly divisible makes truncating integral `div` == the
+      // exact quotient — pure long arithmetic, no double rounding
+      call_function("div", v - pmod(v, lit(bucketWidth)), lit(bucketWidth))
+    }
 
     val p = points.withColumn("__b", bucketOf(col(pointCol))).alias("__pt")
     val i = intervals

@@ -272,12 +272,19 @@ object Ivf {
                   idCol: String, vecCol: String, k: Int,
                   nProbe: Int): DataFrame = {
     val model = load(spark, s"$path/model")
-    val probes = queries.select(col(idCol).as("query_id"),
+    // resolve the probe pairs ONCE (bounded: |queries| × nProbe rows —
+    // the query set is a probe set by contract) and reuse the collected
+    // result for both the partition prune and the candidate join, so
+    // the nearestCells pass over the queries runs a single time
+    val probesPlan = queries.select(col(idCol).as("query_id"),
       explode(VectorExpressions.nearestCells(
         col(vecCol).cast("array<double>"), model.asSeq, nProbe)).as("cell"))
-    val qCells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val collected = probesPlan.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), probesPlan.schema)
+    val qCells = collected.map(_.getInt(1)).distinct.toIndexedSeq
     val corpus = spark.read.parquet(s"$path/data")
-      .where(col("cell").isin(qCells.toIndexedSeq: _*))
+      .where(col("cell").isin(qCells: _*))
     val cands = corpus.select(col(idCol).as("neighbor_id"), col("cell"))
       .join(broadcast(probes), "cell")
       .where(col("query_id") =!= col("neighbor_id"))

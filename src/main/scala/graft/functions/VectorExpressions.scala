@@ -442,8 +442,10 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]],
   * map-side single pass is the 100 TB shape — the equivalent
   * explode → groupBy(doc, word) shuffles the entire corpus's words.
   * Splitting/lowering/trimming mirror `regexp_split_to_array(
-  * trim(lower(text)), '\s+')` exactly (space-only trim, shared
-  * Java/RE2 `\s` class) so a DuckDB oracle can restate the counts. */
+  * trim(lower(text)), '\s+')` exactly: space-only trim, and the split
+  * class is RE2's `\s` = [\t\n\f\r ] spelled out LITERALLY — Java's
+  * `\s` also matches vertical tab (\x0B), which RE2's does not, so
+  * using Java `\s` would silently diverge from the oracle on \x0B. */
 case class RepetitionStats(child: Expression)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -470,7 +472,7 @@ case class RepetitionStats(child: Expression)
     if (t.isEmpty)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array.fill(5)(0L))
-    val ws = t.split("\\s+")
+    val ws = t.split("[\t\n\f\r ]+") // RE2's \s, NOT Java's (see scaladoc)
     val wc = new java.util.HashMap[String, Long]()
     var i = 0
     while (i < ws.length) { wc.merge(ws(i), 1L, _ + _); i += 1 }

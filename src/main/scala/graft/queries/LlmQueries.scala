@@ -137,14 +137,15 @@ object LlmQueries {
       .orderBy("cell")
 
   /** Session-scoped written IVF index (one write per session+sf, like
-    * the other materializing caches; temp dir cleaned on JVM exit). */
+    * the other materializing caches; the temp dir is recursively deleted
+    * on JVM exit by [[CdcQueries.tempSinkDir]]'s shutdown hook —
+    * `File.deleteOnExit` would silently skip a non-empty directory). */
   private val sharedIvfIndex =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   private def ivfIndexDir(spark: SparkSession, sfDir: String): String =
     sharedIvfIndex.getOrElseUpdate((spark, sfDir), {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index")
-      dir.toFile.deleteOnExit()
+      val dir = CdcQueries.tempSinkDir("graft-ivf-index")
       Ivf.writeIndex(emb(spark, sfDir), "embedding",
         ivfModel(spark, sfDir), dir.toString)
       dir.toString

@@ -104,6 +104,17 @@ class TextStatsSpec extends SparkSpecBase {
     assert(got(5) === ((6L, 0L, 0L, 0L, 0L, 0L, 0.0, 0.0))) // null text → zeros
   }
 
+  test("repetitionStats splits on RE2's \\s class: tab splits, vertical tab does not") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a\tb"),     // tab: two words in both engines
+      (2L, "a\u000Bb")  // vertical tab: ONE token in RE2 (Java \s would split)
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").select("n_words").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(2L, 1L))
+  }
+
   test("cleanText collapses whitespace runs and trims") {
     assert(one[String](TextStats.cleanText(col("text")), "  a\t\tb \n c  ") === "a b c")
     assert(one[String](TextStats.cleanText(col("text")), "") === "")
