@@ -76,6 +76,26 @@ class IntervalJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketing is exact beyond 2^53 (double-cast bucketing lost pairs there)") {
+    val s = spark; import s.implicits._
+    // 2^53 + 1 is not representable as a double: a double-based
+    // floor(v/w) can misplace the point or the interval edge by one
+    // bucket and silently drop the pair
+    val big = (1L << 53) + 1L
+    val p = Seq((1L, "k", big)).toDF("pid", "key", "p")
+    val i = Seq((100L, "k", big - 1L, big + 1L)).toDF("iid", "key", "lo", "hi")
+    val got = IntervalJoin.pointInInterval(p, i, Seq("key"), Seq("key"),
+        "p", "lo", "hi", bucketWidth = 7L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 100L)))
+    // and a non-integral domain is rejected loudly instead of rounding
+    val dbl = Seq((1L, "k", 1.5)).toDF("pid", "key", "p")
+    intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(dbl, i, Seq("key"), Seq("key"),
+        "p", "lo", "hi", bucketWidth = 7L)
+    }
+  }
+
   test("colliding non-key column names are rejected") {
     val s = spark; import s.implicits._
     val p = Seq((1L, 1L)).toDF("x", "p")
