@@ -42,6 +42,15 @@ object IntervalJoin {
     val clash = (points.columns.toSet & intervals.columns.toSet) --
       pointKeys.zip(intervalKeys).collect { case (p, i) if p == i => p }
     require(clash.isEmpty, s"column name collision: $clash")
+    // internal names: "__b" would be silently overwritten by the bucket
+    // column (and re-emitted as bucket values in the output); "__pt"/"__iv"
+    // would capture the dataset aliases. Reject up front, like AsOfJoin.
+    val reserved = Set("__b", "__pt", "__iv")
+    val takenInternal =
+      (points.columns.toSet ++ intervals.columns.toSet) & reserved
+    require(takenInternal.isEmpty,
+      s"column names $takenInternal are reserved internally by " +
+        "pointInInterval; rename them before joining")
     // exact-matching contract ⇒ exact bucketing: a double-based
     // floor(v/w) rounds the 53-bit mantissa first and can misplace
     // values >= 2^53 (hash-derived positions, nano epochs) by a bucket,

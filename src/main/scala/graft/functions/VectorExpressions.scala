@@ -472,7 +472,13 @@ case class RepetitionStats(child: Expression)
     if (t.isEmpty)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array.fill(5)(0L))
-    val ws = t.split("[\t\n\f\r ]+") // RE2's \s, NOT Java's (see scaladoc)
+    // RE2's \s, NOT Java's (see scaladoc). limit = -1 keeps trailing empty
+    // tokens: after the space-only trim, text ending in \t\n\f\r still has a
+    // trailing separator, and DuckDB's regexp_split_to_array emits the empty
+    // token after it ("a b\t" -> [a, b, ""]). Java's default limit-0 split
+    // drops trailing empties only (leading already match), so limit -1 is
+    // required for oracle parity.
+    val ws = t.split("[\t\n\f\r ]+", -1)
     val wc = new java.util.HashMap[String, Long]()
     var i = 0
     while (i < ws.length) { wc.merge(ws(i), 1L, _ + _); i += 1 }

@@ -107,13 +107,26 @@ object LlmQueries {
   /** Session-scoped shared IVF model: both registered IVF queries probe
     * the SAME trained quantizer (training is deterministic, so this is a
     * pure compute cache — same putIfAbsent race rule as the shared
-    * normalize/pair caches; Model is a plain value, nothing persisted). */
+    * normalize/pair caches; Model is a plain value, nothing persisted).
+    * WEAKLY keyed by the session: the values here hold no session
+    * reference (centroid arrays / a dir string), so a weak key lets
+    * closed sessions be collected instead of being retained for the JVM
+    * lifetime (the DataFrame-valued caches in [[CdcQueries]] can't
+    * benefit from this — their values are themselves session-bound). */
   private val sharedIvfModel =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Ivf.Model]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Ivf.Model]]()
 
-  private def ivfModel(spark: SparkSession, sfDir: String): Ivf.Model =
-    sharedIvfModel.getOrElseUpdate((spark, sfDir),
+  private def ivfModel(spark: SparkSession, sfDir: String): Ivf.Model = {
+    val perSession = sharedIvfModel.synchronized {
+      sharedIvfModel.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, Ivf.Model])
+    }
+    // thunk may run twice under a race; training is deterministic pure
+    // compute, so last-write-wins is safe (same rule as the other caches)
+    perSession.getOrElseUpdate(sfDir,
       Ivf.train(emb(spark, sfDir), "vec_id", "embedding", nCells = 16))
+  }
 
   /** IVF-Flat approximate top-k (the data-adapted ANN scale path, vs the
     * data-independent LSH twin). nProbe=4 of 16 cells = a 4× nominal
@@ -141,15 +154,21 @@ object LlmQueries {
     * on JVM exit by [[CdcQueries.tempSinkDir]]'s shutdown hook —
     * `File.deleteOnExit` would silently skip a non-empty directory). */
   private val sharedIvfIndex =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
 
-  private def ivfIndexDir(spark: SparkSession, sfDir: String): String =
-    sharedIvfIndex.getOrElseUpdate((spark, sfDir), {
+  private def ivfIndexDir(spark: SparkSession, sfDir: String): String = {
+    val perSession = sharedIvfIndex.synchronized {
+      sharedIvfIndex.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, String])
+    }
+    perSession.getOrElseUpdate(sfDir, {
       val dir = CdcQueries.tempSinkDir("graft-ivf-index")
       Ivf.writeIndex(emb(spark, sfDir), "embedding",
         ivfModel(spark, sfDir), dir.toString)
       dir.toString
     })
+  }
 
   /** The SERVING path: top-k against the written cell-partitioned
     * index — the probe reads only the probed partition directories

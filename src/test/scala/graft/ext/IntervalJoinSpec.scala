@@ -107,6 +107,26 @@ class IntervalJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("reserved internal names (__b, __pt, __iv) in either input are rejected") {
+    val s = spark; import s.implicits._
+    // an input column named __b would be silently replaced by the bucket
+    // column and re-emitted as bucket values — reject instead
+    val pBad = Seq((1L, "k", 3L, 9L)).toDF("pid", "key", "p", "__b")
+    val i = Seq((100L, "k", 0L, 5L)).toDF("iid", "key", "lo", "hi")
+    val e1 = intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(pBad, i, Seq("key"), Seq("key"),
+        "p", "lo", "hi", 10L)
+    }
+    assert(e1.getMessage.contains("__b"))
+    val p = Seq((1L, "k", 3L)).toDF("pid", "key", "p")
+    val iBad = Seq((100L, "k", 0L, 5L, 1L)).toDF("iid", "key", "lo", "hi", "__iv")
+    val e2 = intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(p, iBad, Seq("key"), Seq("key"),
+        "p", "lo", "hi", 10L)
+    }
+    assert(e2.getMessage.contains("__iv"))
+  }
+
   test("plan: equi-join on (key, bucket), no nested loop, no cartesian") {
     val s = spark; import s.implicits._
     val p = Seq((1L, "a", 10L)).toDF("pid", "k", "p")

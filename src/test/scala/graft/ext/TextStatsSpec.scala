@@ -115,6 +115,29 @@ class TextStatsSpec extends SparkSpecBase {
     assert(got.toSeq === Seq(2L, 1L))
   }
 
+  test("repetitionStats keeps trailing empty tokens, matching DuckDB regexp_split_to_array") {
+    val s = spark; import s.implicits._
+    // trim() is space-only in both engines, so text ending in \t\n\f\r keeps
+    // its trailing separator and DuckDB emits an empty token after it:
+    //   "a b\t" -> [a, b, ""]   "\ta b" -> ["", a, b]   "\t" -> ["", ""]
+    // (behavior confirmed against DuckDB directly). Java's default split
+    // drops trailing empties; the kernel uses limit -1 to match.
+    val docs = Seq(
+      (1L, "a b\t"),   // trailing tab: 3 words ("" once), bigrams "a b", "b "
+      (2L, "\ta b"),   // leading tab: 3 words (already matched pre-fix)
+      (3L, "\t"),      // bare tab survives space-trim: ["", ""] -> "" x2
+      (4L, "a b \t ")  // space-trim eats the outer space; "\t" run remains
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got(0) === ((1L, 3L, 1L, 0L, 2L, 1L)))
+    assert(got(1) === ((2L, 3L, 1L, 0L, 2L, 1L)))
+    assert(got(2) === ((3L, 2L, 2L, 2L, 1L, 1L)))
+    assert(got(3) === ((4L, 3L, 1L, 0L, 2L, 1L)))
+  }
+
   test("cleanText collapses whitespace runs and trims") {
     assert(one[String](TextStats.cleanText(col("text")), "  a\t\tb \n c  ") === "a b c")
     assert(one[String](TextStats.cleanText(col("text")), "") === "")
