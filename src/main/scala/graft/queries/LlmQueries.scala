@@ -181,6 +181,131 @@ object LlmQueries {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
 
+  // --------------------------------------------------------------------
+  // Driver-gated recall / parity rows for the probabilistic ANN family.
+  //
+  // The approximate queries themselves are rows-only under the driver
+  // gate (DuckDB cannot run the seeded LSH planes / trained centroids /
+  // xxhash64 minhash). Their outputs ARE deterministic — driver-side
+  // seeded planes, deterministic training samples, fixed tie-breaks — so
+  // these companion queries put the guarantee the scalatests assert
+  // under the driver's hash gate too: each one joins the approximate
+  // result against its exact, already-oracle-green baseline IN SPARK and
+  // emits the overlap counts. The oracle recomputes the exact side live
+  // and pins the deterministic approximate side per scale factor (the
+  // honest limit of what DuckDB can restate; a changed seed, plane
+  // family, or tie-break shows up as a hash mismatch).
+  // --------------------------------------------------------------------
+
+  /** Overlap of an approximate top-k result with the exact baseline on
+    * (query_id, neighbor_id): total exact rows, how many the approximate
+    * search recovered, and recall. The division is two exact BIGINTs in
+    * IEEE double — bit-identical across engines, no rounding needed. */
+  private def topKRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id").as("__aq"), col("neighbor_id").as("__an"))
+    exact.select("query_id", "neighbor_id")
+      .join(a, col("query_id") === col("__aq") && col("neighbor_id") === col("__an"),
+        "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"),
+        count(col("__aq")).as("n_hit"))
+      .select(col("n_queries"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+  }
+
+  /** Recall@5 of the recall-preset LSH top-k ([[cosineTopKLsh]]) against
+    * the exact baseline ([[cosineTopK]]). */
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame =
+    topKRecall(cosineTopK(spark, sfDir), cosineTopKLsh(spark, sfDir))
+
+  /** Recall@5 of the SCALE-preset LSH top-k — low on this isotropic
+    * corpus BY DESIGN (see [[cosineTopKLshScale]]); the pinned value is
+    * the regression guard on the prune behavior itself. */
+  def lshScaleRecall(spark: SparkSession, sfDir: String): DataFrame =
+    topKRecall(cosineTopK(spark, sfDir), cosineTopKLshScale(spark, sfDir))
+
+  /** Recall@5 of IVF-Flat (nProbe=4 of 16) against the exact baseline. */
+  def ivfRecall(spark: SparkSession, sfDir: String): DataFrame =
+    topKRecall(cosineTopK(spark, sfDir), cosineTopKIvf(spark, sfDir))
+
+  /** Serving-path parity: the written cell-partitioned IVF index must
+    * return EXACTLY the in-memory probe's rows — same neighbor at the
+    * same rank with the same rounded similarity. `n_mismatch = 0` is the
+    * SQL-expressible core of the oracle (no per-sf pin needed); the row
+    * counts are `5 × |queries|`, recomputed live by the oracle. */
+  def ivfIndexedParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val mem = cosineTopKIvf(spark, sfDir)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("__mn"),
+        col("sim").as("__ms"))
+    val idx = cosineTopKIvfIndexed(spark, sfDir)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("__in"),
+        col("sim").as("__is"))
+    mem.join(idx, Seq("query_id", "rank"), "full_outer")
+      .agg(
+        count(col("__mn")).as("n_memory"),
+        count(col("__in")).as("n_indexed"),
+        count(when(col("__mn").isNull || col("__in").isNull ||
+          col("__mn") =!= col("__in") || col("__ms") =!= col("__is"), 1))
+          .as("n_mismatch"))
+  }
+
+  /** Recall of MinHash-LSH near-dup pairs against the exact Jaccard
+    * pairs ([[nearDupJaccard]], oracle-green). MinHash verifies its
+    * candidates exactly, so its pairs are a SUBSET of the exact ones:
+    * `n_spurious = 0` is SQL-expressible; the recovered count is pinned. */
+  def minhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = nearDupJaccard(spark, sfDir).select("id_a", "id_b")
+    val mh = minhashNearDup(spark, sfDir)
+      .select(col("id_a").as("__ma"), col("id_b").as("__mb"))
+    exact.join(mh,
+        col("id_a") === col("__ma") && col("id_b") === col("__mb"), "full_outer")
+      .agg(
+        count(when(col("id_a").isNotNull, 1)).as("n_exact"),
+        count(when(col("id_a").isNotNull && col("__ma").isNotNull, 1)).as("n_found"),
+        count(when(col("id_a").isNull, 1)).as("n_spurious"))
+      .select(col("n_exact"), col("n_found"), col("n_spurious"),
+        (col("n_found").cast("double") / col("n_exact").cast("double")).as("recall"))
+  }
+
+  /** SimHash blocking parity: the pigeonhole-blocked near-dup pairs must
+    * equal the brute-force Hamming-ball pairs EXACTLY (blocking is
+    * lossless within the ball — every pair within `maxHamming` bits
+    * shares at least one of the `maxHamming + 1` blocks, and candidates
+    * verify exactly). The brute-force side is an all-pairs check harness
+    * — quadratic BY DESIGN, the in-Spark oracle for the blocked path,
+    * never a production shape (the blocked path is the 100 TB one). Both
+    * symmetric-difference counts are 0, SQL-expressible with no pins. */
+  def simhashParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Dedup.simhash(docs(spark, sfDir), "doc_id", "text")
+    val blocked = Dedup.simhashNearDups(fps, "doc_id", maxHamming = 3)
+      .select(col("id_a").as("__ba"), col("id_b").as("__bb"))
+    val a = fps.select(col("doc_id").as("id_a"), col("simhash").as("__sa"))
+    val b = fps.select(col("doc_id").as("id_b"), col("simhash").as("__sb"))
+    val brute = a.crossJoin(b)
+      .where(col("id_a") < col("id_b") &&
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))) <= 3)
+      .select("id_a", "id_b")
+    brute.join(blocked,
+        col("id_a") === col("__ba") && col("id_b") === col("__bb"), "full_outer")
+      .agg(
+        count(when(col("id_a").isNotNull, 1)).as("n_brute"),
+        count(when(col("__ba").isNotNull, 1)).as("n_blocked"),
+        count(when(col("id_a").isNull || col("__ba").isNull, 1)).as("n_mismatch"))
+  }
+
+  /** LSH prune observability under the driver gate: the candidate
+    * fraction of the recall preset (4 planes × 32 tables) for the
+    * registered query set. Deterministic given the seeded plane family;
+    * `n_possible` is recomputed live by the oracle, `n_candidates` is
+    * pinned per scale factor. A drifting value means the plane family,
+    * bucketing kernel, or dedup discipline changed. */
+  def lshCandidateStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = emb(spark, sfDir)
+    Similarity.candidateFraction(all, all.where(col("vec_id") < 20),
+      "vec_id", "embedding", nPlanes = 4, tables = 32)
+  }
+
   /** Embedding hygiene stats (the pass a pipeline runs before indexing:
     * norm distribution, zero vectors, value range). Scalar outputs via
     * the codegen dot kernel; rounded like the similarity surface. */
@@ -261,6 +386,27 @@ object LlmQueries {
       expr("percentile(n_chars, 0.5)").as("p50"),
       expr("percentile(n_chars, 0.9)").as("p90"),
       expr("percentile(n_chars, 0.99)").as("p99"),
+      count(lit(1)).as("n_docs"))
+    .orderBy("lang")
+
+  /** The 100 TB twin of [[docsLengthQuantiles]]: `approx_percentile`
+    * (KLL-sketch family, mergeable, bounded memory per group) with a
+    * rank-error accuracy knob of 1e4 → observed rank within ±0.01% of
+    * the requested quantile. WHEN TO USE WHICH: the exact `percentile`
+    * map is right for bounded integer domains (doc lengths, token
+    * counts — the map size is the number of DISTINCT values, not rows);
+    * on continuous or unbounded domains (scores, latencies, floats) the
+    * value→count map grows with cardinality and the sketch is the only
+    * shape that survives scale. Rows-only under the driver gate: the
+    * sketch's picked elements are implementation-specific, so DuckDB's
+    * `approx_quantile` (t-digest) agrees only to within error bounds —
+    * the exact twin stays the hash gate; the error bound vs the exact
+    * quantiles is asserted in the scalatest. */
+  def docsLengthQuantilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).groupBy("lang").agg(
+      expr("approx_percentile(n_chars, 0.5, 10000)").cast("double").as("p50"),
+      expr("approx_percentile(n_chars, 0.9, 10000)").cast("double").as("p90"),
+      expr("approx_percentile(n_chars, 0.99, 10000)").cast("double").as("p99"),
       count(lit(1)).as("n_docs"))
     .orderBy("lang")
 
