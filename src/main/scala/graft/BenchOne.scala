@@ -23,6 +23,7 @@ object BenchOne {
     val spark = SparkSessions.local(cpus)
     val fn = SparkEntry.queries(name)
     if (sys.env.contains("GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
+    if (sys.env.contains("GRAFT_SHOW")) fn(spark, sfDir).show(100, false)
     val minWarm = sys.env.getOrElse("GRAFT_WARMUP", "0").toInt
     val maxWarm = sys.env.getOrElse("GRAFT_MAX_WARMUP", minWarm.toString).toInt
     var prev = -1.0

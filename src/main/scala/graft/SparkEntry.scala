@@ -100,6 +100,10 @@ object SparkEntry {
     "llm_minhash_recall"       -> (LlmQueries.minhashRecall _),
     "llm_simhash_parity"       -> (LlmQueries.simhashParity _),
     "llm_lsh_candidate_stats"  -> (LlmQueries.lshCandidateStats _),
+    "llm_cosine_neardup_recall" -> (LlmQueries.cosineNearDupRecall _),
+    "llm_cosine_neardup_scale_recall" -> (LlmQueries.cosineNearDupScaleRecall _),
+    "llm_ivf_cells_checksum"   -> (LlmQueries.ivfCellsChecksum _),
+    "llm_winnow_checksum"      -> (LlmQueries.winnowChecksum _),
     // --- text analysis
     "text_stats_per_lang"      -> (LlmQueries.textStatsPerLang _),
     "text_quality"             -> (LlmQueries.textQuality _),
@@ -148,6 +152,17 @@ object SparkEntry {
       |SELECT query_id, neighbor_id, sim, rank FROM ranked
       |WHERE rank <= 5""".stripMargin
 
+  /** Exact all-pairs cosine near-dup ground truth at threshold 0.35 —
+    * the live exact side of the cosine near-dup recall oracles (fully
+    * SQL-expressible at the registered corpus sizes; quadratic by
+    * design, it is a check harness, not a production shape). */
+  private val ExactCosinePairsSql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |        round(list_cosine_similarity(a.e, b.e), 6) AS sim
+      |      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35""".stripMargin
+
   /** Exact n-gram Jaccard pairs (no presentation sort) — the
     * llm_neardup_jaccard oracle body, also the live exact side of the
     * minhash recall oracle. */
@@ -180,6 +195,8 @@ object SparkEntry {
   private val SfDiscriminatorSql = "SELECT count(*) FROM lineitem"
 
   private val PinLsh01 = 98L
+  private val PinNearDup01 = 3830L
+  private val PinNearDupScale01 = 128L
   private val PinLshScale01 = 1L
   private val PinIvf01 = 64L
   private val PinMinhash01 = 256L
@@ -659,6 +676,41 @@ object SparkEntry {
       Seq(6000L -> 65L, 60000L -> 55L, 600000L -> PinIvf01), nQueries = true),
     "llm_minhash_recall" -> recallOracle(JaccardPairsSql, SfDiscriminatorSql,
       Seq(6000L -> 28L, 60000L -> 25L, 600000L -> PinMinhash01), nQueries = false),
+    // Near-dup recall rows: at the registered corpus sizes the exact
+    // all-pairs cosine ground truth IS SQL-expressible, so the oracle
+    // recomputes the whole denominator live; only the deterministic
+    // LSH-found count is pinned (found pairs verify with the identical
+    // rounded sim expression, hence n_spurious = 0 by construction).
+    "llm_cosine_neardup_recall" -> recallOracle(ExactCosinePairsSql,
+      SfDiscriminatorSql,
+      Seq(6000L -> 234L, 60000L -> 254L, 600000L -> PinNearDup01),
+      nQueries = false),
+    "llm_cosine_neardup_scale_recall" -> recallOracle(ExactCosinePairsSql,
+      SfDiscriminatorSql,
+      Seq(6000L -> 11L, 60000L -> 10L, 600000L -> PinNearDupScale01),
+      nQueries = false),
+    // IVF occupancy checksum: the partition-function invariant
+    // (every vector in exactly one cell) is live; the used-cell count
+    // and largest inverted list are centroid-deterministic → pinned.
+    "llm_ivf_cells_checksum" ->
+      s"""SELECT CAST(16 AS BIGINT) AS n_cells_used,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_assigned,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN 41 WHEN 60000 THEN 43 WHEN 600000 THEN 142
+         |  END AS BIGINT) AS largest_cell""".stripMargin,
+    // Winnowing checksum: n_docs live (every doc yields a fingerprint);
+    // totals deterministic given the rolling-hash constants → pinned.
+    "llm_winnow_checksum" ->
+      s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN 55606 WHEN 60000 THEN 54050 WHEN 600000 THEN 539043
+         |  END AS BIGINT) AS total_fingerprints,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN 200 WHEN 60000 THEN 206 WHEN 600000 THEN 212
+         |  END AS BIGINT) AS max_per_doc,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN 28 WHEN 60000 THEN 26 WHEN 600000 THEN 456
+         |  END AS BIGINT) AS n_shared_pairs""".stripMargin,
     // Serving-path parity: fully SQL-expressible — the written IVF index
     // must return exactly the in-memory probe's rows (5 per query), so
     // the mismatch count is the constant 0, no per-sf pin required.

@@ -254,19 +254,8 @@ object LlmQueries {
     * pairs ([[nearDupJaccard]], oracle-green). MinHash verifies its
     * candidates exactly, so its pairs are a SUBSET of the exact ones:
     * `n_spurious = 0` is SQL-expressible; the recovered count is pinned. */
-  def minhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val exact = nearDupJaccard(spark, sfDir).select("id_a", "id_b")
-    val mh = minhashNearDup(spark, sfDir)
-      .select(col("id_a").as("__ma"), col("id_b").as("__mb"))
-    exact.join(mh,
-        col("id_a") === col("__ma") && col("id_b") === col("__mb"), "full_outer")
-      .agg(
-        count(when(col("id_a").isNotNull, 1)).as("n_exact"),
-        count(when(col("id_a").isNotNull && col("__ma").isNotNull, 1)).as("n_found"),
-        count(when(col("id_a").isNull, 1)).as("n_spurious"))
-      .select(col("n_exact"), col("n_found"), col("n_spurious"),
-        (col("n_found").cast("double") / col("n_exact").cast("double")).as("recall"))
-  }
+  def minhashRecall(spark: SparkSession, sfDir: String): DataFrame =
+    pairRecall(nearDupJaccard(spark, sfDir), minhashNearDup(spark, sfDir))
 
   /** SimHash blocking parity: the pigeonhole-blocked near-dup pairs must
     * equal the brute-force Hamming-ball pairs EXACTLY (blocking is
@@ -305,6 +294,71 @@ object LlmQueries {
     Similarity.candidateFraction(all, all.where(col("vec_id") < 20),
       "vec_id", "embedding", nPlanes = 4, tables = 32)
   }
+
+  /** All-pairs exact cosine pairs over the corpus at `threshold` — the
+    * in-Spark ground truth for the near-dup recall rows. Quadratic BY
+    * DESIGN: this is a check harness (the production path is the
+    * LSH-bucketed [[cosineNearDup]]), sized for the registered corpora
+    * (2000 vectors at sf0.1 → 2M scored pairs), never a 100 TB shape.
+    * The rounded sim expression is byte-identical to the verified one,
+    * so the LSH-found pairs are a strict subset of this set. */
+  private def exactCosinePairs(spark: SparkSession, sfDir: String,
+                               threshold: Double): DataFrame = {
+    val v = emb(spark, sfDir)
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("__va"),
+      Similarity.l2(col("embedding")).as("__na"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("__vb"),
+      Similarity.l2(col("embedding")).as("__nb"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("__va").cast("array<double>"),
+          col("__vb").cast("array<double>")) /
+          (col("__na") * col("__nb")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** Overlap of a found pair set with the exact one on (id_a, id_b):
+    * shared shape of the pair-recall rows ([[minhashRecall]] and the
+    * cosine near-dup recalls). */
+  private def pairRecall(exact: DataFrame, found: DataFrame): DataFrame =
+    exact.select("id_a", "id_b")
+      .join(found.select(col("id_a").as("__fa"), col("id_b").as("__fb")),
+        col("id_a") === col("__fa") && col("id_b") === col("__fb"), "full_outer")
+      .agg(
+        count(when(col("id_a").isNotNull, 1)).as("n_exact"),
+        count(when(col("id_a").isNotNull && col("__fa").isNotNull, 1)).as("n_found"),
+        count(when(col("id_a").isNull, 1)).as("n_spurious"))
+      .select(col("n_exact"), col("n_found"), col("n_spurious"),
+        (col("n_found").cast("double") / col("n_exact").cast("double")).as("recall"))
+
+  /** Recall of the LSH-bucketed near-dup pairs ([[cosineNearDup]], the
+    * 100 TB production shape) against the all-pairs exact ground truth —
+    * the exact side is fully SQL-expressible, so the oracle recomputes
+    * it live; only the deterministic found-count is pinned. */
+  def cosineNearDupRecall(spark: SparkSession, sfDir: String): DataFrame =
+    pairRecall(exactCosinePairs(spark, sfDir, 0.35),
+      cosineNearDup(spark, sfDir))
+
+  /** Recall of the SCALE-preset near-dup pairs (12×8, the prune that
+    * prunes) against the same exact ground truth: LOW on this isotropic
+    * corpus by design — the pinned value is the regression guard on the
+    * prune itself (see [[cosineNearDupScale]]). */
+  def cosineNearDupScaleRecall(spark: SparkSession, sfDir: String): DataFrame =
+    pairRecall(exactCosinePairs(spark, sfDir, 0.35),
+      cosineNearDupScale(spark, sfDir).where(col("is_neardup")))
+
+  /** IVF occupancy checksum under the driver gate: every corpus vector
+    * is assigned to exactly one cell (`n_assigned` equals the corpus
+    * count — live in the oracle), the used-cell count and the largest
+    * inverted list are deterministic given the trained centroids
+    * (pinned). The full per-cell histogram stays rows-only in
+    * [[ivfCellStats]]; this row makes its invariants hash-visible. */
+  def ivfCellsChecksum(spark: SparkSession, sfDir: String): DataFrame =
+    Ivf.cellStats(emb(spark, sfDir), "embedding", ivfModel(spark, sfDir))
+      .agg(
+        count(lit(1)).as("n_cells_used"),
+        sum("n_vectors").as("n_assigned"),
+        max("n_vectors").as("largest_cell"))
 
   /** Embedding hygiene stats (the pass a pipeline runs before indexing:
     * norm distribution, zero vectors, value range). Scalar outputs via
@@ -510,6 +564,24 @@ object LlmQueries {
     Winnowing.sharedFingerprintPairs(docs(spark, sfDir), "doc_id", "text",
         k = 24, w = 4, minShared = 4, maxDf = 200)
       .orderBy("id_a", "id_b")
+
+  /** Winnowing checksum under the driver gate: every document yields at
+    * least one fingerprint (so `n_docs` is live in the oracle); the
+    * fingerprint totals and the shared-pair count are deterministic
+    * given the rolling-hash constants (pinned per scale factor). The
+    * per-doc histogram and the pair list stay rows-only in
+    * [[winnowFingerprints]] / [[winnowSharedPairs]]; this row makes a
+    * changed hash constant, window, or df-cap a visible hash mismatch. */
+  def winnowChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Winnowing.fingerprints(docs(spark, sfDir), "doc_id", "text")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_fp").as("total_fingerprints"),
+        max("n_fp").as("max_per_doc"))
+    val pairs = winnowSharedPairs(spark, sfDir)
+      .agg(count(lit(1)).as("n_shared_pairs"))
+    fps.crossJoin(pairs)
+  }
 
   /** Embedding-cosine near-duplicate pairs (LSH candidates + exact
     * verify; recall property covered by scalatest, rows-only here). */
