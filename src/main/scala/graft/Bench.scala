@@ -33,8 +33,9 @@ object Bench {
       * queries swing 2-3× ACROSS medians because accumulated JIT/GC/
       * shuffle state from the 50 preceding queries leaks into them —
       * median-of-3 in the shared JVM cannot damp that. A forked JVM runs
-      * [[BenchOne]] with one untimed warmup (its own C2 compilation,
-      * amortized inside the fork) + 3 timed reps on an otherwise-quiet
+      * [[BenchOne]] with ADAPTIVE untimed warmup — in practice 2-4 reps,
+      * because steadiness requires two consecutive warmup timings within
+      * 1.25× (the cap is 4) — then 3 timed reps on an otherwise-quiet
       * heap; the classpath/JVM flags are inherited from this process
       * (`run / fork := true` makes java.class.path the real app
       * classpath). Returns all rep times, newest-first ordering
@@ -51,11 +52,12 @@ object Bench {
           Seq("-cp", System.getProperty("java.class.path"),
             "graft.BenchOne", name, sfDir)
         val pb = new ProcessBuilder(cmd.asJava)
-        // Adaptive warmup (min 1, up to 4): BENCH_r07 showed 3-4× rep
-        // spread inside one fork when the machine is contended — extra
-        // warmup reps absorb C2/shuffle-service drift until two
-        // consecutive warmups agree within 1.25×, and only then do the
-        // timed reps start (see BenchOne's scaladoc).
+        // Adaptive warmup (2-4 reps in practice — steadiness needs two
+        // consecutive timings, so the configured min of 1 always grows
+        // to at least 2; cap 4): BENCH_r07 showed 3-4× rep spread
+        // inside one fork when the machine is contended — warmup reps
+        // continue until two consecutive ones agree within 1.25×, and
+        // only then do the timed reps start (see BenchOne's scaladoc).
         pb.environment().put("GRAFT_WARMUP", "1")
         pb.environment().put("GRAFT_MAX_WARMUP", "4")
         pb.environment().put("GRAFT_REPS", "3")

@@ -57,25 +57,32 @@ object Dedup {
     * frequency above `maxDf` (sacrifices recall only for pairs whose ONLY
     * common shingle is near-universal — at a sane threshold those pairs
     * are far below it anyway). */
+  /** The df-cap applied to a shingle stream — shared by the exact
+    * [[jaccardPairs]] and the MinHash verify path so the two sides of
+    * the recall gate cap IDENTICALLY (an uncapped verify against a
+    * capped exact side would let a hot-shingle corpus produce pairs the
+    * exact side excludes, breaking the subset property structurally).
+    * Window count, not agg+join-back: ONE shuffle on shingle (which the
+    * inverted-index self-joins need anyway, so the partitioning is
+    * reused) instead of a second scan + join of the full shingle
+    * stream. The count is per-partition after the shuffle; no
+    * driver-side or broadcast state, so an adversarial corpus with MANY
+    * hot shingles still streams. */
+  private def cappedShingles(sh: DataFrame, idCol: String,
+                             maxDf: Long): DataFrame =
+    if (maxDf == Long.MaxValue) sh
+    else {
+      import org.apache.spark.sql.expressions.Window
+      sh.withColumn("__df",
+          count(lit(1)).over(Window.partitionBy("shingle")))
+        .where(col("__df") <= maxDf)
+        .select(col(idCol), col("shingle"))
+    }
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Long = Long.MaxValue): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-    val filtered =
-      if (maxDf == Long.MaxValue) sh
-      else {
-        // Window count, not agg+join-back: ONE shuffle on shingle (which
-        // the inverted-index self-join below needs anyway, so the
-        // partitioning is reused) instead of a second scan + join of the
-        // full shingle stream. The count is per-partition after the
-        // shuffle; no driver-side or broadcast state, so an adversarial
-        // corpus with MANY hot shingles still streams.
-        import org.apache.spark.sql.expressions.Window
-        sh.withColumn("__df",
-            count(lit(1)).over(Window.partitionBy("shingle")))
-          .where(col("__df") <= maxDf)
-          .select(col(idCol), col("shingle"))
-      }
+    val filtered = cappedShingles(shingles(docs, idCol, textCol, n), idCol, maxDf)
     val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = filtered.select(col(idCol).as("id_a"), col("shingle"))
     val b = filtered.select(col(idCol).as("id_b"), col("shingle"))
@@ -125,15 +132,20 @@ object Dedup {
 
   /** End-to-end MinHash-LSH near-dup: candidates from banded LSH, then
     * exact-Jaccard verification of ONLY the candidates (the verify join is
-    * proportional to candidate count, not n²). */
+    * proportional to candidate count, not n²). `maxDf` caps the shingle
+    * stream exactly like [[jaccardPairs]]' cap (same helper), so a
+    * capped exact baseline and this verify agree on the Jaccard of
+    * every pair — the found set is a STRUCTURAL subset of the capped
+    * exact set, the invariant the `llm_minhash_recall` gate pins. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 16, rows: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxDf: Long = Long.MaxValue): DataFrame = {
     // No persist here: this function only BUILDS a plan (a persist would
     // be unpersisted before the caller ever runs an action, caching
     // nothing). The repeated shingle subtrees below shuffle on the same
     // keys, so AQE's ReusedExchange deduplicates the physical scans.
-    val sh = shingles(docs, idCol, textCol, n)
+    val sh = cappedShingles(shingles(docs, idCol, textCol, n), idCol, maxDf)
     val cands = minhashCandidates(minhashSignatures(sh, idCol, bands * rows),
       idCol, bands, rows)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))

@@ -37,6 +37,14 @@ object Similarity {
     sqrt(dot(ad, ad))
   }
 
+  /** THE similarity score of the whole module: rounded (1e-6) cosine
+    * from precomputed norms. Every ranking, verification, and exact
+    * baseline uses this one expression, which is what makes "found ⊆
+    * exact" claims structural: two sides scoring the same pair compute
+    * the identical double. */
+  private def pairSim(va: Column, na: Column, vb: Column, nb: Column): Column =
+    round(dot(va.cast("array<double>"), vb.cast("array<double>")) / (na * nb), 6)
+
   /** Exact brute-force top-k neighbors for each query vector.
     *
     * Scale shape: the QUERY side is broadcast by default (queries are the
@@ -60,9 +68,7 @@ object Similarity {
       l2(col(vecCol)).as("__qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       l2(col(vecCol)).as("__cn"))
-    val sim = round(
-      dot(col("__qv").cast("array<double>"), col("__cv").cast("array<double>")) /
-        (col("__qn") * col("__cn")), 6)
+    val sim = pairSim(col("__qv"), col("__qn"), col("__cv"), col("__cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
     val w = Window.partitionBy("query_id")
@@ -156,9 +162,7 @@ object Similarity {
     val qv = if (broadcastQueries) broadcast(qv0) else qv0
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       l2(col(vecCol)).as("__cn"))
-    val sim = round(
-      dot(col("__qv").cast("array<double>"), col("__cv").cast("array<double>")) /
-        (col("__qn") * col("__cn")), 6)
+    val sim = pairSim(col("__qv"), col("__qn"), col("__cv"), col("__cn"))
     val scored = cands.join(qv, "query_id").join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
     val w = Window.partitionBy("query_id")
@@ -219,8 +223,27 @@ object Similarity {
       l2(col(vecCol)).as("__nb"))
     cands.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
-        round(dot(col("__va").cast("array<double>"), col("__vb").cast("array<double>")) /
-          (col("__na") * col("__nb")), 6).as("sim"))
+        pairSim(col("__va"), col("__na"), col("__vb"), col("__nb")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** All-pairs exact cosine pairs at `threshold` — the ground truth the
+    * near-dup recall gates compare [[cosineNearDups]] against. Scores
+    * every pair with the SAME [[pairSim]] expression the verified path
+    * uses, so the found pairs are a structural subset of this set (the
+    * `n_spurious = 0` oracle invariant cannot drift apart from the
+    * verify expression). Quadratic BY DESIGN: a check harness sized for
+    * test corpora, never a production shape — the production path is
+    * the LSH-bucketed [[cosineNearDups]]. */
+  def exactCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val va = vectors.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      l2(col(vecCol)).as("__na"))
+    val vb = vectors.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      l2(col(vecCol)).as("__nb"))
+    va.crossJoin(vb).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        pairSim(col("__va"), col("__na"), col("__vb"), col("__nb")).as("sim"))
       .where(col("sim") >= threshold)
   }
 }

@@ -51,7 +51,7 @@ object LlmQueries {
     // 32×2 banding admitted ~8% of ALL pairs as candidates and made
     // verification quadratic-ish at sf0.1.
     Dedup.minhashNearDups(docs(spark, sfDir), "doc_id", "text", n = 3,
-        bands = 16, rows = 4, threshold = 0.12)
+        bands = 16, rows = 4, threshold = 0.12, maxDf = JaccardMaxDf)
       .orderBy("id_a", "id_b")
 
   /** SimHash fingerprints (rows-only check: xxhash64 seeds are
@@ -295,27 +295,15 @@ object LlmQueries {
       "vec_id", "embedding", nPlanes = 4, tables = 32)
   }
 
-  /** All-pairs exact cosine pairs over the corpus at `threshold` — the
-    * in-Spark ground truth for the near-dup recall rows. Quadratic BY
-    * DESIGN: this is a check harness (the production path is the
-    * LSH-bucketed [[cosineNearDup]]), sized for the registered corpora
-    * (2000 vectors at sf0.1 → 2M scored pairs), never a 100 TB shape.
-    * The rounded sim expression is byte-identical to the verified one,
-    * so the LSH-found pairs are a strict subset of this set. */
+  /** In-Spark ground truth for the near-dup recall rows:
+    * [[Similarity.exactCosinePairs]] over the registered corpus (2000
+    * vectors at sf0.1 → 2M scored pairs — a check harness, never a
+    * 100 TB shape; it shares the verify expression with the LSH path,
+    * making the subset property structural). */
   private def exactCosinePairs(spark: SparkSession, sfDir: String,
-                               threshold: Double): DataFrame = {
-    val v = emb(spark, sfDir)
-    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("__va"),
-      Similarity.l2(col("embedding")).as("__na"))
-    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("__vb"),
-      Similarity.l2(col("embedding")).as("__nb"))
-    a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(Similarity.dot(col("__va").cast("array<double>"),
-          col("__vb").cast("array<double>")) /
-          (col("__na") * col("__nb")), 6).as("sim"))
-      .where(col("sim") >= threshold)
-  }
+                               threshold: Double): DataFrame =
+    Similarity.exactCosinePairs(emb(spark, sfDir), "vec_id", "embedding",
+      threshold)
 
   /** Overlap of a found pair set with the exact one on (id_a, id_b):
     * shared shape of the pair-recall rows ([[minhashRecall]] and the
@@ -573,11 +561,13 @@ object LlmQueries {
     * [[winnowFingerprints]] / [[winnowSharedPairs]]; this row makes a
     * changed hash constant, window, or df-cap a visible hash mismatch. */
   def winnowChecksum(spark: SparkSession, sfDir: String): DataFrame = {
-    val fps = Winnowing.fingerprints(docs(spark, sfDir), "doc_id", "text")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    // aggregate over the REGISTERED queries themselves, not a parallel
+    // re-derivation: if winnowFingerprints / winnowSharedPairs are ever
+    // re-tuned, this checksum follows them by construction
+    val fps = winnowFingerprints(spark, sfDir)
       .agg(count(lit(1)).as("n_docs"),
-        sum("n_fp").as("total_fingerprints"),
-        max("n_fp").as("max_per_doc"))
+        sum("n_fingerprints").as("total_fingerprints"),
+        max("n_fingerprints").as("max_per_doc"))
     val pairs = winnowSharedPairs(spark, sfDir)
       .agg(count(lit(1)).as("n_shared_pairs"))
     fps.crossJoin(pairs)
