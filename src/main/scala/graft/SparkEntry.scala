@@ -45,6 +45,7 @@ object SparkEntry {
     "q18_large_orders"         -> (RelationalQueries.q18LargeOrders _),
     "events_audience_sets"     -> (RelationalQueries.eventsAudienceSets _),
     "events_approx_distinct"   -> (RelationalQueries.eventsApproxDistinct _),
+    "events_approx_distinct_check" -> (RelationalQueries.eventsApproxDistinctCheck _),
     "q17_avg_yearly"           -> (RelationalQueries.q17AvgYearly _),
     "q1_rollup"                -> (RelationalQueries.q1Rollup _),
     "q1_cube"                  -> (RelationalQueries.q1Cube _),
@@ -281,6 +282,22 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // HLL++ drift gate: estimates are deterministic for fixed data/rsd
+    // (hash-bucketed, no RNG) → pinned per sf; exact sums + type count
+    // recomputed live. The error-bound property lives in SketchSpec.
+    "events_approx_distinct_check" ->
+      s"""WITH ex AS (SELECT event_type, count(DISTINCT value) AS ev,
+         |              count(DISTINCT user_id) AS eu
+         |            FROM events GROUP BY event_type)
+         |SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_types,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN 986 WHEN 60000 THEN 8973 WHEN 600000 THEN 49084
+         |  END AS BIGINT) AS sum_approx_values,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN 75 WHEN 60000 THEN 750 WHEN 600000 THEN 7470
+         |  END AS BIGINT) AS sum_approx_users,
+         |  (SELECT CAST(sum(ev) AS BIGINT) FROM ex) AS sum_exact_values,
+         |  (SELECT CAST(sum(eu) AS BIGINT) FROM ex) AS sum_exact_users""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
         |  count(*) AS n_events,

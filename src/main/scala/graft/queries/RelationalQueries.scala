@@ -369,6 +369,29 @@ object RelationalQueries {
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
       .orderBy("event_type")
 
+  /** The HLL++ sketch under the driver gate: joins the estimates
+    * ([[eventsApproxDistinct]]) against the exact distinct counts in
+    * Spark and emits both sums in one row. Spark's HLL++ is
+    * deterministic for fixed data and rsd (no RNG — bucketing is
+    * hash-based), so the estimate sums are pinnable per scale factor;
+    * the exact sums and the type count are live in the oracle. The
+    * error-bound property itself lives in SketchSpec; this row makes an
+    * implementation drift (hash, rsd handling, merge) hash-visible. */
+  def eventsApproxDistinctCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val approx = eventsApproxDistinct(spark, sfDir)
+    val exact = CdcQueries.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("value")).as("__ev"),
+        countDistinct(col("user_id")).as("__eu"))
+    approx.join(exact, "event_type")
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum("approx_values").as("sum_approx_values"),
+        sum("approx_users").as("sum_approx_users"),
+        sum("__ev").as("sum_exact_values"),
+        sum("__eu").as("sum_exact_users"))
+  }
+
   /** TPC-H q17 shape through the SQL path: a CORRELATED scalar subquery
     * (per-part 20%-of-average threshold) that Catalyst decorrelates
     * into an aggregate + equi-join — no per-row re-execution. The
