@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 24g default on the 128 GiB host: 16g left the heavy ANN queries one
+  // major GC away from a 2x rep-time spike in bench forks (observed as
+  // isolated 10s reps amid 4s neighbors); override with SPARK_DRIVER_MEM
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -60,7 +60,13 @@ object Bench {
         // only then do the timed reps start (see BenchOne's scaladoc).
         pb.environment().put("GRAFT_WARMUP", "1")
         pb.environment().put("GRAFT_MAX_WARMUP", "4")
+        // 3 reps normally; if they disagree by >1.5x (a rep caught a
+        // major GC / OS hiccup), BenchOne extends to 5 — all recorded,
+        // median over all, so outliers widen evidence instead of
+        // deciding the headline number
         pb.environment().put("GRAFT_REPS", "3")
+        pb.environment().put("GRAFT_MAX_REPS", "5")
+        pb.environment().put("GRAFT_EXTRA_ON_SPREAD", "1.5")
         // Child stderr (Spark logs) must not fill a pipe and deadlock;
         // stdout is only the few [bench-one] lines.
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -81,7 +87,8 @@ object Bench {
           val out = outBuf.toString
           val Rep = """\[bench-one\] \S+ rep\d+ rows=\d+ ([0-9.]+) s""".r
           val reps = Rep.findAllMatchIn(out).map(_.group(1).toDouble).toSeq
-          if (p.exitValue() == 0 && reps.size == 3) Some(reps) else None
+          // 3 reps normally, up to 5 when BenchOne extended on spread
+          if (p.exitValue() == 0 && reps.size >= 3) Some(reps) else None
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] fork for $name failed: ${e.getMessage}")

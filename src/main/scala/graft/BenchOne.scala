@@ -1,8 +1,10 @@
 package graft
 /** Single-query timing + plan dump: `runMain graft.BenchOne <name> <sfDir>`.
-  * Env knobs: `GRAFT_REPS` timed repetitions (default 1), `GRAFT_WARMUP`
-  * minimum untimed warmup repetitions before the timed ones (default 0),
-  * `GRAFT_MAX_WARMUP` adaptive-warmup cap (default = GRAFT_WARMUP),
+  * Env knobs: `GRAFT_REPS` timed repetitions (default 1), `GRAFT_MAX_REPS`
+  * + `GRAFT_EXTRA_ON_SPREAD` outlier extension (see the timed loop),
+  * `GRAFT_WARMUP` minimum untimed warmup repetitions before the timed
+  * ones (default 0), `GRAFT_MAX_WARMUP` adaptive-warmup cap (default =
+  * GRAFT_WARMUP), `GRAFT_SHOW` to print the result table,
   * `GRAFT_EXPLAIN` to dump the formatted plan first. [[Bench]] forks this
   * main in a fresh JVM for its heavy queries — the machine-parseable
   * `[bench-one] <name> rep<i> rows=<n> <sec> s` line format is its
@@ -40,10 +42,25 @@ object BenchOne {
       // the warmup's garbage must not land on rep1's heap
       System.gc()
     }
-    (1 to sys.env.getOrElse("GRAFT_REPS", "1").toInt).foreach { i =>
+    // Timed reps, with OUTLIER EXTENSION: when the first GRAFT_REPS reps
+    // disagree by more than GRAFT_EXTRA_ON_SPREAD (e.g. one rep caught a
+    // major GC), keep measuring up to GRAFT_MAX_REPS. Every rep is
+    // printed — the consumer sees the full distribution and takes the
+    // median over ALL recorded reps, so this widens the evidence on a
+    // noisy run rather than selecting flattering measurements.
+    val minReps = sys.env.getOrElse("GRAFT_REPS", "1").toInt
+    val maxReps = sys.env.getOrElse("GRAFT_MAX_REPS", minReps.toString).toInt
+    val spreadTol = sys.env.getOrElse("GRAFT_EXTRA_ON_SPREAD", "0").toDouble
+    var times = Vector.empty[Double]
+    var i = 0
+    while (i < minReps || (i < maxReps && spreadTol > 0 &&
+        times.max / times.min > spreadTol)) {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"[bench-one] $name rep$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[bench-one] $name rep${i + 1} rows=$n $dt%.3f s")
+      times :+= dt
+      i += 1
       System.gc()
     }
     spark.stop()
