@@ -105,6 +105,7 @@ object SparkEntry {
     "llm_cosine_neardup_scale_recall" -> (LlmQueries.cosineNearDupScaleRecall _),
     "llm_ivf_cells_checksum"   -> (LlmQueries.ivfCellsChecksum _),
     "llm_winnow_checksum"      -> (LlmQueries.winnowChecksum _),
+    "llm_simhash_checksum"     -> (LlmQueries.simhashChecksum _),
     // --- text analysis
     "text_stats_per_lang"      -> (LlmQueries.textStatsPerLang _),
     "text_quality"             -> (LlmQueries.textQuality _),
@@ -728,6 +729,22 @@ object SparkEntry {
          |  CAST(CASE ($SfDiscriminatorSql)
          |    WHEN 6000 THEN 28 WHEN 60000 THEN 26 WHEN 600000 THEN 456
          |  END AS BIGINT) AS n_shared_pairs""".stripMargin,
+    // SimHash fingerprint checksum: n_docs live; xor/min/max of the
+    // seed-deterministic 64-bit fingerprints pinned per sf.
+    "llm_simhash_checksum" ->
+      s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN 4843820489233471456
+         |    WHEN 60000 THEN 3115557629347205372
+         |    WHEN 600000 THEN -2844038271569729404 END AS BIGINT) AS fp_xor,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN -8943239126811899278
+         |    WHEN 60000 THEN -9029380471571314544
+         |    WHEN 600000 THEN -9177009643977262960 END AS BIGINT) AS fp_min,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN 8962514540629716032
+         |    WHEN 60000 THEN 9106627254795937810
+         |    WHEN 600000 THEN 9214709523272673936 END AS BIGINT) AS fp_max""".stripMargin,
     // Serving-path parity: fully SQL-expressible — the written IVF index
     // must return exactly the in-memory probe's rows (5 per query), so
     // the mismatch count is the constant 0, no per-sf pin required.

@@ -226,7 +226,6 @@ object Dedup {
   def connectedComponentsWithRounds(pairs: DataFrame, idA: String = "id_a",
                                     idB: String = "id_b",
                                     maxIter: Int = 32): (DataFrame, Int) = {
-    val spark = pairs.sparkSession
     var edges = pairs
       .select(greatest(col(idA), col(idB)).as("u"),
         least(col(idA), col(idB)).as("v"))

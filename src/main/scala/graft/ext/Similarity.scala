@@ -234,9 +234,19 @@ object Similarity {
     * `n_spurious = 0` oracle invariant cannot drift apart from the
     * verify expression). Quadratic BY DESIGN: a check harness sized for
     * test corpora, never a production shape — the production path is
-    * the LSH-bucketed [[cosineNearDups]]. */
+    * the LSH-bucketed [[cosineNearDups]]. `maxVectors` makes that
+    * contract LOUD: pointing this at a production corpus fails with a
+    * clear error instead of silently launching an n² cross join (the
+    * count is one cheap action on a harness-sized input; raise the cap
+    * deliberately if a bigger ground truth is really wanted). */
   def exactCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double): DataFrame = {
+                       threshold: Double,
+                       maxVectors: Long = 100000L): DataFrame = {
+    val n = vectors.count()
+    require(n <= maxVectors,
+      s"exactCosinePairs is an all-pairs check harness: got $n vectors " +
+        s"(> $maxVectors cap = ${n * n} scored pairs). Use cosineNearDups " +
+        "for production-scale corpora, or raise maxVectors deliberately.")
     val va = vectors.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       l2(col(vecCol)).as("__na"))
     val vb = vectors.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),

@@ -553,6 +553,22 @@ object LlmQueries {
         k = 24, w = 4, minShared = 4, maxDf = 200)
       .orderBy("id_a", "id_b")
 
+  /** SimHash fingerprint checksum under the driver gate: the 64-bit
+    * fingerprints are deterministic given the xxhash64 seeds, so their
+    * sum and xor are pinnable per scale factor while the doc count is
+    * live. [[simhashParity]] gates the PAIR semantics (blocking ==
+    * brute force); this row pins the fingerprint VALUES, so a hash or
+    * tokenizer drift is visible even when it perturbs both sides of the
+    * parity equally. */
+  def simhashChecksum(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhash(docs(spark, sfDir), "doc_id", "text")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // bit_xor: order-independent, overflow-free, map-side partial
+        expr("bit_xor(simhash)").as("fp_xor"),
+        min(col("simhash")).as("fp_min"),
+        max(col("simhash")).as("fp_max"))
+
   /** Winnowing checksum under the driver gate: every document yields at
     * least one fingerprint (so `n_docs` is live in the oracle); the
     * fingerprint totals and the shared-pair count are deterministic
