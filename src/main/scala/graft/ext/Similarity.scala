@@ -236,22 +236,31 @@ object Similarity {
     * test corpora, never a production shape — the production path is
     * the LSH-bucketed [[cosineNearDups]]. `maxVectors` makes that
     * contract LOUD: pointing this at a production corpus fails with a
-    * clear error instead of silently launching an n² cross join (the
-    * count is one cheap action on a harness-sized input; raise the cap
-    * deliberately if a bigger ground truth is really wanted). */
+    * clear error instead of silently launching an n² cross join. The
+    * guard is IN-PLAN (`raise_error` over a broadcast 1-row count), not
+    * an eager `count()` at build time — building or explaining the plan
+    * stays job-free, and callers that re-build the plan per benchmark
+    * rep don't pay a separate scan per build; the count subquery runs
+    * with the query itself, negligible next to the n² work. Raise the
+    * cap deliberately if a bigger ground truth is really wanted. */
   def exactCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
                        threshold: Double,
                        maxVectors: Long = 100000L): DataFrame = {
-    val n = vectors.count()
-    require(n <= maxVectors,
-      s"exactCosinePairs is an all-pairs check harness: got $n vectors " +
-        s"(> $maxVectors cap = ${n * n} scored pairs). Use cosineNearDups " +
-        "for production-scale corpora, or raise maxVectors deliberately.")
+    val guard = vectors.agg(count(lit(1)).as("__n")).select(
+      when(col("__n") <= maxVectors, lit(true))
+        .otherwise(raise_error(format_string(
+          "exactCosinePairs is an all-pairs check harness: %d vectors " +
+            "-> %d scored pairs exceeds the maxVectors cap %d. Use " +
+            "cosineNearDups for production-scale corpora, or raise " +
+            "maxVectors deliberately.",
+          col("__n"), (col("__n") * (col("__n") - 1) / 2).cast("long"),
+          lit(maxVectors))).cast("boolean")).as("__ok"))
     val va = vectors.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       l2(col(vecCol)).as("__na"))
     val vb = vectors.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       l2(col(vecCol)).as("__nb"))
     va.crossJoin(vb).where(col("id_a") < col("id_b"))
+      .crossJoin(broadcast(guard)).where(col("__ok"))
       .select(col("id_a"), col("id_b"),
         pairSim(col("__va"), col("__na"), col("__vb"), col("__nb")).as("sim"))
       .where(col("sim") >= threshold)

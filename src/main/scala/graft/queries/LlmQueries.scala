@@ -555,19 +555,26 @@ object LlmQueries {
 
   /** SimHash fingerprint checksum under the driver gate: the 64-bit
     * fingerprints are deterministic given the xxhash64 seeds, so their
-    * sum and xor are pinnable per scale factor while the doc count is
-    * live. [[simhashParity]] gates the PAIR semantics (blocking ==
-    * brute force); this row pins the fingerprint VALUES, so a hash or
-    * tokenizer drift is visible even when it perturbs both sides of the
-    * parity equally. */
-  def simhashChecksum(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhash(docs(spark, sfDir), "doc_id", "text")
+    * xor/min/max are pinnable per scale factor (xor because a sum of
+    * 64-bit fingerprints overflows; bit_xor is order-independent and
+    * merges map-side) while the document count is live. `n_docs` counts
+    * ALL documents and `n_fingerprinted` the docs that produced a
+    * fingerprint (token-less docs drop out of [[Dedup.simhash]]'s
+    * token aggregation) — keeping the live oracle column honest instead
+    * of relying on a no-empty-docs fixture invariant.
+    * [[simhashParity]] gates the PAIR semantics (blocking == brute
+    * force); this row pins the fingerprint VALUES, so a hash or
+    * tokenizer drift is visible even when it perturbs both sides of
+    * the parity equally. */
+  def simhashChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = Dedup.simhash(docs(spark, sfDir), "doc_id", "text")
       .agg(
-        count(lit(1)).as("n_docs"),
-        // bit_xor: order-independent, overflow-free, map-side partial
+        count(lit(1)).as("n_fingerprinted"),
         expr("bit_xor(simhash)").as("fp_xor"),
         min(col("simhash")).as("fp_min"),
         max(col("simhash")).as("fp_max"))
+    docs(spark, sfDir).agg(count(lit(1)).as("n_docs")).crossJoin(fp)
+  }
 
   /** Winnowing checksum under the driver gate: every document yields at
     * least one fingerprint (so `n_docs` is live in the oracle); the

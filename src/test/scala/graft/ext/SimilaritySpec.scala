@@ -148,4 +148,25 @@ class SimilaritySpec extends SparkSpecBase {
     val recall = lsh.size.toDouble / truePairs.size
     assert(recall >= 0.9, s"near-dup recall $recall < 0.9 (${lsh.size}/${truePairs.size})")
   }
+
+  test("exactCosinePairs: correct pairs under the cap; over-cap fails loudly in-plan") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.1f)),  // ~0.995 cosine with vec 1
+      (3L, Array(0.0f, 1.0f))   // orthogonal to vec 1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.exactCosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+    // the guard is lazy: plan construction launches no job and throws
+    // nothing; the failure surfaces at EXECUTION with a clear message
+    val guarded = Similarity.exactCosinePairs(vecs, "vec_id", "embedding", 0.9,
+      maxVectors = 2)
+    val e = intercept[Exception] { guarded.count() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("all-pairs check harness")),
+      s"expected the harness-cap error, got: ${messages(e).mkString(" | ")}")
+  }
 }
