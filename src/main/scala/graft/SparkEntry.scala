@@ -118,6 +118,7 @@ object SparkEntry {
     "docs_length_quantiles_approx" -> (LlmQueries.docsLengthQuantilesApprox _),
     "text_vocab_stats"         -> (LlmQueries.vocabStats _),
     "text_clean_stats"         -> (LlmQueries.cleanStats _),
+    "llm_quality_filter"       -> (LlmQueries.qualityFilter _),
     "llm_sample_strata"        -> (LlmQueries.sampleStrata _),
     "llm_pack_stats"           -> (LlmQueries.packStats _),
     // --- multimodal plumbing (stub kernels, real Spark shape)
@@ -138,6 +139,9 @@ object SparkEntry {
   private val PUNCT =
     """round(CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)""" +
       " / CAST(greatest(len(text), 1) AS DOUBLE), 6)"
+  private val STOPW =
+    s"round(CAST(len(list_filter($W, w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)" +
+      s" / CAST(greatest(len($W), 1) AS DOUBLE), 6)"
 
   /** Exact brute-force cosine top-5 (no presentation sort) — the
     * llm_cosine_topk oracle body, also wrapped as the live-recomputed
@@ -811,10 +815,23 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CAST($NWORDS AS BIGINT) AS n_words,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
-         |  round(CAST(len(list_filter($W, w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-         |    / CAST(greatest(len($W), 1) AS DOUBLE), 6) AS stopword_ratio,
+         |  $STOPW AS stopword_ratio,
          |  $MEANWL AS mean_word_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // The composed C4-shaped filter: verdict + FIRST failing rule, the
+    // same decision table as the Spark side (rule order is contract).
+    "llm_quality_filter" ->
+      s"""WITH m AS (SELECT doc_id, CAST($NWORDS AS BIGINT) AS n_words,
+         |             n_chars, $STOPW AS stopword_ratio
+         |           FROM documents),
+         |r AS (SELECT *, CASE WHEN n_words < 20 THEN 'too_short'
+         |                     WHEN n_chars > 450 THEN 'too_long'
+         |                     WHEN stopword_ratio < 0.02 THEN 'low_stopword'
+         |                     ELSE 'ok' END AS reason
+         |      FROM m)
+         |SELECT doc_id, n_words, n_chars, stopword_ratio, reason,
+         |  reason = 'ok' AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "text_quality_score" ->
       s"""SELECT doc_id, $PUNCT AS punct_ratio,
          |  least(CAST(len(text) AS DOUBLE) / 200.0, 1.0) * 0.4

@@ -473,6 +473,30 @@ object LlmQueries {
     TextStats.repetitionStats(docs(spark, sfDir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** The composed quality-filter pass (the C4-shaped keep/drop decision
+    * a corpus pipeline actually runs): per-document verdict + the FIRST
+    * failing rule as the reason, built entirely from the already-gated
+    * quality signals ([[TextStats.nWords]], `n_chars`,
+    * [[TextStats.stopwordRatio]]) so the whole decision table is
+    * hash-checkable in DuckDB. Rule order is part of the contract —
+    * reasons are deterministic because each doc reports the first rule
+    * it fails, not an arbitrary member of the failing set. Thresholds
+    * are corpus-calibrated to exercise every branch at the gated scale
+    * factors. Map-side only: no shuffle, no UDFs. */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+        col("doc_id"),
+        TextStats.nWords(col("text")).cast("long").as("n_words"),
+        col("n_chars"),
+        TextStats.stopwordRatio(col("text")).as("stopword_ratio"))
+      .withColumn("reason",
+        when(col("n_words") < 20, "too_short")
+          .when(col("n_chars") > 450, "too_long")
+          .when(col("stopword_ratio") < 0.02, "low_stopword")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+      .orderBy("doc_id")
+
   /** Corpus vocabulary health numbers (see [[TextStats.vocabStats]]). */
   def vocabStats(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.vocabStats(docs(spark, sfDir), "doc_id", "text")
