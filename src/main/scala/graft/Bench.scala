@@ -98,6 +98,15 @@ object Bench {
     val first = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, timed(name, fn))
     }
+    // The fork phase runs every heavy query in a FRESH 24g JVM while this
+    // parent merely waits — but the parent still holds every DataFrame the
+    // shared caches persisted across the 80+ in-JVM runs, and two 24g
+    // heaps plus page cache is exactly the pressure regime where forked
+    // reps caught 2-3× spikes (standalone forks of the same queries are
+    // tight). Drop the caches and hand the memory back before forking;
+    // the in-JVM fallback path just re-materializes on demand.
+    spark.catalog.clearCache()
+    System.gc()
     // Queries re-timed in a fork REGARDLESS of their in-JVM time:
     // events_sessions drifted 1.02 → 1.46 s across rounds 6-7 purely from
     // in-JVM noise (same plan family; it sat under the 5 s fork line), so

@@ -53,6 +53,7 @@ object BenchOne {
     val spreadTol = sys.env.getOrElse("GRAFT_EXTRA_ON_SPREAD", "0").toDouble
     var times = Vector.empty[Double]
     var i = 0
+    val gcBetweenReps = !sys.env.contains("GRAFT_NO_REP_GC")
     while (i < minReps || (i < maxReps && spreadTol > 0 && times.nonEmpty &&
         times.max / times.min > spreadTol)) {
       val t0 = System.nanoTime()
@@ -61,7 +62,7 @@ object BenchOne {
       println(f"[bench-one] $name rep${i + 1} rows=$n $dt%.3f s")
       times :+= dt
       i += 1
-      System.gc()
+      if (gcBetweenReps) System.gc()
     }
     spark.stop()
   }
