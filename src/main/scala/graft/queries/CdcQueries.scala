@@ -119,6 +119,18 @@ object CdcQueries {
   private val sharedNormalized =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop the session-scoped shared DataFrames so the next caller
+    * re-materializes AND re-persists them. For harnesses that
+    * `clearCache()` mid-run ([[graft.Bench]]'s fork phase): Spark's
+    * clearCache unpersists the plans, but these maps would otherwise
+    * keep serving the now-unpersisted DataFrames, which never
+    * re-register — an in-JVM fallback re-timing would then silently
+    * recompute the full base pipeline on every action. */
+  private[graft] def dropSharedCaches(): Unit = {
+    sharedNormalized.clear()
+    sharedNormalizedDms.clear()
+  }
+
   private def normalizedDebeziumShared(spark: SparkSession, sfDir: String): DataFrame =
     sharedNormalized.get((spark, sfDir)) match {
       case Some(df) => df

@@ -303,9 +303,22 @@ object LlmQueries {
     * caches (the DataFrame value is session-bound, so a weak key buys
     * nothing here). The values stay honest: they ARE
     * [[Similarity.exactCosinePairs]]' output, which shares the verify
-    * expression with the LSH path (subset property structural). */
+    * expression with the LSH path (subset property structural).
+    * TIMING SEMANTICS, deliberate: bench reps of the recall rows
+    * therefore time the verify-join over a materialized ground truth,
+    * not the harness's all-pairs compute — the harness is a CHECK, not
+    * an engine observable, and its cost saying nothing about the
+    * production path is exactly why caching it is fine. */
   private val sharedExactPairs = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Double), DataFrame]
+
+  /** Mirror of [[CdcQueries.dropSharedCaches]] for this object's
+    * DataFrame-valued caches (the IVF model/index caches hold plain
+    * values and on-disk paths — clearCache doesn't invalidate them). */
+  private[graft] def dropSharedCaches(): Unit = {
+    sharedExactPairs.clear()
+    sharedCappedPairs.clear()
+  }
 
   private def exactCosinePairs(spark: SparkSession, sfDir: String,
                                threshold: Double): DataFrame =
