@@ -124,6 +124,9 @@ object SparkEntry {
     // --- multimodal plumbing (stub kernels, real Spark shape)
     "mm_decode_meta"           -> (LlmQueries.mmDecodeMeta _),
     "mm_resize_meta"           -> (LlmQueries.mmResizeMeta _),
+    "mm_image_features"        -> (LlmQueries.mmImageFeatures _),
+    "mm_resize_checksum"       -> (LlmQueries.mmResizeChecksum _),
+    "mm_audio_meta"            -> (LlmQueries.mmAudioMeta _),
     "mm_frame_sample"          -> (LlmQueries.mmFrameSample _),
   )
 
@@ -720,10 +723,15 @@ object SparkEntry {
          |  CAST(CASE ($SfDiscriminatorSql)
          |    WHEN 6000 THEN 41 WHEN 60000 THEN 43 WHEN 600000 THEN 142
          |  END AS BIGINT) AS largest_cell""".stripMargin,
-    // Winnowing checksum: n_docs live (every doc yields a fingerprint);
-    // totals deterministic given the rolling-hash constants → pinned.
+    // Winnowing checksum: n_docs counts ALL documents live; the
+    // fingerprinted-doc count and totals are deterministic given the
+    // rolling-hash constants → pinned (a doc too short for the k=24
+    // window would surface as an n_fingerprinted pin drift).
     "llm_winnow_checksum" ->
       s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN 500 WHEN 60000 THEN 500 WHEN 600000 THEN 5000
+         |  END AS BIGINT) AS n_fingerprinted,
          |  CAST(CASE ($SfDiscriminatorSql)
          |    WHEN 6000 THEN 55606 WHEN 60000 THEN 54050 WHEN 600000 THEN 539043
          |  END AS BIGINT) AS total_fingerprints,
@@ -922,23 +930,55 @@ object SparkEntry {
          |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
          |  score, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-    // mm_decode_meta: documents text is ASCII, so the stub header decode
-    // (first 8 bytes big-endian) is restatable over char codes.
+    // mm_decode_meta: blobs are REAL ImageIO-encoded PNG/BMP bytes whose
+    // format and dimensions are pure functions of doc_id; the oracle
+    // restates the fixture formulas, so a green hash proves the real
+    // encode→header-decode round trip.
     "mm_decode_meta" ->
       """SELECT doc_id,
-        |  CAST(CASE WHEN octet_length(encode(text)) >= 8
-        |    THEN ascii(substr(text,1,1))*16777216 + ascii(substr(text,2,1))*65536
-        |       + ascii(substr(text,3,1))*256 + ascii(substr(text,4,1)) ELSE 0 END AS BIGINT) AS width,
-        |  CAST(CASE WHEN octet_length(encode(text)) >= 8
-        |    THEN ascii(substr(text,5,1))*16777216 + ascii(substr(text,6,1))*65536
-        |       + ascii(substr(text,7,1))*256 + ascii(substr(text,8,1)) ELSE 0 END AS BIGINT) AS height,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CAST(8 + doc_id % 17 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 13 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // mm_resize_meta: the resized blob is 8-byte header (16,16) +
-    // min(payload, 256) bytes; decode reads the header back.
+    // mm_resize_meta: decode → bilinear AffineTransformOp to 16×12 →
+    // re-encode PNG → header-decode; the whole chain must report the
+    // target metadata. Resized PIXELS are pinned by mm_resize_checksum.
     "mm_resize_meta" ->
-      """SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
-        |  CAST(8 + least(greatest(octet_length(encode(text)) - 8, 0), 256) AS BIGINT) AS n_bytes
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm_image_features: exact per-channel pixel sums recomputed from
+    // the fixture pixel formula v=(doc_id*1000003+y*1009+x)%2^24 —
+    // proves the full-raster decode is pixel-perfect for BOTH codecs.
+    "mm_image_features" ->
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 17 AS w, 8 + doc_id % 13 AS h
+        |              FROM documents),
+        |px AS (SELECT doc_id, (doc_id*1000003 + y*1009 + x) % 16777216 AS v
+        |       FROM dims, unnest(generate_series(0, w-1)) AS tx(x),
+        |            unnest(generate_series(0, h-1)) AS ty(y))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pixels,
+        |  CAST(sum(v // 65536) AS BIGINT) AS sum_r,
+        |  CAST(sum((v // 256) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum(v % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mm_resize_checksum gate row: n_docs live; the bilinear-resized
+    // pixel checksum XOR is JDK-deterministic → pinned per sf.
+    "mm_resize_checksum" ->
+      s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_resized,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN -2712053491407801085
+         |    WHEN 60000 THEN -2712053491407801085
+         |    WHEN 600000 THEN -1892458704104904103
+         |  END AS BIGINT) AS resized_xor,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_target_dims""".stripMargin,
+    // mm_audio_meta: real WAV bytes written and header-parsed by
+    // javax.sound.sampled; frames = 800+(doc_id%100)*8 at 8 kHz.
+    "mm_audio_meta" ->
+      """SELECT doc_id, 'wave' AS format, CAST(1 AS BIGINT) AS channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(800 + (doc_id % 100) * 8 AS BIGINT) AS n_frames,
+        |  CAST(100 + doc_id % 100 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
     // mm_frame_sample: mirror the slicing arithmetic (floor, not round —
     // Spark's cast-to-int truncates; DuckDB's rounds).

@@ -628,24 +628,29 @@ object LlmQueries {
     docs(spark, sfDir).agg(count(lit(1)).as("n_docs")).crossJoin(fp)
   }
 
-  /** Winnowing checksum under the driver gate: every document yields at
-    * least one fingerprint (so `n_docs` is live in the oracle); the
-    * fingerprint totals and the shared-pair count are deterministic
-    * given the rolling-hash constants (pinned per scale factor). The
-    * per-doc histogram and the pair list stay rows-only in
-    * [[winnowFingerprints]] / [[winnowSharedPairs]]; this row makes a
-    * changed hash constant, window, or df-cap a visible hash mismatch. */
+  /** Winnowing checksum under the driver gate: `n_docs` counts ALL
+    * documents live (mirroring [[simhashChecksum]] — it does not lean on
+    * the fixture invariant that every doc is long enough for the k=24
+    * window), while `n_fingerprinted`, the fingerprint totals, and the
+    * shared-pair count are deterministic given the rolling-hash
+    * constants (pinned per scale factor). A short/empty doc therefore
+    * shows up as a pin drift in `n_fingerprinted`, not a misleading
+    * live-column mismatch. The per-doc histogram and the pair list stay
+    * rows-only in [[winnowFingerprints]] / [[winnowSharedPairs]]; this
+    * row makes a changed hash constant, window, or df-cap a visible
+    * hash mismatch. */
   def winnowChecksum(spark: SparkSession, sfDir: String): DataFrame = {
     // aggregate over the REGISTERED queries themselves, not a parallel
     // re-derivation: if winnowFingerprints / winnowSharedPairs are ever
     // re-tuned, this checksum follows them by construction
     val fps = winnowFingerprints(spark, sfDir)
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(count(lit(1)).as("n_fingerprinted"),
         sum("n_fingerprints").as("total_fingerprints"),
         max("n_fingerprints").as("max_per_doc"))
     val pairs = winnowSharedPairs(spark, sfDir)
       .agg(count(lit(1)).as("n_shared_pairs"))
-    fps.crossJoin(pairs)
+    docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(fps).crossJoin(pairs)
   }
 
   /** Embedding-cosine near-duplicate pairs (LSH candidates + exact
@@ -670,32 +675,77 @@ object LlmQueries {
       .withColumn("is_neardup", col("sim") >= 0.35)
       .orderBy("id_a", "id_b")
 
-  /** Multimodal metadata decode over synthesized blobs: the documents
-    * text bytes stand in for media payloads (no codecs in this
-    * environment, SURVEY.md §2.8); width/height come from the stub
-    * fixed-header decode inside the real `mapPartitions` plumbing. ASCII
-    * text ⇒ the oracle can restate the header arithmetic over char
-    * codes. */
-  def mmDecodeMeta(spark: SparkSession, sfDir: String): DataFrame = {
-    val blobs = docs(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("blob"))
-    Multimodal.decodeMeta(spark, blobs, "doc_id", "blob")
-      .select(col("doc_id"), col("width").cast("long").as("width"),
-        col("height").cast("long").as("height"), col("n_bytes"))
+  /** Real-image fixture blobs: genuine PNG (even ids) / BMP (odd ids)
+    * bytes encoded by JDK `ImageIO` with dimensions and pixels that are
+    * pure functions of `doc_id` — the SQL-restatable contract the mm_*
+    * oracles recompute ([[Multimodal.pixelValue]]). */
+  private def imageBlobs(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.synthesizeImages(spark, docs(spark, sfDir).select("doc_id"), "doc_id")
+
+  /** Multimodal metadata decode over REAL image bytes: `ImageIO`
+    * header-only probe (format/width/height without raster decode — the
+    * O(1) metadata path for a 100 TB blob scan) inside the
+    * per-partition-batched `mapPartitions` plumbing. The oracle
+    * recomputes the fixture formulas over `doc_id`; a green hash means
+    * the real PNG and BMP encode→decode round trips are exact. */
+  def mmDecodeMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.decodeMeta(spark, imageBlobs(spark, sfDir), "doc_id", "blob")
+      .select(col("doc_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .orderBy("doc_id")
+
+  /** Multimodal resize over REAL image bytes: decode → bilinear
+    * `AffineTransformOp` scale to 16×12 → re-encode PNG → header-decode
+    * back. The live oracle pins the full chain's metadata; the resized
+    * PIXELS are gated by [[mmResizeChecksum]]. */
+  def mmResizeMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val resized = Multimodal.resizeImages(spark, imageBlobs(spark, sfDir),
+      "doc_id", "blob", targetW = 16, targetH = 12)
+    Multimodal.decodeMeta(spark, resized, "doc_id", "blob_resized")
+      .select(col("doc_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
       .orderBy("doc_id")
   }
 
-  /** Multimodal resize: stub-scaled blobs to a 16×16 target — checks the
-    * header rewrite and the size bound (8-byte header + min(payload,
-    * 256) subsampled bytes). The decode of the resized blob must report
-    * the target dimensions — the round-trip a real pipeline relies on. */
-  def mmResizeMeta(spark: SparkSession, sfDir: String): DataFrame = {
-    val blobs = docs(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("blob"))
-    val resized = Multimodal.resizeStub(spark, blobs, "doc_id", "blob", 16, 16)
-    Multimodal.decodeMeta(spark, resized, "doc_id", "blob_resized")
-      .select(col("doc_id"), col("width").cast("long").as("width"),
-        col("height").cast("long").as("height"), col("n_bytes"))
+  /** Real pixel feature extraction: full `ImageIO` raster decode →
+    * exact per-channel sums. Long sums (not doubles) so the DuckDB
+    * oracle recomputes them EXACTLY from the pixel formula — the
+    * hash-gated proof that the codec path is pixel-perfect, not just
+    * header-correct. */
+  def mmImageFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.imageChannelSums(spark, imageBlobs(spark, sfDir), "doc_id", "blob")
+      .select(col("doc_id"), col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy("doc_id")
+
+  /** Resize gate row: `n_docs` live (all documents, crossJoined the
+    * [[simhashChecksum]] way); the XOR of per-image bilinear-resized
+    * pixel checksums and the count of images that decoded are
+    * deterministic for this JDK → pinned per scale factor. A codec,
+    * interpolation, or raster-type drift flips `resized_xor`. */
+  def mmResizeChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    val resized = Multimodal.resizeImages(spark, imageBlobs(spark, sfDir),
+      "doc_id", "blob", targetW = 16, targetH = 12)
+    val sums = Multimodal.imageChecksums(spark, resized, "doc_id", "blob_resized")
+      .agg(count(lit(1)).as("n_resized"),
+        expr("bit_xor(checksum)").as("resized_xor"),
+        sum(when(col("width") === 16 && col("height") === 12, 1L).otherwise(0L))
+          .as("n_target_dims"))
+    docs(spark, sfDir).agg(count(lit(1)).as("n_docs")).crossJoin(sums)
+  }
+
+  /** Real audio metadata: genuine 16-bit mono PCM WAV bytes written by
+    * `javax.sound.sampled.AudioSystem` and header-parsed back
+    * (`getAudioFileFormat` — no sample decode). Frame count
+    * `800 + (doc_id%100)*8` at 8 kHz ⇒ `duration_ms = 100 + doc_id%100`,
+    * the SQL-restatable contract the oracle recomputes. */
+  def mmAudioMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val wavs = Multimodal.synthesizeWavs(spark, docs(spark, sfDir).select("doc_id"), "doc_id")
+    Multimodal.audioMeta(spark, wavs, "doc_id", "blob")
+      .select(col("doc_id"), col("format"),
+        col("channels").cast("long").as("channels"),
+        col("sample_rate"), col("n_frames"), col("duration_ms"))
       .orderBy("doc_id")
   }
 

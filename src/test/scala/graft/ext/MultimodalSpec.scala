@@ -4,31 +4,89 @@ import graft.SparkSpecBase
 
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: the codecs are stubs (none exist in this
-  * environment) but the Spark-side contract — header decode inside
-  * mapPartitions, blob slicing for frame sampling, blob-pruned metadata —
-  * is real and asserted here. */
+/** Multimodal plumbing over REAL JDK codecs: ImageIO PNG/BMP encode →
+  * header probe / raster decode / bilinear resize, and
+  * javax.sound.sampled WAV write → header parse. Video frame sampling
+  * stays a disclosed byte-slicing stub (no JDK video codec). The
+  * Spark-side contract — codec work inside mapPartitions, blob-pruned
+  * metadata, deterministic fixtures — is asserted here. */
 class MultimodalSpec extends SparkSpecBase {
 
-  private def header(w: Int, h: Int, pad: Int): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + pad)
-    bb.putInt(w).putInt(h)
-    bb.array()
+  test("synthesized PNG and BMP bytes decode back to the fixture metadata") {
+    val s = spark; import s.implicits._
+    val ids = Seq(0L, 1L, 2L, 33L, 497L).toDF("doc_id")
+    val blobs = Multimodal.synthesizeImages(spark, ids, "doc_id")
+    val out = Multimodal.decodeMeta(spark, blobs, "doc_id", "blob")
+      .orderBy("doc_id").collect()
+    for (r <- out) {
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("format") === Multimodal.fixtureFormat(id))
+      assert(r.getAs[Int]("width") === Multimodal.fixtureWidth(id))
+      assert(r.getAs[Int]("height") === Multimodal.fixtureHeight(id))
+      assert(r.getAs[Long]("n_bytes") > 0L)
+    }
   }
 
-  test("decodeMeta extracts width/height from the fixed header, n_bytes from the blob") {
+  test("decodeMeta on unrecognisable or empty bytes yields empty format and zero dims") {
     val s = spark; import s.implicits._
-    val df = Seq(
-      (1L, header(640, 480, 100)),
-      (2L, header(1920, 1080, 0)),
-      (3L, Array[Byte](1, 2, 3)) // too short → (0, 0)
-    ).toDF("id", "blob")
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array.empty[Byte]))
+      .toDF("id", "blob")
     val out = Multimodal.decodeMeta(spark, df, "id", "blob").orderBy("id").collect()
-    assert(out(0).getAs[Int]("width") === 640)
-    assert(out(0).getAs[Int]("height") === 480)
-    assert(out(0).getAs[Long]("n_bytes") === 108L)
-    assert(out(1).getAs[Int]("width") === 1920)
-    assert(out(2).getAs[Int]("width") === 0)
+    assert(out.forall(r => r.getAs[String]("format") === "" &&
+      r.getAs[Int]("width") === 0 && r.getAs[Int]("height") === 0))
+  }
+
+  test("imageChannelSums round-trips the pixel formula exactly for both codecs") {
+    val s = spark; import s.implicits._
+    val ids = Seq(4L, 7L) // one png, one bmp
+    val blobs = Multimodal.synthesizeImages(spark, ids.toDF("doc_id"), "doc_id")
+    val out = Multimodal.imageChannelSums(spark, blobs, "doc_id", "blob")
+      .orderBy("doc_id").collect()
+    for ((id, r) <- ids.sorted.zip(out)) {
+      val (w, h) = (Multimodal.fixtureWidth(id), Multimodal.fixtureHeight(id))
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = Multimodal.pixelValue(id, x, y)
+        sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+      }
+      assert(r.getAs[Long]("n_pixels") === w.toLong * h)
+      assert(r.getAs[Long]("sum_r") === sr)
+      assert(r.getAs[Long]("sum_g") === sg)
+      assert(r.getAs[Long]("sum_b") === sb)
+    }
+  }
+
+  test("resizeImages produces decodable PNGs at the target size, deterministically") {
+    val s = spark; import s.implicits._
+    val ids = Seq(10L, 11L).toDF("doc_id")
+    val blobs = Multimodal.synthesizeImages(spark, ids, "doc_id")
+    def run() = Multimodal.imageChecksums(spark,
+      Multimodal.resizeImages(spark, blobs, "doc_id", "blob", 16, 12),
+      "doc_id", "blob_resized").orderBy("doc_id").collect()
+    val a = run(); val b = run()
+    for (r <- a) {
+      assert(r.getAs[Int]("width") === 16)
+      assert(r.getAs[Int]("height") === 12)
+      assert(r.getAs[Long]("checksum") !== 0L)
+    }
+    assert(a.map(_.getAs[Long]("checksum")).toSeq ===
+      b.map(_.getAs[Long]("checksum")).toSeq)
+  }
+
+  test("synthesized WAV bytes parse back to the fixture audio metadata") {
+    val s = spark; import s.implicits._
+    val ids = Seq(0L, 42L, 199L).toDF("doc_id")
+    val wavs = Multimodal.synthesizeWavs(spark, ids, "doc_id")
+    val out = Multimodal.audioMeta(spark, wavs, "doc_id", "blob")
+      .orderBy("doc_id").collect()
+    for (r <- out) {
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("format") === "wave")
+      assert(r.getAs[Int]("channels") === 1)
+      assert(r.getAs[Long]("sample_rate") === 8000L)
+      assert(r.getAs[Long]("n_frames") === 800L + (id % 100) * 8)
+      assert(r.getAs[Long]("duration_ms") === 100L + id % 100)
+    }
   }
 
   test("sampleFrames yields n fixed-width evenly spaced windows per blob") {
@@ -43,22 +101,6 @@ class MultimodalSpec extends SparkSpecBase {
     // first frame starts at the blob head; later frames advance
     assert(frames(0).getAs[Array[Byte]]("frame_bytes")(0) === 0.toByte)
     assert(frames(3).getAs[Array[Byte]]("frame_bytes")(0) !== 0.toByte)
-  }
-
-  test("resizeStub rewrites the header and bounds the payload; decode round-trips") {
-    val s = spark; import s.implicits._
-    val df = Seq(
-      (1L, header(640, 480, 1000)), // large payload → capped at 4*4=16
-      (2L, header(8, 8, 4)),        // small payload → kept whole
-      (3L, Array[Byte](1, 2))       // shorter than a header → empty payload
-    ).toDF("id", "blob")
-    val resized = Multimodal.resizeStub(spark, df, "id", "blob", 4, 4)
-    val meta = Multimodal.decodeMeta(spark, resized, "id", "blob_resized")
-      .orderBy("id").collect()
-    assert(meta.forall(r => r.getAs[Int]("width") === 4 && r.getAs[Int]("height") === 4))
-    assert(meta(0).getAs[Long]("n_bytes") === 8L + 16L)
-    assert(meta(1).getAs[Long]("n_bytes") === 8L + 4L)
-    assert(meta(2).getAs[Long]("n_bytes") === 8L)
   }
 
   test("fakeFeatures is deterministic and fixed-width") {

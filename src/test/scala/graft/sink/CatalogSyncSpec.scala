@@ -22,9 +22,9 @@ class CatalogSyncSpec extends SparkSpecBase {
     var views = Vector.empty[(Seq[String], String)]
     override def publishExternalTable(parts: Seq[String],
                                       location: java.net.URI): Unit =
-      tables :+= (parts, location)
+      tables :+= ((parts, location))
     override def publishView(parts: Seq[String], body: String): Unit =
-      views :+= (parts, body)
+      views :+= ((parts, body))
   }
 
   test("the COW sink publishes each commit's snapshot through the binding") {
