@@ -991,4 +991,36 @@ object SparkEntry {
         |    AS BIGINT) AS frame_len
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
+
+  /** Machine-checkable gate manifest: every registered query WITHOUT an
+    * [[oracleSql]] entry (rows-only — hash-seeded or probabilistic
+    * output DuckDB cannot restate verbatim) maps to the companion gate
+    * query whose oracle-green row carries its correctness: recall rows
+    * recompute the exact ground truth live and pin the deterministic
+    * approximate side; parity rows prove blocked ≡ brute-force;
+    * checksum rows pin the seed-deterministic values themselves.
+    * `GatesManifestSpec` asserts the mapping is total (no rows-only
+    * query ships ungated) and well-formed (every gate target HAS an
+    * oracle); [[Verify]] emits it as `gates.json` so the driver
+    * artifact shows the linkage. */
+  val gates: Map[String, String] = Map(
+    // approx sketches → drift/envelope rows against the exact twin
+    "docs_length_quantiles_approx" -> "docs_length_quantiles",
+    "events_approx_distinct"       -> "events_approx_distinct_check",
+    // sign-LSH family → live-exact-denominator recall rows
+    "llm_cosine_neardup"           -> "llm_cosine_neardup_recall",
+    "llm_cosine_neardup_scale"     -> "llm_cosine_neardup_scale_recall",
+    "llm_cosine_topk_lsh"          -> "llm_lsh_recall",
+    "llm_cosine_topk_lsh_scale"    -> "llm_lsh_scale_recall",
+    // IVF family → recall + serving parity + cell-occupancy checksum
+    "llm_cosine_topk_ivf"          -> "llm_ivf_recall",
+    "llm_cosine_topk_ivf_indexed"  -> "llm_ivf_indexed_parity",
+    "llm_ivf_cells"                -> "llm_ivf_cells_checksum",
+    // minhash/simhash/winnowing → recall, parity, and value checksums
+    "llm_neardup_minhash"          -> "llm_minhash_recall",
+    "llm_simhash_fingerprints"     -> "llm_simhash_checksum",
+    "llm_simhash_neardup"          -> "llm_simhash_parity",
+    "llm_winnow_fingerprints"      -> "llm_winnow_checksum",
+    "llm_winnow_shared_pairs"      -> "llm_winnow_checksum",
+  )
 }

@@ -43,6 +43,12 @@ object Verify {
     // failed dump from a query that never existed.
     Files.writeString(Paths.get(s"$outDir/_manifest.json"),
       selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // Rows-only → gate-query linkage (see SparkEntry.gates scaladoc):
+    // lets the driver artifact show WHICH oracle-green row carries each
+    // no_oracle query's correctness, machine-checkably.
+    Files.writeString(Paths.get(s"$outDir/gates.json"),
+      SparkEntry.gates.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -377,7 +377,7 @@ object CdcQueries {
 
   /** Temp sink roots for the materializing queries, deleted on JVM exit
     * so repeated in-process bench/verify runs don't accumulate tmp dirs. */
-  private[queries] def tempSinkDir(prefix: String): java.nio.file.Path = {
+  private[graft] def tempSinkDir(prefix: String): java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       scala.util.Try {

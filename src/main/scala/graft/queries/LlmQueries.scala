@@ -250,12 +250,59 @@ object LlmQueries {
           .as("n_mismatch"))
   }
 
+  /** Session-scoped shared exact-Jaccard ground truth for
+    * [[minhashRecall]]: the threshold-0.12 df-capped pair set (the
+    * plan [[nearDupJaccard]] registers) persisted once per (session,
+    * sfDir) — the same harness-side materialization rule, and the same
+    * deliberate timing semantics, as [[sharedExactPairs]] for the
+    * cosine recall rows. [[nearDupJaccard]] itself stays UNCACHED so
+    * its bench time keeps measuring the production pipeline. */
+  private val sharedJaccardPairs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def exactJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    sharedJaccardPairs.get((spark, sfDir)) match {
+      case Some(df) => df
+      case None =>
+        val df = Dedup.jaccardPairs(docs(spark, sfDir), "doc_id", "text",
+          n = 3, threshold = 0.12, maxDf = JaccardMaxDf).persist()
+        sharedJaccardPairs.putIfAbsent((spark, sfDir), df) match {
+          case Some(winner) => df.unpersist(); winner
+          case None         => df
+        }
+    }
+
+  /** The found side of [[minhashRecall]], persisted under the same
+    * rule: the production cost of the minhash pipeline is what
+    * `llm_neardup_minhash` (uncached) times; the recall row only needs
+    * its OUTPUT, a few hundred pairs. */
+  private val sharedMinhashPairs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def minhashPairsCached(spark: SparkSession, sfDir: String): DataFrame =
+    sharedMinhashPairs.get((spark, sfDir)) match {
+      case Some(df) => df
+      case None =>
+        val df = Dedup.minhashNearDups(docs(spark, sfDir), "doc_id", "text",
+          n = 3, bands = 16, rows = 4, threshold = 0.12,
+          maxDf = JaccardMaxDf).persist()
+        sharedMinhashPairs.putIfAbsent((spark, sfDir), df) match {
+          case Some(winner) => df.unpersist(); winner
+          case None         => df
+        }
+    }
+
   /** Recall of MinHash-LSH near-dup pairs against the exact Jaccard
-    * pairs ([[nearDupJaccard]], oracle-green). MinHash verifies its
-    * candidates exactly, so its pairs are a SUBSET of the exact ones:
-    * `n_spurious = 0` is SQL-expressible; the recovered count is pinned. */
+    * pairs (the [[nearDupJaccard]] plan, oracle-green). Both sides are
+    * persisted check-harness inputs ([[exactJaccardPairs]] /
+    * [[minhashPairsCached]]) — their production pipelines are timed by
+    * their own registered queries, so the recall row's reps measure the
+    * recall JOIN, not a third recomputation of each pipeline. MinHash
+    * verifies its candidates exactly, so its pairs are a SUBSET of the
+    * exact ones: `n_spurious = 0` is SQL-expressible; the recovered
+    * count is pinned. */
   def minhashRecall(spark: SparkSession, sfDir: String): DataFrame =
-    pairRecall(nearDupJaccard(spark, sfDir), minhashNearDup(spark, sfDir))
+    pairRecall(exactJaccardPairs(spark, sfDir), minhashPairsCached(spark, sfDir))
 
   /** SimHash blocking parity: the pigeonhole-blocked near-dup pairs must
     * equal the brute-force Hamming-ball pairs EXACTLY (blocking is
@@ -317,6 +364,8 @@ object LlmQueries {
     * values and on-disk paths — clearCache doesn't invalidate them). */
   private[graft] def dropSharedCaches(): Unit = {
     sharedExactPairs.clear()
+    sharedJaccardPairs.clear()
+    sharedMinhashPairs.clear()
     sharedCappedPairs.clear()
   }
 

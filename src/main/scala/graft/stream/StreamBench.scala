@@ -1,0 +1,85 @@
+package graft.stream
+
+import graft.cdc.{CdcFormat, SchemaInference, SyncTable}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** End-to-end streaming throughput probe: MemoryStream → JSON normalize
+  * → per-table fan-out → keyed upsert merge, timed over a fixed batch
+  * count — the events/s figure a cluster deployment watches when tuning
+  * `maxOffsetsPerTrigger` (the reference's own guidance,
+  * `/root/reference/README.md:18-19`). Not a correctness row: the
+  * pipeline's semantics are oracle-gated via the `cdc_*` batch queries
+  * and scalatest e2e; this measures the streaming runtime only.
+  *
+  * Workload shape: two tables (fan-out exercised), keyspace smaller
+  * than the event count (updates and latest-per-key conflicts happen),
+  * ~8% deletes (both sink branches run). One untimed warm batch first —
+  * the JSON parser JIT otherwise lands on batch 1.
+  */
+object StreamBench {
+
+  final case class Result(events: Long, batches: Int, sec: Double, eps: Double)
+
+  private def event(table: String, id: Long, v: String, ts: Long, op: String): String =
+    if (op == "d")
+      s"""{"before":{"id":$id,"v":"$v"},"after":null,"source":{"db":"sb_db","table":"$table"},"op":"d","ts_ms":$ts}"""
+    else
+      s"""{"before":null,"after":{"id":$id,"v":"$v"},"source":{"db":"sb_db","table":"$table"},"op":"$op","ts_ms":$ts}"""
+
+  /** Deterministic batch payload: event i of batch b upserts key
+    * `(b*n+i) % keyspace` (so later batches update earlier keys), every
+    * 12th event is a delete. */
+  private def genBatch(b: Long, n: Int, keyspace: Long): Seq[String] =
+    (0 until n).map { i =>
+      val seq = b * n + i
+      val id = math.floorMod(seq * 2654435761L, keyspace)
+      val table = if (id % 2 == 0) "t0" else "t1"
+      val op = if (seq % 12 == 11) "d" else if (seq % 3 == 0) "u" else "c"
+      event(table, id, s"v$seq", ts = seq, op = op)
+    }
+
+  def run(spark: SparkSession, eventsPerBatch: Int, batches: Int): Result = {
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import spark.implicits._
+    val root = graft.queries.CdcQueries.tempSinkDir("graft-sbench-sink").toString
+    val ckpt = graft.queries.CdcQueries.tempSinkDir("graft-sbench-ckpt").toString
+    val cfg = CdcPipelineConfig(
+      format = CdcFormat.MskDebeziumCdc,
+      tables = Seq(SyncTable("sb_db", "t0", "id"), SyncTable("sb_db", "t1", "id")),
+      sinkRoot = root,
+      checkpointDir = ckpt,
+      triggerInterval = "1 second",
+      schemaMode = SchemaInference.Mode.InferAlways)
+    val keyspace = eventsPerBatch.toLong * batches / 4 // ≥4 versions/key on average
+    val input = MemoryStream[String]
+    val p = new CdcPipeline(spark, cfg)
+    val q = p.start(input.toDF())
+    try {
+      input.addData(genBatch(-1L, math.min(2000, eventsPerBatch), keyspace): _*)
+      q.processAllAvailable() // warm batch, untimed
+      val t0 = System.nanoTime()
+      var b = 0
+      while (b < batches) {
+        input.addData(genBatch(b.toLong, eventsPerBatch, keyspace): _*)
+        q.processAllAvailable() // per-batch barrier = trigger semantics
+        b += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val n = eventsPerBatch.toLong * batches
+      Result(n, batches, dt, n / dt)
+    } finally { q.stop(); p.shutdown() }
+  }
+
+  /** Standalone entry: `runMain graft.stream.StreamBench [eventsPerBatch [batches]]`. */
+  def main(args: Array[String]): Unit = {
+    val epb = args.lift(0).map(_.toInt).getOrElse(25000)
+    val nb = args.lift(1).map(_.toInt).getOrElse(6)
+    val spark = graft.SparkSessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val r = run(spark, epb, nb)
+    println(f"[stream-bench] events=${r.events} batches=${r.batches} sec=${r.sec}%.3f eps=${r.eps}%.1f")
+    spark.stop()
+  }
+}
