@@ -70,7 +70,12 @@ final case class CdcPipelineConfig(
       * applies to both layouts: COW syncs an external table, bucketed
       * syncs a per-commit-refreshed view (the reference hive-syncs every
       * table unconditionally, `glue/cdc_hudi.py:190-194`). */
-    bucketedSink: Option[Int] = None)
+    bucketedSink: Option[Int] = None,
+    /** The sink EDGE seam: when set, (root, table, catalog name) →
+      * sink, overriding the built-in COW/bucketed selection — this is
+      * where [[Edges.sinkFactory]] plugs a real Hudi sink in on a
+      * cluster (one config line; see README "Cluster-day swap"). */
+    sinkFactory: Option[(String, SyncTable, Option[String]) => graft.sink.UpsertSink] = None)
 
 final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
 
@@ -95,12 +100,15 @@ final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
   val sinks: Map[String, graft.sink.UpsertSink] = config.tables.map { t =>
     val root = s"${config.sinkRoot}/${t.dbName}/${t.tableName}"
     val catalogName = config.catalogDb.map(db => s"$db.${catalogNameOf(t.id)}")
-    t.id -> (config.bucketedSink match {
-      case Some(n) =>
-        new graft.sink.BucketedUpsertTable(spark, root, t.pkCols, nBuckets = n,
-          catalogTable = catalogName)
-      case None =>
-        new KeyedUpsertTable(spark, root, t.pkCols, catalogTable = catalogName)
+    t.id -> (config.sinkFactory match {
+      case Some(mk) => mk(root, t, catalogName)
+      case None => config.bucketedSink match {
+        case Some(n) =>
+          new graft.sink.BucketedUpsertTable(spark, root, t.pkCols, nBuckets = n,
+            catalogTable = catalogName)
+        case None =>
+          new KeyedUpsertTable(spark, root, t.pkCols, catalogTable = catalogName)
+      }
     })
   }.toMap
 
