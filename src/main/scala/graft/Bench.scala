@@ -118,7 +118,13 @@ object Bench {
     // events_sessions drifted 1.02 → 1.46 s across rounds 6-7 purely from
     // in-JVM noise (same plan family; it sat under the 5 s fork line), so
     // its recorded time now always comes from a quiet forked JVM.
-    val alwaysFork = Set("events_sessions")
+    // llm_neardup_{jaccard,minhash}: llm_minhash_recall (alphabetically
+    // earlier) persists harness caches whose analyzed plans EQUAL these
+    // queries' plans, so Spark's cache manager silently substitutes the
+    // cache into their in-JVM runs (observed 4.4 s → 0.24 s). A fresh
+    // fork has no caches → the recorded time is the production pipeline.
+    val alwaysFork = Set("events_sessions", "llm_neardup_jaccard",
+      "llm_neardup_minhash")
     // Heavy-tail re-time in a FRESH JVM, recording every rep so a judge
     // (or a regression diff) sees the spread, not just the median.
     // Failed forks fall back to the previous in-JVM median-of-3; a query
@@ -142,30 +148,47 @@ object Bench {
     val rs = reps.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // Streaming throughput row (fixed batch count, see StreamBench):
-    // runs AFTER the fork phase so its JVM state can't perturb query
-    // timings; caches were already dropped above. A failure records
-    // eps=-1 rather than losing the whole bench line.
-    val stream =
-      try {
-        val r = graft.stream.StreamBench.run(spark, eventsPerBatch = 25000, batches = 6)
-        f"""{"events":${r.events},"batches":${r.batches},"sec":${r.sec}%.3f,"events_per_sec":${r.eps}%.1f}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
-        """{"events":0,"batches":0,"sec":-1,"events_per_sec":-1}"""
-      }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stream":$stream,"sf":"$sfDir"}"""
-    println(line)
     // The driver captures only the stdout TAIL — BENCH_r08.json lost 43
     // of 89 timings to truncation. Persist the complete line to a file
     // (repo root, next to the driver artifacts) so every round's full
     // query set stays judgeable.
-    try {
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
-      System.err.println(s"[bench] full JSON written to bench_out.json")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
-    }
+    def persist(line: String): Unit =
+      try {
+        java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+        System.err.println(s"[bench] full JSON written to bench_out.json")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+      }
+    def jsonLine(stream: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stream":$stream,"sf":"$sfDir"}"""
+    // Double.toString is locale-independent ('.' decimal always) — the
+    // JSON contract must not go through a default-locale formatter.
+    def num(d: Double): String = (math.rint(d * 1000) / 1000).toString
+    // Persist the query timings BEFORE the stream phase: a hung
+    // streaming query must not forfeit the 90+ timings already earned.
+    val noStream = """{"events":0,"batches":0,"sec":-1,"events_per_sec":-1}"""
+    persist(jsonLine(noStream))
+    // Streaming throughput row (fixed batch count, see StreamBench):
+    // runs AFTER the fork phase so its JVM state can't perturb query
+    // timings; caches were already dropped above. Bounded wait — a
+    // wedged processAllAvailable records eps=-1 instead of hanging the
+    // bench; spark.stop()/JVM exit reaps the abandoned attempt.
+    val stream =
+      try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val r = Await.result(
+          Future(graft.stream.StreamBench.run(spark, eventsPerBatch = 25000, batches = 6)),
+          300.seconds)
+        s"""{"events":${r.events},"batches":${r.batches},"sec":${num(r.sec)},"events_per_sec":${num(r.eps)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
+        noStream
+      }
+    val line = jsonLine(stream)
+    println(line)
+    persist(line)
     spark.stop()
   }
 }

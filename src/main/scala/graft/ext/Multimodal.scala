@@ -109,22 +109,37 @@ object Multimodal {
 
   /** Header-only probe: format name + dimensions WITHOUT decoding the
     * raster — `ImageReader.getWidth(0)` reads only the header, the O(1)
-    * metadata path you want when scanning 100 TB of blobs. */
+    * metadata path you want when scanning 100 TB of blobs.
+    * Unrecognisable OR corrupt bytes (e.g. a valid PNG magic with a
+    * truncated header, which throws from the reader) degrade to
+    * ("", 0, 0) — one bad blob must not fail the stage. */
   def readImageHeader(bytes: Array[Byte]): (String, Int, Int) = {
     if (bytes == null || bytes.length == 0) return ("", 0, 0)
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
-      val readers = ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) ("", 0, 0)
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis, true, true)
-          (r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0))
-        } finally r.dispose()
-      }
-    } finally iis.close()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) ("", 0, 0)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            (r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => ("", 0, 0) }
   }
+
+  /** Full-raster decode with the same degrade contract as
+    * [[readImageHeader]]: null for empty, unrecognisable, or corrupt
+    * bytes (ImageIO.read both returns null AND throws depending on the
+    * failure mode — callers get one rule). */
+  private def readImageOrNull(bytes: Array[Byte]): BufferedImage =
+    if (bytes == null || bytes.length == 0) null
+    else
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
 
   /** Attach real decoded metadata to (id, blob) rows: format, width,
     * height (header-only ImageIO probe — no raster decode), n_bytes.
@@ -156,8 +171,7 @@ object Multimodal {
       .as[(Long, Array[Byte])](enc)
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img = if (bytes == null || bytes.length == 0) null
-                    else ImageIO.read(new ByteArrayInputStream(bytes))
+          val img = readImageOrNull(bytes)
           if (img == null) (id, 0L, 0L, 0L, 0L)
           else {
             var sr = 0L; var sg = 0L; var sb = 0L
@@ -216,8 +230,7 @@ object Multimodal {
       .as[(Long, Array[Byte])](enc)
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val src = if (bytes == null || bytes.length == 0) null
-                    else ImageIO.read(new ByteArrayInputStream(bytes))
+          val src = readImageOrNull(bytes)
           if (src == null) (id, Array.empty[Byte])
           else {
             // AffineTransformOp interpolates poorly from sub-byte /
@@ -253,8 +266,7 @@ object Multimodal {
       .as[(Long, Array[Byte])](enc)
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img = if (bytes == null || bytes.length == 0) null
-                    else ImageIO.read(new ByteArrayInputStream(bytes))
+          val img = readImageOrNull(bytes)
           if (img == null) (id, 0L, 0, 0)
           else (id, pixelChecksum(img), img.getWidth, img.getHeight)
         }

@@ -264,8 +264,10 @@ object LlmQueries {
     sharedJaccardPairs.get((spark, sfDir)) match {
       case Some(df) => df
       case None =>
-        val df = Dedup.jaccardPairs(docs(spark, sfDir), "doc_id", "text",
-          n = 3, threshold = 0.12, maxDf = JaccardMaxDf).persist()
+        // persist the REGISTERED query itself, not a re-derivation of
+        // its literals — a future re-tune of nearDupJaccard then flows
+        // into this gate by construction (the winnowChecksum rule)
+        val df = nearDupJaccard(spark, sfDir).persist()
         sharedJaccardPairs.putIfAbsent((spark, sfDir), df) match {
           case Some(winner) => df.unpersist(); winner
           case None         => df
@@ -283,9 +285,8 @@ object LlmQueries {
     sharedMinhashPairs.get((spark, sfDir)) match {
       case Some(df) => df
       case None =>
-        val df = Dedup.minhashNearDups(docs(spark, sfDir), "doc_id", "text",
-          n = 3, bands = 16, rows = 4, threshold = 0.12,
-          maxDf = JaccardMaxDf).persist()
+        // the REGISTERED query's own plan, same rule as exactJaccardPairs
+        val df = minhashNearDup(spark, sfDir).persist()
         sharedMinhashPairs.putIfAbsent((spark, sfDir), df) match {
           case Some(winner) => df.unpersist(); winner
           case None         => df
@@ -777,7 +778,11 @@ object LlmQueries {
     val resized = Multimodal.resizeImages(spark, imageBlobs(spark, sfDir),
       "doc_id", "blob", targetW = 16, targetH = 12)
     val sums = Multimodal.imageChecksums(spark, resized, "doc_id", "blob_resized")
-      .agg(count(lit(1)).as("n_resized"),
+      .agg(
+        // DECODED images only (width 0 marks an undecodable blob), so a
+        // decode regression shows as n_resized drifting under n_docs —
+        // count(*) would equal n_docs unconditionally and gate nothing
+        count(when(col("width") > 0, 1)).as("n_resized"),
         expr("bit_xor(checksum)").as("resized_xor"),
         sum(when(col("width") === 16 && col("height") === 12, 1L).otherwise(0L))
           .as("n_target_dims"))

@@ -28,11 +28,21 @@ final class HudiUpsertSink(
       "hudi-spark-bundle jar")
 
   /** The write options the reference job sets per table
-    * (`glue/cdc_hudi.py:183-216`), minus Glue specifics. */
+    * (`glue/cdc_hudi.py:183-216`), minus Glue specifics. The payload
+    * class matters for semantic parity: Hudi's DEFAULT payload applies
+    * the precombine field only WITHIN a batch (cross-commit merges are
+    * arrival-order wins), while `DefaultHoodieRecordPayload` + the
+    * ordering field compares incoming vs STORED — the latest-wins-by-
+    * mtime rule [[KeyedUpsertTable.merge]] implements and the reference
+    * sets explicitly (`glue/cdc_hudi.py:195`). Without it a late
+    * out-of-order CDC row would clobber a newer stored row. */
   def writeOptions: Map[String, String] = Map(
     "hoodie.table.name" -> tableName,
     "hoodie.datasource.write.recordkey.field" -> keys.mkString(","),
     "hoodie.datasource.write.precombine.field" -> precombine,
+    "hoodie.datasource.write.payload.class" ->
+      "org.apache.hudi.common.model.DefaultHoodieRecordPayload",
+    "hoodie.payload.ordering.field" -> precombine,
     "hoodie.datasource.write.operation" -> "upsert",
     "hoodie.datasource.write.table.type" -> "COPY_ON_WRITE",
   ) ++ hiveSyncDb.map(db => Map(
@@ -44,10 +54,14 @@ final class HudiUpsertSink(
   override def upsert(batch: DataFrame): Unit =
     batch.write.format("hudi").options(writeOptions).mode("append").save(root)
 
-  override def read(): Option[DataFrame] =
-    if (new java.io.File(root).exists())
-      Some(spark.read.format("hudi").load(root))
-    else None
+  override def read(): Option[DataFrame] = {
+    // existence check through root's OWN filesystem — on a cluster root
+    // is an s3://... or hdfs://... URI, where a local java.io.File
+    // check would be permanently false
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.format("hudi").load(root)) else None
+  }
 }
 
 /** Classpath probes for the optional connector jars — the condition the

@@ -27,13 +27,22 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
-  test("decodeMeta on unrecognisable or empty bytes yields empty format and zero dims") {
+  test("decodeMeta on unrecognisable, empty, or corrupt bytes yields empty format and zero dims") {
     val s = spark; import s.implicits._
-    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array.empty[Byte]))
-      .toDF("id", "blob")
+    // a recognised PNG magic with a truncated header makes the reader
+    // THROW (not return null) — the degrade contract must absorb that
+    val truncatedPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n',
+      0x1a, '\n', 0, 0)
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array.empty[Byte]),
+      (3L, truncatedPng)).toDF("id", "blob")
     val out = Multimodal.decodeMeta(spark, df, "id", "blob").orderBy("id").collect()
+    assert(out.length === 3)
     assert(out.forall(r => r.getAs[String]("format") === "" &&
       r.getAs[Int]("width") === 0 && r.getAs[Int]("height") === 0))
+    // same contract on the full-raster paths: zeros, not a failed stage
+    val sums = Multimodal.imageChannelSums(spark, df, "id", "blob")
+      .orderBy("id").collect()
+    assert(sums.forall(r => r.getAs[Long]("n_pixels") === 0L))
   }
 
   test("imageChannelSums round-trips the pixel formula exactly for both codecs") {
