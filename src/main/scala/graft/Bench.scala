@@ -118,13 +118,15 @@ object Bench {
     // events_sessions drifted 1.02 → 1.46 s across rounds 6-7 purely from
     // in-JVM noise (same plan family; it sat under the 5 s fork line), so
     // its recorded time now always comes from a quiet forked JVM.
-    // llm_neardup_{jaccard,minhash}: llm_minhash_recall (alphabetically
-    // earlier) persists harness caches whose analyzed plans EQUAL these
-    // queries' plans, so Spark's cache manager silently substitutes the
-    // cache into their in-JVM runs (observed 4.4 s → 0.24 s). A fresh
-    // fork has no caches → the recorded time is the production pipeline.
+    // The llm_* production queries here have plans that recall-row
+    // harness caches persist (exactJaccardPairs / minhashPairsCached /
+    // foundPairsCached): Spark's cache manager silently substitutes a
+    // persisted plan into an EQUAL registered plan, faking the in-JVM
+    // time (observed llm_neardup_jaccard 4.4 s → 0.24 s). A fresh fork
+    // has no caches → the recorded time is the production pipeline,
+    // regardless of in-JVM run order.
     val alwaysFork = Set("events_sessions", "llm_neardup_jaccard",
-      "llm_neardup_minhash")
+      "llm_neardup_minhash", "llm_cosine_neardup", "llm_cosine_neardup_scale")
     // Heavy-tail re-time in a FRESH JVM, recording every rep so a judge
     // (or a regression diff) sees the spread, not just the median.
     // Failed forks fall back to the previous in-JVM median-of-3; a query

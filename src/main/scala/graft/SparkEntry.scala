@@ -125,6 +125,7 @@ object SparkEntry {
     "mm_decode_meta"           -> (LlmQueries.mmDecodeMeta _),
     "mm_resize_meta"           -> (LlmQueries.mmResizeMeta _),
     "mm_image_features"        -> (LlmQueries.mmImageFeatures _),
+    "mm_feature_topk"          -> (LlmQueries.mmFeatureTopK _),
     "mm_resize_checksum"       -> (LlmQueries.mmResizeChecksum _),
     "mm_audio_meta"            -> (LlmQueries.mmAudioMeta _),
     "mm_frame_sample"          -> (LlmQueries.mmFrameSample _),
@@ -961,6 +962,33 @@ object SparkEntry {
         |  CAST(sum((v // 256) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum(v % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mm_feature_topk: decode → channel-sum features → cosine top-3.
+    // Fully live: sums are exact integers (< 2^53 products), sqrt and
+    // division are IEEE-correctly-rounded, and both engines evaluate
+    // the same left-associated expression → bit-identical doubles, no
+    // rounding anywhere.
+    "mm_feature_topk" ->
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 17 AS w, 8 + doc_id % 13 AS h
+        |              FROM documents),
+        |px AS (SELECT doc_id, (doc_id*1000003 + y*1009 + x) % 16777216 AS v
+        |       FROM dims, unnest(generate_series(0, w-1)) AS tx(x),
+        |            unnest(generate_series(0, h-1)) AS ty(y)),
+        |f AS (SELECT doc_id,
+        |        CAST(sum(v // 65536) AS DOUBLE) AS r,
+        |        CAST(sum((v // 256) % 256) AS DOUBLE) AS g,
+        |        CAST(sum(v % 256) AS DOUBLE) AS b
+        |      FROM px GROUP BY doc_id),
+        |q AS (SELECT doc_id AS query_id, r AS qr, g AS qg, b AS qb
+        |      FROM f WHERE doc_id < 20),
+        |s AS (SELECT query_id, c.doc_id AS neighbor_id,
+        |        (qr*c.r + qg*c.g + qb*c.b) /
+        |        (sqrt(qr*qr + qg*qg + qb*qb) * sqrt(c.r*c.r + c.g*c.g + c.b*c.b)) AS sim
+        |      FROM q JOIN f c ON c.doc_id <> query_id),
+        |ranked AS (SELECT *, row_number() OVER (
+        |             PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |           FROM s)
+        |SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // mm_resize_checksum gate row: n_docs live; the bilinear-resized
     // pixel checksum XOR is JDK-deterministic → pinned per sf.
     "mm_resize_checksum" ->

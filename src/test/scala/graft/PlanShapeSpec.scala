@@ -111,4 +111,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("graft_sign_projection"), "LSH should use the codegen kernel")
     assert(p.contains("graft_dot"), "scoring should use the codegen dot kernel")
   }
+
+  test("multimodal decode/feature extraction never shuffles the blob") {
+    import graft.ext.Multimodal
+    val ids = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    val blobs = Multimodal.synthesizeImages(spark, ids, "doc_id")
+    // the scaladoc's 100 TB rule: codec work is map-side; metadata and
+    // features leave the partition, the binary column never does
+    for ((nm, df) <- Seq(
+        "decodeMeta" -> Multimodal.decodeMeta(spark, blobs, "doc_id", "blob"),
+        "channelSums" -> Multimodal.imageChannelSums(spark, blobs, "doc_id", "blob"),
+        "checksums" -> Multimodal.imageChecksums(spark, blobs, "doc_id", "blob"),
+        "resize" -> Multimodal.resizeImages(spark, blobs, "doc_id", "blob", 16, 12))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$nm shuffles the blob:\n$p")
+    }
+  }
 }
