@@ -119,8 +119,8 @@ object Bench {
     // in-JVM noise (same plan family; it sat under the 5 s fork line), so
     // its recorded time now always comes from a quiet forked JVM.
     // The llm_* production queries here have plans that recall-row
-    // harness caches persist (exactJaccardPairs / minhashPairsCached /
-    // foundPairsCached): Spark's cache manager silently substitutes a
+    // harness caches persist (LlmQueries.cachedDF persists the
+    // registered queries' own plans): Spark's cache manager substitutes a
     // persisted plan into an EQUAL registered plan, faking the in-JVM
     // time (observed llm_neardup_jaccard 4.4 s → 0.24 s). A fresh fork
     // has no caches → the recorded time is the production pipeline,

@@ -250,48 +250,43 @@ object LlmQueries {
           .as("n_mismatch"))
   }
 
-  /** Session-scoped shared exact-Jaccard ground truth for
-    * [[minhashRecall]]: the threshold-0.12 df-capped pair set (the
-    * plan [[nearDupJaccard]] registers) persisted once per (session,
-    * sfDir) — the same harness-side materialization rule, and the same
-    * deliberate timing semantics, as [[sharedExactPairs]] for the
-    * cosine recall rows. [[nearDupJaccard]] itself stays UNCACHED so
-    * its bench time keeps measuring the production pipeline. */
-  private val sharedJaccardPairs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Session-scoped persisted check-harness inputs, one map for every
+    * recall/gate row's shared side. The rule, everywhere: persist the
+    * REGISTERED query's own plan (a re-tune of the production query
+    * then flows into its gate by construction — the winnowChecksum
+    * rule), keep the production query itself UNCACHED so its bench row
+    * keeps timing the real pipeline, and put any production query whose
+    * plan equals a persisted one in Bench.alwaysFork (the cache manager
+    * substitutes persisted plans into EQUAL plans, faking in-JVM
+    * times). Values are a few hundred pair/summary rows, never
+    * corpus-sized. Compute-then-putIfAbsent: a race loser unpersists
+    * its copy and adopts the winner's. */
+  private val sharedDFs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
 
+  private def cachedDF(key: String, spark: SparkSession, sfDir: String)
+                      (mk: => DataFrame): DataFrame =
+    sharedDFs.get((spark, sfDir, key)) match {
+      case Some(df) => df
+      case None =>
+        val df = mk.persist()
+        sharedDFs.putIfAbsent((spark, sfDir, key), df) match {
+          case Some(winner) => df.unpersist(); winner
+          case None         => df
+        }
+    }
+
+  /** Exact-Jaccard ground truth for [[minhashRecall]]: the
+    * threshold-0.12 df-capped pair set — the plan [[nearDupJaccard]]
+    * registers. */
   private def exactJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
-    sharedJaccardPairs.get((spark, sfDir)) match {
-      case Some(df) => df
-      case None =>
-        // persist the REGISTERED query itself, not a re-derivation of
-        // its literals — a future re-tune of nearDupJaccard then flows
-        // into this gate by construction (the winnowChecksum rule)
-        val df = nearDupJaccard(spark, sfDir).persist()
-        sharedJaccardPairs.putIfAbsent((spark, sfDir), df) match {
-          case Some(winner) => df.unpersist(); winner
-          case None         => df
-        }
-    }
+    cachedDF("exact_jaccard", spark, sfDir)(nearDupJaccard(spark, sfDir))
 
-  /** The found side of [[minhashRecall]], persisted under the same
-    * rule: the production cost of the minhash pipeline is what
-    * `llm_neardup_minhash` (uncached) times; the recall row only needs
-    * its OUTPUT, a few hundred pairs. */
-  private val sharedMinhashPairs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
+  /** The found side of [[minhashRecall]]: `llm_neardup_minhash`
+    * (uncached, alwaysFork) times the production pipeline; the recall
+    * row only needs its OUTPUT, a few hundred pairs. */
   private def minhashPairsCached(spark: SparkSession, sfDir: String): DataFrame =
-    sharedMinhashPairs.get((spark, sfDir)) match {
-      case Some(df) => df
-      case None =>
-        // the REGISTERED query's own plan, same rule as exactJaccardPairs
-        val df = minhashNearDup(spark, sfDir).persist()
-        sharedMinhashPairs.putIfAbsent((spark, sfDir), df) match {
-          case Some(winner) => df.unpersist(); winner
-          case None         => df
-        }
-    }
+    cachedDF("minhash_found", spark, sfDir)(minhashNearDup(spark, sfDir))
 
   /** Recall of MinHash-LSH near-dup pairs against the exact Jaccard
     * pairs (the [[nearDupJaccard]] plan, oracle-green). Both sides are
@@ -343,46 +338,24 @@ object LlmQueries {
       "vec_id", "embedding", nPlanes = 4, tables = 32)
   }
 
-  /** Session-scoped shared exact-cosine ground truth: BOTH near-dup
-    * recall rows compare against the same all-pairs set (2000 vectors
-    * at sf0.1 → 2M scored pairs), so the first caller per (session,
-    * sfDir) materializes it once and the second reuses it — same
-    * compute-then-putIfAbsent race rule as the [[CdcQueries]] shared
-    * caches (the DataFrame value is session-bound, so a weak key buys
-    * nothing here). The values stay honest: they ARE
-    * [[Similarity.exactCosinePairs]]' output, which shares the verify
-    * expression with the LSH path (subset property structural).
-    * TIMING SEMANTICS, deliberate: bench reps of the recall rows
-    * therefore time the verify-join over a materialized ground truth,
-    * not the harness's all-pairs compute — the harness is a CHECK, not
-    * an engine observable, and its cost saying nothing about the
-    * production path is exactly why caching it is fine. */
-  private val sharedExactPairs = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Double), DataFrame]
-
   /** Mirror of [[CdcQueries.dropSharedCaches]] for this object's
     * DataFrame-valued caches (the IVF model/index caches hold plain
     * values and on-disk paths — clearCache doesn't invalidate them). */
-  private[graft] def dropSharedCaches(): Unit = {
-    sharedExactPairs.clear()
-    sharedJaccardPairs.clear()
-    sharedMinhashPairs.clear()
-    sharedFoundPairs.clear()
-    sharedCappedPairs.clear()
-  }
+  private[graft] def dropSharedCaches(): Unit =
+    sharedDFs.clear()
 
+  /** Shared exact-cosine ground truth: BOTH near-dup recall rows
+    * compare against the same all-pairs set (2000 vectors at sf0.1 →
+    * 2M scored pairs); the value IS [[Similarity.exactCosinePairs]]'
+    * output, which shares the verify expression with the LSH path.
+    * TIMING SEMANTICS, deliberate: recall reps time the verify-join
+    * over a materialized ground truth, not the harness's all-pairs
+    * compute — the harness is a CHECK, not an engine observable. */
   private def exactCosinePairs(spark: SparkSession, sfDir: String,
                                threshold: Double): DataFrame =
-    sharedExactPairs.get((spark, sfDir, threshold)) match {
-      case Some(df) => df
-      case None =>
-        val df = Similarity.exactCosinePairs(emb(spark, sfDir), "vec_id",
-          "embedding", threshold).persist()
-        sharedExactPairs.putIfAbsent((spark, sfDir, threshold), df) match {
-          case Some(winner) => df.unpersist(); winner
-          case None         => df
-        }
-    }
+    cachedDF(s"exact_cosine_$threshold", spark, sfDir)(
+      Similarity.exactCosinePairs(emb(spark, sfDir), "vec_id",
+        "embedding", threshold))
 
   /** Overlap of a found pair set with the exact one on (id_a, id_b):
     * shared shape of the pair-recall rows ([[minhashRecall]] and the
@@ -398,35 +371,16 @@ object LlmQueries {
       .select(col("n_exact"), col("n_found"), col("n_spurious"),
         (col("n_found").cast("double") / col("n_exact").cast("double")).as("recall"))
 
-  /** Found sides of the cosine pair-recall rows, persisted under the
-    * same rule as [[minhashPairsCached]]: the recall reps should time
-    * the recall JOIN, not recompute the found pipeline the production
-    * queries already time (their own rows sit in `alwaysFork`, so a
-    * cache-manager substitution of these persisted plans can never
-    * taint their recorded numbers). Keyed by preset; the values ARE the
-    * registered queries' own plans. */
-  private val sharedFoundPairs = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
-
-  private def foundPairsCached(key: String, spark: SparkSession, sfDir: String)
-                              (mk: => DataFrame): DataFrame =
-    sharedFoundPairs.get((spark, sfDir, key)) match {
-      case Some(df) => df
-      case None =>
-        val df = mk.persist()
-        sharedFoundPairs.putIfAbsent((spark, sfDir, key), df) match {
-          case Some(winner) => df.unpersist(); winner
-          case None         => df
-        }
-    }
-
   /** Recall of the LSH-bucketed near-dup pairs ([[cosineNearDup]], the
     * 100 TB production shape) against the all-pairs exact ground truth —
     * the exact side is fully SQL-expressible, so the oracle recomputes
-    * it live; only the deterministic found-count is pinned. */
+    * it live; only the deterministic found-count is pinned. The found
+    * side is the registered query's own plan, persisted via [[cachedDF]]
+    * (`llm_cosine_neardup` sits in `alwaysFork`), so recall reps time
+    * the recall JOIN, not a recompute of the found pipeline. */
   def cosineNearDupRecall(spark: SparkSession, sfDir: String): DataFrame =
     pairRecall(exactCosinePairs(spark, sfDir, 0.35),
-      foundPairsCached("neardup", spark, sfDir)(cosineNearDup(spark, sfDir)))
+      cachedDF("neardup_found", spark, sfDir)(cosineNearDup(spark, sfDir)))
 
   /** Recall of the SCALE-preset near-dup pairs (12×8, the prune that
     * prunes) against the same exact ground truth: LOW on this isotropic
@@ -434,7 +388,7 @@ object LlmQueries {
     * prune itself (see [[cosineNearDupScale]]). */
   def cosineNearDupScaleRecall(spark: SparkSession, sfDir: String): DataFrame =
     pairRecall(exactCosinePairs(spark, sfDir, 0.35),
-      foundPairsCached("neardup_scale", spark, sfDir)(
+      cachedDF("neardup_scale_found", spark, sfDir)(
         cosineNearDupScale(spark, sfDir)).where(col("is_neardup")))
 
   /** IVF occupancy checksum under the driver gate: every corpus vector
@@ -611,26 +565,14 @@ object LlmQueries {
     TextStats.tfIdfTopTerms(docs(spark, sfDir), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
-  /** Session-scoped shared capped pair set (Jaccard ≥ 0.5, df-capped):
-    * [[dedupCorpus]] and [[dedupCc]] consume the IDENTICAL pair plan, so
-    * the first caller per (session, sfDir) runs the shingle self-join
-    * once and persists the (id_a, id_b, jaccard) result — a few rows per
-    * near-dup pair, not a corpus-sized cache. Same compute-then-
-    * putIfAbsent race rule as CdcQueries' shared normalize. */
-  private val sharedCappedPairs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
+  /** Shared capped pair set (Jaccard ≥ 0.5, df-capped): [[dedupCorpus]]
+    * and [[dedupCc]] consume the IDENTICAL pair plan, so the first
+    * caller per (session, sfDir) runs the shingle self-join once and
+    * persists the (id_a, id_b, jaccard) result via [[cachedDF]]. */
   private def cappedPairs(spark: SparkSession, sfDir: String): DataFrame =
-    sharedCappedPairs.get((spark, sfDir)) match {
-      case Some(df) => df
-      case None =>
-        val df = Dedup.jaccardPairs(docs(spark, sfDir), "doc_id", "text",
-          n = 3, threshold = 0.5, maxDf = JaccardMaxDf).persist()
-        sharedCappedPairs.putIfAbsent((spark, sfDir), df) match {
-          case Some(winner) => df.unpersist(); winner
-          case None         => df
-        }
-    }
+    cachedDF("capped_jaccard", spark, sfDir)(
+      Dedup.jaccardPairs(docs(spark, sfDir), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = JaccardMaxDf))
 
   /** The pipeline-terminal dedup: the corpus a training run would
     * actually consume — exact dups collapsed to min-id survivors, then
@@ -823,12 +765,20 @@ object LlmQueries {
     * corpus features never shuffle until the tiny (queries × corpus)
     * sim rows hit the per-query window. */
   def mmFeatureTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val f = Multimodal.imageChannelSums(spark, imageBlobs(spark, sfDir), "doc_id", "blob")
-      .select(col("doc_id"),
-        col("sum_r").cast("double").as("r"),
-        col("sum_g").cast("double").as("g"),
-        col("sum_b").cast("double").as("b"))
-    val q = f.where(col("doc_id") < 20)
+    def features(blobs: DataFrame): DataFrame =
+      Multimodal.imageChannelSums(spark, blobs, "doc_id", "blob")
+        .select(col("doc_id"),
+          col("sum_r").cast("double").as("r"),
+          col("sum_g").cast("double").as("g"),
+          col("sum_b").cast("double").as("b"))
+    val f = features(imageBlobs(spark, sfDir))
+    // The query side filters BEFORE the synthesize/decode
+    // mapPartitions: the codec chain is opaque to Catalyst, so a
+    // post-decode `where` on `f` would re-synthesize and re-decode the
+    // whole corpus just to keep 20 rows. Decoding a doc_id twice (once
+    // per side) is deterministic, so results are identical either way.
+    val q = features(Multimodal.synthesizeImages(spark,
+        docs(spark, sfDir).select("doc_id").where(col("doc_id") < 20), "doc_id"))
       .select(col("doc_id").as("query_id"), col("r").as("qr"),
         col("g").as("qg"), col("b").as("qb"))
     val sim = (col("qr") * col("r") + col("qg") * col("g") + col("qb") * col("b")) /

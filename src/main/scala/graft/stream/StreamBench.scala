@@ -31,12 +31,20 @@ object StreamBench {
   /** Deterministic batch payload: event i of batch b upserts key
     * `(b*n+i) % keyspace` (so later batches update earlier keys), every
     * 12th event is a delete. */
-  private def genBatch(b: Long, n: Int, keyspace: Long): Seq[String] =
+  private[stream] def genBatch(b: Long, n: Int, keyspace: Long): Seq[String] =
     (0 until n).map { i =>
       val seq = b * n + i
       val id = math.floorMod(seq * 2654435761L, keyspace)
       val table = if (id % 2 == 0) "t0" else "t1"
-      val op = if (seq % 12 == 11) "d" else if (seq % 3 == 0) "u" else "c"
+      // floorMod: the warm batch runs at b = -1 (negative seq), where
+      // signed % would NEVER select "d" — a delete-free warm batch under
+      // Mode.Cached caches `before` as StringType (nulls-only inference)
+      // and every delete in the TIMED batches then normalizes to a
+      // null-key row, silently killing the delete path being measured.
+      // For seq ≥ 0 (all timed batches) floorMod ≡ %, so timings and
+      // sink contents are unchanged.
+      val op = if (math.floorMod(seq, 12) == 11) "d"
+               else if (math.floorMod(seq, 3) == 0) "u" else "c"
       event(table, id, s"v$seq", ts = seq, op = op)
     }
 
