@@ -77,24 +77,15 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Hyperplanes are generated DRIVER-SIDE from a seed derived from
-    * (table, plane) — deterministic across executors and runs, baked into
-    * the plan as constants, zero per-row hashing. Seeding by table makes
-    * the LSH tables draw INDEPENDENT hyperplanes (a shared plane prefix
-    * would make later tables' collisions a subset of table 0's — extra
-    * tables would then add zero recall). Gaussian components = the
-    * standard rotation-invariant sign-LSH family. `MaxDim` caps supported
-    * vector width; a WIDER vector raises a clear kernel error (silent
-    * first-MaxDim truncation would degrade buckets invisibly). Shorter
-    * vectors are fine: projecting on the first dim Gaussian components is
-    * distributionally identical to drawing planes at dim. */
-  val MaxDim = 2048
-
-  private def planeFamily(table: Int, nPlanes: Int): Seq[Seq[Double]] =
-    (0 until nPlanes).map { p =>
-      val rnd = new java.util.Random(0x9e3779b97f4a7c15L ^ (table.toLong << 20) ^ p.toLong)
-      Vector.fill(MaxDim)(rnd.nextGaussian())
-    }
+  /** Hyperplanes are derived deterministically from a seed keyed by
+    * (table, plane) — generated once per JVM by
+    * [[graft.functions.LshPlanes]], NEVER carried in the plan (the
+    * expression holds only the two ints; see LshPlanes for the
+    * plan-weight/task-binary rationale). Gaussian components = the
+    * standard rotation-invariant sign-LSH family. `MaxDim` caps
+    * supported vector width; a WIDER vector raises a clear kernel
+    * error, shorter vectors are fine. */
+  val MaxDim: Int = graft.functions.LshPlanes.MaxDim
 
   /** Random-hyperplane LSH bucket key: sign bits of `nPlanes` projections
     * packed into a long, computed by one codegen'd kernel pass.
@@ -102,8 +93,7 @@ object Similarity {
     * vectors are likely neighbors. `table` selects an independent plane
     * family. */
   def lshBucket(vec: Column, nPlanes: Int, table: Int = 0): Column =
-    VectorExpressions.signProjection(vec.cast("array<double>"),
-      planeFamily(table, nPlanes))
+    VectorExpressions.signProjection(vec.cast("array<double>"), table, nPlanes)
 
   /** Approximate top-k: probe only candidates sharing the query's bucket
     * in at least one of `tables` independent LSH tables. At 100 TB the

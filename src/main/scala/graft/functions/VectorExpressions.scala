@@ -28,9 +28,9 @@ object VectorExpressions {
     GraftExpressionBridge.column(DotProduct(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
 
-  def signProjection(vec: Column, planes: Seq[Seq[Double]]): Column =
+  def signProjection(vec: Column, table: Int, nPlanes: Int): Column =
     GraftExpressionBridge.column(
-      SignProjection(GraftExpressionBridge.expression(vec), planes))
+      SignProjection(GraftExpressionBridge.expression(vec), table, nPlanes))
 
   def winnowFingerprint(text: Column, k: Int, w: Int): Column =
     GraftExpressionBridge.column(
@@ -105,16 +105,50 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Deterministic Gaussian hyperplane families for sign-LSH, re-derived
+  * from a (table, plane)-keyed seed ONCE PER JVM and never put in a
+  * plan: an earlier form carried the planes as expression fields, which
+  * put `tables × nPlanes × MaxDim` boxed doubles into the plan tree —
+  * ~0.5M doubles at 4×32, paid on every Catalyst equals/hashCode pass
+  * and re-shipped as a multi-MiB task binary with EVERY stage (the
+  * "Broadcasting large task binary" warning). Seeding by table makes
+  * the LSH tables draw INDEPENDENT hyperplanes (a shared plane prefix
+  * would make later tables' collisions a subset of table 0's). The
+  * seed formula is part of the engine's determinism contract — the
+  * pinned LSH oracle values depend on it; do not change it. */
+object LshPlanes {
+  /** Supported vector width cap. A WIDER vector raises a clear kernel
+    * error (silent first-MaxDim truncation would degrade buckets
+    * invisibly); SHORTER vectors are fine — projecting on the first
+    * dim Gaussian components is distributionally identical to drawing
+    * planes at dim. */
+  val MaxDim = 2048
+
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int), Array[Array[Double]]]
+
+  def family(table: Int, nPlanes: Int): Array[Array[Double]] =
+    cache.getOrElseUpdate((table, nPlanes),
+      Array.tabulate(nPlanes) { p =>
+        val rnd = new java.util.Random(
+          0x9e3779b97f4a7c15L ^ (table.toLong << 20) ^ p.toLong)
+        Array.fill(MaxDim)(rnd.nextGaussian())
+      })
+}
+
 /** Random-hyperplane sign bits: bit p of the result is set iff
   * vec · planes(p) ≥ 0. One pass over the vector per plane, all planes
   * in one expression — the whole LSH bucket key in a single codegen'd
-  * kernel instead of nPlanes interpreted folds. */
-case class SignProjection(child: Expression, planes: Seq[Seq[Double]])
+  * kernel instead of nPlanes interpreted folds. The plane family is
+  * NOT an expression field: the expression carries only
+  * `(table, nPlanes)` and derives the planes per JVM via [[LshPlanes]]
+  * (see there for why — plan weight and task-binary size). */
+case class SignProjection(child: Expression, table: Int, nPlanes: Int)
     extends UnaryExpression {
-  require(planes.nonEmpty && planes.size <= 64, "1..64 planes per bucket key")
+  require(nPlanes >= 1 && nPlanes <= 64, "1..64 planes per bucket key")
 
   @transient private lazy val matrix: Array[Array[Double]] =
-    planes.map(_.toArray).toArray
+    LshPlanes.family(table, nPlanes)
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -150,7 +184,13 @@ case class SignProjection(child: Expression, planes: Seq[Seq[Double]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mat = ctx.addReferenceObj("planes", matrix, "double[][]")
+    // NOT addReferenceObj: a referenced matrix is serialized into every
+    // stage's task binary (~64 KiB × tables per query side at 4×32).
+    // The executor derives the family locally instead — LshPlanes is a
+    // per-JVM cache behind a static forwarder, so this init runs the
+    // Gaussian generation at most once per (table, nPlanes) per JVM.
+    val mat = ctx.addMutableState("double[][]", "lshPlanes",
+      v => s"$v = graft.functions.LshPlanes.family($table, $nPlanes);")
     nullSafeCodeGen(ctx, ev, c => {
       val v = ctx.freshName("v")
       val bits = ctx.freshName("bits")
