@@ -132,8 +132,15 @@ object Bench {
     // Failed forks fall back to the previous in-JVM median-of-3; a query
     // whose FIRST run failed stays failed (-1.0).
     val reps = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // Fork line at 3 s (was 5): cdc_materialize_dms measured 4.6 s
+    // in-JVM vs 0.31 s in a quiet fork — in-JVM contamination (shared
+    // caches materializing, parent heap pressure) can inflate a
+    // mid-range query ~15× while staying under a 5 s line, and the
+    // recorded number then reads as a regression against the previous
+    // round's quiet-fork figure. A few extra forks (~25 s each) buy
+    // every recorded mid-range time coming from a fresh JVM.
     val results = first.map { case (name, fn, t) =>
-      if (t > 5.0 || (t >= 0 && alwaysFork(name))) {
+      if (t > 3.0 || (t >= 0 && alwaysFork(name))) {
         forkedReps(name) match {
           case Some(rs) =>
             reps(name) = rs
