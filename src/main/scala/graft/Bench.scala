@@ -125,8 +125,15 @@ object Bench {
     // time (observed llm_neardup_jaccard 4.4 s → 0.24 s). A fresh fork
     // has no caches → the recorded time is the production pipeline,
     // regardless of in-JVM run order.
+    // cdc_normalize_{debezium,dms,inferalways}: their plans contain the
+    // exact subtree CdcQueries' sharedNormalized(Dms) persists for the
+    // DERIVED queries (materialize/merge/catalog run first
+    // alphabetically and populate it), so their in-JVM runs time a
+    // cache scan — observed cdc_normalize_dms 0.10 s vs its uncached
+    // strict/flink siblings at 2.4-2.8 s.
     val alwaysFork = Set("events_sessions", "llm_neardup_jaccard",
-      "llm_neardup_minhash", "llm_cosine_neardup", "llm_cosine_neardup_scale")
+      "llm_neardup_minhash", "llm_cosine_neardup", "llm_cosine_neardup_scale",
+      "cdc_normalize_debezium", "cdc_normalize_dms", "cdc_normalize_inferalways")
     // Heavy-tail re-time in a FRESH JVM, recording every rep so a judge
     // (or a regression diff) sees the spread, not just the median.
     // Failed forks fall back to the previous in-JVM median-of-3; a query

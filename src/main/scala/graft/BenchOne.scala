@@ -18,6 +18,12 @@ package graft
   * transparency — the timed reps are every measurement taken after
   * steady state, not a filtered selection. */
 object BenchOne {
+  /** Locale-independent seconds formatting: Bench.forkedReps parses the
+    * rep line with `([0-9.]+) s`, and a default-locale `%.3f` renders a
+    * comma decimal on e.g. de_DE, silently breaking every fork (the
+    * same rule Bench pins for its JSON line — Double.toString only). */
+  private def fmt(dt: Double): String = (math.rint(dt * 1000) / 1000).toString
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -35,7 +41,7 @@ object BenchOne {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[bench-one] $name warmup${w + 1} $dt%.3f s")
+      println(s"[bench-one] $name warmup${w + 1} ${fmt(dt)} s")
       steady = prev > 0 && dt <= prev * 1.25 && prev <= dt * 1.25
       prev = dt
       w += 1
@@ -59,7 +65,7 @@ object BenchOne {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[bench-one] $name rep${i + 1} rows=$n $dt%.3f s")
+      println(s"[bench-one] $name rep${i + 1} rows=$n ${fmt(dt)} s")
       times :+= dt
       i += 1
       if (gcBetweenReps) System.gc()

@@ -973,11 +973,12 @@ object SparkEntry {
         |px AS (SELECT doc_id, (doc_id*1000003 + y*1009 + x) % 16777216 AS v
         |       FROM dims, unnest(generate_series(0, w-1)) AS tx(x),
         |            unnest(generate_series(0, h-1)) AS ty(y)),
-        |f AS (SELECT doc_id,
+        |f0 AS (SELECT doc_id,
         |        CAST(sum(v // 65536) AS DOUBLE) AS r,
         |        CAST(sum((v // 256) % 256) AS DOUBLE) AS g,
         |        CAST(sum(v % 256) AS DOUBLE) AS b
         |      FROM px GROUP BY doc_id),
+        |f AS (SELECT * FROM f0 WHERE r*r + g*g + b*b > 0),
         |q AS (SELECT doc_id AS query_id, r AS qr, g AS qg, b AS qb
         |      FROM f WHERE doc_id < 20),
         |s AS (SELECT query_id, c.doc_id AS neighbor_id,

@@ -150,6 +150,12 @@ object CdcNormalize {
       case (_, Some(b: StructType))                   => b
       case _                                          => return None
     }
+    // A substring-router false-positive batch can carry after/before-
+    // shaped objects without the op/ts_ms envelope fields; referencing
+    // those would throw AnalysisException and fail the batch forever
+    // (replay hits the same schema). Treat it like the missing-images
+    // case instead — the same rule the DMS twin applies to `metadata`.
+    if (!Seq("op", "ts_ms").forall(schema.fieldNames.contains)) return None
     // Align both images onto the merged field set so coalesce is
     // well-typed even when only one side carries a newly-added column.
     def image(src: String, srcT: Option[DataType]): Column = srcT match {

@@ -34,7 +34,9 @@ object Dedup {
     * guard matters: `sequence(0, size-n)` would otherwise produce a
     * descending sequence and feed `slice` illegal starts). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val w = split(trim(lower(col(textCol))), "\\s+")
+    // TextStats.WsRun, not Java `\s`: the oracle splits with RE2's
+    // `\s` = [\t\n\f\r ], which excludes \x0B (see TextStats.WsChars).
+    val w = split(trim(lower(col(textCol))), TextStats.WsRun)
     val grams = when(size(w) >= n,
         transform(
           sequence(lit(0), size(w) - n),

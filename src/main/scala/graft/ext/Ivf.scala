@@ -238,9 +238,11 @@ object Ivf {
     val qv = if (broadcastQueries) broadcast(qv0) else qv0
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       Similarity.l2(col(vecCol)).as("__cn"))
-    val sim = round(
-      Similarity.dot(col("__qv").cast("array<double>"),
-        col("__cv").cast("array<double>")) / (col("__qn") * col("__cn")), 6)
+    // THE module similarity expression (Similarity.pairSim) — not a
+    // local copy: the found-⊆-exact and parity gates rely on every
+    // ranking and verification sharing one scoring expression.
+    val sim = Similarity.pairSim(col("__qv"), col("__qn"),
+      col("__cv"), col("__cn"))
     val scored = cands.join(qv, "query_id").join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
     val w = Window.partitionBy("query_id")

@@ -42,7 +42,7 @@ object Similarity {
     * baseline uses this one expression, which is what makes "found ⊆
     * exact" claims structural: two sides scoring the same pair compute
     * the identical double. */
-  private def pairSim(va: Column, na: Column, vb: Column, nb: Column): Column =
+  private[ext] def pairSim(va: Column, na: Column, vb: Column, nb: Column): Column =
     round(dot(va.cast("array<double>"), vb.cast("array<double>")) / (na * nb), 6)
 
   /** Exact brute-force top-k neighbors for each query vector.

@@ -14,15 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** RE2's `\s` class spelled out literally: `[\t\n\f\r ]`. Spark
+    * regexes are Java, whose `\s` ALSO matches vertical tab (\x0B);
+    * DuckDB's RE2 `\s` does not — writing Java `\s` here would
+    * silently diverge from the oracle on any document containing \x0B
+    * (the same trap [[graft.functions.RepetitionStats]] documents for
+    * its kernel). Every Column-level whitespace class in this module
+    * and [[Dedup.shingles]] must use these, never `\s`. */
+  private[ext] val WsChars = " \\t\\n\\f\\r"
+  private[ext] val WsRun = s"[$WsChars]+"
+
   /** Whitespace word-split (empty-trimmed). */
-  def words(text: Column): Column = split(trim(text), "\\s+")
+  def words(text: Column): Column = split(trim(text), WsRun)
 
   def nWords(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(words(text)))
 
   /** BPE-ish tokenization: letter runs, digit runs, single punctuation.
-    * Same regex dialect subset works in Java (Spark) and RE2 (DuckDB). */
-  val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    * Same regex dialect subset works in Java (Spark) and RE2 (DuckDB);
+    * the whitespace class is [[WsChars]], not `\s` (see there). */
+  val TokenRe = s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9$WsChars]"
 
   def tokens(text: Column): Column = regexp_extract_all(text, lit(TokenRe), lit(0))
 
@@ -75,7 +86,7 @@ object TextStats {
 
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column = {
-    val p = length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    val p = length(regexp_replace(text, s"[A-Za-z0-9$WsChars]", ""))
     round(p.cast("double") / greatest(length(text), lit(1)).cast("double"), 6)
   }
 
@@ -194,7 +205,7 @@ object TextStats {
     * the first stage of any pretraining text pipeline. Pure codegen'd
     * regexp, map-side. */
   def cleanText(text: Column): Column =
-    trim(regexp_replace(text, "\\s+", " "))
+    trim(regexp_replace(text, WsRun, " "))
 
   /** Corpus vocabulary statistics: occurrence total, distinct terms,
     * hapax legomena (terms in exactly one document), and the widest

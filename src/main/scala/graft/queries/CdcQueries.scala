@@ -116,33 +116,21 @@ object CdcQueries {
     * persists the output; the rest reuse it. The oracle stays honest —
     * the values ARE the engine path's output — while the bench stops
     * re-parsing the same JSON four times. */
-  private val sharedNormalized =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sharedNormalized = new graft.util.DfCache
 
   /** Drop the session-scoped shared DataFrames so the next caller
     * re-materializes AND re-persists them. For harnesses that
     * `clearCache()` mid-run ([[graft.Bench]]'s fork phase): Spark's
-    * clearCache unpersists the plans, but these maps would otherwise
+    * clearCache unpersists the plans, but the cache would otherwise
     * keep serving the now-unpersisted DataFrames, which never
     * re-register — an in-JVM fallback re-timing would then silently
     * recompute the full base pipeline on every action. */
-  private[graft] def dropSharedCaches(): Unit = {
+  private[graft] def dropSharedCaches(): Unit =
     sharedNormalized.clear()
-    sharedNormalizedDms.clear()
-  }
 
   private def normalizedDebeziumShared(spark: SparkSession, sfDir: String): DataFrame =
-    sharedNormalized.get((spark, sfDir)) match {
-      case Some(df) => df
-      case None =>
-        // compute-then-putIfAbsent: getOrElseUpdate's thunk is not
-        // atomic, and the losing racer must unpersist its copy
-        val df = normalizeDebeziumRaw(spark, sfDir).persist()
-        sharedNormalized.putIfAbsent((spark, sfDir), df) match {
-          case Some(winner) => df.unpersist(); winner
-          case None         => df
-        }
-    }
+    sharedNormalized("normalized_debezium", spark, sfDir)(
+      normalizeDebeziumRaw(spark, sfDir))
 
   /** Full Debezium normalize: route → infer → parse → coalesce images →
     * op filter → mtime + soft-delete. Output is the normalized change
@@ -203,19 +191,9 @@ object CdcQueries {
     * [[normalizedDebeziumShared]] (same compute-then-putIfAbsent race
     * rule): the JSON parse pass runs once per (session, sfDir) for the
     * normalize + materialize pair. */
-  private val sharedNormalizedDms =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   private def normalizedDmsShared(spark: SparkSession, sfDir: String): DataFrame =
-    sharedNormalizedDms.get((spark, sfDir)) match {
-      case Some(df) => df
-      case None =>
-        val df = normalizeDmsRaw(spark, sfDir).persist()
-        sharedNormalizedDms.putIfAbsent((spark, sfDir), df) match {
-          case Some(winner) => df.unpersist(); winner
-          case None         => df
-        }
-    }
+    sharedNormalized("normalized_dms", spark, sfDir)(
+      normalizeDmsRaw(spark, sfDir))
 
   /** Full DMS normalize (string mtime, load/insert/update/delete ops). */
   def normalizeDms(spark: SparkSession, sfDir: String): DataFrame =
@@ -380,18 +358,7 @@ object CdcQueries {
   private[graft] def tempSinkDir(prefix: String): java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      scala.util.Try {
-        import java.nio.file.{FileVisitResult, Files, Path, SimpleFileVisitor}
-        import java.nio.file.attribute.BasicFileAttributes
-        Files.walkFileTree(p, new SimpleFileVisitor[Path] {
-          override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
-            Files.deleteIfExists(f); FileVisitResult.CONTINUE
-          }
-          override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
-            Files.deleteIfExists(d); FileVisitResult.CONTINUE
-          }
-        })
-      }: Unit))
+      scala.util.Try(graft.util.LocalFs.deleteRecursively(p)): Unit))
     p
   }
 

@@ -250,31 +250,21 @@ object LlmQueries {
           .as("n_mismatch"))
   }
 
-  /** Session-scoped persisted check-harness inputs, one map for every
-    * recall/gate row's shared side. The rule, everywhere: persist the
-    * REGISTERED query's own plan (a re-tune of the production query
-    * then flows into its gate by construction — the winnowChecksum
-    * rule), keep the production query itself UNCACHED so its bench row
-    * keeps timing the real pipeline, and put any production query whose
-    * plan equals a persisted one in Bench.alwaysFork (the cache manager
-    * substitutes persisted plans into EQUAL plans, faking in-JVM
-    * times). Values are a few hundred pair/summary rows, never
-    * corpus-sized. Compute-then-putIfAbsent: a race loser unpersists
-    * its copy and adopts the winner's. */
-  private val sharedDFs = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+  /** Session-scoped persisted check-harness inputs, one cache for every
+    * recall/gate row's shared side ([[graft.util.DfCache]] holds the
+    * race rule). The discipline, everywhere: persist the REGISTERED
+    * query's own plan (a re-tune of the production query then flows
+    * into its gate by construction — the winnowChecksum rule), keep the
+    * production query itself UNCACHED so its bench row keeps timing the
+    * real pipeline, and put any production query whose plan equals a
+    * persisted one in Bench.alwaysFork (the cache manager substitutes
+    * persisted plans into EQUAL plans, faking in-JVM times). Values are
+    * a few hundred pair/summary rows, never corpus-sized. */
+  private val sharedDFs = new graft.util.DfCache
 
   private def cachedDF(key: String, spark: SparkSession, sfDir: String)
                       (mk: => DataFrame): DataFrame =
-    sharedDFs.get((spark, sfDir, key)) match {
-      case Some(df) => df
-      case None =>
-        val df = mk.persist()
-        sharedDFs.putIfAbsent((spark, sfDir, key), df) match {
-          case Some(winner) => df.unpersist(); winner
-          case None         => df
-        }
-    }
+    sharedDFs(key, spark, sfDir)(mk)
 
   /** Exact-Jaccard ground truth for [[minhashRecall]]: the
     * threshold-0.12 df-capped pair set — the plan [[nearDupJaccard]]
@@ -771,14 +761,24 @@ object LlmQueries {
           col("sum_r").cast("double").as("r"),
           col("sum_g").cast("double").as("g"),
           col("sum_b").cast("double").as("b"))
-    val f = features(imageBlobs(spark, sfDir))
+    // Zero-norm guard: an undecodable blob degrades to all-zero channel
+    // sums (the imageChannelSums contract), whose cosine is 0/0 = NaN —
+    // and Spark sorts NaN ABOVE every double, so one bad blob would
+    // silently rank as the top-1 neighbor of every query. Zero-norm
+    // features are unrankable; drop them on both sides (the oracle SQL
+    // carries the same predicate, and the synthetic corpus has no
+    // zero-norm images, so the gate rows are unchanged).
+    def rankable(df: DataFrame): DataFrame =
+      df.where(col("r") * col("r") + col("g") * col("g") +
+        col("b") * col("b") > 0d)
+    val f = rankable(features(imageBlobs(spark, sfDir)))
     // The query side filters BEFORE the synthesize/decode
     // mapPartitions: the codec chain is opaque to Catalyst, so a
     // post-decode `where` on `f` would re-synthesize and re-decode the
     // whole corpus just to keep 20 rows. Decoding a doc_id twice (once
     // per side) is deterministic, so results are identical either way.
-    val q = features(Multimodal.synthesizeImages(spark,
-        docs(spark, sfDir).select("doc_id").where(col("doc_id") < 20), "doc_id"))
+    val q = rankable(features(Multimodal.synthesizeImages(spark,
+        docs(spark, sfDir).select("doc_id").where(col("doc_id") < 20), "doc_id")))
       .select(col("doc_id").as("query_id"), col("r").as("qr"),
         col("g").as("qg"), col("b").as("qb"))
     val sim = (col("qr") * col("r") + col("qg") * col("g") + col("qb") * col("b")) /

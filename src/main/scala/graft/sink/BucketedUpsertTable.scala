@@ -297,16 +297,6 @@ final class BucketedUpsertTable(
       .foreach(f => deleteRecursively(f.toPath))
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    import java.nio.file.{FileVisitResult, SimpleFileVisitor}
-    import java.nio.file.attribute.BasicFileAttributes
-    Files.walkFileTree(p, new SimpleFileVisitor[Path] {
-      override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
-        Files.deleteIfExists(f); FileVisitResult.CONTINUE
-      }
-      override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
-        Files.deleteIfExists(d); FileVisitResult.CONTINUE
-      }
-    })
-  }
+  private def deleteRecursively(p: Path): Unit =
+    graft.util.LocalFs.deleteRecursively(p)
 }

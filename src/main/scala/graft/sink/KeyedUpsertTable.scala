@@ -148,18 +148,8 @@ final class KeyedUpsertTable(
         case _          => None
       })
       .sortBy(_._2).map(_._1)
-    snaps.dropRight(retainSnapshots).foreach { dir =>
-      import java.nio.file.{FileVisitResult, SimpleFileVisitor}
-      import java.nio.file.attribute.BasicFileAttributes
-      Files.walkFileTree(dir.toPath, new SimpleFileVisitor[Path] {
-        override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
-          Files.deleteIfExists(f); FileVisitResult.CONTINUE
-        }
-        override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
-          Files.deleteIfExists(d); FileVisitResult.CONTINUE
-        }
-      })
-    }
+    snaps.dropRight(retainSnapshots).foreach(dir =>
+      graft.util.LocalFs.deleteRecursively(dir.toPath))
   }
 }
 

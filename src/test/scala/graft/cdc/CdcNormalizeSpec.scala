@@ -47,6 +47,16 @@ class CdcNormalizeSpec extends SparkSpecBase {
     assert(out(1).getAs[Boolean](CdcNormalize.DeletedCol)) // delete op
   }
 
+  test("debezium: router false-positive without op/ts_ms envelope → None, not AnalysisException") {
+    // A substring-routed non-CDC record can carry an after-shaped object
+    // with no envelope fields; the normalize must degrade like the
+    // missing-images case (the DMS twin's metadata guard) instead of
+    // throwing on kdata.op — which would fail the batch on every replay.
+    val rows = raw(
+      """{"after":{"id":1,"note":"mentions \"db\":\"test_db\" and \"table\":\"user\""},"source":{"db":"test_db","table":"user"}}""")
+    assert(CdcNormalize.normalize(spark, rows, CdcFormat.MskDebeziumCdc, user).isEmpty)
+  }
+
   test("no routed rows → None (reference skips the table)") {
     val rows = raw("""{"after":{"id":1},"source":{"db":"other","table":"other"},"op":"c","ts_ms":1}""")
     assert(CdcNormalize.normalize(spark, rows, CdcFormat.MskDebeziumCdc, user).isEmpty)

@@ -154,6 +154,26 @@ class TextStatsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("max_df") === 2L)
   }
 
+  test("Column-level whitespace uses RE2's \\s class: \\x0B is NOT a separator") {
+    val s = spark; import s.implicits._
+    // Java \s matches vertical tab; RE2's (the oracle's) does not. The
+    // Column-level ops must match the oracle: "a\u000Bb" is ONE word,
+    //   tokenizes as punctuation, and cleanText keeps it.
+    val df = Seq("a\u000Bb", "a\tb").toDF("text")
+    val r = df.select(
+      TextStats.nWords(col("text")).as("w"),
+      TextStats.nTokens(col("text")).as("t"),
+      TextStats.punctRatio(col("text")).as("p"),
+      TextStats.cleanText(col("text")).as("c")).collect()
+    assert(r(0).getAs[Int]("w") === 1, "\\x0B must not split words")
+    assert(r(0).getAs[Int]("t") === 3) // a, \x0B (punct), b
+    assert(r(0).getAs[Double]("p") === 0.333333)
+    assert(r(0).getAs[String]("c") === "a\u000Bb", "cleanText must not collapse \\x0B")
+    assert(r(1).getAs[Int]("w") === 2, "tab still splits")
+    assert(r(1).getAs[Int]("t") === 2) // a, b — tab is whitespace, not punct
+    assert(r(1).getAs[String]("c") === "a b")
+  }
+
   test("qualityScore stays in [0,1]") {
     val s = spark; import s.implicits._
     val texts = Seq("", "short", "a" * 500,
