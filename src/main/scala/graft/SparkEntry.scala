@@ -121,6 +121,9 @@ object SparkEntry {
     "llm_quality_filter"       -> (LlmQueries.qualityFilter _),
     "llm_sample_strata"        -> (LlmQueries.sampleStrata _),
     "llm_pack_stats"           -> (LlmQueries.packStats _),
+    "llm_decontam"             -> (LlmQueries.decontam _),
+    "llm_mixture_stats"        -> (LlmQueries.mixtureStats _),
+    "llm_dedup_cluster_sizes"  -> (LlmQueries.dedupClusterSizes _),
     // --- multimodal plumbing (stub kernels, real Spark shape)
     "mm_decode_meta"           -> (LlmQueries.mmDecodeMeta _),
     "mm_resize_meta"           -> (LlmQueries.mmResizeMeta _),
@@ -684,6 +687,53 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin,
     "llm_neardup_jaccard" ->
       s"$JaccardPairsSql\nORDER BY id_a, id_b",
+    // Dup-cluster size histogram: the llm_dedup_cc recursive-CTE
+    // components, rolled up twice (comp → size, size → n_clusters).
+    "llm_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, $WL AS ws FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle
+         |       FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+         |       WHERE len(ws) >= 3),
+         |sh AS (SELECT doc_id, shingle FROM sh0
+         |       WHERE shingle IN (SELECT shingle FROM sh0
+         |                         GROUP BY shingle HAVING count(*) <= 50)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |          JOIN sizes sa ON inter.id_a = sa.doc_id
+         |          JOIN sizes sb ON inter.id_b = sb.doc_id
+         |          WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM nodes
+         |          UNION
+         |          SELECT reach.id, e.v AS r FROM reach JOIN edges e ON reach.r = e.u),
+         |comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |cs AS (SELECT comp, count(*) AS cluster_size FROM comps GROUP BY comp)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // Benchmark-overlap decontamination: every 17th doc_id is the
+    // benchmark suite; 8-word grams, Jaccard-family tokenization. The
+    // corpus-side DISTINCT mirrors array_distinct in Dedup.shingles.
+    "llm_decontam" ->
+      s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
+         |bench AS (SELECT DISTINCT array_to_string(ws[g:g+7], ' ') AS shingle
+         |          FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(g)
+         |          WHERE doc_id % 17 = 0 AND len(ws) >= 8),
+         |corpus AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+7], ' ') AS shingle
+         |           FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(g)
+         |           WHERE doc_id % 17 <> 0 AND len(ws) >= 8),
+         |counts AS (SELECT doc_id, count(*) AS n_grams,
+         |             count(*) FILTER (WHERE shingle IN (SELECT shingle FROM bench)) AS n_hits
+         |           FROM corpus GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(c.n_hits, 0) AS BIGINT) AS n_hits,
+         |  coalesce(c.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id % 17 <> 0 ORDER BY d.doc_id""".stripMargin,
     "llm_cosine_topk" ->
       s"$ExactTopKSql ORDER BY query_id, rank",
     // Recall / parity oracles for the probabilistic family: exact side
@@ -820,6 +870,18 @@ object SparkEntry {
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  CAST(sum($NWORDS) AS BIGINT) AS total_words
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Data-mixture planning rollup: per (source, lang) token budget and
+    // each cell's share of the corpus total. Same token regex as
+    // text_quality (the engine's TokenRe).
+    "llm_mixture_stats" ->
+      s"""WITH g AS (SELECT source, lang, count(*) AS n_docs,
+         |    CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |  FROM documents GROUP BY source, lang)
+         |SELECT source, lang, n_docs, total_tokens, total_chars,
+         |  round(CAST(total_tokens AS DOUBLE) /
+         |    CAST((SELECT sum(total_tokens) FROM g) AS DOUBLE), 6) AS token_share
+         |FROM g ORDER BY source, lang""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  CAST($NWORDS AS BIGINT) AS n_words,

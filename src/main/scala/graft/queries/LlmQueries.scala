@@ -528,6 +528,51 @@ object LlmQueries {
       .withColumn("keep", col("reason") === "ok")
       .orderBy("doc_id")
 
+  /** Benchmark-overlap decontamination (see
+    * [[graft.ext.Decontamination]]): every 17th doc_id plays the
+    * held-out benchmark suite, the rest the training corpus; 8-word
+    * grams (lowercased, Jaccard-family tokenization) are long enough
+    * that only genuinely copied spans collide. Fully SQL-expressible —
+    * live oracle, no pins. */
+  def decontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    graft.ext.Decontamination.decontaminate(
+        corpus = d.where(col("doc_id") % 17 =!= 0),
+        bench = d.where(col("doc_id") % 17 === 0),
+        idCol = "doc_id", textCol = "text", n = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Data-mixture planning rollup: per (source, lang) document counts,
+    * token/char totals, and each cell's share of the corpus token budget
+    * — the table a training run's sampling weights are derived from.
+    * One hash aggregation; the grand total joins back as a 1-row
+    * broadcast (the [[vocabStats]] pattern), so the shape is two narrow
+    * shuffles regardless of corpus size. */
+  def mixtureStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = docs(spark, sfDir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextStats.nTokens(col("text")).cast("long")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+    val tot = g.agg(sum(col("total_tokens")).as("__tot"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        round(col("total_tokens").cast("double") / col("__tot").cast("double"), 6))
+      .drop("__tot")
+      .orderBy("source", "lang")
+  }
+
+  /** Near-dup cluster size distribution over the SAME capped pair set as
+    * [[dedupCc]]: (cluster_size, n_clusters) — the dup-mass histogram a
+    * corpus audit reads before choosing a dedup strategy. Reuses the
+    * shared persisted pairs; two tiny aggs on top of the CC output. */
+  def dedupClusterSizes(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.connectedComponents(cappedPairs(spark, sfDir))
+      .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** Corpus vocabulary health numbers (see [[TextStats.vocabStats]]). */
   def vocabStats(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.vocabStats(docs(spark, sfDir), "doc_id", "text")
