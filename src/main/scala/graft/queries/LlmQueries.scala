@@ -563,12 +563,21 @@ object LlmQueries {
       .orderBy("source", "lang")
   }
 
+  /** Persisted copy of the [[dedupCc]] OUTPUT (a few hundred (id, comp)
+    * rows): `llm_dedup_cc` times the iterative CC pipeline itself;
+    * derived rollups consume this cache so their reps measure their own
+    * aggregation, not a second CC run (the [[minhashPairsCached]]
+    * timing policy). */
+  private def ccComponentsCached(spark: SparkSession, sfDir: String): DataFrame =
+    cachedDF("cc_components", spark, sfDir)(
+      Dedup.connectedComponents(cappedPairs(spark, sfDir)))
+
   /** Near-dup cluster size distribution over the SAME capped pair set as
     * [[dedupCc]]: (cluster_size, n_clusters) — the dup-mass histogram a
     * corpus audit reads before choosing a dedup strategy. Reuses the
-    * shared persisted pairs; two tiny aggs on top of the CC output. */
+    * shared persisted CC output; two tiny aggs on top. */
   def dedupClusterSizes(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.connectedComponents(cappedPairs(spark, sfDir))
+    ccComponentsCached(spark, sfDir)
       .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
