@@ -122,6 +122,7 @@ object SparkEntry {
     "llm_sample_strata"        -> (LlmQueries.sampleStrata _),
     "llm_pack_stats"           -> (LlmQueries.packStats _),
     "llm_decontam"             -> (LlmQueries.decontam _),
+    "llm_clean_corpus"         -> (LlmQueries.cleanCorpus _),
     "llm_mixture_stats"        -> (LlmQueries.mixtureStats _),
     "llm_dedup_cluster_sizes"  -> (LlmQueries.dedupClusterSizes _),
     // --- multimodal plumbing (stub kernels, real Spark shape)
@@ -715,6 +716,54 @@ object SparkEntry {
          |cs AS (SELECT comp, count(*) AS cluster_size FROM comps GROUP BY comp)
          |SELECT cluster_size, count(*) AS n_clusters
          |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // Terminal clean corpus: quality keep rules → decontamination drop
+    // → exact-dup survivors minus CC non-roots, with the near-dup pair
+    // graph computed among the cleaned docs (so its df-cap counts and
+    // components differ from llm_dedup_corpus_cc's full-corpus ones).
+    "llm_clean_corpus" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, text, lang, n_chars FROM documents
+         |  WHERE doc_id % 17 <> 0 AND $NWORDS >= 20
+         |    AND n_chars <= 450 AND $STOPW >= 0.02),
+         |w AS (SELECT doc_id, $WL AS ws FROM documents),
+         |bgr AS (SELECT DISTINCT array_to_string(ws[g:g+7], ' ') AS shingle
+         |        FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(g)
+         |        WHERE doc_id % 17 = 0 AND len(ws) >= 8),
+         |cgr AS (SELECT DISTINCT q.doc_id, array_to_string(ws[g:g+7], ' ') AS shingle
+         |        FROM q JOIN w ON q.doc_id = w.doc_id,
+         |          unnest(generate_series(1, len(ws) - 7)) AS t(g)
+         |        WHERE len(ws) >= 8),
+         |dirty AS (SELECT DISTINCT doc_id FROM cgr
+         |          WHERE shingle IN (SELECT shingle FROM bgr)),
+         |c AS (SELECT * FROM q
+         |      WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |cw AS (SELECT c.doc_id, ws FROM c JOIN w ON c.doc_id = w.doc_id),
+         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle
+         |       FROM cw, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+         |       WHERE len(ws) >= 3),
+         |sh AS (SELECT doc_id, shingle FROM sh0
+         |       WHERE shingle IN (SELECT shingle FROM sh0
+         |                         GROUP BY shingle HAVING count(*) <= 50)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |          JOIN sizes sa ON inter.id_a = sa.doc_id
+         |          JOIN sizes sb ON inter.id_b = sb.doc_id
+         |          WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM nodes
+         |          UNION
+         |          SELECT reach.id, e.v AS r FROM reach JOIN edges e ON reach.r = e.u),
+         |comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |survivors AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY text)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM c d
+         |JOIN survivors s ON d.doc_id = s.doc_id
+         |WHERE d.doc_id NOT IN (SELECT id FROM comps WHERE comp <> id)
+         |ORDER BY d.doc_id""".stripMargin,
     // Benchmark-overlap decontamination: every 17th doc_id is the
     // benchmark suite; 8-word grams, Jaccard-family tokenization. The
     // corpus-side DISTINCT mirrors array_distinct in Dedup.shingles.

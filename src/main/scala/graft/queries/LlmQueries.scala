@@ -563,6 +563,37 @@ object LlmQueries {
       .orderBy("source", "lang")
   }
 
+  /** The terminal training corpus: the whole cleaning pipeline composed
+    * in ONE plan, cheap-to-expensive so each stage shrinks the next
+    * one's input — (1) map-side quality filter (the [[qualityFilter]]
+    * keep rules), (2) benchmark decontamination (broadcast 8-gram join,
+    * [[decontam]]'s split), (3) exact dedup + near-dup CC collapse
+    * ([[dedupCorpusCc]]'s semantics, pairs computed among the cleaned
+    * survivors). Output = the (doc_id, lang, n_chars) a training run
+    * would tokenize. Fully SQL-expressible — live oracle, no pins. */
+  def cleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val bench = d.where(col("doc_id") % 17 === 0)
+    val kept = d.where(col("doc_id") % 17 =!= 0)
+      .where(TextStats.nWords(col("text")).cast("long") >= 20 &&
+        col("n_chars") <= 450 && TextStats.stopwordRatio(col("text")) >= 0.02)
+    // The cleaned set is scanned several times below (shingle self-join,
+    // exact-dup grouping, survivor joins); materialize it once so the
+    // quality+decontam subtree runs once per job, not per consumer. At
+    // cluster scale this is the persisted intermediate between the
+    // filter and dedup stages of the pipeline.
+    val clean = kept.join(
+        graft.ext.Decontamination.decontaminate(kept, bench, "doc_id", "text", n = 8)
+          .where(!col("contaminated")).select("doc_id"),
+        Seq("doc_id"))
+      .localCheckpoint()
+    val pairs = Dedup.jaccardPairs(clean, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
+    Dedup.dedupedCorpusCC(clean, "doc_id", "text", pairs)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Persisted copy of the [[dedupCc]] OUTPUT (a few hundred (id, comp)
     * rows): `llm_dedup_cc` times the iterative CC pipeline itself;
     * derived rollups consume this cache so their reps measure their own
