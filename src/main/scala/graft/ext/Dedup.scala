@@ -201,9 +201,12 @@ object Dedup {
     * [[dedupedCorpus]]'s greedy pair-drop, which under-collapses
     * non-clique clusters (A~C, B~C keeps both A and B).
     *
-    * Scale notes: every round ends in `localCheckpoint` — iterative
-    * self-referencing plans otherwise grow an exponentially deep lineage
-    * that stalls the analyzer long before the data is big. Convergence
+    * Scale notes: every round ends in a lineage-truncating checkpoint
+    * ([[graft.util.Checkpoints.stage]]: executor-local by default,
+    * config-selectable reliable checkpoint for fault-tolerant long
+    * runs) — iterative self-referencing plans otherwise grow an
+    * exponentially deep lineage that stalls the analyzer long before
+    * the data is big. Convergence
     * is detected by an (edge-count, sum(u), sum(v)) signature — one
     * 3-long-row action per round, a bounded planning decision like AQE
     * stats — CONFIRMED by an exact set-equality check when the signature
@@ -232,7 +235,7 @@ object Dedup {
       .select(greatest(col(idA), col(idB)).as("u"),
         least(col(idA), col(idB)).as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+    edges = graft.util.Checkpoints.stage(edges)
     def signature(e: DataFrame): (Long, Long, Long) = {
       val r = e.agg(count(lit(1)),
         coalesce(sum(col("u").cast("long")), lit(0L)),
@@ -258,11 +261,11 @@ object Dedup {
       // to their minimum m.
       val ssMins = ls.groupBy("u").agg(min("v").as("m"))
       val withM = ls.join(ssMins, "u")
-      val ss = withM.select(col("u"), col("m").as("v"))
-        .union(withM.where(col("v") =!= col("m"))
-          .select(col("v").as("u"), col("m").as("v")))
-        .distinct()
-        .localCheckpoint()
+      val ss = graft.util.Checkpoints.stage(
+        withM.select(col("u"), col("m").as("v"))
+          .union(withM.where(col("v") =!= col("m"))
+            .select(col("v").as("u"), col("m").as("v")))
+          .distinct())
       val next = signature(ss)
       // The signature is only a FAST-PATH hint: two different edge sets
       // can share (count, sum(u), sum(v)). Convergence is confirmed by

@@ -581,12 +581,13 @@ object LlmQueries {
     // exact-dup grouping, survivor joins); materialize it once so the
     // quality+decontam subtree runs once per job, not per consumer. At
     // cluster scale this is the persisted intermediate between the
-    // filter and dedup stages of the pipeline.
-    val clean = kept.join(
+    // filter and dedup stages of the pipeline — Checkpoints.stage makes
+    // it a durable checkpoint when the session selects reliable mode.
+    val clean = graft.util.Checkpoints.stage(
+      kept.join(
         graft.ext.Decontamination.decontaminate(kept, bench, "doc_id", "text", n = 8)
           .where(!col("contaminated")).select("doc_id"),
-        Seq("doc_id"))
-      .localCheckpoint()
+        Seq("doc_id")))
     val pairs = Dedup.jaccardPairs(clean, "doc_id", "text",
       n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
     Dedup.dedupedCorpusCC(clean, "doc_id", "text", pairs)
