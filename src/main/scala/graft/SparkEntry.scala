@@ -122,6 +122,8 @@ object SparkEntry {
     "llm_sample_strata"        -> (LlmQueries.sampleStrata _),
     "llm_pack_stats"           -> (LlmQueries.packStats _),
     "llm_decontam"             -> (LlmQueries.decontam _),
+    "llm_dedup_incremental"    -> (LlmQueries.dedupIncremental _),
+    "llm_decontam_incremental" -> (LlmQueries.decontamIncremental _),
     "llm_clean_corpus"         -> (LlmQueries.cleanCorpus _),
     "llm_mixture_stats"        -> (LlmQueries.mixtureStats _),
     "llm_dedup_cluster_sizes"  -> (LlmQueries.dedupClusterSizes _),
@@ -688,6 +690,36 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin,
     "llm_neardup_jaccard" ->
       s"$JaccardPairsSql\nORDER BY id_a, id_b",
+    // Incremental ≡ full-recompute-restricted: the SAME full-corpus
+    // Jaccard CTE (combined-df cap included), restricted to pairs with
+    // at least one side in the arriving shard (doc_id % 10 = 0). The
+    // engine side never recomputes the full self-join — it reads the
+    // persisted shingle index — so a green hash here proves the
+    // incremental path's cap arithmetic exactly.
+    "llm_dedup_incremental" ->
+      s"""$JaccardPairsSql
+         |  AND (id_a % 10 = 0 OR id_b % 10 = 0)
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Incremental decontam ≡ the llm_decontam report restricted to the
+    // shard (per-doc counts don't depend on other corpus docs; the
+    // bench gram set is identical whether read or recomputed).
+    "llm_decontam_incremental" ->
+      s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
+         |bench AS (SELECT DISTINCT array_to_string(ws[g:g+7], ' ') AS shingle
+         |          FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(g)
+         |          WHERE doc_id % 17 = 0 AND len(ws) >= 8),
+         |corpus AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+7], ' ') AS shingle
+         |           FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(g)
+         |           WHERE doc_id % 17 <> 0 AND doc_id % 10 = 0 AND len(ws) >= 8),
+         |counts AS (SELECT doc_id, count(*) AS n_grams,
+         |             count(*) FILTER (WHERE shingle IN (SELECT shingle FROM bench)) AS n_hits
+         |           FROM corpus GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(c.n_hits, 0) AS BIGINT) AS n_hits,
+         |  coalesce(c.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id % 17 <> 0 AND d.doc_id % 10 = 0
+         |ORDER BY d.doc_id""".stripMargin,
     // Dup-cluster size histogram: the llm_dedup_cc recursive-CTE
     // components, rolled up twice (comp → size, size → n_clusters).
     "llm_dedup_cluster_sizes" ->

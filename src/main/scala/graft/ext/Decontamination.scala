@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Benchmark-overlap decontamination: flag training documents that share
@@ -40,6 +40,43 @@ object Decontamination {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
     corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** Persist the benchmark gram set once (`grams/` + `meta/` with the
+    * gram size) — the incremental-ingest artifact: eval suites change
+    * rarely, daily shards arrive constantly, so a production pipeline
+    * shingles the benchmarks ONCE and flags every incoming shard
+    * against the stored set. */
+  def writeIndex(bench: DataFrame, idCol: String, textCol: String,
+                 path: String, n: Int = 8): Unit = {
+    val spark = bench.sparkSession
+    Dedup.shingles(bench, idCol, textCol, n)
+      .select("shingle").distinct()
+      .write.mode("overwrite").parquet(s"$path/grams")
+    import spark.implicits._
+    Seq(n).toDF("n").coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** [[decontaminate]] for an append batch against the index written by
+    * [[writeIndex]]: identical per-doc report (the gram set is the same
+    * set, just read instead of recomputed — still broadcast), cost
+    * scaling with |new batch| only. */
+  def flagAgainstIndex(spark: SparkSession, path: String, newDocs: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val n = spark.read.parquet(s"$path/meta").head().getAs[Int]("n")
+    val benchGrams = spark.read.parquet(s"$path/grams")
+    val corpusGrams = Dedup.shingles(newDocs, idCol, textCol, n)
+    val perDoc = corpusGrams
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1L))),
+        Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+    newDocs.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),

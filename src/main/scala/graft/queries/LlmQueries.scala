@@ -543,6 +543,70 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Session-scoped persisted incremental indexes (the [[ivfIndexDir]]
+    * pattern): the shingle/df index over the "existing corpus" split and
+    * the benchmark gram set, each written once per (session, sfDir) into
+    * a shutdown-cleaned temp dir. */
+  private val sharedIncIndex =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  private def incIndexDir(spark: SparkSession, key: String)
+                         (build: String => Unit): String = {
+    val perSession = sharedIncIndex.synchronized {
+      sharedIncIndex.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, String])
+    }
+    perSession.getOrElseUpdate(key, {
+      val dir = CdcQueries.tempSinkDir("graft-inc-index").toString
+      build(dir)
+      dir
+    })
+  }
+
+  /** The incremental-dedup corpus split: doc_id % 10 == 0 plays the
+    * arriving daily shard; the rest are the indexed existing corpus.
+    * Disjoint by construction (the [[graft.ext.IncrementalDedup]]
+    * contract). */
+  private def jaccardIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"jaccard|$sfDir") { dir =>
+      graft.ext.IncrementalDedup.writeIndex(
+        docs(spark, sfDir).where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", dir, n = 3, maxDf = JaccardMaxDf)
+    }
+
+  private def decontamIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"decontam|$sfDir") { dir =>
+      graft.ext.Decontamination.writeIndex(
+        docs(spark, sfDir).where(col("doc_id") % 17 === 0),
+        "doc_id", "text", dir, n = 8)
+    }
+
+  /** Incremental append-batch near-dup against the persisted shingle
+    * index: which shard docs duplicate the existing corpus (or each
+    * other), WITHOUT the full-corpus self-join. Provably equal to
+    * [[nearDupJaccard]]'s full recompute over all docs restricted to
+    * pairs touching the shard — including the combined-df cap — which
+    * is exactly what the live oracle recomputes. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.IncrementalDedup.nearDupPairs(spark,
+        jaccardIndexDir(spark, sfDir),
+        docs(spark, sfDir).where(col("doc_id") % 10 === 0),
+        "doc_id", "text", threshold = 0.12)
+      .orderBy("id_a", "id_b")
+
+  /** Incremental decontamination: the arriving shard (corpus docs with
+    * doc_id % 10 == 0) flagged against the PERSISTED benchmark gram set
+    * — [[decontam]]'s report restricted to the shard, with the bench
+    * side read instead of recomputed. Live oracle. */
+  def decontamIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Decontamination.flagAgainstIndex(spark,
+        decontamIndexDir(spark, sfDir),
+        docs(spark, sfDir)
+          .where(col("doc_id") % 17 =!= 0 && col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Data-mixture planning rollup: per (source, lang) document counts,
     * token/char totals, and each cell's share of the corpus token budget
     * — the table a training run's sampling weights are derived from.

@@ -1,0 +1,107 @@
+package graft.ext
+
+import graft.SparkSpecBase
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The incremental-vs-full equivalence contract: pairs from the
+  * persisted-index incremental pass must equal the full recompute over
+  * old ∪ new restricted to pairs touching the new batch — INCLUDING
+  * when the batch pushes a shingle's combined document frequency over
+  * the cap (the arithmetic the index's stored df/sizes exist for). */
+class IncrementalDedupSpec extends SparkSpecBase {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("inc-dedup").toString
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+      r.getAs[Double]("jaccard"))).toSet
+
+  private def restrictedFull(all: DataFrame, newIds: Set[Long], n: Int,
+                             threshold: Double, maxDf: Long): Set[(Long, Long, Double)] =
+    pairsOf(Dedup.jaccardPairs(all, "doc_id", "text", n, threshold, maxDf)
+      .where(col("id_a").isin(newIds.toSeq: _*) ||
+        col("id_b").isin(newIds.toSeq: _*)))
+
+  test("incremental == restricted full recompute (no cap pressure)") {
+    val old = docs(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "p q r s t u"))
+    val nw = docs(
+      (10L, "a b c d e f"),            // dup of 1 (and near-dup of 2)
+      (11L, "p q r s t u"),            // dup of 3
+      (12L, "x y z w v u"),            // novel
+      (13L, "x y z w v q"))            // near-dup of 12 (new-new pair)
+    val dir = tmp()
+    IncrementalDedup.writeIndex(old, "doc_id", "text", dir, n = 3, maxDf = 50L)
+    val inc = pairsOf(IncrementalDedup.nearDupPairs(spark, dir, nw,
+      "doc_id", "text", threshold = 0.2))
+    val full = restrictedFull(old.unionByName(nw), Set(10L, 11L, 12L, 13L),
+      n = 3, threshold = 0.2, maxDf = 50L)
+    assert(inc === full)
+    assert(inc.nonEmpty)
+    // sanity: both new-old and new-new pairs present
+    assert(inc.exists { case (a, b, _) => a < 10 && b >= 10 })
+    assert(inc.exists { case (a, b, _) => a >= 10 && b >= 10 })
+  }
+
+  test("incremental == restricted full when the batch crosses the df cap") {
+    // shingle "x y z" has df 3 in the old corpus (== cap); the batch
+    // adds two more occurrences → combined df 5 > 3 → it must drop from
+    // BOTH sides' capped sets, shrinking old docs' effective sizes.
+    val old = docs(
+      (1L, "x y z a b c"), (2L, "x y z d e f"), (3L, "x y z a b d"))
+    val nw = docs(
+      (10L, "x y z a b c"),            // shares "x y z" AND "a b c" w/ 1
+      (11L, "x y z q r s"))            // shares ONLY the capped shingle
+    val dir = tmp()
+    IncrementalDedup.writeIndex(old, "doc_id", "text", dir, n = 3, maxDf = 3L)
+    val inc = pairsOf(IncrementalDedup.nearDupPairs(spark, dir, nw,
+      "doc_id", "text", threshold = 0.1))
+    val full = restrictedFull(old.unionByName(nw), Set(10L, 11L),
+      n = 3, threshold = 0.1, maxDf = 3L)
+    assert(inc === full)
+    // doc 11's only shared shingle was capped → it pairs with no one
+    assert(!inc.exists { case (a, b, _) => a == 11L || b == 11L })
+    // doc 10 still pairs with 1 via the surviving "a b c"/"y z a"/"z a b"
+    assert(inc.exists { case (a, b, _) => a == 1L && b == 10L })
+  }
+
+  test("incremental == restricted full on the sf0.001 corpus split") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = all.where(col("doc_id") % 10 =!= 0)
+    val nw = all.where(col("doc_id") % 10 === 0)
+    val dir = tmp()
+    IncrementalDedup.writeIndex(old, "doc_id", "text", dir, n = 3, maxDf = 50L)
+    val inc = pairsOf(IncrementalDedup.nearDupPairs(spark, dir, nw,
+      "doc_id", "text", threshold = 0.12))
+    val full = pairsOf(
+      Dedup.jaccardPairs(all, "doc_id", "text", 3, 0.12, 50L)
+        .where(col("id_a") % 10 === 0 || col("id_b") % 10 === 0))
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
+  test("decontam flagAgainstIndex == direct decontaminate on the shard") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = all.where(col("doc_id") % 17 === 0)
+    val shard = all.where(col("doc_id") % 17 =!= 0 && col("doc_id") % 10 === 0)
+    val dir = tmp()
+    Decontamination.writeIndex(bench, "doc_id", "text", dir, n = 8)
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated"))).toSet
+    val viaIndex = rows(
+      Decontamination.flagAgainstIndex(spark, dir, shard, "doc_id", "text"))
+    val direct = rows(
+      Decontamination.decontaminate(shard, bench, "doc_id", "text", n = 8))
+    assert(viaIndex === direct)
+    assert(viaIndex.nonEmpty)
+  }
+}
