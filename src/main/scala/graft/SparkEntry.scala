@@ -134,6 +134,7 @@ object SparkEntry {
     "mm_feature_topk"          -> (LlmQueries.mmFeatureTopK _),
     "mm_resize_checksum"       -> (LlmQueries.mmResizeChecksum _),
     "mm_audio_meta"            -> (LlmQueries.mmAudioMeta _),
+    "mm_video_meta"            -> (LlmQueries.mmVideoMeta _),
     "mm_frame_sample"          -> (LlmQueries.mmFrameSample _),
   )
 
@@ -1151,6 +1152,17 @@ object SparkEntry {
         |  CAST(8000 AS BIGINT) AS sample_rate,
         |  CAST(800 + (doc_id % 100) * 8 AS BIGINT) AS n_frames,
         |  CAST(100 + doc_id % 100 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm_video_meta: real AVI/RIFF container bytes, chunk-walk parsed;
+    // the oracle restates the fixture formulas (25 fps ⇒ 40 ms/frame);
+    // n_frames_demuxed counts actual movi '00db' chunks and must agree.
+    "mm_video_meta" ->
+      """SELECT doc_id, 'avi' AS container,
+        |  CAST(16 + (doc_id % 9) * 2 AS BIGINT) AS width,
+        |  CAST(12 + (doc_id % 7) * 2 AS BIGINT) AS height,
+        |  CAST(4 + doc_id % 6 AS BIGINT) AS n_frames,
+        |  CAST(4 + doc_id % 6 AS BIGINT) AS n_frames_demuxed,
+        |  CAST((4 + doc_id % 6) * 40 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
     // mm_frame_sample: mirror the slicing arithmetic (floor, not round —
     // Spark's cast-to-int truncates; DuckDB's rounds).

@@ -17,6 +17,12 @@ private[ext] case class AudioMetaRow(id: Long, format: String, channels: Int,
                                      sample_rate: Long, n_frames: Long,
                                      duration_ms: Long)
 
+/** Row shape for [[Multimodal.videoMeta]] (top-level for the same
+  * codegen-encoder reason as [[AudioMetaRow]]). */
+private[ext] case class VideoMetaRow(id: Long, container: String, width: Int,
+                                     height: Int, n_frames: Long,
+                                     n_frames_demuxed: Long, duration_ms: Long)
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample operators (SURVEY.md §2.8 north star).
@@ -339,7 +345,192 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
-  // Video (no JDK codec — disclosed byte-slicing stand-in)
+  // Video container: real AVI/RIFF byte-level writing and parsing.
+  //
+  // The JDK has no video CODEC, so frame PAYLOADS stay opaque bytes
+  // ([[sampleFrames]]), but the CONTAINER is a public byte format
+  // (Microsoft RIFF/AVI spec: 'RIFF' size 'AVI ' holding LIST chunks;
+  // the 56-byte 'avih' main header carries dwMicroSecPerFrame,
+  // dwTotalFrames, dwWidth, dwHeight; stream data lives in the 'movi'
+  // LIST as '00db'/'00dc' chunks). Metadata extraction here is REAL
+  // container parsing — chunk walking with word alignment — and the
+  // demuxed-frame count cross-checks the header against the actual
+  // 'movi' contents.
+  // ------------------------------------------------------------------
+
+  /** Video fixture formulas, SQL-restatable over `doc_id` (the
+    * mm_video_meta oracle contract). 25 fps ⇒ duration_ms = 40/frame. */
+  def fixtureVideoWidth(id: Long): Int = 16 + math.floorMod(id, 9L).toInt * 2
+  def fixtureVideoHeight(id: Long): Int = 12 + math.floorMod(id, 7L).toInt * 2
+  def fixtureVideoFrames(id: Long): Int = 4 + math.floorMod(id, 6L).toInt
+  val VideoUsecPerFrame: Int = 40000
+  val VideoFrameBytes: Int = 16
+
+  private def fourccBytes(s: String): Array[Byte] = {
+    require(s.length == 4, s"fourcc must be 4 chars: $s")
+    s.getBytes("US-ASCII")
+  }
+
+  private def u32le(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def u16le(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** A RIFF chunk: fourcc + little-endian size + body + pad byte to the
+    * spec's 16-bit alignment. */
+  private def riffChunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(8 + body.length + 1)
+    out.write(fourccBytes(fourcc)); out.write(u32le(body.length.toLong))
+    out.write(body)
+    if (body.length % 2 == 1) out.write(0)
+    out.toByteArray
+  }
+
+  private def riffList(listType: String, children: Array[Byte]*): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    body.write(fourccBytes(listType))
+    children.foreach(body.write)
+    riffChunk("LIST", body.toByteArray)
+  }
+
+  /** Deterministic frame payload bytes for (id, frameIdx). */
+  def videoFramePayload(id: Long, frameIdx: Int): Array[Byte] =
+    Array.tabulate(VideoFrameBytes)(j =>
+      math.floorMod(id * 31L + frameIdx.toLong * 7L + j.toLong * 13L, 256L).toByte)
+
+  /** Write one spec-valid AVI: hdrl (avih main header + one 'vids'
+    * strl) + movi with `nFrames` '00db' chunks of deterministic
+    * payload. Every field below is from the public AVI/BITMAPINFOHEADER
+    * layout; no codec involved — the raster bytes are opaque payload. */
+  def synthesizeAvi(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val avih = new ByteArrayOutputStream(56)
+    avih.write(u32le(VideoUsecPerFrame.toLong)) // dwMicroSecPerFrame
+    avih.write(u32le(0)); avih.write(u32le(0)); avih.write(u32le(0))
+    avih.write(u32le(nFrames.toLong))           // dwTotalFrames
+    avih.write(u32le(0))
+    avih.write(u32le(1))                        // dwStreams
+    avih.write(u32le(0))
+    avih.write(u32le(w.toLong))                 // dwWidth
+    avih.write(u32le(h.toLong))                 // dwHeight
+    (0 until 4).foreach(_ => avih.write(u32le(0))) // dwReserved[4]
+    val strh = new ByteArrayOutputStream(56)
+    strh.write(fourccBytes("vids")); strh.write(fourccBytes("DIB "))
+    strh.write(u32le(0))                        // dwFlags
+    strh.write(u16le(0)); strh.write(u16le(0))  // wPriority, wLanguage
+    strh.write(u32le(0))                        // dwInitialFrames
+    strh.write(u32le(1))                        // dwScale
+    strh.write(u32le(25))                       // dwRate (25 fps)
+    strh.write(u32le(0))                        // dwStart
+    strh.write(u32le(nFrames.toLong))           // dwLength
+    strh.write(u32le(0))                        // dwSuggestedBufferSize
+    strh.write(u32le(0))                        // dwQuality
+    strh.write(u32le(0))                        // dwSampleSize
+    (0 until 4).foreach(_ => strh.write(u16le(0))) // rcFrame
+    val strf = new ByteArrayOutputStream(40)    // BITMAPINFOHEADER
+    strf.write(u32le(40)); strf.write(u32le(w.toLong)); strf.write(u32le(h.toLong))
+    strf.write(u16le(1)); strf.write(u16le(24)) // biPlanes, biBitCount
+    strf.write(u32le(0))                        // biCompression = BI_RGB
+    strf.write(u32le(w.toLong * h * 3))         // biSizeImage
+    (0 until 4).foreach(_ => strf.write(u32le(0)))
+    val hdrl = riffList("hdrl", riffChunk("avih", avih.toByteArray),
+      riffList("strl", riffChunk("strh", strh.toByteArray),
+        riffChunk("strf", strf.toByteArray)))
+    val movi = riffList("movi",
+      (0 until nFrames).map(f => riffChunk("00db", videoFramePayload(id, f))): _*)
+    val body = new ByteArrayOutputStream()
+    body.write(fourccBytes("AVI "))
+    body.write(hdrl); body.write(movi)
+    riffChunk("RIFF", body.toByteArray)
+  }
+
+  /** (id) → (id, blob): real AVI container bytes with the fixture
+    * dimensions/frame counts. Map-side, like the image/WAV writers. */
+  def synthesizeAvis(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"))
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          (id, synthesizeAvi(id, fixtureVideoWidth(id), fixtureVideoHeight(id),
+            fixtureVideoFrames(id)))
+        }
+      }(enc)
+      .toDF(idCol, "blob")
+  }
+
+  /** Parse AVI container metadata by walking the RIFF chunk tree:
+    * (container, width, height, nFramesHeader, nFramesDemuxed,
+    * durationMs). `nFramesDemuxed` counts the actual '..db'/'..dc'
+    * stream-data chunks inside 'movi' — the header-vs-content
+    * cross-check. Degrades to ("", 0, …) on anything that is not a
+    * well-formed RIFF-AVI (same one-bad-blob rule as the image/audio
+    * parsers). */
+  def parseAviMeta(bytes: Array[Byte]): (String, Int, Int, Long, Long, Long) = {
+    val Bad = ("", 0, 0, 0L, 0L, 0L)
+    if (bytes == null || bytes.length < 12) return Bad
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def cc(off: Int): String =
+      new String(bytes, off, 4, "US-ASCII")
+    try {
+      if (cc(0) != "RIFF" || cc(8) != "AVI ") return Bad
+      var usec = 0L; var totalFrames = 0L; var w = 0; var h = 0
+      var demuxed = 0L; var sawAvih = false
+      // walk [from, until) as a sequence of chunks; returns unit,
+      // accumulating into the vars above
+      def walk(from: Int, until: Int, in: String): Unit = {
+        var off = from
+        while (off + 8 <= until) {
+          val id = cc(off)
+          val size = u32(off + 4)
+          val body = off + 8
+          // Long compare BEFORE narrowing: a corrupt 32-bit size can
+          // wrap Int and fake a plausible end offset
+          if (size > (until - body).toLong) return
+          val end = body + size.toInt
+          if (id == "LIST" && size >= 4) {
+            val ltype = cc(body)
+            if (ltype == "hdrl" || ltype == "strl" || ltype == "movi")
+              walk(body + 4, end, ltype)
+          } else if (id == "avih" && size >= 40) {
+            sawAvih = true
+            usec = u32(body); totalFrames = u32(body + 16)
+            w = u32(body + 32).toInt; h = u32(body + 36).toInt
+          } else if (in == "movi" && id.length == 4 &&
+            (id.endsWith("db") || id.endsWith("dc"))) {
+            demuxed += 1
+          }
+          off = end + (size % 2).toInt // word alignment
+        }
+      }
+      walk(12, bytes.length, "riff")
+      if (!sawAvih) Bad
+      else ("avi", w, h, totalFrames, demuxed, totalFrames * usec / 1000L)
+    } catch { case _: Exception => Bad }
+  }
+
+  /** Real container-metadata extraction over (id, blob) AVI rows —
+    * `mapPartitions` chunk-walk, blob never leaves the map side. */
+  def videoMeta(spark: SparkSession, df: DataFrame, idCol: String,
+                blobCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (c, w, h, nf, nd, dur) = parseAviMeta(bytes)
+          VideoMetaRow(id, c, w, h, nf, nd, dur)
+        }
+      }(Encoders.product[VideoMetaRow])
+      .toDF(idCol, "container", "width", "height", "n_frames",
+        "n_frames_demuxed", "duration_ms")
+  }
+
+  // ------------------------------------------------------------------
+  // Video frames (no JDK codec — disclosed byte-slicing stand-in)
   // ------------------------------------------------------------------
 
   /** Frame sampling for video-like payloads: slice `n` evenly-spaced

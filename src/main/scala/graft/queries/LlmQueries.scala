@@ -957,6 +957,24 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Real video CONTAINER metadata: genuine AVI/RIFF bytes written and
+    * chunk-walk parsed by [[Multimodal]] (public byte format — the JDK
+    * lacks only the CODEC, not the container). `n_frames` comes from
+    * the avih header, `n_frames_demuxed` from counting the actual
+    * '00db' chunks in the movi list — the live oracle pins both to the
+    * fixture formula, so a header/content disagreement (a demux bug)
+    * breaks the hash. */
+  def mmVideoMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val avis = Multimodal.synthesizeAvis(spark,
+      docs(spark, sfDir).select("doc_id"), "doc_id")
+    Multimodal.videoMeta(spark, avis, "doc_id", "blob")
+      .select(col("doc_id"), col("container"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames"), col("n_frames_demuxed"), col("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal frame sampling: 4 evenly-spaced 16-byte windows per blob
     * (rows-only; the slicing shape is what a real frame sampler uses). */
   def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame =

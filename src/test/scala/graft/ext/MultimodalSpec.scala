@@ -112,6 +112,43 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames(3).getAs[Array[Byte]]("frame_bytes")(0) !== 0.toByte)
   }
 
+  test("synthesized AVI bytes parse back to the fixture video metadata") {
+    val s = spark; import s.implicits._
+    val ids = Seq(0L, 1L, 7L, 13L, 100L).toDF("doc_id")
+    val avis = Multimodal.synthesizeAvis(spark, ids, "doc_id")
+    val out = Multimodal.videoMeta(spark, avis, "doc_id", "blob")
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("container") === "avi")
+      assert(r.getAs[Int]("width") === Multimodal.fixtureVideoWidth(id))
+      assert(r.getAs[Int]("height") === Multimodal.fixtureVideoHeight(id))
+      assert(r.getAs[Long]("n_frames") === Multimodal.fixtureVideoFrames(id).toLong)
+      // the demuxed movi chunk count must agree with the header
+      assert(r.getAs[Long]("n_frames_demuxed") === r.getAs[Long]("n_frames"))
+      assert(r.getAs[Long]("duration_ms") ===
+        Multimodal.fixtureVideoFrames(id).toLong * 40L)
+    }
+  }
+
+  test("parseAviMeta degrades on garbage, truncation, and non-AVI RIFF") {
+    val Bad = ("", 0, 0, 0L, 0L, 0L)
+    assert(Multimodal.parseAviMeta(null) === Bad)
+    assert(Multimodal.parseAviMeta(Array.empty[Byte]) === Bad)
+    assert(Multimodal.parseAviMeta("not a riff file at all".getBytes) === Bad)
+    // valid RIFF magic but a WAVE form type — not an AVI
+    val wav = Multimodal.synthesizeWav(1L, 100)
+    assert(Multimodal.parseAviMeta(wav) === Bad)
+    // truncated mid-header: degrade, don't throw
+    val avi = Multimodal.synthesizeAvi(5L, 16, 12, 4)
+    assert(Multimodal.parseAviMeta(avi.take(20)) === Bad)
+    // corrupt chunk size (huge): parser must stop cleanly
+    val corrupt = avi.clone()
+    corrupt(16) = 0xff.toByte; corrupt(17) = 0xff.toByte
+    corrupt(18) = 0xff.toByte; corrupt(19) = 0xff.toByte
+    Multimodal.parseAviMeta(corrupt) // no throw is the assertion
+  }
+
   test("fakeFeatures is deterministic and fixed-width") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "payload".getBytes), (2L, "payload".getBytes))
