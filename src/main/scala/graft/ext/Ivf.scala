@@ -262,36 +262,72 @@ object Ivf {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/data")
   }
 
-  /** Top-k against a written index. The queries' probe cells resolve
-    * first (bounded: |queries| × nProbe ints — the query set is a probe
-    * set by contract; same bounded-collect planning discipline as the
-    * bucketed sink's manifest), then the corpus scan is STATICALLY
-    * pruned to those partition directories — `PartitionFilters` in the
-    * scan, asserted in IvfSpec — and cell assignments come from the
-    * layout, not a re-derivation. Ranking is identical to [[topK]]
-    * (spec-asserted equal). */
+  /** Top-k against a written index, in one of two probe-resolution
+    * modes (spec-asserted identical output):
+    *
+    *  - `broadcastProbes = true` (default — the interactive-serving
+    *    shape): the queries' probe cells resolve FIRST via one bounded
+    *    driver collect (|queries| × nProbe ints — the query set is a
+    *    probe set by contract; same bounded-collect planning
+    *    discipline as the bucketed sink's manifest), then the corpus
+    *    scan is STATICALLY pruned to those partition directories —
+    *    `PartitionFilters` in the scan, asserted in IvfSpec — and the
+    *    probe pairs broadcast into the candidate join.
+    *  - `broadcastProbes = false` (the batch shape for million-query
+    *    probe sets): NO driver collect anywhere — the probe pairs stay
+    *    a distributed plan and the prune is pushed as an equi-JOIN on
+    *    `cell`, so query-set size is bounded by cluster memory, not
+    *    driver memory. The corpus scan is not statically pruned (the
+    *    cells aren't known at plan time); at that query scale most
+    *    cells are probed anyway, so the scan-vs-prune trade favors the
+    *    join. Queries are also NOT broadcast in the verify stage.
+    *
+    * Cell assignments come from the layout in both modes, not a
+    * re-derivation; ranking is identical to [[topK]]. */
   def topKIndexed(spark: SparkSession, path: String, queries: DataFrame,
-                  idCol: String, vecCol: String, k: Int,
-                  nProbe: Int): DataFrame = {
-    val model = load(spark, s"$path/model")
-    // resolve the probe pairs ONCE (bounded: |queries| × nProbe rows —
-    // the query set is a probe set by contract) and reuse the collected
-    // result for both the partition prune and the candidate join, so
-    // the nearestCells pass over the queries runs a single time
+                  idCol: String, vecCol: String, k: Int, nProbe: Int,
+                  broadcastProbes: Boolean = true): DataFrame =
+    topKIndexedWith(spark, load(spark, s"$path/model"), path, queries,
+      idCol, vecCol, k, nProbe, broadcastProbes)
+
+  /** [[topKIndexed]] with a pre-loaded model — the entry for callers
+    * that serve many searches against one index (load the tiny model
+    * artifact once) and for the no-collect plan assertion in IvfSpec
+    * (model loading is itself a driver-side read; with it out of the
+    * way, `broadcastProbes = false` must build the whole search plan
+    * without running a single job). */
+  def topKIndexedWith(spark: SparkSession, model: Model, path: String,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nProbe: Int,
+                      broadcastProbes: Boolean): DataFrame = {
+    // one probe-cell derivation per query row, shared by both modes
     val probesPlan = queries.select(col(idCol).as("query_id"),
       explode(VectorExpressions.nearestCells(
         col(vecCol).cast("array<double>"), model.asSeq, nProbe)).as("cell"))
-    val collected = probesPlan.collect()
-    val probes = spark.createDataFrame(
-      java.util.Arrays.asList(collected: _*), probesPlan.schema)
-    val qCells = collected.map(_.getInt(1)).distinct.toIndexedSeq
-    val corpus = spark.read.parquet(s"$path/data")
-      .where(col("cell").isin(qCells: _*))
-    val cands = corpus.select(col(idCol).as("neighbor_id"), col("cell"))
-      .join(broadcast(probes), "cell")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-    verifyTopK(cands, corpus, queries, idCol, vecCol, k,
-      broadcastQueries = true)
+    if (broadcastProbes) {
+      // resolve the probe pairs ONCE and reuse the collected result for
+      // both the partition prune and the candidate join, so the
+      // nearestCells pass over the queries runs a single time
+      val collected = probesPlan.collect()
+      val probes = spark.createDataFrame(
+        java.util.Arrays.asList(collected: _*), probesPlan.schema)
+      val qCells = collected.map(_.getInt(1)).distinct.toIndexedSeq
+      val corpus = spark.read.parquet(s"$path/data")
+        .where(col("cell").isin(qCells: _*))
+      val cands = corpus.select(col(idCol).as("neighbor_id"), col("cell"))
+        .join(broadcast(probes), "cell")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+      verifyTopK(cands, corpus, queries, idCol, vecCol, k,
+        broadcastQueries = true)
+    } else {
+      val corpus = spark.read.parquet(s"$path/data")
+      val cands = corpus.select(col(idCol).as("neighbor_id"), col("cell"))
+        .join(probesPlan, "cell")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+      verifyTopK(cands, corpus, queries, idCol, vecCol, k,
+        broadcastQueries = false)
+    }
   }
 }

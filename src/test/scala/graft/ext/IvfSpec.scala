@@ -199,6 +199,62 @@ class IvfSpec extends SparkSpecBase {
     }
   }
 
+  test("join-pruned probe path (broadcastProbes=false) matches the collect-pruned one") {
+    val all = clustered()
+    val q = all.where(col("vec_id") < 3)
+    val model = Ivf.train(all, "vec_id", "embedding", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    try {
+      Ivf.writeIndex(all, "embedding", model, s"$dir/idx")
+      val collectPath = Ivf.topKIndexed(spark, s"$dir/idx", q, "vec_id",
+        "embedding", k = 5, nProbe = 2)
+      val joinPath = Ivf.topKIndexed(spark, s"$dir/idx", q, "vec_id",
+        "embedding", k = 5, nProbe = 2, broadcastProbes = false)
+      assert(joinPath.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq ===
+        collectPath.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("broadcastProbes=false builds the whole search plan with zero driver-side jobs") {
+    val all = clustered()
+    val q = all.where(col("vec_id") < 3)
+    val model = Ivf.train(all, "vec_id", "embedding", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    try {
+      Ivf.writeIndex(all, "embedding", model, s"$dir/idx")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // Baseline: merely OPENING the index (schema + partition
+        // discovery) may launch a listing job; measure it so the
+        // assertion isolates what the probe path ADDS — which, with
+        // the model pre-loaded, must be nothing (the collect path
+        // adds the probe-resolution job; that is the difference).
+        spark.read.parquet(s"$dir/idx/data").schema
+        Thread.sleep(1000) // listener events post asynchronously
+        val baseline = jobs.getAndSet(0)
+        val plan = Ivf.topKIndexedWith(spark, model, s"$dir/idx", q,
+          "vec_id", "embedding", k = 5, nProbe = 2, broadcastProbes = false)
+        plan.queryExecution.optimizedPlan // force analysis + optimization
+        Thread.sleep(1000)
+        assert(jobs.get() <= baseline,
+          s"join-pruned probe path launched ${jobs.get()} jobs during " +
+            s"planning (bare index open launches $baseline)")
+        assert(plan.count() > 0) // and it actually runs
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("plan: probe join is an equi-join — no cartesian, no nested loop") {
     val all = clustered()
     val model = Ivf.train(all, "vec_id", "embedding", nCells = 8)
