@@ -175,15 +175,16 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
       }
-    def jsonLine(stream: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stream":$stream,"sf":"$sfDir"}"""
+    def jsonLine(stream: String, sinkCmp: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stream":$stream,"sink_small_batch":$sinkCmp,"sf":"$sfDir"}"""
     // Double.toString is locale-independent ('.' decimal always) — the
     // JSON contract must not go through a default-locale formatter.
     def num(d: Double): String = (math.rint(d * 1000) / 1000).toString
     // Persist the query timings BEFORE the stream phase: a hung
     // streaming query must not forfeit the 90+ timings already earned.
     val noStream = """{"events":0,"batches":0,"sec":-1,"events_per_sec":-1}"""
-    persist(jsonLine(noStream))
+    val noCmp = """{"events_per_batch":0,"batches":0,"cow_eps":-1,"mor_eps":-1}"""
+    persist(jsonLine(noStream, noCmp))
     // Streaming throughput row (fixed batch count, see StreamBench):
     // runs AFTER the fork phase so its JVM state can't perturb query
     // timings; caches were already dropped above. Bounded wait — a
@@ -202,7 +203,30 @@ object Bench {
         System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
         noStream
       }
-    val line = jsonLine(stream)
+    persist(jsonLine(stream, noCmp))
+    // Small-batch write-amplification row, timed at the SINK layer: the
+    // streaming harness's ~2 s/trigger fixed cost (JSON normalize,
+    // fan-out, scheduling) buries any sink difference locally (measured:
+    // COW eps identical with a 12k-row and a 1.6M-row table), so the
+    // three layouts are timed directly on identical batches against a
+    // pre-seeded table — COW rewrites the world, bucketed rewrites
+    // touched buckets (~all, at this batch shape), MOR appends O(batch)
+    // with one inline compaction inside the window. Same bounded-wait
+    // rule as the stream row.
+    val sinkCmp =
+      try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val r = Await.result(
+          Future(graft.sink.SinkBench.run(spark)), 480.seconds)
+        s"""{"table_rows":${r.tableRows},"batch_rows":${r.batchRows},"commits":${r.commits},""" +
+          s""""cow_sec":${num(r.cowSec)},"bucketed_sec":${num(r.bucketedSec)},"mor_sec":${num(r.morSec)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sink small-batch bench failed: ${e.getMessage}")
+        noCmp
+      }
+    val line = jsonLine(stream, sinkCmp)
     println(line)
     persist(line)
     spark.stop()

@@ -66,6 +66,7 @@ object SparkEntry {
     "cdc_catalog_table"        -> (CdcQueries.catalogTableRead _),
     "cdc_composite_key"        -> (CdcQueries.compositeKeyMerge _),
     "cdc_bucketed_merge"       -> (CdcQueries.bucketedMerge _),
+    "cdc_mor_merge"            -> (CdcQueries.morMerge _),
     "cdc_bucketed_catalog"     -> (CdcQueries.bucketedCatalogRead _),
     "cdc_router_counts"        -> (CdcQueries.routerCounts _),
     "cdc_router_counts_dms"    -> (CdcQueries.routerCountsDms _),
@@ -561,6 +562,14 @@ object SparkEntry {
     // Same oracle as cdc_upsert_merge: the incremental bucketed layout
     // must produce the identical merged state.
     "cdc_bucketed_merge" ->
+      """SELECT user_id AS id, event_id, event_type AS etype, value, epoch_ms(ts) AS mtime
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'purchase' ORDER BY id""".stripMargin,
+    // Same oracle once more: the MERGE-ON-READ sink's delta-append +
+    // read-side log merge must land on the identical final state.
+    "cdc_mor_merge" ->
       """SELECT user_id AS id, event_id, event_type AS etype, value, epoch_ms(ts) AS mtime
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn

@@ -338,6 +338,25 @@ object CdcQueries {
       .orderBy("id")
   }
 
+  /** Same two-batch upsert through the LOG-STRUCTURED (merge-on-read)
+    * sink: batch 2 appends delta files per touched bucket instead of
+    * rewriting them; the read-side log merge must produce the identical
+    * final state (mtime is ordered across the batches and event_id
+    * unique, so the MOR commit-tiebreak never fires here — shares the
+    * bucketed-merge oracle byte for byte). */
+  def morMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val normalized = normalizedDebeziumShared(spark, sfDir)
+    val boundaryMs = 1705276800000L // 2024-01-15, see keyedUpsertMerge
+    val root = tempSinkDir("graft-mor-sink")
+    val t = new graft.sink.MorUpsertTable(spark, root.toString, Seq("id"),
+      nBuckets = 8, tiebreak = Seq("event_id"))
+    t.upsert(normalized.where(col(CdcNormalize.MtimeCol) < boundaryMs))
+    t.upsert(normalized.where(col(CdcNormalize.MtimeCol) >= boundaryMs))
+    t.read().get
+      .select("id", "event_id", "etype", "value", CdcNormalize.MtimeCol)
+      .orderBy("id")
+  }
+
   /** Catalog sync for the INCREMENTAL layout — the 100 TB configuration
     * must also serve `SELECT * FROM cdc_db.<table>` (the reference
     * hive-syncs every table unconditionally, `glue/cdc_hudi.py:190-194`).

@@ -184,8 +184,9 @@ object KeyedUpsertTable {
   }
 
   /** Project `df` onto `target`: null-pad missing columns, cast widened
-    * ones, keep `target` field order for a stable union. */
-  private def align(df: DataFrame, target: StructType): DataFrame = {
+    * ones, keep `target` field order for a stable union. Shared with
+    * the MOR sink's log alignment. */
+  private[sink] def align(df: DataFrame, target: StructType): DataFrame = {
     val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
     df.select(target.fields.toSeq.map { f =>
       have.get(f.name) match {

@@ -1,0 +1,301 @@
+package graft.sink
+
+import graft.cdc.{CdcNormalize, LatestPerKey, SchemaInference}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** The log-structured (merge-on-read) variant of the keyed upsert
+  * sinks — Hudi's MERGE_ON_READ table model re-expressed over parquet:
+  * a micro-batch APPENDS one delta file set per touched bucket (write
+  * cost = O(batch), never a table rewrite), readers merge base + deltas
+  * latest-per-key at scan time, and a bucket whose delta chain exceeds
+  * `compactAfter` is compacted (base+deltas → one new base) inside the
+  * committing batch. The reference chooses COPY_ON_WRITE
+  * (`/root/reference/glue/cdc_hudi.py:186`); MOR is the documented
+  * alternative for write-heavy small-batch streams, where COW's
+  * rewrite-per-batch amplification dominates ([[KeyedUpsertTable]])
+  * and even the bucketed sink rewrites every touched bucket
+  * ([[BucketedUpsertTable]]).
+  *
+  * Merge semantics are Hudi's MOR log-scanner rules: every stored row
+  * carries its commit sequence (`__commit`); the survivor per key is
+  * `max_by` over (version, tiebreak…, __commit) — version wins, commit
+  * order breaks full ties (a later batch's equal-version row supersedes,
+  * matching the COW path's incoming-beats-stored rule) — and delete
+  * tombstones are retained in the log, masking their key until dropped
+  * at compaction. The one DOCUMENTED divergence from sequential COW
+  * (also true of real Hudi MOR): an OLDER-versioned event arriving
+  * after a delete stays masked by the uncompacted tombstone, whereas
+  * COW re-inserts it because the hard delete already erased the key.
+  *
+  * Layout (all inside `root`, same pointer/manifest machinery as
+  * [[BucketedUpsertTable]]):
+  * {{{
+  *   data/commit-<n>/__bucket=<b>/part-*.parquet     delta appends
+  *   data/commit-<n>-compact/__bucket=<b>/…          compacted bases
+  *   snap-<n>/_buckets.json    manifest: bucket -> ORDERED dir list
+  *   _current                  pointer file (atomic swap)
+  * }}}
+  * Driver-side state stays bounded by `nBuckets` (touched-set collect +
+  * manifest), exactly like the bucketed sink.
+  */
+final class MorUpsertTable(
+    spark: SparkSession,
+    val root: String,
+    val keys: Seq[String],
+    val versionCol: String = CdcNormalize.MtimeCol,
+    val nBuckets: Int = 16,
+    val retainSnapshots: Int = 2,
+    val tiebreak: Seq[String] = Nil,
+    /** Compact a bucket when its dir chain (base + deltas) exceeds this
+      * length — the read-amplification bound: a reader scans at most
+      * `compactAfter` files per bucket. Hudi's
+      * `hoodie.compact.inline.max.delta.commits` equivalent. */
+    val compactAfter: Int = 4) extends UpsertSink {
+  require(keys.nonEmpty, "keyed table needs at least one key column")
+  require(nBuckets >= 1, "need at least one bucket")
+  require(retainSnapshots >= 1, "must retain at least the current snapshot")
+  require(compactAfter >= 1, "compactAfter must be >= 1")
+
+  private val rootPath: Path = Paths.get(root)
+  private val pointer: Path = rootPath.resolve("_current")
+  private val mapper = new ObjectMapper()
+
+  /** Commit-sequence column every stored row carries (the log order the
+    * read-side merge tie-breaks on). */
+  private val CommitCol = "__commit"
+
+  private def bucketCol = pmod(hash(keys.map(col): _*), lit(nBuckets))
+
+  private val BucketDirPrefix = "__bucket="
+
+  // ------------------------------------------------------------- manifest
+
+  /** schemaDdl = PAYLOAD schema (without [[CommitCol]]); buckets map to
+    * the ordered chain of dirs holding the bucket's rows. */
+  private case class Manifest(schemaDdl: String, buckets: Map[Int, Seq[String]])
+
+  private def manifestPath(snap: String): Path =
+    rootPath.resolve(snap).resolve("_buckets.json")
+
+  private def writeManifest(snap: String, m: Manifest): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("schema", m.schemaDdl)
+    val b = node.putObject("buckets")
+    m.buckets.foreach { case (k, dirs) =>
+      val arr = b.putArray(k.toString)
+      dirs.foreach(arr.add)
+    }
+    Files.createDirectories(rootPath.resolve(snap))
+    Files.write(manifestPath(snap), mapper.writeValueAsBytes(node))
+  }
+
+  private def readManifest(snap: String): Manifest = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(snap)))
+    val buckets = node.get("buckets").properties().iterator().asScala
+      .map { e =>
+        e.getKey.toInt ->
+          e.getValue.elements().asScala.map(_.asText()).toSeq
+      }.toMap
+    Manifest(node.get("schema").asText(), buckets)
+  }
+
+  def currentSnapshot(): Option[String] =
+    if (Files.exists(pointer))
+      Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim)
+        .filter(_.nonEmpty)
+    else None
+
+  /** Chain length of bucket `b` (observability: the soak spec bounds it
+    * by `compactAfter`). */
+  def bucketChainLength(b: Int): Int =
+    currentSnapshot().map(readManifest).flatMap(_.buckets.get(b))
+      .map(_.length).getOrElse(0)
+
+  // ----------------------------------------------------------------- read
+
+  /** Storage schema = payload schema + [[CommitCol]] (every file has
+    * it; dirs point inside the `__bucket=` partition dirs so the bucket
+    * column never surfaces). */
+  private def storageSchema(m: Manifest): StructType =
+    StructType.fromDDL(m.schemaDdl).add(CommitCol, LongType, nullable = false)
+
+  private def scanAll(m: Manifest): Option[DataFrame] = {
+    val dirs = m.buckets.values.flatten.toSeq.sorted
+      .map(d => rootPath.resolve(d).toString)
+    if (dirs.isEmpty) None
+    else Some(spark.read.schema(storageSchema(m)).parquet(dirs: _*))
+  }
+
+  /** Current SERVING state: one multi-path scan of every chained dir,
+    * merged latest-per-key at read time (the R in MOR), tombstones
+    * dropped, commit column projected away. */
+  def read(): Option[DataFrame] = currentSnapshot().map { snap =>
+    val m = readManifest(snap)
+    scanAll(m) match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL(m.schemaDdl))
+      case Some(rows) =>
+        MorUpsertTable.logMerge(rows, keys, versionCol, tiebreak, CommitCol)
+          .where(!col(CdcNormalize.DeletedCol))
+          .drop(CommitCol)
+    }
+  }
+
+  // --------------------------------------------------------------- upsert
+
+  /** Apply one batch: in-batch dedup (tombstones KEPT — they must mask
+    * older log entries), append as per-bucket delta files, then compact
+    * any bucket whose chain exceeds [[compactAfter]]. A schema-evolving
+    * batch compacts ALL buckets (the migration commit, like the
+    * bucketed sink's full rewrite). */
+  def upsert(batch: DataFrame): Unit = {
+    val commitId = currentSnapshot() match {
+      case Some(s) => s.stripPrefix("snap-").toLong + 1
+      case None    => 0L
+    }
+    val current = currentSnapshot().map(readManifest)
+    val storedSchema = current.map(m => StructType.fromDDL(m.schemaDdl))
+    val evolved = storedSchema.exists(s =>
+      SchemaInference.mergeStructs(s, batch.schema) != s)
+
+    val version = (versionCol +: tiebreak).map(col)
+    val deduped = LatestPerKey.maxBy(batch, keys, version)
+      .withColumn(CommitCol, lit(commitId))
+
+    val (manifest, dataSchema) =
+      if (current.isEmpty) {
+        val dataDir = s"data/commit-$commitId"
+        writeBucketed(deduped, dataDir)
+        // store the all-nullable form: mergeStructs nullifies every
+        // field, so a non-nullable first-batch schema (typed Datasets
+        // produce them) would otherwise compare "evolved" against every
+        // later batch and turn each commit into a migration
+        (listWritten(dataDir).view.mapValues(Seq(_)).toMap,
+          SchemaInference.mergeStructs(batch.schema, batch.schema))
+      } else if (evolved) {
+        // migration commit: full log fold onto the union schema, write
+        // one compacted base per bucket, tombstones dropped (compaction
+        // is where MOR erases deleted keys for good)
+        val m = current.get
+        val target = SchemaInference.mergeStructs(
+          StructType.fromDDL(m.schemaDdl), batch.schema)
+        val targetStored = target.add(CommitCol, LongType, nullable = false)
+        val stored = scanAll(m).map(KeyedUpsertTable.align(_, targetStored))
+        val all = stored match {
+          case Some(s) => s.unionByName(KeyedUpsertTable.align(deduped, targetStored))
+          case None    => KeyedUpsertTable.align(deduped, targetStored)
+        }
+        val compacted = MorUpsertTable
+          .logMerge(all, keys, versionCol, tiebreak, CommitCol)
+          .where(!col(CdcNormalize.DeletedCol))
+        val dataDir = s"data/commit-$commitId-compact"
+        writeBucketed(compacted, dataDir)
+        (listWritten(dataDir).view.mapValues(Seq(_)).toMap, target)
+      } else {
+        val m = current.get
+        // delta append: O(batch) write, untouched buckets carried as-is
+        val dataDir = s"data/commit-$commitId"
+        writeBucketed(KeyedUpsertTable.align(deduped, storageSchema(m)), dataDir)
+        val appended = listWritten(dataDir)
+        val chains: Map[Int, Seq[String]] =
+          (m.buckets.keySet ++ appended.keySet).map { b =>
+            b -> (m.buckets.getOrElse(b, Nil) ++ appended.get(b))
+          }.toMap
+        // inline compaction of over-long chains, scoped to those buckets
+        val toCompact = chains.filter(_._2.length > compactAfter)
+        if (toCompact.isEmpty) (chains, StructType.fromDDL(m.schemaDdl))
+        else {
+          val dirs = toCompact.values.flatten.toSeq.sorted
+            .map(d => rootPath.resolve(d).toString)
+          val compacted = MorUpsertTable.logMerge(
+              spark.read.schema(storageSchema(m)).parquet(dirs: _*),
+              keys, versionCol, tiebreak, CommitCol)
+            .where(!col(CdcNormalize.DeletedCol))
+          val compactDir = s"data/commit-$commitId-compact"
+          writeBucketed(compacted, compactDir)
+          val rebased = listWritten(compactDir)
+          // a compacted bucket whose keys ALL deleted yields no dir and
+          // drops from the manifest entirely
+          (chains.filter(e => !toCompact.contains(e._1)) ++
+            toCompact.keySet.flatMap(b => rebased.get(b).map(d => b -> Seq(d))),
+            StructType.fromDDL(m.schemaDdl))
+        }
+      }
+
+    val snap = s"snap-$commitId"
+    writeManifest(snap, Manifest(dataSchema.toDDL, manifest))
+    val tmp = rootPath.resolve("_current.tmp")
+    Files.write(tmp, snap.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    clean()
+  }
+
+  /** One bucket-partitioned write job into `dataDir`. */
+  private def writeBucketed(df: DataFrame, dataDir: String): Unit =
+    df.withColumn("__bucket", bucketCol)
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(rootPath.resolve(dataDir).toString)
+
+  /** Bucket dirs actually produced by a write (a bucket with no rows
+    * produces none). */
+  private def listWritten(dataDir: String): Map[Int, String] =
+    Option(rootPath.resolve(dataDir).toFile.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(BucketDirPrefix))
+      .map(f => f.getName.stripPrefix(BucketDirPrefix).toInt ->
+        s"$dataDir/${f.getName}")
+      .toMap
+
+  // -------------------------------------------------------------- cleaner
+
+  /** Same retention rule as the bucketed sink: keep the newest
+    * `retainSnapshots` manifests plus every commit dir any of them
+    * references. */
+  private def clean(): Unit = {
+    val numeric = "snap-(\\d+)".r
+    val snaps = Option(rootPath.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap(f => f.getName match {
+        case numeric(n) => Some(f -> n.toLong)
+        case _          => None
+      })
+      .sortBy(_._2).map(_._1)
+    val (drop, keep) = snaps.splitAt(math.max(0, snaps.length - retainSnapshots))
+    val referenced: Set[String] = keep.flatMap { dir =>
+      scala.util.Try(readManifest(dir.getName)).toOption.toSeq
+        .flatMap(_.buckets.values.flatten.map(_.split('/').take(2).mkString("/")))
+    }.toSet
+    drop.foreach(d => graft.util.LocalFs.deleteRecursively(d.toPath))
+    val dataRoot = rootPath.resolve("data")
+    Option(dataRoot.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !referenced.contains(s"data/${f.getName}"))
+      .foreach(f => graft.util.LocalFs.deleteRecursively(f.toPath))
+  }
+}
+
+object MorUpsertTable {
+
+  /** The MOR log fold as one aggregate: survivor per key = `max_by`
+    * over (version, tiebreak…, commit). Version dominates; commit order
+    * breaks full ties (later batch supersedes — the same rule as the
+    * COW merge's incoming-beats-stored source rank, generalized to a
+    * whole log). Tombstones survive the fold and are dropped by the
+    * caller (read keeps the mask cheap; compaction erases for good). */
+  private[sink] def logMerge(rows: DataFrame, keys: Seq[String],
+                             versionCol: String, tiebreak: Seq[String],
+                             commitCol: String): DataFrame =
+    LatestPerKey.maxBy(rows, keys,
+      (versionCol +: tiebreak).map(col) :+ col(commitCol))
+}
