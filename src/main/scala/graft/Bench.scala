@@ -175,8 +175,8 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
       }
-    def jsonLine(stream: String, sinkCmp: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stream":$stream,"sink_small_batch":$sinkCmp,"sf":"$sfDir"}"""
+    def jsonLine(stream: String, sinkCmp: String, ladder: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"stream":$stream,"sink_small_batch":$sinkCmp,"ladder":$ladder,"sf":"$sfDir"}"""
     // Double.toString is locale-independent ('.' decimal always) — the
     // JSON contract must not go through a default-locale formatter.
     def num(d: Double): String = (math.rint(d * 1000) / 1000).toString
@@ -184,7 +184,8 @@ object Bench {
     // streaming query must not forfeit the 90+ timings already earned.
     val noStream = """{"events":0,"batches":0,"sec":-1,"events_per_sec":-1}"""
     val noCmp = """{"events_per_batch":0,"batches":0,"cow_eps":-1,"mor_eps":-1}"""
-    persist(jsonLine(noStream, noCmp))
+    val noLadder = """{"factor":0,"queries":{}}"""
+    persist(jsonLine(noStream, noCmp, noLadder))
     // Streaming throughput row (fixed batch count, see StreamBench):
     // runs AFTER the fork phase so its JVM state can't perturb query
     // timings; caches were already dropped above. Bounded wait — a
@@ -203,7 +204,7 @@ object Bench {
         System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
         noStream
       }
-    persist(jsonLine(stream, noCmp))
+    persist(jsonLine(stream, noCmp, noLadder))
     // Small-batch write-amplification row, timed at the SINK layer: the
     // streaming harness's ~2 s/trigger fixed cost (JSON normalize,
     // fan-out, scheduling) buries any sink difference locally (measured:
@@ -226,7 +227,25 @@ object Bench {
         System.err.println(s"[bench] sink small-batch bench failed: ${e.getMessage}")
         noCmp
       }
-    val line = jsonLine(stream, sinkCmp)
+    persist(jsonLine(stream, sinkCmp, noLadder))
+    // Scale-ladder rungs LAST (the slowest phase; every earlier number
+    // is already persisted if it wedges): headline queries timed at 1x
+    // and Fx generated data, exponent per query — the measured form of
+    // the "would this survive 10x" claim. Bounded wait.
+    val ladder =
+      try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val factor = sys.env.getOrElse("GRAFT_LADDER_FACTOR", "10").toInt
+        val rungs = Await.result(
+          Future(ScaleLadder.run(spark, sfDir, factor)), 1500.seconds)
+        ScaleLadder.toJson(factor, rungs)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scale ladder failed: ${e.getMessage}")
+        noLadder
+      }
+    val line = jsonLine(stream, sinkCmp, ladder)
     println(line)
     persist(line)
     spark.stop()

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-ladder evidence for the 100 TB claims: generate a factor-F
+  * copy of the bench tables that PRESERVES the workload's structure,
+  * time the headline queries at 1× and F×, and record the fitted
+  * scaling exponent (t_F = t_1 · F^e ⇒ e = log(t_F/t_1)/log F) in the
+  * bench JSON. An exponent near 1 means the plan's cost is linear in
+  * the data; near 2 means something quadratic survived.
+  *
+  * Structure preservation (so F× output ≈ F× workload, not a different
+  * problem):
+  *  - documents: replica k shifts ids by k·[[Stride]] and rotates the
+  *    alphabet by k (`translate`) — within-replica shingle/dup/quality
+  *    structure is IDENTICAL to the base corpus, while cross-replica
+  *    shingle collisions (which would inflate pair counts
+  *    quadratically) are impossible for letter text;
+  *  - embeddings: replica k cyclically rotates each vector by k
+  *    positions — norms and within-replica similarity structure are
+  *    exactly preserved, cross-replica sims decorrelate;
+  *  - events: ids and user ids shift by k·[[Stride]] (per-user
+  *    timelines replicate exactly; the CDC keyspace grows F×).
+  */
+object ScaleLadder {
+
+  /** Id offset per replica — far above any base table's max id. */
+  val Stride = 100000000L
+
+  final case class Rung(name: String, t1: Double, tF: Double,
+                        exponent: Double, note: String = "")
+
+  private val Abc = "abcdefghijklmnopqrstuvwxyz"
+
+  private def rotText(k: Int): Column = {
+    val r = k % 26
+    if (r == 0) col("text")
+    else {
+      val rot = Abc.drop(r) + Abc.take(r)
+      translate(col("text"), Abc + Abc.toUpperCase,
+        rot + rot.toUpperCase)
+    }
+  }
+
+  private def rotVec(k: Int): Column =
+    if (k == 0) col("embedding")
+    else expr(s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
+      s"slice(embedding, 1, $k))")
+
+  /** Write the factor-F tables under `outDir` (documents, embeddings,
+    * events — everything the ladder queries read). */
+  def generate(spark: SparkSession, baseDir: String, outDir: String,
+               factor: Int): Unit = {
+    def replicate(table: String)(one: Int => DataFrame): Unit =
+      (0 until factor).map(one).reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    replicate("documents") { k =>
+      docs.select((col("doc_id") + lit(k.toLong * Stride)).as("doc_id"),
+        rotText(k).as("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    replicate("embeddings") { k =>
+      emb.select((col("vec_id") + lit(k.toLong * Stride)).as("vec_id"),
+        rotVec(k).as("embedding"), col("label"))
+    }
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    replicate("events") { k =>
+      ev.select((col("event_id") + lit(k.toLong * Stride)).as("event_id"),
+        col("ts"), (col("user_id") + lit(k.toLong * Stride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+  }
+
+  /** The headline rungs. `llm_cosine_neardup_scale` stands in for the
+    * cosine family: the recall-preset twin is quadratic BY DESIGN (few
+    * planes ⇒ wide buckets — its role is ~100% recall at small n), so
+    * the production preset is what a scale claim is about. */
+  private val LadderQueries = Seq(
+    "llm_neardup_jaccard",
+    "llm_neardup_minhash",
+    "llm_dedup_corpus_cc",
+    "llm_cosine_neardup_scale",
+    "llm_clean_corpus",
+    "cdc_materialize_debezium")
+
+  /** Fixed-plane LSH has candidate cost n²/2^planes — superlinear with
+    * planes held constant. The production knob is raising the plane
+    * count with log₂(n); the ladder pins the honest exponent and this
+    * note explains it rather than hiding it. */
+  private val Notes = Map(
+    "llm_cosine_neardup_scale" ->
+      ("fixed 12-plane LSH: candidates scale n^2/2^p; at 10x data a " +
+        "production deployment raises nPlanes by ~log2(10) to hold the " +
+        "bucket width, which this rung deliberately does not do"))
+
+  def run(spark: SparkSession, baseDir: String, factor: Int): Seq[Rung] = {
+    val root = graft.queries.CdcQueries.tempSinkDir("graft-ladder").toString
+    val d1 = s"$root/x1"
+    val dF = s"$root/x$factor"
+    // 1x is a generated COPY too (rot-0), so both rungs read cold
+    // parquet through identical code paths — timing the base sfDir
+    // directly would let session caches built by earlier bench phases
+    // contaminate the 1x side.
+    generate(spark, baseDir, d1, 1)
+    generate(spark, baseDir, dF, factor)
+    def timed(body: => Long): Double = {
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      dt
+    }
+    // Untimed JIT warmup on the 1x copy (shingle/codegen + JSON parse
+    // paths): without it C2 compilation lands inside the first 1x
+    // timings and the fitted exponents go NEGATIVE (measured at small
+    // sf). Warmup queries are deliberately ones that do NOT populate
+    // the dir-keyed shared caches a timed query later hits
+    // (cdc_normalize_flink is uncached; cdc_materialize_debezium's
+    // shared-normalize cache must stay cold so its 1x and Fx timings
+    // are both first-touch — symmetric).
+    SparkEntry.queries("llm_neardup_jaccard")(spark, d1).count()
+    SparkEntry.queries("cdc_normalize_flink")(spark, d1).count()
+    val rungs = LadderQueries.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t1 = timed(fn(spark, d1).count())
+      val tF = timed(fn(spark, dF).count())
+      Rung(name, t1, tF, math.log(tF / t1) / math.log(factor.toDouble),
+        Notes.getOrElse(name, ""))
+    }
+    // Incremental dedup with |new| FIXED across rungs (the base
+    // replica's %10 shard) while the indexed corpus grows F× — the
+    // "scales with |new|, not |corpus|" claim, measured. Index build is
+    // the one-time ingest cost and stays untimed.
+    def timedInc(dir: String): Double = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val isNew = col("doc_id") < Stride && col("doc_id") % 10 === 0
+      val idx = s"$dir/__inc_index"
+      graft.ext.IncrementalDedup.writeIndex(docs.where(!isNew),
+        "doc_id", "text", idx, n = 3,
+        maxDf = graft.queries.LlmQueries.JaccardMaxDf)
+      timed(graft.ext.IncrementalDedup.nearDupPairs(spark, idx,
+        docs.where(isNew), "doc_id", "text", threshold = 0.12).count())
+    }
+    val inc = {
+      val t1 = timedInc(d1)
+      val tF = timedInc(dF)
+      Rung("llm_dedup_incremental_fixed_new", t1, tF,
+        math.log(tF / t1) / math.log(factor.toDouble),
+        "|new| held constant while the indexed corpus grows Fx; the " +
+          "residual slope is the index scan, which bucketing amortizes " +
+          "on a cluster")
+    }
+    rungs :+ inc
+  }
+
+  def toJson(factor: Int, rungs: Seq[Rung]): String = {
+    def num(d: Double): String = (math.rint(d * 1000) / 1000).toString
+    val qs = rungs.map { r =>
+      val note = if (r.note.isEmpty) "" else s""","note":"${r.note}""""
+      s""""${r.name}":{"t1":${num(r.t1)},"tF":${num(r.tF)},"exponent":${num(r.exponent)}$note}"""
+    }.mkString("{", ",", "}")
+    s"""{"factor":$factor,"queries":$qs}"""
+  }
+
+  /** Standalone entry: `runMain graft.ScaleLadder [baseDir [factor]]`. */
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val rungs = run(spark, baseDir, factor)
+    println(s"[ladder] ${toJson(factor, rungs)}")
+    spark.stop()
+  }
+}

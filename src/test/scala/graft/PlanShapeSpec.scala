@@ -51,6 +51,21 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental dedup: index scans broadcast-filtered, no cartesian") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("plan-inc").toString
+    graft.ext.IncrementalDedup.writeIndex(
+      real.where(col("doc_id") % 10 =!= 0), "doc_id", "text", dir,
+      n = 3, maxDf = 50L)
+    val p = plan(graft.ext.IncrementalDedup.nearDupPairs(spark, dir,
+      real.where(col("doc_id") % 10 === 0), "doc_id", "text", 0.12))
+    assert(!p.contains("CartesianProduct"), s"incremental plans a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "incremental plans a nested loop")
+    // the index-side filters ride a broadcast join (map-side), so the
+    // stored shingle table is never shuffled on the shingle
+    assert(p.contains("BroadcastHashJoin"), "index scan filter should broadcast")
+  }
+
   test("brute-force top-k broadcasts the query side (corpus never shuffled)") {
     val all = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(Similarity.bruteForceTopK(all, all.where(col("vec_id") < 5),
