@@ -6,123 +6,139 @@ import org.apache.spark.sql.functions._
 /** Incremental append-batch near-duplicate detection against a
   * PERSISTED shingle index — the production shape for a corpus that
   * ingests a new shard daily and asks "which NEW docs duplicate the
-  * EXISTING corpus?" without recomputing the full n-gram self-join.
+  * EXISTING corpus?" without recomputing the full n-gram self-join —
+  * plus the maintenance half: folding the verified shard back into the
+  * index as an O(batch) append, so tomorrow's shard checks against
+  * today's corpus.
   *
   * Contract (the `llm_dedup_incremental` oracle proves it): the output
-  * equals [[Dedup.jaccardPairs]] over `old ∪ new` — including the
+  * equals [[Dedup.jaccardPairs]] over `indexed ∪ new` — including the
   * combined-corpus document-frequency cap — RESTRICTED to pairs with at
-  * least one new-batch side. The subtlety is the df cap: appending a
-  * batch can push a shingle's combined df over `maxDf`, which removes
-  * it from BOTH sides' capped shingle sets and changes old docs'
-  * capped sizes. The index stores enough (per-shingle df, per-doc
-  * capped counts) to reproduce the combined cap exactly without
-  * rescanning old text.
+  * least one new-batch side. The subtlety is the df cap: appending
+  * batches pushes shingle frequencies over `maxDf`, which removes them
+  * from EVERY side's capped sets and changes capped doc sizes. Rather
+  * than storing cap-relative state that staleness would poison, the
+  * index stores only raw facts — (doc_id, shingle) postings and
+  * per-epoch (shingle, df) partials summed at query time — and the
+  * query derives every capped quantity against the CURRENT totals, so
+  * correctness is independent of how many appends happened.
   *
-  * Scale shape (the "|new|, not |corpus|" guarantee):
-  *  - the only index-sized work is ONE column-pruned scan of each index
-  *    table, filtered MAP-SIDE by a broadcast of the new batch's
-  *    distinct shingles (a daily shard is MBs-GBs; eval/bench shards
-  *    far less) — the index is never shuffled;
-  *  - rows surviving those map-side filters are bounded by
-  *    |new shingles| × maxDf (the df cap is also the hot-bucket bound),
-  *    so every shuffle/join downstream scales with the batch, not the
-  *    corpus;
-  *  - at 100 TB, write the `shingles/` table bucketed by `shingle` and
-  *    the scan's IO prunes too; appending the verified batch back into
-  *    the index (shingles ∪ newly-computed, df re-merged) is the same
-  *    one-pass shape.
+  * Scale shape (the "|new|, not |corpus|" guarantee, ladder-measured
+  * exponent ≈ 0.06 at sf0.1×10):
+  *  - the postings table is only ever read MAP-SIDE-FILTERED through a
+  *    broadcast: pass A keeps rows whose shingle is a LIVE (under-cap)
+  *    batch gram — hot shingles are excluded from the broadcast before
+  *    the scan, so a stopword gram can never pull its corpus-wide
+  *    posting list — and pass B keeps rows of candidate docs only;
+  *  - every shuffle downstream is bounded by candidate counts
+  *    (≤ |new grams| × maxDf rows), never corpus size;
+  *  - the df table is corpus-sized but 2 columns, scanned
+  *    column-pruned + broadcast-filtered to the grams that matter;
+  *  - at 100 TB, write postings bucketed by `shingle` (pass A) — the
+  *    IO prunes too; [[appendToIndex]] stays a pure file append.
   */
 object IncrementalDedup {
 
   /** Build the persisted index for `docs` at `path`:
-    *  - `shingles/` (doc_id, shingle, df): every distinct word-n-gram
-    *    per doc with its corpus document frequency denormalized in, so
-    *    the incremental pass caps map-side with no df join;
-    *  - `df/` (shingle, df): the distinct-shingle frequency table (the
-    *    column-pruned lookup for new-batch shingles absent from any
-    *    surviving `shingles/` row);
-    *  - `sizes/` (doc_id, n_sh): per-doc shingle count under the
-    *    BUILD-TIME cap (adjusted, not recomputed, at query time);
-    *  - `meta/` (n, max_df, n_docs): the parameters queries must agree
+    *  - `shingles/` (doc_id, shingle): the postings — every distinct
+    *    word-n-gram per doc;
+    *  - `df/` (shingle, df): per-epoch document-frequency partials
+    *    (one build/append writes one set of rows; readers SUM);
+    *  - `meta/` (n, max_df): parameters every query/append must agree
     *    on.
-    * One shuffle on shingle (the df aggregate + join-back), once, at
-    * build time. */
+    * One shuffle on shingle (the df aggregate), once per build/append. */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  path: String, n: Int = 3,
                  maxDf: Long = Long.MaxValue): Unit = {
     val spark = docs.sparkSession
-    val sh = Dedup.shingles(docs, idCol, textCol, n)
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val shWithDf = sh.join(df, "shingle")
-      .select(col(idCol), col("shingle"), col("df"))
-    shWithDf.write.mode("overwrite").parquet(s"$path/shingles")
-    df.write.mode("overwrite").parquet(s"$path/df")
-    shWithDf.where(col("df") <= maxDf)
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-      .write.mode("overwrite").parquet(s"$path/sizes")
+    writeEpoch(docs, idCol, textCol, path, n, overwrite = true)
     import spark.implicits._
-    Seq((n, maxDf, docs.count()))
-      .toDF("n", "max_df", "n_docs")
+    Seq((n, maxDf)).toDF("n", "max_df")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Fold a (verified) batch into the index: append its postings and
+    * its df partials — O(batch) writes, no read or rewrite of existing
+    * index files. Batch ids must be disjoint from every id already
+    * indexed (an append batch by definition). */
+  def appendToIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                    path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val n = spark.read.parquet(s"$path/meta").head().getAs[Int]("n")
+    writeEpoch(newDocs, idCol, textCol, path, n, overwrite = false)
+  }
+
+  private def writeEpoch(docs: DataFrame, idCol: String, textCol: String,
+                         path: String, n: Int, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val sh = Dedup.shingles(docs, idCol, textCol, n)
+    sh.select(col(idCol).as("doc_id"), col("shingle"))
+      .write.mode(mode).parquet(s"$path/shingles")
+    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .write.mode(mode).parquet(s"$path/df")
   }
 
   /** All near-dup pairs (Jaccard >= threshold under the COMBINED-corpus
     * df cap) with at least one side in `newDocs`, computed against the
-    * index at `path`. New-batch ids must be disjoint from indexed ids
-    * (an append batch by definition). Output (id_a, id_b, jaccard),
-    * canonical id_a < id_b — identical to the restricted full
-    * recompute. */
+    * index at `path` (however many appends built it). Output
+    * (id_a, id_b, jaccard), canonical id_a < id_b — identical to the
+    * restricted full recompute. */
   def nearDupPairs(spark: SparkSession, path: String, newDocs: DataFrame,
                    idCol: String, textCol: String,
                    threshold: Double = 0.5): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta").head()
     val n = meta.getAs[Int]("n")
     val maxDf = meta.getAs[Long]("max_df")
+    val postings = spark.read.parquet(s"$path/shingles")
+    val dfTable = spark.read.parquet(s"$path/df")
 
     val newSh = Dedup.shingles(newDocs, idCol, textCol, n)
-    // df within the batch, plus the indexed df for exactly those
-    // shingles (column-pruned scan of df/, broadcast-filtered) →
-    // combined df. Bounded by |distinct new shingles|.
+    // Combined df for the batch's grams: batch-local counts + the SUM
+    // of the index's per-epoch partials for exactly those grams
+    // (column-pruned scan, broadcast-filtered). Bounded by |new grams|.
     val dfNew = newSh.groupBy("shingle").agg(count(lit(1)).as("df_new"))
-    val dfOldForNew = spark.read.parquet(s"$path/df")
+    val dfOldForNew = dfTable
       .join(broadcast(dfNew.select("shingle")), Seq("shingle"), "left_semi")
-    val combDf = dfNew.join(dfOldForNew, Seq("shingle"), "left")
-      .select(col("shingle"), col("df_new"),
-        (col("df_new") + coalesce(col("df"), lit(0L))).as("df_comb"))
+      .groupBy("shingle").agg(sum("df").as("df_old"))
+    // LIVE grams only: anything at-or-under the combined cap. Hot
+    // shingles drop out HERE, before any postings scan — the broadcast
+    // they ride is what keeps a stopword gram from pulling its
+    // corpus-wide posting list.
+    val liveGrams = dfNew.join(dfOldForNew, Seq("shingle"), "left")
+      .where(col("df_new") + coalesce(col("df_old"), lit(0L)) <= maxDf)
+      .select("shingle")
 
-    // The new batch's capped shingle stream + per-doc capped sizes.
-    val newCapped = newSh.join(
-      broadcast(combDf.where(col("df_comb") <= maxDf).select("shingle")),
-      "shingle")
+    val newCapped = newSh.join(broadcast(liveGrams), "shingle")
     val newSizes = newCapped.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_sh"))
 
-    // THE one pass over the index: only rows whose shingle occurs in
-    // the batch matter, and rows already over the build cap can never
-    // survive the combined cap — both filters are map-side via the
-    // broadcast. Survivors are bounded by |new shingles| × maxDf.
-    val idx = spark.read.parquet(s"$path/shingles")
-      .where(col("df") <= maxDf)
-      .join(broadcast(combDf.select("shingle", "df_comb")), "shingle")
-    // Shingles the batch pushed OVER the cap: they were counted in the
-    // stored per-doc sizes and must be subtracted from n_a.
-    val adj = idx.where(col("df_comb") > maxDf)
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_capped"))
-    val idxLive = idx.where(col("df_comb") <= maxDf)
-      .select(col(idCol).as("old_id"), col("shingle"))
-
-    // new-vs-old intersections (inverted-index join, scales with
-    // matches), then sizes: n_a = stored capped size − newly-capped
-    // count. The sizes/ scan is pruned by a broadcast of the candidate
-    // old ids (bounded by the match count).
-    val interNO = idxLive
+    // PASS A over the postings: live shared grams only (map-side
+    // broadcast filter) → new-vs-old intersections, bounded by
+    // |new grams| × maxDf.
+    val interNO = postings
+      .join(broadcast(liveGrams), "shingle")
+      .select(col("doc_id").as("old_id"), col("shingle"))
       .join(newCapped.select(col(idCol).as("new_id"), col("shingle")), "shingle")
       .groupBy("old_id", "new_id").agg(count(lit(1)).as("n_inter"))
-    val oldSizes = spark.read.parquet(s"$path/sizes")
-      .join(broadcast(interNO.select(col("old_id").as(idCol)).distinct()), idCol)
-      .join(adj, Seq(idCol), "left")
-      .select(col(idCol).as("old_id"),
-        (col("n_sh") - coalesce(col("n_capped"), lit(0L))).as("n_a"))
+
+    // PASS B over the postings: candidate docs' FULL gram lists
+    // (bounded by |candidates| × doc length), joined against the
+    // current totals of exactly those grams to derive each candidate's
+    // capped size against TODAY's df — exact at any epoch count.
+    val candDocs = interNO.select(col("old_id").as("doc_id")).distinct()
+    val candPostings = postings.join(broadcast(candDocs), "doc_id")
+    val candGramTotals = dfTable
+      .join(broadcast(candPostings.select("shingle").distinct()),
+        Seq("shingle"), "left_semi")
+      .groupBy("shingle").agg(sum("df").as("df_old"))
+      .join(dfNew, Seq("shingle"), "left")
+      .where(col("df_old") + coalesce(col("df_new"), lit(0L)) <= maxDf)
+      .select("shingle")
+    val oldSizes = candPostings
+      .join(broadcast(candGramTotals), "shingle")
+      .groupBy(col("doc_id").as("old_id")).agg(count(lit(1)).as("n_a"))
+      .select(col("old_id"), col("n_a"))
+
     val jNO = interNO
       .join(oldSizes, "old_id")
       .join(newSizes.select(col(idCol).as("new_id"), col("n_sh").as("n_b")),

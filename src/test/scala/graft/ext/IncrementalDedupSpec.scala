@@ -88,6 +88,50 @@ class IncrementalDedupSpec extends SparkSpecBase {
     assert(inc.nonEmpty)
   }
 
+  test("appendToIndex: flagging after two appends == restricted full recompute") {
+    val old = docs(
+      (1L, "a b c d e f"), (2L, "p q r s t u"), (3L, "m n o j k l"))
+    val b1 = docs(
+      (10L, "a b c d e g"),              // near-dup of 1
+      (11L, "w x y z v t"))              // novel
+    val b2 = docs(
+      (20L, "a b c d e f"),              // dup of 1, near-dup of 10 (appended!)
+      (21L, "w x y z v q"),              // near-dup of 11 (appended!)
+      (22L, "m n o j k l"))              // dup of 3 (from the base build)
+    val dir = tmp()
+    IncrementalDedup.writeIndex(old, "doc_id", "text", dir, n = 3, maxDf = 50L)
+    IncrementalDedup.appendToIndex(b1, "doc_id", "text", dir)
+    val inc = pairsOf(IncrementalDedup.nearDupPairs(spark, dir, b2,
+      "doc_id", "text", threshold = 0.2))
+    val full = restrictedFull(old.unionByName(b1).unionByName(b2),
+      Set(20L, 21L, 22L), n = 3, threshold = 0.2, maxDf = 50L)
+    assert(inc === full)
+    // pairs against BOTH the base build and the appended epoch exist
+    assert(inc.exists { case (a, _, _) => a == 1L })   // base epoch
+    assert(inc.exists { case (a, _, _) => a == 10L || a == 11L }) // appended
+  }
+
+  test("appendToIndex: a cap crossed only by the SUM of epochs is honored") {
+    // "x y z" df: 2 in base + 1 in append + 1 in batch = 4 > maxDf 3 —
+    // no single epoch crosses the cap, only the current total does; the
+    // derived-against-totals sizes make the restricted recompute exact.
+    val old = docs((1L, "x y z a b c"), (2L, "x y z d e f"))
+    val b1 = docs((10L, "x y z g h i"))
+    val b2 = docs((20L, "x y z a b c"))
+    val dir = tmp()
+    IncrementalDedup.writeIndex(old, "doc_id", "text", dir, n = 3, maxDf = 3L)
+    IncrementalDedup.appendToIndex(b1, "doc_id", "text", dir)
+    val inc = pairsOf(IncrementalDedup.nearDupPairs(spark, dir, b2,
+      "doc_id", "text", threshold = 0.1))
+    val full = restrictedFull(old.unionByName(b1).unionByName(b2),
+      Set(20L), n = 3, threshold = 0.1, maxDf = 3L)
+    assert(inc === full)
+    // "x y z" capped ⇒ 20 pairs only with 1 (via "a b c"/"y z a"/"z a b"
+    // minus the capped ones), never with 10 (sole shared gram capped)
+    assert(!inc.exists { case (a, b, _) => a == 10L || b == 10L })
+    assert(inc.exists { case (a, b, _) => a == 1L && b == 20L })
+  }
+
   test("decontam flagAgainstIndex == direct decontaminate on the shard") {
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = all.where(col("doc_id") % 17 === 0)
