@@ -1,0 +1,53 @@
+package graft.stream
+
+import graft.ext.IncrementalDedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming corpus maintenance: each arriving micro-batch of documents
+  * is checked for near-duplicates against the persisted shingle index
+  * ([[IncrementalDedup]]) IN-FLIGHT, the pair report lands in an
+  * append-only parquet table, and the shard is then folded into the
+  * index (`appendToIndex`, an O(batch) file append) — so the NEXT shard
+  * checks against a corpus that includes this one. This is the
+  * streaming form of the daily ingest-dedup loop; batch semantics are
+  * oracle-gated via `llm_dedup_incremental`, and the flag→append
+  * sequencing here means reports are exact w.r.t. everything ingested
+  * before the batch, including earlier batches of the same stream.
+  *
+  * Delivery: at-least-once from the checkpoint. A replayed batch would
+  * re-append its postings, inflating df for its grams — harmless for
+  * exactness of FUTURE reports only when dedup-by-epoch is layered on;
+  * production hardening is an epoch-manifest commit (write postings to
+  * a staged dir, publish via manifest keyed by batchId — the
+  * [[graft.sink.BucketedUpsertTable]] pointer pattern). Disclosed here;
+  * the test covers the normal path.
+  */
+object StreamNearDup {
+
+  /** Start the flag-then-append stream. `docs` is a streaming DataFrame
+    * with `idCol` and `textCol`; ids must be globally unique across the
+    * stream and the pre-built index. */
+  def start(docs: DataFrame, indexPath: String, outDir: String,
+            checkpointDir: String, idCol: String = "doc_id",
+            textCol: String = "text", threshold: Double = 0.5,
+            triggerInterval: String = "1 second"): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // Pin the batch: the flag pass scans it several times (shingle,
+        // df, size subplans) and the append scans it again.
+        batch.persist()
+        try {
+          IncrementalDedup.nearDupPairs(spark, indexPath, batch,
+              idCol, textCol, threshold)
+            .write.mode("append").parquet(outDir)
+          IncrementalDedup.appendToIndex(batch, idCol, textCol, indexPath)
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+}
