@@ -262,6 +262,23 @@ object Ivf {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/data")
   }
 
+  /** Fold new vectors into a written index: assign cells under the
+    * index's OWN model and append into the cell-partitioned layout —
+    * O(batch) writes, the ANN counterpart of the dedup index's
+    * `appendToIndex`. The coarse quantizer deliberately stays fixed
+    * (retraining would silently reshuffle every stored cell assignment
+    * — the [[save]] scaladoc's train-once contract); under corpus
+    * drift, recall degrades gracefully until a scheduled re-train +
+    * re-bucket, which is a REBUILD, not an append. Appended ids must be
+    * disjoint from indexed ids. */
+  def appendToIndex(newVectors: DataFrame, vecCol: String,
+                    path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val model = load(spark, s"$path/model")
+    assignCells(newVectors, vecCol, model)
+      .write.partitionBy("cell").mode("append").parquet(s"$path/data")
+  }
+
   /** Top-k against a written index, in one of two probe-resolution
     * modes (spec-asserted identical output):
     *

@@ -51,6 +51,20 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("MOR read: single multi-path scan folded by one map-side max_by") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-mor").toString
+    val t = new graft.sink.MorUpsertTable(spark, dir, Seq("id"), nBuckets = 4)
+    t.upsert(Seq((1L, "a", 1L, false), (2L, "b", 1L, false))
+      .toDF("id", "v", "mtime", "_hoodie_is_deleted"))
+    t.upsert(Seq((1L, "a2", 2L, false)).toDF("id", "v", "mtime", "_hoodie_is_deleted"))
+    val p = plan(t.read().get)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"MOR read must stay one multi-path scan:\n$p")
+    assert(p.contains("partial_max_by"),
+      "MOR log fold should partial-aggregate map-side")
+  }
+
   test("incremental dedup: index scans broadcast-filtered, no cartesian") {
     val real = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("plan-inc").toString

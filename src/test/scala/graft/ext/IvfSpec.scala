@@ -255,6 +255,28 @@ class IvfSpec extends SparkSpecBase {
     }
   }
 
+  test("appendToIndex: searches after an append equal a from-scratch index") {
+    val all = clustered()
+    val first = all.where(col("vec_id") % 3 =!= 0)
+    val batch = all.where(col("vec_id") % 3 === 0)
+    val q = all.where(col("vec_id") < 3)
+    val model = Ivf.train(all, "vec_id", "embedding", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    try {
+      Ivf.writeIndex(first, "embedding", model, s"$dir/grown")
+      Ivf.appendToIndex(batch, "embedding", s"$dir/grown")
+      Ivf.writeIndex(all, "embedding", model, s"$dir/whole")
+      val grown = Ivf.topKIndexed(spark, s"$dir/grown", q, "vec_id",
+        "embedding", k = 5, nProbe = 2)
+      val whole = Ivf.topKIndexed(spark, s"$dir/whole", q, "vec_id",
+        "embedding", k = 5, nProbe = 2)
+      assert(grown.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq ===
+        whole.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("plan: probe join is an equi-join — no cartesian, no nested loop") {
     val all = clustered()
     val model = Ivf.train(all, "vec_id", "embedding", nCells = 8)
