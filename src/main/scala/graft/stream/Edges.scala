@@ -1,7 +1,7 @@
 package graft.stream
 
 import graft.cdc.{CdcNormalize, SyncTable}
-import graft.sink.{BucketedUpsertTable, EdgeProbe, HudiUpsertSink, KeyedUpsertTable, UpsertSink}
+import graft.sink.{BucketedUpsertTable, EdgeProbe, HudiUpsertSink, KeyedUpsertTable, MorUpsertTable, UpsertSink}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions.col
   * edges (route/parse/normalize/dedup/merge, [[CdcPipeline]]) is
   * identical in both worlds; that's the point of the seam.
   *
-  * `source = file | kafka`; `sink = cow | bucketed | hudi`. The
+  * `source = file | kafka`; `sink = cow | bucketed | mor | hudi`. The
   * connector-backed edges require their jars
   * ([[graft.sink.EdgeProbe]]); selecting one without the jar fails
   * fast at build time with an actionable message rather than at the
@@ -30,8 +30,10 @@ final case class EdgeConfig(
     maxOffsetsPerTrigger: Long = 1000000L,
     groupId: Option[String] = None,
     startingTimestamp: Option[Long] = None,
-    // bucketed sink
-    nBuckets: Int = 16)
+    // bucketed / mor sinks
+    nBuckets: Int = 16,
+    // mor sink: compact a bucket when its delta chain exceeds this
+    compactAfter: Int = 4)
 
 object Edges {
 
@@ -64,11 +66,14 @@ object Edges {
     case "bucketed" => (root, t, cat) =>
       new BucketedUpsertTable(spark, root, t.pkCols, nBuckets = cfg.nBuckets,
         catalogTable = cat)
+    case "mor" => (root, t, _) =>
+      new MorUpsertTable(spark, root, t.pkCols, nBuckets = cfg.nBuckets,
+        compactAfter = cfg.compactAfter)
     case "hudi" => (root, t, cat) =>
       new HudiUpsertSink(spark, root, t.pkCols,
         precombine = CdcNormalize.MtimeCol, tableName = t.tableName,
         hiveSyncDb = cat.flatMap(_.split('.').headOption))
     case other =>
-      throw new IllegalArgumentException(s"unknown sink edge '$other' (cow | bucketed | hudi)")
+      throw new IllegalArgumentException(s"unknown sink edge '$other' (cow | bucketed | mor | hudi)")
   }
 }

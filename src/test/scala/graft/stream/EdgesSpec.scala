@@ -47,6 +47,40 @@ class EdgesSpec extends SparkSpecBase {
     } finally { q.stop(); p.shutdown() }
   }
 
+  test("mor-sink edge drives the full pipeline e2e incl. a delta commit") {
+    val src = Files.createTempDirectory("graft-mor-src")
+    val root = Files.createTempDirectory("graft-mor-sink").toString
+    val ckpt = Files.createTempDirectory("graft-mor-ckpt").toString
+    Files.write(src.resolve("batch0.json"),
+      (Seq(ev(1, "a1", 100), ev(2, "b1", 100)).mkString("\n") + "\n").getBytes)
+
+    val cfg = EdgeConfig(source = "file", sink = "mor",
+      sourcePath = Some(src.toString), nBuckets = 4)
+    val pcfg = CdcPipelineConfig(
+      format = CdcFormat.MskDebeziumCdc,
+      tables = Seq(acct),
+      sinkRoot = root, checkpointDir = ckpt,
+      triggerInterval = "1 second",
+      schemaMode = SchemaInference.Mode.InferAlways,
+      sinkFactory = Some(Edges.sinkFactory(spark, cfg)))
+    val p = new CdcPipeline(spark, pcfg)
+    val q = p.start(Edges.source(spark, cfg))
+    try {
+      q.processAllAvailable()
+      // second file = second micro-batch = a DELTA commit on the log
+      Files.write(src.resolve("batch1.json"),
+        (Seq(ev(1, "a2", 200), ev(3, "c1", 200)).mkString("\n") + "\n").getBytes)
+      q.processAllAvailable()
+      val state = p.sinks(acct.id).read().get.collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+      assert(state === Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+      // the log-structured edge really was selected: commit-1 exists and
+      // holds only the second batch's buckets (a delta, not a rewrite)
+      val c1 = new java.io.File(s"$root/edge_db/acct/data/commit-1")
+      assert(c1.exists(), "no delta commit dir — MOR edge not selected?")
+    } finally { q.stop(); p.shutdown() }
+  }
+
   test("kafka edge fails fast with an actionable message when the jar is absent") {
     assume(!EdgeProbe.kafkaAvailable, "kafka jar present — covered by the cluster smoke")
     val e = intercept[IllegalArgumentException] {
