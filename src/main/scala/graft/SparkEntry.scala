@@ -67,6 +67,7 @@ object SparkEntry {
     "cdc_composite_key"        -> (CdcQueries.compositeKeyMerge _),
     "cdc_bucketed_merge"       -> (CdcQueries.bucketedMerge _),
     "cdc_mor_merge"            -> (CdcQueries.morMerge _),
+    "cdc_mor_catalog"          -> (CdcQueries.morCatalogRead _),
     "cdc_bucketed_catalog"     -> (CdcQueries.bucketedCatalogRead _),
     "cdc_router_counts"        -> (CdcQueries.routerCounts _),
     "cdc_router_counts_dms"    -> (CdcQueries.routerCountsDms _),
@@ -570,6 +571,14 @@ object SparkEntry {
     // Same oracle once more: the MERGE-ON-READ sink's delta-append +
     // read-side log merge must land on the identical final state.
     "cdc_mor_merge" ->
+      """SELECT user_id AS id, event_id, event_type AS etype, value, epoch_ms(ts) AS mtime
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'purchase' ORDER BY id""".stripMargin,
+    // Same oracle: the MOR snapshot-query VIEW read by name must serve
+    // the identical merged state (the log fold lives in the view body).
+    "cdc_mor_catalog" ->
       """SELECT user_id AS id, event_id, event_type AS etype, value, epoch_ms(ts) AS mtime
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn

@@ -357,6 +357,25 @@ object CdcQueries {
       .orderBy("id")
   }
 
+  /** Catalog sync for the LOG-STRUCTURED layout: same two-batch upsert
+    * with `catalogTable` set, result read back BY NAME — the published
+    * view carries the log fold itself (row_number over version +
+    * commit, tombstones dropped), Hudi MOR's snapshot query. Shares the
+    * merge oracle. */
+  def morCatalogRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val normalized = normalizedDebeziumShared(spark, sfDir)
+    val boundaryMs = 1705276800000L // 2024-01-15, see keyedUpsertMerge
+    val root = tempSinkDir("graft-mor-catalog")
+    val t = new graft.sink.MorUpsertTable(spark, root.toString, Seq("id"),
+      nBuckets = 8, tiebreak = Seq("event_id"),
+      catalogTable = Some("cdc_db.user_mor"))
+    t.upsert(normalized.where(col(CdcNormalize.MtimeCol) < boundaryMs))
+    t.upsert(normalized.where(col(CdcNormalize.MtimeCol) >= boundaryMs))
+    spark.table("cdc_db.user_mor")
+      .select("id", "event_id", "etype", "value", CdcNormalize.MtimeCol)
+      .orderBy("id")
+  }
+
   /** Catalog sync for the INCREMENTAL layout — the 100 TB configuration
     * must also serve `SELECT * FROM cdc_db.<table>` (the reference
     * hive-syncs every table unconditionally, `glue/cdc_hudi.py:190-194`).

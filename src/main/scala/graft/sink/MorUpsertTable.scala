@@ -59,11 +59,25 @@ final class MorUpsertTable(
       * length — the read-amplification bound: a reader scans at most
       * `compactAfter` files per bucket. Hudi's
       * `hoodie.compact.inline.max.delta.commits` equivalent. */
-    val compactAfter: Int = 4) extends UpsertSink {
+    val compactAfter: Int = 4,
+    /** Hive-sync equivalent for the LOG-STRUCTURED layout: when set
+      * (`[db.]table`), every commit (re)publishes a SNAPSHOT-QUERY view
+      * (Hudi MOR's by-name read): the log fold itself — latest-per-key
+      * over (version, tiebreak…, commit) with tombstones dropped —
+      * expressed in the view body over the manifest's commit dirs, so
+      * `spark.table("db.table")` serves merged state with zero data
+      * movement per commit. */
+    val catalogTable: Option[String] = None,
+    catalogSync: Option[CatalogSync] = None) extends UpsertSink {
   require(keys.nonEmpty, "keyed table needs at least one key column")
   require(nBuckets >= 1, "need at least one bucket")
   require(retainSnapshots >= 1, "must retain at least the current snapshot")
   require(compactAfter >= 1, "compactAfter must be >= 1")
+  require(catalogTable.forall(_.split('.').length <= 2),
+    s"catalogTable must be [db.]table, got $catalogTable")
+
+  private val catalog: CatalogSync =
+    catalogSync.getOrElse(new SessionCatalogSync(spark))
 
   private val rootPath: Path = Paths.get(root)
   private val pointer: Path = rootPath.resolve("_current")
@@ -239,7 +253,48 @@ final class MorUpsertTable(
     Files.write(tmp, snap.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    syncCatalog()
     clean()
+  }
+
+  /** (Re)publish the current manifest as the MOR snapshot-query view:
+    * one static-partition-pruned branch per referenced COMMIT DIR (the
+    * bucketed sink's bounded-body rule), UNION ALL'd, wrapped by the
+    * log fold — `row_number()` over (version, tiebreak…, __commit)
+    * descending, keep rank 1, drop tombstones, project the payload.
+    * Metadata-only per commit; readers by name always see merged
+    * state. */
+  def syncCatalog(): Unit = catalogTable.foreach { fqn =>
+    currentSnapshot().foreach { snap =>
+      val m = readManifest(snap)
+      val schema = StructType.fromDDL(m.schemaDdl)
+      val cols = schema.fields.map(f => s"`${f.name}`").mkString(", ")
+      val body =
+        if (m.buckets.isEmpty) {
+          val typed = schema.fields
+            .map(f => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`")
+            .mkString(", ")
+          s"SELECT $typed WHERE 1 = 0"
+        } else {
+          val dirs = m.buckets.toSeq
+            .flatMap { case (b, chain) => chain.map(d => d -> b) }
+            .map { case (d, b) => d.split('/').take(2).mkString("/") -> b }
+            .groupBy(_._1).toSeq.sortBy(_._1)
+          val scan = dirs.map { case (commitDir, entries) =>
+            val ids = entries.map(_._2).distinct.sorted.mkString(", ")
+            s"SELECT $cols, `$CommitCol` FROM parquet.`${rootPath.resolve(commitDir)}`" +
+              s" WHERE `__bucket` IN ($ids)"
+          }.mkString(" UNION ALL ")
+          val pks = keys.map(k => s"`$k`").mkString(", ")
+          val ord = ((versionCol +: tiebreak).map(c => s"`$c` DESC") :+
+            s"`$CommitCol` DESC").mkString(", ")
+          s"""SELECT $cols FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY $pks ORDER BY $ord) AS __rn
+             |  FROM ($scan)
+             |) WHERE __rn = 1 AND NOT `${CdcNormalize.DeletedCol}`""".stripMargin
+        }
+      catalog.publishView(fqn.split('.').toSeq, body)
+    }
   }
 
   /** One bucket-partitioned write job into `dataDir`. */

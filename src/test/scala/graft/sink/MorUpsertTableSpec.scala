@@ -103,6 +103,19 @@ class MorUpsertTableSpec extends SparkSpecBase {
     assert((0 until 4).map(t.bucketChainLength).filter(_ > 0).forall(_ === 1))
   }
 
+  test("snapshot-query view serves merged state by name across delta commits") {
+    val root = Files.createTempDirectory("mor-cat")
+    val t = new MorUpsertTable(spark, root.toString, Seq("id"),
+      nBuckets = 4, catalogTable = Some("mor_spec_db.t"))
+    t.upsert(batch((1L, "a", 10L, false), (2L, "b", 10L, false)))
+    t.upsert(batch((1L, "a2", 20L, false), (3L, "gone", 20L, true),
+      (3L, "c", 5L, false))) // in-batch: tombstone (v=20) wins over v=5
+    val byName = spark.table("mor_spec_db.t").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(byName === Map(1L -> "a2", 2L -> "b"))
+    assert(byName === state(t)) // view ≡ the programmatic read
+  }
+
   test("60-commit soak with migrations: bounded disk/chains, exact state, single-scan read") {
     val root = Files.createTempDirectory("mor-soak")
     val NBuckets = 8; val Retain = 2; val NCommits = 60; val Keyspace = 40L
