@@ -92,6 +92,7 @@ object SparkEntry {
     "llm_ivf_cells"            -> (LlmQueries.ivfCellStats _),
     "llm_cosine_neardup"       -> (LlmQueries.cosineNearDup _),
     "llm_cosine_neardup_scale" -> (LlmQueries.cosineNearDupScale _),
+    "llm_cosine_neardup_incremental" -> (LlmQueries.cosineNearDupIncremental _),
     "llm_embed_stats"          -> (LlmQueries.embedStats _),
     "llm_quantize_stats"       -> (LlmQueries.quantizeStats _),
     // --- driver-gated recall / parity rows for the probabilistic family
@@ -105,6 +106,7 @@ object SparkEntry {
     "llm_lsh_candidate_stats"  -> (LlmQueries.lshCandidateStats _),
     "llm_cosine_neardup_recall" -> (LlmQueries.cosineNearDupRecall _),
     "llm_cosine_neardup_scale_recall" -> (LlmQueries.cosineNearDupScaleRecall _),
+    "llm_cosine_incremental_recall" -> (LlmQueries.cosineIncrementalRecall _),
     "llm_ivf_cells_checksum"   -> (LlmQueries.ivfCellsChecksum _),
     "llm_winnow_checksum"      -> (LlmQueries.winnowChecksum _),
     "llm_simhash_checksum"     -> (LlmQueries.simhashChecksum _),
@@ -861,6 +863,15 @@ object SparkEntry {
       SfDiscriminatorSql,
       Seq(6000L -> 234L, 60000L -> 254L, 600000L -> PinNearDup01),
       nQueries = false),
+    // Incremental embedding near-dup: exact side = the all-pairs ground
+    // truth restricted to shard-touching pairs (live); found count
+    // (IVF probe of the persisted old-split index + exact within-shard
+    // pairs) deterministic per sf. Recall ~0.6-0.69 is the nProbe=4/16
+    // regime on this isotropic corpus — same envelope as llm_ivf_recall.
+    "llm_cosine_incremental_recall" -> recallOracle(
+      s"$ExactCosinePairsSql AND (id_a % 10 = 0 OR id_b % 10 = 0)",
+      SfDiscriminatorSql,
+      Seq(6000L -> 29L, 60000L -> 44L, 600000L -> 474L), nQueries = false),
     "llm_cosine_neardup_scale_recall" -> recallOracle(ExactCosinePairsSql,
       SfDiscriminatorSql,
       Seq(6000L -> 11L, 60000L -> 10L, 600000L -> PinNearDupScale01),
@@ -1212,6 +1223,7 @@ object SparkEntry {
     // sign-LSH family → live-exact-denominator recall rows
     "llm_cosine_neardup"           -> "llm_cosine_neardup_recall",
     "llm_cosine_neardup_scale"     -> "llm_cosine_neardup_scale_recall",
+    "llm_cosine_neardup_incremental" -> "llm_cosine_incremental_recall",
     "llm_cosine_topk_lsh"          -> "llm_lsh_recall",
     "llm_cosine_topk_lsh_scale"    -> "llm_lsh_scale_recall",
     // IVF family → recall + serving parity + cell-occupancy checksum

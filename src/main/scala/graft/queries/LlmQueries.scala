@@ -607,6 +607,51 @@ object LlmQueries {
         "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Session-cached IVF index over the EXISTING embedding split (the
+    * incremental counterpart of [[ivfIndexDir]]): trained and written
+    * once on vec_id % 10 != 0; arriving vectors probe it. */
+  private def ivfIncIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"ivf-inc|$sfDir") { dir =>
+      val old = emb(spark, sfDir).where(col("vec_id") % 10 =!= 0)
+      val model = Ivf.train(old, "vec_id", "embedding", nCells = 16)
+      Ivf.writeIndex(old, "embedding", model, dir)
+    }
+
+  /** Incremental embedding near-dup: the arriving vector shard
+    * (vec_id % 10 == 0) probes the PERSISTED IVF index for new-vs-old
+    * pairs at cosine >= 0.35 (top-20 per probe, cells pruned), plus the
+    * exact pairs within the small shard itself — the embedding-space
+    * member of the incremental triad (text [[dedupIncremental]],
+    * decontam [[decontamIncremental]]). Rows-only under the driver
+    * gate; [[cosineIncrementalRecall]] pins recall against the exact
+    * restricted ground truth with a live denominator. */
+  def cosineNearDupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val newVecs = emb(spark, sfDir).where(col("vec_id") % 10 === 0)
+    val no = Ivf.topKIndexed(spark, ivfIncIndexDir(spark, sfDir), newVecs,
+        "vec_id", "embedding", k = 20, nProbe = 4)
+      .where(col("sim") >= 0.35)
+      .select(least(col("query_id"), col("neighbor_id")).as("id_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("id_b"),
+        col("sim"))
+    // within-shard pairs: the shard is batch-sized by contract, so the
+    // exact harness shape is the production shape here
+    val nn = Similarity.exactCosinePairs(newVecs, "vec_id", "embedding",
+      threshold = 0.35)
+    no.unionByName(nn).orderBy("id_a", "id_b")
+  }
+
+  /** Gate row for [[cosineNearDupIncremental]]: overlap with the exact
+    * all-pairs ground truth restricted to shard-touching pairs. The
+    * found side shares `Similarity.pairSim` with the exact side, so
+    * `n_spurious = 0` is structural; the oracle recomputes `n_exact`
+    * live and pins the deterministic found count per sf. */
+  def cosineIncrementalRecall(spark: SparkSession, sfDir: String): DataFrame =
+    pairRecall(
+      exactCosinePairs(spark, sfDir, 0.35)
+        .where(col("id_a") % 10 === 0 || col("id_b") % 10 === 0),
+      cachedDF("cosine_inc_found", spark, sfDir)(
+        cosineNearDupIncremental(spark, sfDir)))
+
   /** Data-mixture planning rollup: per (source, lang) document counts,
     * token/char totals, and each cell's share of the corpus token budget
     * — the table a training run's sampling weights are derived from.
