@@ -139,6 +139,7 @@ object SparkEntry {
     "mm_resize_checksum"       -> (LlmQueries.mmResizeChecksum _),
     "mm_audio_meta"            -> (LlmQueries.mmAudioMeta _),
     "mm_video_meta"            -> (LlmQueries.mmVideoMeta _),
+    "mm_video_frames"          -> (LlmQueries.mmVideoFrames _),
     "mm_frame_sample"          -> (LlmQueries.mmFrameSample _),
   )
 
@@ -1193,6 +1194,19 @@ object SparkEntry {
         |  CAST(4 + doc_id % 6 AS BIGINT) AS n_frames_demuxed,
         |  CAST((4 + doc_id % 6) * 40 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm_video_frames: the demuxer's chunk boundaries and payload bytes
+    // hash-gated — frame count, length, and byte sum all restated from
+    // the container/payload formulas (25 fps fixture, 16-byte frames).
+    "mm_video_frames" ->
+      """WITH f AS (SELECT doc_id, g AS frame_idx
+        |           FROM documents,
+        |             unnest(generate_series(0, CAST(3 + doc_id % 6 AS BIGINT))) AS t(g)
+        |           WHERE doc_id < 100)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(16 AS BIGINT) AS frame_len,
+        |  CAST((SELECT sum((doc_id * 31 + frame_idx * 7 + j * 13) % 256)
+        |        FROM unnest(generate_series(0, 15)) AS u(j)) AS BIGINT) AS frame_sum
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     // mm_frame_sample: mirror the slicing arithmetic (floor, not round —
     // Spark's cast-to-int truncates; DuckDB's rounds).
     "mm_frame_sample" ->

@@ -1020,6 +1020,18 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Real frame DEMUX: every movi '00db' chunk payload extracted from
+    * genuine AVI bytes, with the per-frame byte SUM — restatable from
+    * the payload formula, so the live oracle hash-gates the demuxer's
+    * chunk boundaries and payload bytes exactly (an off-by-one in the
+    * chunk walk or the word-alignment padding breaks the sum). */
+  def mmVideoFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val avis = Multimodal.synthesizeAvis(spark,
+      docs(spark, sfDir).select("doc_id").where(col("doc_id") < 100), "doc_id")
+    Multimodal.aviFrameStats(spark, avis, "doc_id", "blob")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Multimodal frame sampling: 4 evenly-spaced 16-byte windows per blob
     * (rows-only; the slicing shape is what a real frame sampler uses). */
   def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame =

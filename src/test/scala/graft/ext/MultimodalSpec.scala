@@ -131,6 +131,20 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("demuxAviFrames round-trips every frame payload byte-exactly") {
+    for (id <- Seq(0L, 5L, 42L)) {
+      val n = Multimodal.fixtureVideoFrames(id)
+      val avi = Multimodal.synthesizeAvi(id,
+        Multimodal.fixtureVideoWidth(id), Multimodal.fixtureVideoHeight(id), n)
+      val frames = Multimodal.demuxAviFrames(avi)
+      assert(frames.length === n)
+      for (f <- 0 until n)
+        assert(frames(f).toSeq === Multimodal.videoFramePayload(id, f).toSeq,
+          s"payload mismatch id=$id frame=$f")
+    }
+    assert(Multimodal.demuxAviFrames("garbage".getBytes) === Nil)
+  }
+
   test("parseAviMeta degrades on garbage, truncation, and non-AVI RIFF") {
     val Bad = ("", 0, 0, 0L, 0L, 0L)
     assert(Multimodal.parseAviMeta(null) === Bad)
