@@ -90,6 +90,28 @@ class MergePropertySpec extends SparkSpecBase {
     }
   }
 
+  test("mor table equals the naive fold under ARBITRARY batch splits") {
+    // Stronger than the COW property: COW needs time-monotone batches
+    // (a hard-deleted key is resurrected by an older event in a later
+    // batch), but the MOR log RETAINS tombstones, so the fold is
+    // split-invariant for arbitrary arrival-order chopping — as long as
+    // no compaction erases a tombstone mid-sequence (compaction is
+    // deliberate COW-ification; the soak covers it on monotone data).
+    for (seed <- 40L to 43L) {
+      val ev = sample(seed)
+      val expected = naive(ev).map { case (k, (v, _)) => k -> v }
+      val root = java.nio.file.Files.createTempDirectory(s"graft-mor-prop$seed")
+      val t = new MorUpsertTable(spark, root.toString, Seq("id"),
+        nBuckets = 4, tiebreak = Seq("seq"), compactAfter = 100)
+      val k = (seed % 3 + 2).toInt // 2-4 chunks, seed-varied
+      ev.grouped(math.max(1, ev.length / k)).filter(_.nonEmpty)
+        .foreach(c => t.upsert(toDf(c)))
+      val got = t.read().get.collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+      assert(got === expected, s"mor state mismatch, seed=$seed")
+    }
+  }
+
   test("empty-batch merge is a no-op (replay safety) for random states") {
     for (seed <- 20L to 23L) {
       val ev = sample(seed)
