@@ -40,10 +40,11 @@ import org.apache.spark.sql.functions._
 object IncrementalDedup {
 
   /** Build the persisted index for `docs` at `path`:
-    *  - `shingles/` (doc_id, shingle): the postings — every distinct
-    *    word-n-gram per doc;
-    *  - `df/` (shingle, df): per-epoch document-frequency partials
-    *    (one build/append writes one set of rows; readers SUM);
+    *  - `shingles/__epoch=<e>/` (doc_id, shingle): the postings — every
+    *    distinct word-n-gram per doc, one partition dir per
+    *    build/append epoch;
+    *  - `df/__epoch=<e>/` (shingle, df): per-epoch document-frequency
+    *    partials (readers SUM across epochs);
     *  - `meta/` (n, max_df): parameters every query/append must agree
     *    on.
     * One shuffle on shingle (the df aggregate), once per build/append. */
@@ -51,31 +52,35 @@ object IncrementalDedup {
                  path: String, n: Int = 3,
                  maxDf: Long = Long.MaxValue): Unit = {
     val spark = docs.sparkSession
-    writeEpoch(docs, idCol, textCol, path, n, overwrite = true)
+    writeEpoch(docs, idCol, textCol, path, n, epoch = "base")
     import spark.implicits._
     Seq((n, maxDf)).toDF("n", "max_df")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Fold a (verified) batch into the index: append its postings and
-    * its df partials — O(batch) writes, no read or rewrite of existing
-    * index files. Batch ids must be disjoint from every id already
-    * indexed (an append batch by definition). */
+  /** Fold a (verified) batch into the index: write its postings and df
+    * partials under the named epoch — O(batch) writes, no read or
+    * rewrite of existing index files, and IDEMPOTENT per epoch: a
+    * replayed batch (same epoch name, e.g. the streaming batchId)
+    * OVERWRITES its own partition dirs instead of double-counting, so
+    * at-least-once delivery yields an exactly-once index. Batch ids
+    * must be disjoint from every id already indexed. */
   def appendToIndex(newDocs: DataFrame, idCol: String, textCol: String,
-                    path: String): Unit = {
+                    path: String, epoch: String): Unit = {
+    require(epoch.nonEmpty && epoch != "base" && !epoch.contains('/'),
+      s"epoch must be a non-'base', path-safe name, got '$epoch'")
     val spark = newDocs.sparkSession
     val n = spark.read.parquet(s"$path/meta").head().getAs[Int]("n")
-    writeEpoch(newDocs, idCol, textCol, path, n, overwrite = false)
+    writeEpoch(newDocs, idCol, textCol, path, n, epoch)
   }
 
   private def writeEpoch(docs: DataFrame, idCol: String, textCol: String,
-                         path: String, n: Int, overwrite: Boolean): Unit = {
-    val mode = if (overwrite) "overwrite" else "append"
+                         path: String, n: Int, epoch: String): Unit = {
     val sh = Dedup.shingles(docs, idCol, textCol, n)
     sh.select(col(idCol).as("doc_id"), col("shingle"))
-      .write.mode(mode).parquet(s"$path/shingles")
+      .write.mode("overwrite").parquet(s"$path/shingles/__epoch=$epoch")
     sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .write.mode(mode).parquet(s"$path/df")
+      .write.mode("overwrite").parquet(s"$path/df/__epoch=$epoch")
   }
 
   /** All near-dup pairs (Jaccard >= threshold under the COMBINED-corpus

@@ -16,13 +16,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * sequencing here means reports are exact w.r.t. everything ingested
   * before the batch, including earlier batches of the same stream.
   *
-  * Delivery: at-least-once from the checkpoint. A replayed batch would
-  * re-append its postings, inflating df for its grams — harmless for
-  * exactness of FUTURE reports only when dedup-by-epoch is layered on;
-  * production hardening is an epoch-manifest commit (write postings to
-  * a staged dir, publish via manifest keyed by batchId — the
-  * [[graft.sink.BucketedUpsertTable]] pointer pattern). Disclosed here;
-  * the test covers the normal path.
+  * Delivery: at-least-once from the checkpoint, made exactly-once for
+  * the INDEX by epoch-keyed appends — each batch writes its postings
+  * and df partials under `__epoch=b<batchId>`, so a replayed batch
+  * overwrites its own partition dirs instead of double-counting
+  * (asserted in the spec). The report parquet itself stays append-only
+  * (replayed rows are deterministic duplicates a downstream reader
+  * dedups by pair id).
   */
 object StreamNearDup {
 
@@ -37,7 +37,7 @@ object StreamNearDup {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // Pin the batch: the flag pass scans it several times (shingle,
         // df, size subplans) and the append scans it again.
@@ -46,7 +46,8 @@ object StreamNearDup {
           IncrementalDedup.nearDupPairs(spark, indexPath, batch,
               idCol, textCol, threshold)
             .write.mode("append").parquet(outDir)
-          IncrementalDedup.appendToIndex(batch, idCol, textCol, indexPath)
+          IncrementalDedup.appendToIndex(batch, idCol, textCol, indexPath,
+            epoch = s"b$batchId")
         } finally { batch.unpersist(); () }
       }
       .start()

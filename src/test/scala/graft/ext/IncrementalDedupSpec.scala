@@ -100,7 +100,7 @@ class IncrementalDedupSpec extends SparkSpecBase {
       (22L, "m n o j k l"))              // dup of 3 (from the base build)
     val dir = tmp()
     IncrementalDedup.writeIndex(old, "doc_id", "text", dir, n = 3, maxDf = 50L)
-    IncrementalDedup.appendToIndex(b1, "doc_id", "text", dir)
+    IncrementalDedup.appendToIndex(b1, "doc_id", "text", dir, epoch = "b1")
     val inc = pairsOf(IncrementalDedup.nearDupPairs(spark, dir, b2,
       "doc_id", "text", threshold = 0.2))
     val full = restrictedFull(old.unionByName(b1).unionByName(b2),
@@ -120,7 +120,7 @@ class IncrementalDedupSpec extends SparkSpecBase {
     val b2 = docs((20L, "x y z a b c"))
     val dir = tmp()
     IncrementalDedup.writeIndex(old, "doc_id", "text", dir, n = 3, maxDf = 3L)
-    IncrementalDedup.appendToIndex(b1, "doc_id", "text", dir)
+    IncrementalDedup.appendToIndex(b1, "doc_id", "text", dir, epoch = "b1")
     val inc = pairsOf(IncrementalDedup.nearDupPairs(spark, dir, b2,
       "doc_id", "text", threshold = 0.1))
     val full = restrictedFull(old.unionByName(b1).unionByName(b2),
@@ -130,6 +130,26 @@ class IncrementalDedupSpec extends SparkSpecBase {
     // minus the capped ones), never with 10 (sole shared gram capped)
     assert(!inc.exists { case (a, b, _) => a == 10L || b == 10L })
     assert(inc.exists { case (a, b, _) => a == 1L && b == 20L })
+  }
+
+  test("appendToIndex is replay-idempotent: a re-run epoch never double-counts df") {
+    // All three docs identical; every shingle's true combined df is
+    // exactly 3 == maxDf (live). A double-counted replay of b1 would
+    // push df to 4 > cap, capping EVERY shingle and erasing all pairs —
+    // so a non-empty, exact result proves the overwrite semantics.
+    val old = docs((1L, "a b c d e f"))
+    val b1 = docs((10L, "a b c d e f"))
+    val b2 = docs((20L, "a b c d e f"))
+    val dir = tmp()
+    IncrementalDedup.writeIndex(old, "doc_id", "text", dir, n = 3, maxDf = 3L)
+    IncrementalDedup.appendToIndex(b1, "doc_id", "text", dir, epoch = "b1")
+    IncrementalDedup.appendToIndex(b1, "doc_id", "text", dir, epoch = "b1") // replay
+    val inc = pairsOf(IncrementalDedup.nearDupPairs(spark, dir, b2,
+      "doc_id", "text", threshold = 0.2))
+    val full = restrictedFull(old.unionByName(b1).unionByName(b2),
+      Set(20L), n = 3, threshold = 0.2, maxDf = 3L)
+    assert(inc === full)
+    assert(inc === Set((1L, 20L, 1.0), (10L, 20L, 1.0)))
   }
 
   test("decontam flagAgainstIndex == direct decontaminate on the shard") {
