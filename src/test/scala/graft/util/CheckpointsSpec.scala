@@ -55,6 +55,17 @@ class CheckpointsSpec extends SparkSpecBase {
     assert(wrote > 0, "reliable mode wrote no checkpoint files")
   }
 
+  test("reliable mode: cleanCorpus output identical to local mode") {
+    val sf = "/root/testdata/sf0.001"
+    def rows() = graft.queries.LlmQueries.cleanCorpus(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val local = rows()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cc").toString
+    val reliable = withMode("reliable", dir)(rows())
+    assert(reliable === local)
+    assert(local.nonEmpty)
+  }
+
   test("unknown mode is rejected") {
     withMode("banana", "") {
       intercept[IllegalArgumentException] { Checkpoints.stage(pairs()) }
