@@ -87,15 +87,29 @@ object IncrementalDedup {
     * df cap) with at least one side in `newDocs`, computed against the
     * index at `path` (however many appends built it). Output
     * (id_a, id_b, jaccard), canonical id_a < id_b — identical to the
-    * restricted full recompute. */
+    * restricted full recompute.
+    *
+    * `excludeEpochs`: index epochs to IGNORE for this query. The replay
+    * seam: an at-least-once stream that appends its batch under epoch
+    * `b<batchId>` and then crashes before the checkpoint commits will
+    * re-run the flag pass against an index that already contains the
+    * batch's own partition — excluding that epoch restores the
+    * "everything ingested BEFORE this batch" read the contract promises
+    * (no self-pairs, no double-counted df partials). Partition
+    * discovery exposes `__epoch` on both the postings and df reads, so
+    * the filter prunes whole directories before any IO. */
   def nearDupPairs(spark: SparkSession, path: String, newDocs: DataFrame,
                    idCol: String, textCol: String,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   excludeEpochs: Seq[String] = Nil): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta").head()
     val n = meta.getAs[Int]("n")
     val maxDf = meta.getAs[Long]("max_df")
-    val postings = spark.read.parquet(s"$path/shingles")
-    val dfTable = spark.read.parquet(s"$path/df")
+    def dropExcluded(t: DataFrame): DataFrame =
+      if (excludeEpochs.isEmpty) t
+      else t.where(!col("__epoch").isin(excludeEpochs: _*))
+    val postings = dropExcluded(spark.read.parquet(s"$path/shingles"))
+    val dfTable = dropExcluded(spark.read.parquet(s"$path/df"))
 
     val newSh = Dedup.shingles(newDocs, idCol, textCol, n)
     // Combined df for the batch's grams: batch-local counts + the SUM
@@ -124,6 +138,10 @@ object IncrementalDedup {
       .join(broadcast(liveGrams), "shingle")
       .select(col("doc_id").as("old_id"), col("shingle"))
       .join(newCapped.select(col(idCol).as("new_id"), col("shingle")), "shingle")
+      // Defense in depth against replayed/overlapping ids: a doc must
+      // never pair with its own indexed copy (id_a == id_b is not a
+      // near-dup pair under any contract).
+      .where(col("old_id") =!= col("new_id"))
       .groupBy("old_id", "new_id").agg(count(lit(1)).as("n_inter"))
 
     // PASS B over the postings: candidate docs' FULL gram lists

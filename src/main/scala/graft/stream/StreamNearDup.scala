@@ -22,7 +22,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * overwrites its own partition dirs instead of double-counting
   * (asserted in the spec). The report parquet itself stays append-only
   * (replayed rows are deterministic duplicates a downstream reader
-  * dedups by pair id).
+  * dedups by pair id) — and the flag pass EXCLUDES the batch's own
+  * epoch from the index read (`excludeEpochs = b<batchId>`), so a
+  * replay that crashed between append and checkpoint-commit still sees
+  * exactly the pre-batch index: no self-pairs, no double-counted df
+  * partials, byte-identical replayed report rows.
   */
 object StreamNearDup {
 
@@ -44,7 +48,8 @@ object StreamNearDup {
         batch.persist()
         try {
           IncrementalDedup.nearDupPairs(spark, indexPath, batch,
-              idCol, textCol, threshold)
+              idCol, textCol, threshold,
+              excludeEpochs = Seq(s"b$batchId"))
             .write.mode("append").parquet(outDir)
           IncrementalDedup.appendToIndex(batch, idCol, textCol, indexPath,
             epoch = s"b$batchId")

@@ -59,4 +59,38 @@ class StreamNearDupSpec extends SparkSpecBase {
     assert(got.contains((11L, 20L)))
     assert(got.contains((2L, 21L)))
   }
+
+  test("replayed batch excludes its own epoch: report equals the pre-append read") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "a b c d e f"), (2L, "p q r s t u")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c d e g"), (11L, "p q r s t v")).toDF("doc_id", "text")
+
+    // Clean index: base only. Crashed-replay index: base + the batch's
+    // own epoch already appended (crash landed after appendToIndex but
+    // before the checkpoint commit).
+    val clean = Files.createTempDirectory("snd-clean").toString
+    IncrementalDedup.writeIndex(base, "doc_id", "text", clean, n = 3, maxDf = 50L)
+    val crashed = Files.createTempDirectory("snd-crash").toString
+    IncrementalDedup.writeIndex(base, "doc_id", "text", crashed, n = 3, maxDf = 50L)
+    IncrementalDedup.appendToIndex(batch, "doc_id", "text", crashed, epoch = "b7")
+
+    def pairs(path: String, excl: Seq[String]) =
+      IncrementalDedup.nearDupPairs(spark, path, batch, "doc_id", "text",
+          threshold = 0.2, excludeEpochs = excl)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("jaccard"))).toSet
+
+    val expected = pairs(clean, Nil)
+    val replayed = pairs(crashed, Seq("b7"))
+    assert(replayed === expected)
+    assert(expected.nonEmpty)
+    // and no self-pair survives even WITHOUT the epoch exclusion —
+    // the old_id =!= new_id guard is the defense in depth
+    val unguarded = pairs(crashed, Nil)
+    assert(unguarded.forall { case (a, b, _) => a != b })
+  }
 }
