@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Structure preservation (so F× output ≈ F× workload, not a different
   * problem):
-  *  - documents: replica k shifts ids by k·[[Stride]] and rotates the
-  *    alphabet by k (`translate`) — within-replica shingle/dup/quality
-  *    structure is IDENTICAL to the base corpus, while cross-replica
-  *    shingle collisions (which would inflate pair counts
-  *    quadratically) are impossible for letter text;
+  *  - documents: replica k shifts ids by k·[[Stride]] and rotates
+  *    letters AND digits by k (`translate`, a token bijection) —
+  *    within-replica shingle/dup/quality structure is IDENTICAL to the
+  *    base corpus, while cross-replica shingle collisions (which would
+  *    inflate pair counts quadratically) are impossible for
+  *    alphanumeric text;
   *  - embeddings: replica k cyclically rotates each vector by k
   *    positions — norms and within-replica similarity structure are
   *    exactly preserved, cross-replica sims decorrelate;
@@ -32,21 +33,37 @@ object ScaleLadder {
                         exponent: Double, note: String = "")
 
   private val Abc = "abcdefghijklmnopqrstuvwxyz"
+  private val Digits = "0123456789"
 
+  /** Per-replica text bijection: rotate letters by k%26 AND digits by
+    * k%10, so numeric/punctuation-heavy tokens decorrelate across
+    * replicas too (letters-only rotation left digit tokens
+    * byte-identical, which on numeric corpora creates exactly the
+    * cross-replica near-dup inflation the spec guards against).
+    * Punctuation-ONLY tokens are still invariant — a corpus that is
+    * mostly punctuation would need a different marker scheme; the spec
+    * asserts zero cross-replica pairs on the actual bench corpus. */
   private def rotText(k: Int): Column = {
-    val r = k % 26
-    if (r == 0) col("text")
+    val rL = k % 26
+    val rD = k % 10
+    if (rL == 0 && rD == 0) col("text")
     else {
-      val rot = Abc.drop(r) + Abc.take(r)
-      translate(col("text"), Abc + Abc.toUpperCase,
-        rot + rot.toUpperCase)
+      val rotAbc = Abc.drop(rL) + Abc.take(rL)
+      val rotDig = Digits.drop(rD) + Digits.take(rD)
+      translate(col("text"), Abc + Abc.toUpperCase + Digits,
+        rotAbc + rotAbc.toUpperCase + rotDig)
     }
   }
 
-  private def rotVec(k: Int): Column =
+  /** Cyclic vector rotation by k MOD the embedding size — safe for any
+    * replica count, including factor > dimension (a fixed `k` slice
+    * would go negative there). */
+  private[graft] def rotVec(k: Int): Column =
     if (k == 0) col("embedding")
-    else expr(s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
-      s"slice(embedding, 1, $k))")
+    else expr(
+      s"concat(slice(embedding, ($k % size(embedding)) + 1, " +
+        s"size(embedding) - ($k % size(embedding))), " +
+        s"slice(embedding, 1, $k % size(embedding)))")
 
   /** Write the factor-F tables under `outDir` (documents, embeddings,
     * events — everything the ladder queries read). */

@@ -15,6 +15,18 @@ import org.apache.spark.sql.DataFrame
   * every [[stage]] call writes a recoverable checkpoint instead.
   * Output is identical either way — the strategy only changes WHERE
   * the truncated lineage's blocks live (asserted in CheckpointsSpec).
+  *
+  * RETENTION COST (reliable mode): every [[stage]] call writes a NEW
+  * checkpoint directory and Spark never deletes old ones by default
+  * (`spark.cleaner.referenceTracking.cleanCheckpoints` is false), so an
+  * iterative run — e.g. a CC loop converging in R rounds over E edge
+  * bytes — accumulates up to R full copies (R×E durable bytes) in the
+  * checkpoint dir. On a 100 TB job, either set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` on the
+  * session (the ContextCleaner then removes a checkpoint once its RDD
+  * is GC'd — safe here because each round only reads the PREVIOUS
+  * round's checkpoint), or point [[DirKey]] at a per-run subdirectory
+  * and delete it after job completion.
   */
 object Checkpoints {
 

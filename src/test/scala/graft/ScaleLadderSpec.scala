@@ -51,4 +51,37 @@ class ScaleLadderSpec extends SparkSpecBase {
     assert(math.abs(normSum(scaled.where(col("vec_id") < S)) - normSum(baseEmb)) < 1e-6)
     assert(math.abs(normSum(scaled.where(col("vec_id") >= S)) - normSum(baseEmb)) < 1e-6)
   }
+
+  test("rotVec is modular: replica index beyond the embedding dimension is safe") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    // k = 7 on a 3-dim vector: 7 % 3 = 1 → rotate by one, no negative slice
+    val got = df.select(ScaleLadder.rotVec(7).as("e"))
+      .head().getSeq[Float](0)
+    assert(got === Seq(2.0f, 3.0f, 1.0f))
+    // k a multiple of the dimension → identity
+    val same = df.select(ScaleLadder.rotVec(6).as("e"))
+      .head().getSeq[Float](0)
+    assert(same === Seq(1.0f, 2.0f, 3.0f))
+  }
+
+  test("digit-only tokens decorrelate across replicas") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "409 515 62 77 88 99 100")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", lit(10))
+    val out = java.nio.file.Files.createTempDirectory("ladder-dig").toString
+    docs.write.parquet(s"$out/in/documents.parquet")
+    spark.read.parquet(s"$base/embeddings.parquet")
+      .write.parquet(s"$out/in/embeddings.parquet")
+    spark.read.parquet(s"$base/events.parquet")
+      .write.parquet(s"$out/in/events.parquet")
+    ScaleLadder.generate(spark, s"$out/in", s"$out/gen", factor = 2)
+    val texts = spark.read.parquet(s"$out/gen/documents.parquet")
+      .orderBy("doc_id").select("text").collect().map(_.getString(0))
+    assert(texts.length === 2)
+    assert(texts(0) !== texts(1), "replica 1's numeric text must differ from replica 0's")
+  }
 }
