@@ -56,10 +56,47 @@ object CdcNormalize {
                   * cache — the pipeline's `revalidateEvery` tick. A merge,
                   * not a reset: a column absent from this batch's sample
                   * must not vanish for later batches that still carry it. */
-                forceRefresh: Boolean = false): Option[DataFrame] = {
+                forceRefresh: Boolean = false,
+                /** Caller already proved ≥1 record routes here (e.g. the
+                  * pipeline's one combined routed-count job) — skips the
+                  * per-table existence probe. */
+                knownNonEmpty: Boolean = false): Option[DataFrame] =
+    build(spark, raw, format, table, mode, strictRouting, forceRefresh,
+      knownNonEmpty, materialize = false).map(_._1)
+
+  /** The pipeline's hot-path variant: identical output and identical
+    * refresh semantics, but the parsed batch is PERSISTED and the
+    * cached-schema corrupt check becomes an exact `count` over the
+    * cache-materializing scan — so the batch's JSON is parsed exactly
+    * once per table per trigger (the old probe's `limit(1).isEmpty`
+    * scanned the WHOLE routed set re-parsing JSON whenever there were
+    * zero corrupt records — the steady state — and the sink's write
+    * then parsed everything a second time). Returns the normalized
+    * frame plus `release()`, which the caller MUST invoke after its
+    * sink action to unpersist the parse cache. */
+  def normalizeMaterialized(spark: SparkSession, raw: DataFrame, format: CdcFormat,
+                            table: SyncTable,
+                            mode: SchemaInference.Mode = SchemaInference.Mode.InferAlways,
+                            strictRouting: Boolean = false,
+                            forceRefresh: Boolean = false,
+                            knownNonEmpty: Boolean = false): Option[(DataFrame, () => Unit)] =
+    build(spark, raw, format, table, mode, strictRouting, forceRefresh,
+      knownNonEmpty, materialize = true).map { case (df, cached) =>
+      (df, () => cached.foreach(c =>
+        try c.unpersist()
+        catch { case scala.util.control.NonFatal(_) => () }))
+    }
+
+  private def build(spark: SparkSession, raw: DataFrame, format: CdcFormat,
+                    table: SyncTable, mode: SchemaInference.Mode,
+                    strictRouting: Boolean, forceRefresh: Boolean,
+                    knownNonEmpty: Boolean,
+                    materialize: Boolean): Option[(DataFrame, Option[DataFrame])] = {
     import spark.implicits._
     val routed0 = raw.where(CdcRouter.substringMatch(col("value"), format, table))
-    if (routed0.isEmpty) return None
+    if (!knownNonEmpty &&
+        graft.util.StageProf.timed("normalize.routeEmpty")(routed0.isEmpty))
+      return None
 
     val values = routed0.select(col("value")).as[String]
     // Cache key includes the dialect: the same logical table consumed in
@@ -82,6 +119,7 @@ object CdcNormalize {
         col("value"))
     }
     var parsed = parseWith(schema)
+    var cached: Option[DataFrame] = None
 
     // Cached-mode revalidation: probe for the FIRST record that fails to
     // parse against the cached schema (cheap `limit(1)` existence check,
@@ -89,12 +127,29 @@ object CdcNormalize {
     // catches records the cached schema cannot parse; *additive* evolution
     // (new optional JSON fields) parses cleanly and is picked up by the
     // pipeline's periodic refresh instead (CdcPipeline.revalidateEvery).
+    // In materialize mode the probe doubles as the cache-materializing
+    // scan: identical refresh decision, one JSON parse total.
     if (mode == SchemaInference.Mode.Cached) {
-      val failed = !parsed
-        .where(col("kdata").getField(CorruptCol).isNotNull).limit(1).isEmpty
-      if (failed) {
-        schema = SchemaInference.refresh(spark, cacheKey, values)
-        parsed = parseWith(schema)
+      if (materialize) {
+        def probeCached(p: DataFrame): Long = {
+          p.persist()
+          cached = Some(p)
+          graft.util.StageProf.timed("normalize.corruptCount")(
+            p.where(col("kdata").getField(CorruptCol).isNotNull).count())
+        }
+        if (probeCached(parsed) > 0) {
+          cached.foreach(_.unpersist())
+          schema = SchemaInference.refresh(spark, cacheKey, values)
+          parsed = parseWith(schema)
+          probeCached(parsed)
+        }
+      } else {
+        val failed = graft.util.StageProf.timed("normalize.corruptProbe")(!parsed
+          .where(col("kdata").getField(CorruptCol).isNotNull).limit(1).isEmpty)
+        if (failed) {
+          schema = SchemaInference.refresh(spark, cacheKey, values)
+          parsed = parseWith(schema)
+        }
       }
     }
 
@@ -107,7 +162,12 @@ object CdcNormalize {
       case CdcFormat.DmsCdc        => normalizeDms(routed, schema)
       case _                       => normalizeDebezium(routed, schema)
     }
-    normalized
+    // A table whose routed rows carry no usable envelope (normalized =
+    // None) must still release its cache — hand it back for the caller
+    // either way; None short-circuits before any persist happened only
+    // in the routeEmpty case.
+    if (normalized.isEmpty) cached.foreach(_.unpersist())
+    normalized.map(df => (df, cached))
   }
 
   private def fieldType(schema: StructType, name: String): Option[DataType] =

@@ -95,7 +95,8 @@ final class KeyedUpsertTable(
   /** Apply one batch of change rows (payload ++ mtime ++
     * `_hoodie_is_deleted`). Pure-plan merge; one action (the write). */
   def upsert(batch: DataFrame): Unit = {
-    val merged = KeyedUpsertTable.merge(read(), batch, keys, versionCol, tiebreak)
+    val stored = graft.util.StageProf.timed("sink.readSnapshot")(read())
+    val merged = KeyedUpsertTable.merge(stored, batch, keys, versionCol, tiebreak)
     commit(merged)
   }
 
@@ -108,7 +109,8 @@ final class KeyedUpsertTable(
       case Some(s) => s.stripPrefix("snap-").toLong + 1
       case None    => 0L
     })
-    df.write.mode("overwrite").parquet(rootPath.resolve(next).toString)
+    graft.util.StageProf.timed("sink.commitWrite")(
+      df.write.mode("overwrite").parquet(rootPath.resolve(next).toString))
     val tmp = rootPath.resolve(s"_current.tmp")
     Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,

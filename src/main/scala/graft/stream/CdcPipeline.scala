@@ -121,11 +121,31 @@ final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
         s"[graft-cdc] batch=$batchId stage=$stage\n" +
           graft.util.Debug.dfExampleString(df))
 
-  /** Process one micro-batch: pin it, fan out per table, fail fast. */
-  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+  /** Process one micro-batch: pin it, fan out per table, fail fast.
+    *
+    * Job budget (the events/s headline is mostly fixed per-batch cost at
+    * micro-batch sizes): ONE combined aggregate computes every table's
+    * routed count — replacing the old `batch.isEmpty` + per-table
+    * `routed.isEmpty` probes (1 + N jobs → 1) — and the cached-schema
+    * corrupt probe doubles as the parse-cache materialization
+    * ([[CdcNormalize.normalizeMaterialized]]), so each table's JSON is
+    * parsed once per trigger instead of twice (probe scan + sink scan). */
+  def processBatch(batch: DataFrame, batchId: Long): Unit =
+    graft.util.StageProf.timed("batch.total")(processBatch0(batch, batchId))
+
+  private def processBatch0(batch: DataFrame, batchId: Long): Unit = {
     batch.persist()
     try {
-      if (!batch.isEmpty) {
+      val routedCounts: Map[String, Long] =
+        graft.util.StageProf.timed("batch.routedCounts") {
+          val row = batch.select(config.tables.map(t =>
+            count(when(CdcRouter.substringMatch(col("value"), config.format, t),
+              lit(1))).as(t.id)): _*).head()
+          config.tables.zipWithIndex.map { case (t, i) =>
+            t.id -> row.getLong(i)
+          }.toMap
+        }
+      if (routedCounts.valuesIterator.exists(_ > 0)) {
         debugSample("raw", batchId, batch)
         // revalidateEvery tick: merge-refresh (old ∪ new) inside normalize
         // — NOT a cache invalidate, which would drop columns absent from
@@ -133,20 +153,24 @@ final class CdcPipeline(spark: SparkSession, config: CdcPipelineConfig) {
         val revalidate = config.schemaMode == SchemaInference.Mode.Cached &&
           config.revalidateEvery > 0 && batchId > 0 &&
           batchId % config.revalidateEvery == 0
-        val futures = config.tables.map { table =>
+        val futures = config.tables.filter(t => routedCounts(t.id) > 0).map { table =>
           Future {
             // FAIR pool per table so long writes interleave (O2).
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", table.id)
             try {
-              CdcNormalize.normalize(spark, batch, config.format, table,
+              graft.util.StageProf.timed("normalize.plan")(
+                CdcNormalize.normalizeMaterialized(spark, batch, config.format, table,
                   config.schemaMode, config.strictRouting,
-                  forceRefresh = revalidate)
-                .foreach { normalized =>
-                  debugSample(s"normalized:${table.id}", batchId, normalized)
-                  sinks(table.id).upsert(normalized)
-                  if (!config.disableMsg)
-                    sinks(table.id).read()
-                      .foreach(debugSample(s"merged:${table.id}", batchId, _))
+                  forceRefresh = revalidate, knownNonEmpty = true))
+                .foreach { case (normalized, release) =>
+                  try {
+                    debugSample(s"normalized:${table.id}", batchId, normalized)
+                    graft.util.StageProf.timed("sink.upsert")(
+                      sinks(table.id).upsert(normalized))
+                    if (!config.disableMsg)
+                      sinks(table.id).read()
+                        .foreach(debugSample(s"merged:${table.id}", batchId, _))
+                  } finally release()
                 }
             } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
           }

@@ -67,7 +67,12 @@ object StreamBench {
       tables = Seq(SyncTable("sb_db", "t0", "id"), SyncTable("sb_db", "t1", "id")),
       sinkRoot = root,
       checkpointDir = ckpt,
-      triggerInterval = "1 second",
+      // 0-second ProcessingTime = run micro-batches back-to-back. A
+      // throughput probe must not sleep: a positive interval ALIGNS
+      // batch starts to interval boundaries, so a batch finishing at
+      // 1.1s idles 0.9s before the next — measured ~45% of wall time
+      // lost to alignment at "1 second" with ~1s batches.
+      triggerInterval = "0 seconds",
       // the PRODUCTION schema mode (the pipeline default): per-table
       // cached schema with corrupt-record re-probe — InferAlways would
       // time the reference's extra per-batch inference scan instead of
@@ -130,13 +135,24 @@ object StreamBench {
     (cow, mor)
   }
 
-  /** Standalone entry: `runMain graft.stream.StreamBench [eventsPerBatch [batches]]`. */
+  /** Standalone entry: `runMain graft.stream.StreamBench [eventsPerBatch [batches]]`.
+    * `GRAFT_STREAM_WARMRUN=1` runs one full small pipeline first,
+    * untimed — standalone cold-JVM numbers are dominated by C2
+    * compilation of the JSON/codegen paths, which the in-bench stream
+    * row (running after 90 warmed queries) never pays. */
   def main(args: Array[String]): Unit = {
     val epb = args.lift(0).map(_.toInt).getOrElse(25000)
     val nb = args.lift(1).map(_.toInt).getOrElse(6)
     val spark = graft.SparkSessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    if (sys.env.contains("GRAFT_STREAM_WARMRUN")) {
+      run(spark, 5000, 3)
+      graft.util.StageProf.reset()
+    }
     val r = run(spark, epb, nb)
     println(f"[stream-bench] events=${r.events} batches=${r.batches} sec=${r.sec}%.3f eps=${r.eps}%.1f")
+    if (graft.util.StageProf.enabled)
+      println(s"[stream-bench] stage breakdown (cumulative wall, incl. warm batch):\n" +
+        graft.util.StageProf.report())
     spark.stop()
   }
 }
