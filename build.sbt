@@ -30,4 +30,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // major GC away from a 2x rep-time spike in bench forks (observed as
   // isolated 10s reps amid 4s neighbors); override with SPARK_DRIVER_MEM
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p:time,uptime").toSeq

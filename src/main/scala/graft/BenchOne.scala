@@ -24,12 +24,77 @@ object BenchOne {
     * same rule Bench pins for its JSON line — Double.toString only). */
   private def fmt(dt: Double): String = (math.rint(dt * 1000) / 1000).toString
 
+  /** Machine-speed calibration probe: a fixed single-thread arithmetic
+    * loop (~0.1-0.2 s on a quiet host). This host is a shared VM —
+    * measured: the SAME pure-CPU work varies 1.7× run-to-run even with
+    * the guest idle (host CPU steal / frequency sharing; guest thread
+    * "CPU time" silently includes host preemption, so the inflation
+    * shows up as real compute). Running the probe right after each rep
+    * timestamps how fast the machine was DURING that window, letting the
+    * consumer ([[Bench.forkedReps]]) median over reps taken on a quiet
+    * machine instead of blending steal bursts into the recorded number.
+    * All reps remain printed/recorded — the probe annotates, it never
+    * hides. */
+  @volatile private var calSink = 0L
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var i = 0L; var x = 0L
+    while (i < 300000000L) { x += i * i; i += 1 }
+    calSink = x
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Host-steal seconds since boot (`/proc/stat` cpu line, field 8, in
+    * clock ticks) — the direct counter for "the hypervisor ran someone
+    * else on our vCPUs". Sampled before/after each rep; the delta
+    * brackets the whole rep window, catching bursts the post-rep
+    * calibration probe can miss. -1 when unreadable (non-Linux). */
+  private def stealSeconds(): Double =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      cpu(8).toDouble / 100.0
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSessions.local(cpus)
     val fn = SparkEntry.queries(name)
+    // GRAFT_JOBLOG=1: per-Spark-job wall durations, for attributing
+    // rep-to-rep spread to a specific stage of a multi-job query.
+    if (sys.env.contains("GRAFT_JOBLOG"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(js.jobId, System.nanoTime())
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val t0 = starts.remove(je.jobId)
+            if (t0 != 0L)
+              println(f"[job] id=${je.jobId} ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          }
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = (for {
+              s <- si.submissionTime; c <- si.completionTime
+            } yield (c - s) / 1e3).getOrElse(-1.0)
+            if (wall > 0.5)
+              println(f"[stage] id=${si.stageId} tasks=${si.numTasks} wall=$wall%.3f s " +
+                f"cpu=${si.taskMetrics.executorCpuTime / 1e9}%.3f s " +
+                f"run=${si.taskMetrics.executorRunTime / 1e3}%.3f s " +
+                f"gc=${si.taskMetrics.jvmGCTime / 1e3}%.3f s " +
+                f"shufRead=${si.taskMetrics.shuffleReadMetrics.fetchWaitTime / 1e3}%.3f s " +
+                f"shufWrite=${si.taskMetrics.shuffleWriteMetrics.writeTime / 1e9}%.3f s " +
+                f"spill=${si.taskMetrics.memoryBytesSpilled / 1e6}%.1f MB " +
+                s"name=${si.name}")
+          }
+        })
     if (sys.env.contains("GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
     if (sys.env.contains("GRAFT_SHOW")) fn(spark, sfDir).show(100, false)
     val minWarm = sys.env.getOrElse("GRAFT_WARMUP", "0").toInt
@@ -60,12 +125,17 @@ object BenchOne {
     var times = Vector.empty[Double]
     var i = 0
     val gcBetweenReps = !sys.env.contains("GRAFT_NO_REP_GC")
+    calibrate(); calibrate() // JIT-warm the probe loop itself
     while (i < minReps || (i < maxReps && spreadTol > 0 && times.nonEmpty &&
         times.max / times.min > spreadTol)) {
+      val s0 = stealSeconds()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(s"[bench-one] $name rep${i + 1} rows=$n ${fmt(dt)} s")
+      val steal = { val s1 = stealSeconds(); if (s0 < 0 || s1 < 0) -1.0 else s1 - s0 }
+      val cal = calibrate()
+      println(s"[bench-one] $name rep${i + 1} rows=$n ${fmt(dt)} s " +
+        s"cal=${fmt(cal)} steal=${fmt(steal)}")
       times :+= dt
       i += 1
       if (gcBetweenReps) System.gc()
