@@ -8,8 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import graft.util.TableFs
+
 import scala.jdk.CollectionConverters._
 
 /** The incremental variant of [[KeyedUpsertTable]]: rows are hash-
@@ -78,8 +78,10 @@ final class BucketedUpsertTable(
   private val catalog: CatalogSync =
     catalogSync.getOrElse(new SessionCatalogSync(spark))
 
-  private val rootPath: Path = Paths.get(root)
-  private val pointer: Path = rootPath.resolve("_current")
+  /** Manifest/pointer filesystem, resolved from the root's scheme via
+    * the session's Hadoop configuration ([[graft.util.TableFs]]) — the
+    * table root can be `file://`, `hdfs://`, or an object store. */
+  private val tfs = new TableFs(root, spark.sparkContext.hadoopConfiguration)
   private val mapper = new ObjectMapper()
 
   /** Bucket id of a row: non-negative Murmur3 hash of the key columns —
@@ -92,30 +94,26 @@ final class BucketedUpsertTable(
 
   private case class Manifest(schemaDdl: String, buckets: Map[Int, String])
 
-  private def manifestPath(snap: String): Path =
-    rootPath.resolve(snap).resolve("_buckets.json")
+  private def manifestRel(snap: String): String = s"$snap/_buckets.json"
 
   private def writeManifest(snap: String, m: Manifest): Unit = {
     val node = mapper.createObjectNode()
     node.put("schema", m.schemaDdl)
     val b = node.putObject("buckets")
     m.buckets.foreach { case (k, v) => b.put(k.toString, v) }
-    Files.createDirectories(rootPath.resolve(snap))
-    Files.write(manifestPath(snap),
-      mapper.writeValueAsBytes(node))
+    tfs.writeBytes(manifestRel(snap), mapper.writeValueAsBytes(node))
   }
 
   private def readManifest(snap: String): Manifest = {
-    val node = mapper.readTree(Files.readAllBytes(manifestPath(snap)))
+    val node = mapper.readTree(tfs.readBytes(manifestRel(snap)))
     val buckets = node.get("buckets").properties().iterator().asScala
       .map(e => e.getKey.toInt -> e.getValue.asText()).toMap
     Manifest(node.get("schema").asText(), buckets)
   }
 
   def currentSnapshot(): Option[String] =
-    if (Files.exists(pointer))
-      Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim)
-        .filter(_.nonEmpty)
+    if (tfs.exists("_current"))
+      Some(tfs.readString("_current").trim).filter(_.nonEmpty)
     else None
 
   /** The data dir currently serving bucket `b`, if non-empty (test /
@@ -145,7 +143,7 @@ final class BucketedUpsertTable(
   /** Absolute paths of every bucket dir a manifest references (sorted for
     * plan determinism). */
   private def bucketPaths(m: Manifest): Seq[String] =
-    m.buckets.values.toSeq.sorted.map(d => rootPath.resolve(d).toString)
+    m.buckets.values.toSeq.sorted.map(tfs.str)
 
   // --------------------------------------------------------------- upsert
 
@@ -188,15 +186,14 @@ final class BucketedUpsertTable(
     val dataDir = s"data/commit-$commitId"
     mergedToWrite.withColumn("__bucket", bucketCol)
       .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(rootPath.resolve(dataDir).toString)
+      .parquet(tfs.str(dataDir))
 
     // Buckets actually present in the new write (a bucket whose keys all
     // deleted produces no dir and drops out of the manifest).
-    val written = Option(rootPath.resolve(dataDir).toFile.listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(BucketDirPrefix))
-      .map(f => f.getName.stripPrefix(BucketDirPrefix).toInt ->
-        s"$dataDir/${f.getName}")
+    val written = tfs.listSubdirNames(dataDir)
+      .filter(_.startsWith(BucketDirPrefix))
+      .map(name => name.stripPrefix(BucketDirPrefix).toInt ->
+        s"$dataDir/$name")
       .toMap
 
     // Manifest schema: the TABLE schema, never the batch's. On the
@@ -211,10 +208,7 @@ final class BucketedUpsertTable(
     }
     val snap = s"snap-$commitId"
     writeManifest(snap, Manifest(tableSchema.toDDL, carried ++ written))
-    val tmp = rootPath.resolve("_current.tmp")
-    Files.write(tmp, snap.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    tfs.swapPointer("_current", snap)
     syncCatalog()
     clean()
   }
@@ -259,7 +253,7 @@ final class BucketedUpsertTable(
             .groupBy(_._1).toSeq.sortBy(_._1)
             .map { case (commitDir, entries) =>
               val ids = entries.map(_._2).sorted.mkString(", ")
-              s"SELECT $cols FROM parquet.`${rootPath.resolve(commitDir)}`" +
+              s"SELECT $cols FROM parquet.`${tfs.str(commitDir)}`" +
                 s" WHERE `__bucket` IN ($ids)"
             }
             .mkString(" UNION ALL ")
@@ -278,25 +272,20 @@ final class BucketedUpsertTable(
     * commit). */
   private def clean(): Unit = {
     val numeric = "snap-(\\d+)".r
-    val snaps = Option(rootPath.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .flatMap(f => f.getName match {
-        case numeric(n) => Some(f -> n.toLong)
-        case _          => None
-      })
+    val snaps = tfs.listSubdirNames("")
+      .flatMap {
+        case name @ numeric(n) => Some(name -> n.toLong)
+        case _                 => None
+      }
       .sortBy(_._2).map(_._1)
     val (drop, keep) = snaps.splitAt(math.max(0, snaps.length - retainSnapshots))
-    val referenced: Set[String] = keep.flatMap { dir =>
-      scala.util.Try(readManifest(dir.getName)).toOption.toSeq
+    val referenced: Set[String] = keep.flatMap { snap =>
+      scala.util.Try(readManifest(snap)).toOption.toSeq
         .flatMap(_.buckets.values.map(_.split('/').take(2).mkString("/")))
     }.toSet
-    drop.foreach(d => deleteRecursively(d.toPath))
-    val dataRoot = rootPath.resolve("data")
-    Option(dataRoot.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !referenced.contains(s"data/${f.getName}"))
-      .foreach(f => deleteRecursively(f.toPath))
+    drop.foreach(tfs.deleteRecursively)
+    tfs.listSubdirNames("data")
+      .filter(name => !referenced.contains(s"data/$name"))
+      .foreach(name => tfs.deleteRecursively(s"data/$name"))
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    graft.util.LocalFs.deleteRecursively(p)
 }

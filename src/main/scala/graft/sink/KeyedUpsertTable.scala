@@ -2,12 +2,11 @@ package graft.sink
 
 import graft.cdc.{CdcNormalize, LatestPerKey, SchemaInference}
 
+import graft.util.TableFs
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
-
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** A keyed, latest-wins, soft-delete-aware upsert table over parquet —
   * the Hudi-COW-equivalent MERGE sink (SURVEY.md §2.6 K1).
@@ -70,8 +69,11 @@ final class KeyedUpsertTable(
   private val catalog: CatalogSync =
     catalogSync.getOrElse(new SessionCatalogSync(spark))
 
-  private val rootPath: Path = Paths.get(root)
-  private val pointer: Path = rootPath.resolve("_current")
+  /** The manifest/pointer filesystem — resolved from the root's scheme
+    * through the session's Hadoop configuration, so a `file://`,
+    * `hdfs://`, or object-store root all work and metadata always lives
+    * on the same filesystem as the data ([[graft.util.TableFs]]). */
+  private val tfs = new TableFs(root, spark.sparkContext.hadoopConfiguration)
 
   /** Source-rank column: incoming (1) beats stored (0) on version ties,
     * matching DefaultHoodieRecordPayload's >= comparison. */
@@ -79,14 +81,13 @@ final class KeyedUpsertTable(
 
   /** Name of the snapshot directory currently visible to readers. */
   def currentSnapshot(): Option[String] =
-    if (Files.exists(pointer))
-      Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim)
-        .filter(_.nonEmpty)
+    if (tfs.exists("_current"))
+      Some(tfs.readString("_current").trim).filter(_.nonEmpty)
     else None
 
   /** Current table state, or None before the first commit. */
   def read(): Option[DataFrame] =
-    currentSnapshot().map(s => spark.read.parquet(rootPath.resolve(s).toString))
+    currentSnapshot().map(s => spark.read.parquet(tfs.str(s)))
 
   def readOrEmpty(like: DataFrame): DataFrame =
     read().getOrElse(spark.createDataFrame(
@@ -104,17 +105,14 @@ final class KeyedUpsertTable(
     * swap the pointer file via ATOMIC_MOVE (the parquet write itself is a
     * Spark job; the publish is a single filesystem rename). */
   private def commit(df: DataFrame): Unit = {
-    Files.createDirectories(rootPath)
+    tfs.mkdirs("")
     val next = "snap-" + (currentSnapshot() match {
       case Some(s) => s.stripPrefix("snap-").toLong + 1
       case None    => 0L
     })
     graft.util.StageProf.timed("sink.commitWrite")(
-      df.write.mode("overwrite").parquet(rootPath.resolve(next).toString))
-    val tmp = rootPath.resolve(s"_current.tmp")
-    Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+      df.write.mode("overwrite").parquet(tfs.str(next)))
+    tfs.swapPointer("_current", next)
     syncCatalog()
     cleanOldSnapshots()
   }
@@ -131,7 +129,7 @@ final class KeyedUpsertTable(
       // discipline lives in the binding (SessionCatalogSync for the
       // in-session default) — the sink only decides WHAT to publish
       catalog.publishExternalTable(fqn.split('.').toSeq,
-        rootPath.resolve(snap).toUri)
+        tfs.resolve(snap).toUri)
     }
   }
 
@@ -143,15 +141,13 @@ final class KeyedUpsertTable(
     // or hand-copied dir must not throw AFTER the pointer swap already
     // published the commit (cleanup can never fail a committed batch).
     val numeric = "snap-(\\d+)".r
-    val snaps = Option(rootPath.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .flatMap(f => f.getName match {
-        case numeric(n) => Some(f -> n.toLong)
-        case _          => None
-      })
+    val snaps = tfs.listSubdirNames("")
+      .flatMap {
+        case name @ numeric(n) => Some(name -> n.toLong)
+        case _                 => None
+      }
       .sortBy(_._2).map(_._1)
-    snaps.dropRight(retainSnapshots).foreach(dir =>
-      graft.util.LocalFs.deleteRecursively(dir.toPath))
+    snaps.dropRight(retainSnapshots).foreach(tfs.deleteRecursively)
   }
 }
 

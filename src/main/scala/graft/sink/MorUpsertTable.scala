@@ -8,8 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import graft.util.TableFs
+
 import scala.jdk.CollectionConverters._
 
 /** The log-structured (merge-on-read) variant of the keyed upsert
@@ -79,8 +79,10 @@ final class MorUpsertTable(
   private val catalog: CatalogSync =
     catalogSync.getOrElse(new SessionCatalogSync(spark))
 
-  private val rootPath: Path = Paths.get(root)
-  private val pointer: Path = rootPath.resolve("_current")
+  /** Manifest/pointer filesystem, resolved from the root's scheme via
+    * the session's Hadoop configuration ([[graft.util.TableFs]]) — the
+    * table root can be `file://`, `hdfs://`, or an object store. */
+  private val tfs = new TableFs(root, spark.sparkContext.hadoopConfiguration)
   private val mapper = new ObjectMapper()
 
   /** Commit-sequence column every stored row carries (the log order the
@@ -97,8 +99,7 @@ final class MorUpsertTable(
     * the ordered chain of dirs holding the bucket's rows. */
   private case class Manifest(schemaDdl: String, buckets: Map[Int, Seq[String]])
 
-  private def manifestPath(snap: String): Path =
-    rootPath.resolve(snap).resolve("_buckets.json")
+  private def manifestRel(snap: String): String = s"$snap/_buckets.json"
 
   private def writeManifest(snap: String, m: Manifest): Unit = {
     val node = mapper.createObjectNode()
@@ -108,12 +109,11 @@ final class MorUpsertTable(
       val arr = b.putArray(k.toString)
       dirs.foreach(arr.add)
     }
-    Files.createDirectories(rootPath.resolve(snap))
-    Files.write(manifestPath(snap), mapper.writeValueAsBytes(node))
+    tfs.writeBytes(manifestRel(snap), mapper.writeValueAsBytes(node))
   }
 
   private def readManifest(snap: String): Manifest = {
-    val node = mapper.readTree(Files.readAllBytes(manifestPath(snap)))
+    val node = mapper.readTree(tfs.readBytes(manifestRel(snap)))
     val buckets = node.get("buckets").properties().iterator().asScala
       .map { e =>
         e.getKey.toInt ->
@@ -123,9 +123,8 @@ final class MorUpsertTable(
   }
 
   def currentSnapshot(): Option[String] =
-    if (Files.exists(pointer))
-      Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim)
-        .filter(_.nonEmpty)
+    if (tfs.exists("_current"))
+      Some(tfs.readString("_current").trim).filter(_.nonEmpty)
     else None
 
   /** Chain length of bucket `b` (observability: the soak spec bounds it
@@ -143,8 +142,7 @@ final class MorUpsertTable(
     StructType.fromDDL(m.schemaDdl).add(CommitCol, LongType, nullable = false)
 
   private def scanAll(m: Manifest): Option[DataFrame] = {
-    val dirs = m.buckets.values.flatten.toSeq.sorted
-      .map(d => rootPath.resolve(d).toString)
+    val dirs = m.buckets.values.flatten.toSeq.sorted.map(tfs.str)
     if (dirs.isEmpty) None
     else Some(spark.read.schema(storageSchema(m)).parquet(dirs: _*))
   }
@@ -230,8 +228,7 @@ final class MorUpsertTable(
         val toCompact = chains.filter(_._2.length > compactAfter)
         if (toCompact.isEmpty) (chains, StructType.fromDDL(m.schemaDdl))
         else {
-          val dirs = toCompact.values.flatten.toSeq.sorted
-            .map(d => rootPath.resolve(d).toString)
+          val dirs = toCompact.values.flatten.toSeq.sorted.map(tfs.str)
           val compacted = MorUpsertTable.logMerge(
               spark.read.schema(storageSchema(m)).parquet(dirs: _*),
               keys, versionCol, tiebreak, CommitCol)
@@ -249,10 +246,7 @@ final class MorUpsertTable(
 
     val snap = s"snap-$commitId"
     writeManifest(snap, Manifest(dataSchema.toDDL, manifest))
-    val tmp = rootPath.resolve("_current.tmp")
-    Files.write(tmp, snap.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    tfs.swapPointer("_current", snap)
     syncCatalog()
     clean()
   }
@@ -282,7 +276,7 @@ final class MorUpsertTable(
             .groupBy(_._1).toSeq.sortBy(_._1)
           val scan = dirs.map { case (commitDir, entries) =>
             val ids = entries.map(_._2).distinct.sorted.mkString(", ")
-            s"SELECT $cols, `$CommitCol` FROM parquet.`${rootPath.resolve(commitDir)}`" +
+            s"SELECT $cols, `$CommitCol` FROM parquet.`${tfs.str(commitDir)}`" +
               s" WHERE `__bucket` IN ($ids)"
           }.mkString(" UNION ALL ")
           val pks = keys.map(k => s"`$k`").mkString(", ")
@@ -301,16 +295,15 @@ final class MorUpsertTable(
   private def writeBucketed(df: DataFrame, dataDir: String): Unit =
     df.withColumn("__bucket", bucketCol)
       .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(rootPath.resolve(dataDir).toString)
+      .parquet(tfs.str(dataDir))
 
   /** Bucket dirs actually produced by a write (a bucket with no rows
     * produces none). */
   private def listWritten(dataDir: String): Map[Int, String] =
-    Option(rootPath.resolve(dataDir).toFile.listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(BucketDirPrefix))
-      .map(f => f.getName.stripPrefix(BucketDirPrefix).toInt ->
-        s"$dataDir/${f.getName}")
+    tfs.listSubdirNames(dataDir)
+      .filter(_.startsWith(BucketDirPrefix))
+      .map(name => name.stripPrefix(BucketDirPrefix).toInt ->
+        s"$dataDir/$name")
       .toMap
 
   // -------------------------------------------------------------- cleaner
@@ -320,23 +313,21 @@ final class MorUpsertTable(
     * references. */
   private def clean(): Unit = {
     val numeric = "snap-(\\d+)".r
-    val snaps = Option(rootPath.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .flatMap(f => f.getName match {
-        case numeric(n) => Some(f -> n.toLong)
-        case _          => None
-      })
+    val snaps = tfs.listSubdirNames("")
+      .flatMap {
+        case name @ numeric(n) => Some(name -> n.toLong)
+        case _                 => None
+      }
       .sortBy(_._2).map(_._1)
     val (drop, keep) = snaps.splitAt(math.max(0, snaps.length - retainSnapshots))
-    val referenced: Set[String] = keep.flatMap { dir =>
-      scala.util.Try(readManifest(dir.getName)).toOption.toSeq
+    val referenced: Set[String] = keep.flatMap { snap =>
+      scala.util.Try(readManifest(snap)).toOption.toSeq
         .flatMap(_.buckets.values.flatten.map(_.split('/').take(2).mkString("/")))
     }.toSet
-    drop.foreach(d => graft.util.LocalFs.deleteRecursively(d.toPath))
-    val dataRoot = rootPath.resolve("data")
-    Option(dataRoot.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !referenced.contains(s"data/${f.getName}"))
-      .foreach(f => graft.util.LocalFs.deleteRecursively(f.toPath))
+    drop.foreach(tfs.deleteRecursively)
+    tfs.listSubdirNames("data")
+      .filter(name => !referenced.contains(s"data/$name"))
+      .foreach(name => tfs.deleteRecursively(s"data/$name"))
   }
 }
 

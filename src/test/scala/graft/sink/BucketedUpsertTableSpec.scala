@@ -224,14 +224,14 @@ class BucketedUpsertTableSpec extends SparkSpecBase {
   }
 
   test("crash replay: a commit interrupted before the pointer swap converges on re-run") {
-    def rmTree(p: Path): Unit = if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
     val root = Files.createTempDirectory("graft-bkt-crash")
     val twinRoot = Files.createTempDirectory("graft-bkt-crash-twin")
     val t = new BucketedUpsertTable(spark, root.toString, Seq("id"), nBuckets = 8)
     val twin = new BucketedUpsertTable(spark, twinRoot.toString, Seq("id"), nBuckets = 8)
-    val ptr = root.resolve("_current")
+    // rollbacks go through the table's own filesystem seam (a java.nio
+    // write would leave the Hadoop local FS's checksum sidecar stale)
+    val tfs = new graft.util.TableFs(root.toString,
+      spark.sparkContext.hadoopConfiguration)
     val b1 = batch((1L to 20L).map(i => (i, s"v$i", 100L, false)): _*)
     val b2 = batch((1L, "v1b", 200L, false), (9L, "v9del", 200L, true))
     val b3 = batch((2L, "v2b", 300L, false))
@@ -241,8 +241,8 @@ class BucketedUpsertTableSpec extends SparkSpecBase {
     // crash type A — commit 1 dies after the data-dir write, before the
     // manifest: simulate by rolling the published commit fully back
     t.upsert(b2)
-    Files.write(ptr, "snap-0".getBytes)
-    rmTree(root.resolve("snap-1"))
+    tfs.swapPointer("_current", "snap-0")
+    tfs.deleteRecursively("snap-1")
     assert(Files.exists(root.resolve("data/commit-1")), "orphaned data dir expected")
     t.upsert(b2) // replay of the same batch must converge
     assert(t.currentSnapshot() === Some("snap-1"))
@@ -250,7 +250,7 @@ class BucketedUpsertTableSpec extends SparkSpecBase {
     // crash type B — commit 2 dies after the manifest write, before the
     // pointer swap: roll back the pointer only, keep snap-2
     t.upsert(b3)
-    Files.write(ptr, "snap-1".getBytes)
+    tfs.swapPointer("_current", "snap-1")
     assert(Files.exists(root.resolve("snap-2").resolve("_buckets.json")))
     t.upsert(b3) // replay
     assert(t.currentSnapshot() === Some("snap-2"))

@@ -36,9 +36,11 @@ class CatalogSyncSpec extends SparkSpecBase {
     t.upsert(Seq((1L, "a", 100L, false)).toDF("id", "v", M, D))
     t.upsert(Seq((1L, "a2", 200L, false)).toDF("id", "v", M, D))
     assert(rec.tables.map(_._1) === Vector(Seq("gdb", "cow_seam"), Seq("gdb", "cow_seam")))
-    assert(rec.tables.map(_._2.toString) ===
-      Vector(root.resolve("snap-0").toUri.toString,
-        root.resolve("snap-1").toUri.toString))
+    // compare URI PATHS: Hadoop renders file:/p where java.nio renders
+    // file:///p — the location is what the binding must receive
+    assert(rec.tables.map(_._2.getPath) ===
+      Vector(root.resolve("snap-0").toString,
+        root.resolve("snap-1").toString))
     assert(rec.views.isEmpty)
     // nothing leaked into the session catalog — the binding owns publishing
     assert(!spark.catalog.databaseExists("gdb"))
