@@ -255,7 +255,9 @@ object Bench {
         val r = Await.result(
           Future(graft.sink.SinkBench.run(spark)), 480.seconds)
         s"""{"table_rows":${r.tableRows},"batch_rows":${r.batchRows},"commits":${r.commits},""" +
-          s""""cow_sec":${num(r.cowSec)},"bucketed_sec":${num(r.bucketedSec)},"mor_sec":${num(r.morSec)}}"""
+          s""""cow_sec":${num(r.cowSec)},"bucketed_sec":${num(r.bucketedSec)},"mor_sec":${num(r.morSec)},""" +
+          s""""cow_read_sec":${num(r.cowReadSec)},"bucketed_read_sec":${num(r.bucketedReadSec)},""" +
+          s""""mor_read_sec":${num(r.morReadSec)},"mor_read_chain_len":${r.morChainLen}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sink small-batch bench failed: ${e.getMessage}")
         noCmp
