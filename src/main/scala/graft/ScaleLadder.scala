@@ -169,7 +169,63 @@ object ScaleLadder {
           "residual slope is the index scan, which bucketing amortizes " +
           "on a cluster")
     }
-    rungs :+ inc
+    (rungs :+ inc) ++ indexSizeRungs(spark, d1)
+  }
+
+  /** On-disk bytes of a directory tree through the Hadoop FS (the same
+    * filesystem the index writes went through). */
+  private def dirBytes(spark: SparkSession, path: String): Double = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0.0 else fs.getContentSummary(p).getLength.toDouble
+  }
+
+  /** How many docs each long-variant document concatenates in
+    * [[indexSizeRungs]]. */
+  private val DocLenFactor = 5
+
+  /** The "index size ∝ docs, not tokens" claim, MEASURED (rung values
+    * are BYTES, not seconds). A variant corpus concatenates every
+    * [[DocLenFactor]] documents into one — token volume ~constant, doc
+    * count ÷[[DocLenFactor]] — and both incremental indexes are built
+    * over base and variant. The exponent is d·log(size)/d·log(n_docs)
+    * at fixed tokens: the signature index
+    * ([[graft.ext.IncrementalMinHash]], a fixed `bands` rows per doc)
+    * lands near 1 (size tracks docs), the exact postings+df index
+    * ([[graft.ext.IncrementalDedup]]) near 0 (size tracks tokens — the
+    * term the signature twin exists to drop at 100 TB). */
+  private[graft] def indexSizeRungs(spark: SparkSession, dir: String): Seq[Rung] = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val keyed = docs.select(
+      (col("doc_id") / DocLenFactor).cast("long").as("gid"),
+      col("doc_id"), col("text"))
+    val longDocs = keyed.groupBy("gid")
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("doc_id"), col("text")))),
+        x => x.getField("text"))).as("text"))
+      .select(col("gid").as("doc_id"), col("text"))
+    val root = graft.queries.CdcQueries.tempSinkDir("graft-idx-size").toString
+    def buildBoth(d: DataFrame, tag: String): (Double, Double) = {
+      val ex = s"$root/$tag-exact"; val mh = s"$root/$tag-mh"
+      graft.ext.IncrementalDedup.writeIndex(d, "doc_id", "text", ex,
+        n = 3, maxDf = graft.queries.LlmQueries.JaccardMaxDf)
+      graft.ext.IncrementalMinHash.writeIndex(d, "doc_id", "text", mh, n = 3)
+      (dirBytes(spark, s"$ex/shingles") + dirBytes(spark, s"$ex/df"),
+        dirBytes(spark, s"$mh/buckets"))
+    }
+    val (exBase, mhBase) = buildBoth(docs, "base")
+    val (exLong, mhLong) = buildBoth(longDocs, "long")
+    def e(base: Double, long: Double): Double =
+      math.log(base / long) / math.log(DocLenFactor.toDouble)
+    val how = s"BYTES not seconds: t1 = index bytes on the base corpus, " +
+      s"tF = on a ${DocLenFactor}x-longer/${DocLenFactor}x-fewer-docs " +
+      "variant at ~constant tokens; exponent = dlog(size)/dlog(n_docs)"
+    Seq(
+      Rung("llm_minhash_index_bytes", mhBase, mhLong, e(mhBase, mhLong),
+        s"$how — near 1 means size tracks DOCS (fixed rows/doc)"),
+      Rung("llm_dedup_index_bytes", exBase, exLong, e(exBase, exLong),
+        s"$how — near 0 means size tracks TOKENS (postings+df), the " +
+          "storage term the signature twin drops"))
   }
 
   def toJson(factor: Int, rungs: Seq[Rung]): String = {

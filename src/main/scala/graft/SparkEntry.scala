@@ -127,6 +127,8 @@ object SparkEntry {
     "llm_pack_stats"           -> (LlmQueries.packStats _),
     "llm_decontam"             -> (LlmQueries.decontam _),
     "llm_dedup_incremental"    -> (LlmQueries.dedupIncremental _),
+    "llm_minhash_incremental"  -> (LlmQueries.minhashIncremental _),
+    "llm_minhash_incremental_recall" -> (LlmQueries.minhashIncrementalRecall _),
     "llm_decontam_incremental" -> (LlmQueries.decontamIncremental _),
     "llm_clean_corpus"         -> (LlmQueries.cleanCorpus _),
     "llm_mixture_stats"        -> (LlmQueries.mixtureStats _),
@@ -206,6 +208,25 @@ object SparkEntry {
        |           JOIN sizes sb ON inter.id_b = sb.doc_id
        |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.12""".stripMargin
 
+  /** Exact side of the incremental-minhash recall gate: the UNCAPPED
+    * Jaccard pair set (the signature index drops the df cap by design —
+    * [[graft.ext.IncrementalMinHash]]) restricted to shard-touching
+    * pairs, mirroring llm_dedup_incremental's restriction. */
+  private lazy val JaccardPairsUncappedRestrictedSql =
+    s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle
+       |       FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+       |       WHERE len(ws) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b
+       |FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+       |           JOIN sizes sb ON inter.id_b = sb.doc_id
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.12
+       |  AND (id_a % 10 = 0 OR id_b % 10 = 0)""".stripMargin
+
   /** sf0.1 pins for the recall/parity oracles (sf0.001 and sf0.01 pins
     * are inlined at the use sites): measured once from the engine's
     * deterministic output, kept as named constants so a re-measure
@@ -222,6 +243,7 @@ object SparkEntry {
   private val PinLshScale01 = 1L
   private val PinIvf01 = 64L
   private val PinMinhash01 = 256L
+  private val PinMinhashInc01 = 53L
   private val PinSimhash01 = 525L
   private val PinCands01 = 34117L
 
@@ -855,6 +877,13 @@ object SparkEntry {
       Seq(6000L -> 65L, 60000L -> 55L, 600000L -> PinIvf01), nQueries = true),
     "llm_minhash_recall" -> recallOracle(JaccardPairsSql, SfDiscriminatorSql,
       Seq(6000L -> 28L, 60000L -> 25L, 600000L -> PinMinhash01), nQueries = false),
+    // Incremental-minhash gate: exact side = UNCAPPED shard-touching
+    // Jaccard pairs recomputed live; found side pinned (banded xxhash64
+    // signatures are deterministic given the preset).
+    "llm_minhash_incremental_recall" -> recallOracle(
+      JaccardPairsUncappedRestrictedSql, SfDiscriminatorSql,
+      Seq(6000L -> 12L, 60000L -> 6L, 600000L -> PinMinhashInc01),
+      nQueries = false),
     // Near-dup recall rows: at the registered corpus sizes the exact
     // all-pairs cosine ground truth IS SQL-expressible, so the oracle
     // recomputes the whole denominator live; only the deterministic
@@ -1246,6 +1275,7 @@ object SparkEntry {
     "llm_ivf_cells"                -> "llm_ivf_cells_checksum",
     // minhash/simhash/winnowing → recall, parity, and value checksums
     "llm_neardup_minhash"          -> "llm_minhash_recall",
+    "llm_minhash_incremental"      -> "llm_minhash_incremental_recall",
     "llm_simhash_fingerprints"     -> "llm_simhash_checksum",
     "llm_simhash_neardup"          -> "llm_simhash_parity",
     "llm_winnow_fingerprints"      -> "llm_winnow_checksum",

@@ -112,6 +112,21 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Banded bucket keys of a signature table: (id, band, bucket) — the
+    * LSH postings [[minhashCandidates]] self-joins, and the rows the
+    * incremental signature index persists
+    * ([[IncrementalMinHash.writeIndex]]): a FIXED `bands` rows per doc,
+    * independent of document length. */
+  def minhashBuckets(sigs: DataFrame, idCol: String,
+                     bands: Int, rows: Int): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bucket"))
+  }
+
   /** Banded-LSH candidate pairs: split the k-wide signature into `bands`
     * bands of `rows` values, hash each band to a bucket, explode to
     * (band, bucket, doc_id), and self-join per bucket. Docs with Jaccard j
@@ -119,12 +134,7 @@ object Dedup {
     * classic S-curve; no all-pairs comparison ever happens. */
   def minhashCandidates(sigs: DataFrame, idCol: String,
                         bands: Int, rows: Int): DataFrame = {
-    val bandKeys = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
-    }
-    val buckets = sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.bucket"))
+    val buckets = minhashBuckets(sigs, idCol, bands, rows)
     val a = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = buckets.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))

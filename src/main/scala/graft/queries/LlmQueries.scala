@@ -595,6 +595,50 @@ object LlmQueries {
         "doc_id", "text", threshold = 0.12)
       .orderBy("id_a", "id_b")
 
+  /** Session-cached banded-signature index over the existing-corpus
+    * split — [[jaccardIndexDir]]'s approximate twin
+    * ([[graft.ext.IncrementalMinHash]]): 16 bands × 4 rows, the
+    * registered MinHash preset. */
+  private def minhashIncIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"minhash|$sfDir") { dir =>
+      graft.ext.IncrementalMinHash.writeIndex(
+        docs(spark, sfDir).where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", dir, n = 3, bands = 16, rows = 4)
+    }
+
+  /** Incremental MinHash near-dup: the arriving shard probed against
+    * the PERSISTED signature index (bands rows per indexed doc — no
+    * gram-level tables), candidates verified by exact UNCAPPED Jaccard
+    * over the candidate docs' text. A structural subset of the uncapped
+    * exact pair set restricted to shard-touching pairs; recall pinned
+    * by [[minhashIncrementalRecall]]. Rows-only under the driver
+    * gate (the banded xxhash64 family is Spark-specific). */
+  def minhashIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.IncrementalMinHash.nearDupPairs(spark,
+        minhashIncIndexDir(spark, sfDir),
+        docs(spark, sfDir).where(col("doc_id") % 10 === 0),
+        docs(spark, sfDir),
+        "doc_id", "text", threshold = 0.12)
+      .orderBy("id_a", "id_b")
+
+  /** Gate row for [[minhashIncremental]]: overlap with the exact
+    * UNCAPPED Jaccard pair set restricted to shard-touching pairs (the
+    * twin drops the df cap by design — see
+    * [[graft.ext.IncrementalMinHash]]'s scaladoc; on this corpus the
+    * cap binds nothing, so the denominator equals
+    * `llm_dedup_incremental`'s). Exact side recomputed live by the
+    * oracle; the deterministic found count is pinned; n_spurious = 0 is
+    * structural (the found side shares [[Dedup.shingles]] and the exact
+    * jaccard expression). */
+  def minhashIncrementalRecall(spark: SparkSession, sfDir: String): DataFrame =
+    pairRecall(
+      cachedDF("exact_jaccard_uncapped_restricted", spark, sfDir)(
+        Dedup.jaccardPairs(docs(spark, sfDir), "doc_id", "text", n = 3,
+            threshold = 0.12, maxDf = Long.MaxValue)
+          .where(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)),
+      cachedDF("minhash_inc_found", spark, sfDir)(
+        minhashIncremental(spark, sfDir)))
+
   /** Incremental decontamination: the arriving shard (corpus docs with
     * doc_id % 10 == 0) flagged against the PERSISTED benchmark gram set
     * — [[decontam]]'s report restricted to the shard, with the bench

@@ -52,6 +52,22 @@ class ScaleLadderSpec extends SparkSpecBase {
     assert(math.abs(normSum(scaled.where(col("vec_id") >= S)) - normSum(baseEmb)) < 1e-6)
   }
 
+  test("index-size rungs separate docs-scaling from tokens-scaling") {
+    val rungs = ScaleLadder.indexSizeRungs(spark, base)
+    val byName = rungs.map(r => r.name -> r).toMap
+    val mh = byName("llm_minhash_index_bytes")
+    val ex = byName("llm_dedup_index_bytes")
+    // signature index: fixed rows per doc → size ∝ docs (exponent → 1)
+    assert(mh.exponent > 0.7, s"minhash index exponent ${mh.exponent}")
+    // exact postings+df: size ∝ tokens → barely moves when docs shrink
+    // at constant tokens (exponent → 0)
+    assert(ex.exponent < 0.35, s"exact index exponent ${ex.exponent}")
+    assert(mh.t1 > 0 && mh.tF > 0 && ex.t1 > 0 && ex.tF > 0)
+    // and the twin is materially smaller than the exact index it replaces
+    assert(mh.t1 < ex.t1,
+      s"signature index (${mh.t1} B) not smaller than exact (${ex.t1} B)")
+  }
+
   test("rotVec is modular: replica index beyond the embedding dimension is safe") {
     val s = spark
     import s.implicits._
