@@ -142,6 +142,7 @@ object SparkEntry {
     "mm_audio_meta"            -> (LlmQueries.mmAudioMeta _),
     "mm_video_meta"            -> (LlmQueries.mmVideoMeta _),
     "mm_video_frames"          -> (LlmQueries.mmVideoFrames _),
+    "mm_mp4_meta"              -> (LlmQueries.mmMp4Meta _),
     "mm_frame_sample"          -> (LlmQueries.mmFrameSample _),
   )
 
@@ -1222,6 +1223,18 @@ object SparkEntry {
         |  CAST(4 + doc_id % 6 AS BIGINT) AS n_frames,
         |  CAST(4 + doc_id % 6 AS BIGINT) AS n_frames_demuxed,
         |  CAST((4 + doc_id % 6) * 40 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm_mp4_meta: real ISO-BMFF bytes, box-walk parsed; every output
+    // field restates a fixture formula (timescale 1000 ⇒ duration in
+    // ms, 25 fps ⇒ 40 ms/sample, fixed 16-byte samples ⇒ mdat length).
+    "mm_mp4_meta" ->
+      """SELECT doc_id, 'isom' AS brand, CAST(1000 AS BIGINT) AS timescale,
+        |  CAST((4 + doc_id % 6) * 40 AS BIGINT) AS duration_ms,
+        |  CAST(1 AS BIGINT) AS n_tracks,
+        |  CAST(16 + (doc_id % 9) * 2 AS BIGINT) AS width,
+        |  CAST(12 + (doc_id % 7) * 2 AS BIGINT) AS height,
+        |  CAST(4 + doc_id % 6 AS BIGINT) AS n_samples,
+        |  CAST((4 + doc_id % 6) * 16 AS BIGINT) AS mdat_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     // mm_video_frames: the demuxer's chunk boundaries and payload bytes
     // hash-gated — frame count, length, and byte sum all restated from

@@ -23,6 +23,13 @@ private[ext] case class VideoMetaRow(id: Long, container: String, width: Int,
                                      height: Int, n_frames: Long,
                                      n_frames_demuxed: Long, duration_ms: Long)
 
+/** Row shape for [[Multimodal.mp4Meta]] (top-level for the same
+  * codegen-encoder reason as [[AudioMetaRow]]). */
+private[ext] case class Mp4MetaRow(id: Long, brand: String, timescale: Long,
+                                   duration_ms: Long, n_tracks: Long,
+                                   width: Int, height: Int, n_samples: Long,
+                                   mdat_bytes: Long)
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample operators (SURVEY.md §2.8 north star).
@@ -636,4 +643,230 @@ object Multimodal {
   def fakeFeatures(blob: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(i, blob), lit(2000001L)).cast("double") / 1000000.0) - 1.0)
+
+  // ------------------------------------------------------------------
+  // MP4 / ISO-BMFF container: real box-level writing and parsing.
+  //
+  // Second real container beside AVI, from the public ISO/IEC 14496-12
+  // layout: big-endian length-prefixed boxes (size u32 + fourcc;
+  // size==1 ⇒ 64-bit largesize follows, size==0 ⇒ to EOF), `moov`
+  // carrying the movie header (`mvhd`: timescale + duration), one
+  // `trak` per stream (`tkhd`: 16.16 fixed-point width/height;
+  // `mdia`→`minf`→`stbl` with the sample table, whose `stsz` holds the
+  // sample count/sizes), and media payload in `mdat`. No codec is
+  // involved — sample payloads stay opaque bytes; parsing is a real
+  // box walk with container descent, and the `stsz` sample count
+  // cross-checks against the actual `mdat` payload length.
+  // ------------------------------------------------------------------
+
+  /** MP4 fixture timescale: 1000 units/s, so mvhd durations read in
+    * milliseconds directly (25 fps ⇒ 40 units/frame). */
+  val Mp4Timescale: Int = 1000
+  val Mp4FrameDelta: Int = VideoUsecPerFrame / 1000 // 40 ms at 25 fps
+
+  private def u32be(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def u16be(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** One ISO-BMFF box: u32 BE size (header included) + fourcc + body. */
+  private def mp4Box(tpe: String, bodies: Array[Byte]*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(u32be(8L + bodies.map(_.length.toLong).sum))
+    out.write(fourccBytes(tpe))
+    bodies.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** FullBox = box whose body starts with version u8 + flags u24. */
+  private def mp4FullBox(tpe: String, version: Int, flags: Int,
+                         bodies: Array[Byte]*): Array[Byte] =
+    mp4Box(tpe, (Array(version.toByte) ++
+      Array(((flags >> 16) & 0xff).toByte, ((flags >> 8) & 0xff).toByte,
+        (flags & 0xff).toByte)) +: bodies: _*)
+
+  /** The identity transformation matrix every movie/track header
+    * carries (three 16.16 rows ending in the 2.30 w-component). */
+  private def mp4UnityMatrix: Array[Byte] = {
+    val out = new ByteArrayOutputStream(36)
+    Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+      .foreach(v => out.write(u32be(v)))
+    out.toByteArray
+  }
+
+  /** Write one spec-valid MP4 (ISO base media file): `ftyp` + `moov`
+    * (mvhd, one video trak with a full stbl: stsd/stts/stsc/stsz/stco)
+    * + `mdat` holding `nFrames` deterministic
+    * [[videoFramePayload]] samples. Every offset/field follows the
+    * public 14496-12 layout; the `stco` chunk offset is the real file
+    * offset of the mdat payload (moov is built twice — its size does
+    * not depend on the offset value, so the second build is exact). */
+  def synthesizeMp4(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val dur = nFrames.toLong * Mp4FrameDelta
+    val ftyp = mp4Box("ftyp", fourccBytes("isom"), u32be(0x200L),
+      fourccBytes("isom"), fourccBytes("iso2"))
+    def moov(mdatPayloadOffset: Long): Array[Byte] = {
+      val mvhd = mp4FullBox("mvhd", 0, 0,
+        u32be(0), u32be(0),                    // creation, modification
+        u32be(Mp4Timescale.toLong), u32be(dur),
+        u32be(0x00010000L), u16be(0x0100),     // rate 1.0, volume 1.0
+        u16be(0), u32be(0), u32be(0),          // reserved
+        mp4UnityMatrix,
+        Array.fill(24)(0.toByte),              // pre_defined[6]
+        u32be(2L))                             // next_track_ID
+      val tkhd = mp4FullBox("tkhd", 0, 0x7,    // enabled|in_movie|in_preview
+        u32be(0), u32be(0), u32be(1L),         // track_ID = 1
+        u32be(0), u32be(dur),
+        u32be(0), u32be(0),                    // reserved u64
+        u16be(0), u16be(0), u16be(0), u16be(0),// layer, group, volume, rsvd
+        mp4UnityMatrix,
+        u32be(w.toLong << 16), u32be(h.toLong << 16)) // 16.16 fixed
+      val mdhd = mp4FullBox("mdhd", 0, 0,
+        u32be(0), u32be(0), u32be(Mp4Timescale.toLong), u32be(dur),
+        u16be(0x55C4), u16be(0))               // language 'und'
+      val hdlr = mp4FullBox("hdlr", 0, 0,
+        u32be(0), fourccBytes("vide"),
+        u32be(0), u32be(0), u32be(0),
+        Array[Byte]('g', 'r', 'a', 'f', 't', 0))
+      val vmhd = mp4FullBox("vmhd", 0, 1, u16be(0), u16be(0), u16be(0), u16be(0))
+      val dinf = mp4Box("dinf",
+        mp4FullBox("dref", 0, 0, u32be(1L),
+          mp4FullBox("url ", 0, 1)))           // flag 1 = self-contained
+      // VisualSampleEntry 'raw ' (uncompressed payload sample entry)
+      val sampleEntry = mp4Box("raw ",
+        Array.fill(6)(0.toByte), u16be(1),     // reserved, data_ref_index
+        u16be(0), u16be(0),                    // pre_defined, reserved
+        Array.fill(12)(0.toByte),              // pre_defined[3]
+        u16be(w), u16be(h),
+        u32be(0x00480000L), u32be(0x00480000L),// 72 dpi
+        u32be(0), u16be(1),                    // reserved, frame_count
+        Array.fill(32)(0.toByte),              // compressorname
+        u16be(24), u16be(0xFFFF))              // depth, pre_defined = -1
+      val stsd = mp4FullBox("stsd", 0, 0, u32be(1L), sampleEntry)
+      val stts = mp4FullBox("stts", 0, 0, u32be(1L),
+        u32be(nFrames.toLong), u32be(Mp4FrameDelta.toLong))
+      val stsc = mp4FullBox("stsc", 0, 0, u32be(1L),
+        u32be(1L), u32be(nFrames.toLong), u32be(1L))
+      val stsz = mp4FullBox("stsz", 0, 0,
+        u32be(VideoFrameBytes.toLong),         // fixed sample size
+        u32be(nFrames.toLong))
+      val stco = mp4FullBox("stco", 0, 0, u32be(1L), u32be(mdatPayloadOffset))
+      val stbl = mp4Box("stbl", stsd, stts, stsc, stsz, stco)
+      val minf = mp4Box("minf", vmhd, dinf, stbl)
+      val mdia = mp4Box("mdia", mdhd, hdlr, minf)
+      val trak = mp4Box("trak", tkhd, mdia)
+      mp4Box("moov", mvhd, trak)
+    }
+    val moovLen = moov(0L).length
+    val payload = new ByteArrayOutputStream(nFrames * VideoFrameBytes)
+    (0 until nFrames).foreach(f => payload.write(videoFramePayload(id, f)))
+    val mdat = mp4Box("mdat", payload.toByteArray)
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp)
+    out.write(moov(ftyp.length.toLong + moovLen + 8L)) // mdat body offset
+    out.write(mdat)
+    out.toByteArray
+  }
+
+  /** (id) → (id, blob): real MP4 bytes with the shared video fixture
+    * dimensions/frame counts. Map-side, like [[synthesizeAvis]]. */
+  def synthesizeMp4s(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"))
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          (id, synthesizeMp4(id, fixtureVideoWidth(id), fixtureVideoHeight(id),
+            fixtureVideoFrames(id)))
+        }
+      }(enc)
+      .toDF(idCol, "blob")
+  }
+
+  /** Parse MP4 metadata by walking the box tree: (brand, timescale,
+    * durationMs, nTracks, width, height, nSamples, mdatBytes).
+    * `nSamples` reads `stsz` (sample_count, for both fixed- and
+    * varying-size tables); `mdatBytes` is the actual `mdat` payload
+    * length — the header-vs-content cross-check (nSamples ×
+    * fixed-size must equal it on the fixture). Handles the 64-bit
+    * `largesize` and to-EOF size forms; degrades to ("", 0, …) on
+    * anything that is not ISO-BMFF (the one-bad-blob rule). */
+  def parseMp4Meta(bytes: Array[Byte]): (String, Long, Long, Long, Int, Int, Long, Long) = {
+    val Bad = ("", 0L, 0L, 0L, 0, 0, 0L, 0L)
+    if (bytes == null || bytes.length < 8) return Bad
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long =
+      (u32(off) << 32) | u32(off + 4)
+    def cc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    var brand = ""; var timescale = 0L; var duration = 0L
+    var tracks = 0L; var w = 0; var h = 0
+    var samples = 0L; var mdat = 0L; var sawMoov = false
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    try {
+      def walk(from: Int, until: Int): Unit = {
+        var off = from
+        while (off + 8 <= until) {
+          val size0 = u32(off)
+          val tpe = cc(off + 4)
+          // size forms: 1 ⇒ u64 largesize follows the fourcc; 0 ⇒ box
+          // extends to the end of the enclosing scope
+          val (body, end) =
+            if (size0 == 1L) {
+              if (off + 16 > until) return
+              val ls = u64(off + 8)
+              if (ls < 16L || ls > (until - off).toLong) return
+              (off + 16, off + ls.toInt)
+            } else if (size0 == 0L) (off + 8, until)
+            else {
+              if (size0 < 8L || size0 > (until - off).toLong) return
+              (off + 8, off + size0.toInt)
+            }
+          tpe match {
+            case "ftyp" if end - body >= 4 => brand = cc(body)
+            case "moov" => sawMoov = true; walk(body, end)
+            case "trak" => tracks += 1; walk(body, end)
+            case t if containers(t) => walk(body, end)
+            case "mvhd" if end - body >= 20 && bytes(body) == 0 =>
+              timescale = u32(body + 12); duration = u32(body + 16)
+            case "mvhd" if end - body >= 32 => // version 1: 64-bit times
+              timescale = u32(body + 20); duration = u64(body + 24)
+            case "tkhd" if end - body >= 84 && bytes(body) == 0 =>
+              w = (u32(body + 76) >> 16).toInt; h = (u32(body + 80) >> 16).toInt
+            case "stsz" if end - body >= 12 =>
+              samples += u32(body + 8) // sample_count (fixed or varying)
+            case "mdat" => mdat += (end - body).toLong
+            case _ => ()
+          }
+          off = end
+        }
+      }
+      walk(0, bytes.length)
+      if (!sawMoov) Bad
+      else {
+        val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+        (brand, timescale, durMs, tracks, w, h, samples, mdat)
+      }
+    } catch { case _: Exception => Bad }
+  }
+
+  /** Real MP4 container-metadata extraction over (id, blob) rows —
+    * `mapPartitions` box-walk, blob never leaves the map side. */
+  def mp4Meta(spark: SparkSession, df: DataFrame, idCol: String,
+              blobCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (b, ts, dur, nt, w, h, ns, md) = parseMp4Meta(bytes)
+          Mp4MetaRow(id, b, ts, dur, nt, w, h, ns, md)
+        }
+      }(Encoders.product[Mp4MetaRow])
+      .toDF(idCol, "brand", "timescale", "duration_ms", "n_tracks",
+        "width", "height", "n_samples", "mdat_bytes")
+  }
 }

@@ -1076,6 +1076,24 @@ object LlmQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Real MP4/ISO-BMFF metadata: spec-valid bytes synthesized from the
+    * shared video fixture formulas, box-walk parsed back — brand,
+    * movie-header timescale/duration, track count, tkhd 16.16
+    * dimensions, stsz sample count, and the actual mdat payload length
+    * as the header-vs-content cross-check. Live oracle (every field
+    * restates a fixture formula). */
+  def mmMp4Meta(spark: SparkSession, sfDir: String): DataFrame = {
+    val mp4s = Multimodal.synthesizeMp4s(spark,
+      docs(spark, sfDir).select("doc_id"), "doc_id")
+    Multimodal.mp4Meta(spark, mp4s, "doc_id", "blob")
+      .select(col("doc_id"), col("brand"), col("timescale"),
+        col("duration_ms"), col("n_tracks"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_samples"), col("mdat_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal frame sampling: 4 evenly-spaced 16-byte windows per blob
     * (rows-only; the slicing shape is what a real frame sampler uses). */
   def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame =

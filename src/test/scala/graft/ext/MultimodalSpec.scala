@@ -163,6 +163,61 @@ class MultimodalSpec extends SparkSpecBase {
     Multimodal.parseAviMeta(corrupt) // no throw is the assertion
   }
 
+  test("synthesized MP4 bytes parse back to the fixture metadata, mdat cross-checked") {
+    val s = spark; import s.implicits._
+    val ids = Seq(0L, 1L, 7L, 13L, 100L).toDF("doc_id")
+    val mp4s = Multimodal.synthesizeMp4s(spark, ids, "doc_id")
+    val out = Multimodal.mp4Meta(spark, mp4s, "doc_id", "blob")
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = Multimodal.fixtureVideoFrames(id).toLong
+      assert(r.getAs[String]("brand") === "isom")
+      assert(r.getAs[Long]("timescale") === 1000L)
+      assert(r.getAs[Long]("duration_ms") === n * 40L)
+      assert(r.getAs[Long]("n_tracks") === 1L)
+      assert(r.getAs[Int]("width") === Multimodal.fixtureVideoWidth(id))
+      assert(r.getAs[Int]("height") === Multimodal.fixtureVideoHeight(id))
+      assert(r.getAs[Long]("n_samples") === n)
+      // header-vs-content: stsz count × fixed sample size == mdat bytes
+      assert(r.getAs[Long]("mdat_bytes") === n * Multimodal.VideoFrameBytes)
+    }
+  }
+
+  test("parseMp4Meta handles largesize and to-EOF boxes, degrades on garbage") {
+    val Bad = ("", 0L, 0L, 0L, 0, 0, 0L, 0L)
+    assert(Multimodal.parseMp4Meta(null) === Bad)
+    assert(Multimodal.parseMp4Meta(Array.empty[Byte]) === Bad)
+    assert(Multimodal.parseMp4Meta("not an iso bmff file".getBytes) === Bad)
+    // an AVI is not ISO-BMFF (RIFF sizes read as absurd BE box sizes)
+    assert(Multimodal.parseMp4Meta(Multimodal.synthesizeAvi(1L, 16, 12, 4)) === Bad)
+    val mp4 = Multimodal.synthesizeMp4(5L, 16, 12, 4)
+    assert(Multimodal.parseMp4Meta(mp4.take(30)) === Bad) // truncated: no moov
+    // rewrite the trailing mdat's header to the 64-bit largesize form:
+    // size=1 + fourcc + u64 largesize (grows the box header by 8)
+    val mdatOff = mp4.length - (8 + 4 * Multimodal.VideoFrameBytes)
+    assert(new String(mp4, mdatOff + 4, 4, "US-ASCII") === "mdat")
+    val big = new java.io.ByteArrayOutputStream()
+    big.write(mp4, 0, mdatOff)
+    big.write(Array[Byte](0, 0, 0, 1)) // size = 1 ⇒ largesize follows
+    big.write("mdat".getBytes("US-ASCII"))
+    val payloadLen = 4 * Multimodal.VideoFrameBytes
+    val largesize = 16L + payloadLen
+    (56 to 0 by -8).foreach(s => big.write(((largesize >> s) & 0xff).toInt))
+    big.write(mp4, mdatOff + 8, payloadLen)
+    val parsedBig = Multimodal.parseMp4Meta(big.toByteArray)
+    assert(parsedBig._8 === payloadLen.toLong, "largesize mdat payload length")
+    assert(parsedBig._7 === 4L)
+    // to-EOF form: size = 0 on the trailing mdat
+    val eof = mp4.clone()
+    eof(mdatOff) = 0; eof(mdatOff + 1) = 0; eof(mdatOff + 2) = 0; eof(mdatOff + 3) = 0
+    assert(Multimodal.parseMp4Meta(eof)._8 === payloadLen.toLong)
+    // corrupt box size: stop cleanly, no throw
+    val corrupt = mp4.clone()
+    corrupt(0) = 0x7f.toByte
+    Multimodal.parseMp4Meta(corrupt)
+  }
+
   test("fakeFeatures is deterministic and fixed-width") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "payload".getBytes), (2L, "payload".getBytes))
