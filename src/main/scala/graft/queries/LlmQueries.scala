@@ -724,12 +724,21 @@ object LlmQueries {
     * ([[dedupCorpusCc]]'s semantics, pairs computed among the cleaned
     * survivors). Output = the (doc_id, lang, n_chars) a training run
     * would tokenize. Fully SQL-expressible — live oracle, no pins. */
-  def cleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The cleaning pipeline's stage inputs, shared between the composed
+    * [[cleanCorpus]] plan and the stage-isolated ladder timings
+    * ([[cleanCorpusStageTimes]]) so the two can never drift. */
+  private def cleanCorpusSplits(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
     val d = docs(spark, sfDir)
     val bench = d.where(col("doc_id") % 17 === 0)
     val kept = d.where(col("doc_id") % 17 =!= 0)
       .where(TextStats.nWords(col("text")).cast("long") >= 20 &&
         col("n_chars") <= 450 && TextStats.stopwordRatio(col("text")) >= 0.02)
+    (bench, kept)
+  }
+
+  def cleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val (bench, kept) = cleanCorpusSplits(spark, sfDir)
     // The cleaned set is scanned several times below (shingle self-join,
     // exact-dup grouping, survivor joins); materialize it once so the
     // quality+decontam subtree runs once per job, not per consumer. At
@@ -746,6 +755,40 @@ object LlmQueries {
     Dedup.dedupedCorpusCC(clean, "doc_id", "text", pairs)
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
+  }
+
+  /** Stage-ISOLATED wall times of the cleaning pipeline, for the ladder
+    * (the composed [[cleanCorpus]] plan is fixed-overhead-bound at
+    * bench scale — dozens of stages, checkpoints, and an iterative CC
+    * driver loop — so its end-to-end exponent says nothing about the
+    * data-dependent terms; these do). Each stage's input is persisted
+    * before its timing starts, so a stage's time is its OWN work:
+    *  - `filter`: the map-side quality pass over the corpus;
+    *  - `decontam`: the broadcast 8-gram benchmark join;
+    *  - `pairs`: the df-capped shingle self-join over the cleaned set;
+    *  - `cc_collapse`: connected components + survivor anti-joins.
+    * Returns (stage, seconds) in pipeline order. */
+  private[graft] def cleanCorpusStageTimes(spark: SparkSession,
+                                           sfDir: String): Seq[(String, Double)] = {
+    val (bench, kept) = cleanCorpusSplits(spark, sfDir)
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val keptP = kept.persist()
+    val tFilter = timed(keptP.count())
+    val cleanP = keptP.join(
+      graft.ext.Decontamination.decontaminate(keptP, bench, "doc_id", "text", n = 8)
+        .where(!col("contaminated")).select("doc_id"),
+      Seq("doc_id")).persist()
+    val tDecontam = timed(cleanP.count())
+    val pairsP = Dedup.jaccardPairs(cleanP, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = JaccardMaxDf).persist()
+    val tPairs = timed(pairsP.count())
+    val tCc = timed(
+      Dedup.dedupedCorpusCC(cleanP, "doc_id", "text", pairsP).count())
+    Seq(keptP, cleanP, pairsP).foreach(_.unpersist())
+    Seq("filter" -> tFilter, "decontam" -> tDecontam,
+      "pairs" -> tPairs, "cc_collapse" -> tCc)
   }
 
   /** Persisted copy of the [[dedupCc]] OUTPUT (a few hundred (id, comp)
