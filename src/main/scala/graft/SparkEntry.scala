@@ -143,6 +143,7 @@ object SparkEntry {
     "mm_video_meta"            -> (LlmQueries.mmVideoMeta _),
     "mm_video_frames"          -> (LlmQueries.mmVideoFrames _),
     "mm_mp4_meta"              -> (LlmQueries.mmMp4Meta _),
+    "mm_mp4_samples"           -> (LlmQueries.mmMp4Samples _),
     "mm_frame_sample"          -> (LlmQueries.mmFrameSample _),
   )
 
@@ -1236,6 +1237,19 @@ object SparkEntry {
         |  CAST(4 + doc_id % 6 AS BIGINT) AS n_samples,
         |  CAST((4 + doc_id % 6) * 16 AS BIGINT) AS mdat_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm_mp4_samples: the sample-table demux (stsz/stsc/stco slicing)
+    // hash-gated — same payload formulas as mm_video_frames, sample
+    // column names.
+    "mm_mp4_samples" ->
+      """WITH f AS (SELECT doc_id, g AS sample_idx
+        |           FROM documents,
+        |             unnest(generate_series(0, CAST(3 + doc_id % 6 AS BIGINT))) AS t(g)
+        |           WHERE doc_id < 100)
+        |SELECT doc_id, CAST(sample_idx AS BIGINT) AS sample_idx,
+        |  CAST(16 AS BIGINT) AS sample_len,
+        |  CAST((SELECT sum((doc_id * 31 + sample_idx * 7 + j * 13) % 256)
+        |        FROM unnest(generate_series(0, 15)) AS u(j)) AS BIGINT) AS sample_sum
+        |FROM f ORDER BY doc_id, sample_idx""".stripMargin,
     // mm_video_frames: the demuxer's chunk boundaries and payload bytes
     // hash-gated — frame count, length, and byte sum all restated from
     // the container/payload formulas (25 fps fixture, 16-byte frames).

@@ -853,6 +853,116 @@ object Multimodal {
     } catch { case _: Exception => Bad }
   }
 
+  /** Demux the sample payloads of one MP4 by the sample-table boxes —
+    * the ISO-BMFF twin of [[demuxAviFrames]]: `stsz` gives per-sample
+    * sizes (fixed or varying), `stsc` maps chunks to samples-per-chunk
+    * runs, `stco` gives chunk file offsets; samples are sliced straight
+    * out of the file bytes at offset+cumulative-size, in sample order.
+    * No codec — payload bytes are returned as stored. Degrades to an
+    * empty list on anything inconsistent (offsets past EOF, size
+    * overflow), same one-bad-blob rule as the AVI demuxer. */
+  def demuxMp4Samples(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.length < 8) return Nil
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def cc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    var sizes: IndexedSeq[Long] = IndexedSeq.empty
+    var chunkOffsets: IndexedSeq[Long] = IndexedSeq.empty
+    var stscRuns: IndexedSeq[(Long, Long)] = IndexedSeq.empty // (first_chunk, per_chunk)
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    try {
+      def walk(from: Int, until: Int): Unit = {
+        var off = from
+        while (off + 8 <= until) {
+          val size0 = u32(off)
+          val tpe = cc(off + 4)
+          val (body, end) =
+            if (size0 == 1L) {
+              if (off + 16 > until) return
+              val ls = u64(off + 8)
+              if (ls < 16L || ls > (until - off).toLong) return
+              (off + 16, off + ls.toInt)
+            } else if (size0 == 0L) (off + 8, until)
+            else {
+              if (size0 < 8L || size0 > (until - off).toLong) return
+              (off + 8, off + size0.toInt)
+            }
+          tpe match {
+            case t if containers(t) => walk(body, end)
+            case "stsz" if end - body >= 12 =>
+              val fixed = u32(body + 4)
+              val n = u32(body + 8)
+              sizes =
+                if (fixed > 0) Vector.fill(n.toInt)(fixed)
+                else (0 until n.toInt).map(i => u32(body + 12 + i * 4))
+            case "stsc" if end - body >= 8 =>
+              val n = u32(body + 4).toInt
+              stscRuns = (0 until n).map { i =>
+                (u32(body + 8 + i * 12), u32(body + 12 + i * 12))
+              }
+            case "stco" if end - body >= 8 =>
+              val n = u32(body + 4).toInt
+              chunkOffsets = (0 until n).map(i => u32(body + 8 + i * 4))
+            case _ => ()
+          }
+          off = end
+        }
+      }
+      walk(0, bytes.length)
+      if (sizes.isEmpty || chunkOffsets.isEmpty || stscRuns.isEmpty) return Nil
+      // samples-per-chunk for 1-based chunk c = the last stsc run whose
+      // first_chunk <= c (runs are ascending by first_chunk per spec)
+      def perChunk(c: Long): Long =
+        stscRuns.takeWhile(_._1 <= c).lastOption.map(_._2).getOrElse(0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var sample = 0
+      var chunk = 1L
+      while (sample < sizes.length && chunk <= chunkOffsets.length) {
+        var pos = chunkOffsets(chunk.toInt - 1)
+        var inChunk = 0L
+        val n = perChunk(chunk)
+        while (inChunk < n && sample < sizes.length) {
+          val len = sizes(sample)
+          if (pos < 0 || len < 0 || pos + len > bytes.length) return Nil
+          out += java.util.Arrays.copyOfRange(bytes, pos.toInt, (pos + len).toInt)
+          pos += len
+          inChunk += 1
+          sample += 1
+        }
+        chunk += 1
+      }
+      if (sample < sizes.length) Nil // chunks exhausted before samples
+      else out.toSeq
+    } catch { case _: Exception => Nil }
+  }
+
+  /** Per-demuxed-sample stats (id, sample_idx, sample_len, sample_sum)
+    * over (id, blob) MP4 rows — the SQL-restatable projection of
+    * [[demuxMp4Samples]], derived map-side (the [[aviFrameStats]]
+    * pattern: byte sums restate the payload formula, so the oracle
+    * hash-gates the sample-table arithmetic and the slicing exactly). */
+  def mp4SampleStats(spark: SparkSession, df: DataFrame, idCol: String,
+                     blobCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          demuxMp4Samples(bytes).iterator.zipWithIndex.map {
+            case (p, i) =>
+              var s = 0L
+              var j = 0
+              while (j < p.length) { s += (p(j) & 0xff); j += 1 }
+              (id, i.toLong, p.length.toLong, s)
+          }
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .toDF(idCol, "sample_idx", "sample_len", "sample_sum")
+  }
+
   /** Real MP4 container-metadata extraction over (id, blob) rows —
     * `mapPartitions` box-walk, blob never leaves the map side. */
   def mp4Meta(spark: SparkSession, df: DataFrame, idCol: String,

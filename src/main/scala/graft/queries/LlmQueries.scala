@@ -1137,6 +1137,18 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Real MP4 sample DEMUX: every sample payload sliced out of genuine
+    * ISO-BMFF bytes by the stsz/stsc/stco sample tables, with per-sample
+    * byte sums restated by the oracle from the payload formula — the
+    * hash gate on the sample-table arithmetic (the MP4 counterpart of
+    * [[mmVideoFrames]]). */
+  def mmMp4Samples(spark: SparkSession, sfDir: String): DataFrame = {
+    val mp4s = Multimodal.synthesizeMp4s(spark,
+      docs(spark, sfDir).select("doc_id").where(col("doc_id") < 100), "doc_id")
+    Multimodal.mp4SampleStats(spark, mp4s, "doc_id", "blob")
+      .orderBy("doc_id", "sample_idx")
+  }
+
   /** Multimodal frame sampling: 4 evenly-spaced 16-byte windows per blob
     * (rows-only; the slicing shape is what a real frame sampler uses). */
   def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame =

@@ -218,6 +218,28 @@ class MultimodalSpec extends SparkSpecBase {
     Multimodal.parseMp4Meta(corrupt)
   }
 
+  test("demuxMp4Samples round-trips every sample payload byte-exactly") {
+    for (id <- Seq(0L, 5L, 42L)) {
+      val n = Multimodal.fixtureVideoFrames(id)
+      val mp4 = Multimodal.synthesizeMp4(id,
+        Multimodal.fixtureVideoWidth(id), Multimodal.fixtureVideoHeight(id), n)
+      val samples = Multimodal.demuxMp4Samples(mp4)
+      assert(samples.length === n)
+      for (f <- 0 until n)
+        assert(samples(f).toSeq === Multimodal.videoFramePayload(id, f).toSeq,
+          s"payload mismatch id=$id sample=$f")
+    }
+    assert(Multimodal.demuxMp4Samples("garbage".getBytes) === Nil)
+    // a chunk offset past EOF must degrade, not slice garbage or throw
+    val mp4 = Multimodal.synthesizeMp4(5L, 16, 12, 4)
+    val corrupt = mp4.clone()
+    // find the stco box and bump its single chunk offset past EOF
+    val stcoAt = (0 until mp4.length - 4)
+      .find(i => new String(mp4, i, 4, "US-ASCII") == "stco").get
+    corrupt(stcoAt + 12) = 0x7f.toByte // chunk_offset[0] high byte
+    assert(Multimodal.demuxMp4Samples(corrupt) === Nil)
+  }
+
   test("fakeFeatures is deterministic and fixed-width") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "payload".getBytes), (2L, "payload".getBytes))
