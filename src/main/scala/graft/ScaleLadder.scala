@@ -176,22 +176,28 @@ object ScaleLadder {
     // overhead floor (composed wall minus the stage sum).
     val stages1 = graft.queries.LlmQueries.cleanCorpusStageTimes(spark, d1)
     val stagesF = graft.queries.LlmQueries.cleanCorpusStageTimes(spark, dF)
-    val stageRungs = stages1.zip(stagesF).map { case ((name, t1), (_, tF)) =>
-      Rung(s"llm_clean_corpus_stage_$name", t1, tF,
-        math.log(tF / t1) / math.log(factor.toDouble),
-        "stage-isolated (inputs pre-persisted): the data-dependent " +
-          "term the composed rung's fixed overhead hides")
+    val stageRungs = stages1.zip(stagesF).map {
+      case ((name, t1, n1), (_, tF, nF)) =>
+        Rung(s"llm_clean_corpus_stage_$name", t1, tF,
+          math.log(tF / t1) / math.log(factor.toDouble),
+          s"stage-isolated (inputs pre-persisted); out-rows $n1 at 1x " +
+            s"-> $nF at ${factor}x: the rotation that decorrelates " +
+            "replica shingles also destroys stopword statistics, so " +
+            "rotated replicas fail the quality gate and post-filter " +
+            "stages see near-constant data on generated corpora")
     }
     val annotated = rungs.map {
       case r if r.name == "llm_clean_corpus" =>
         val floor1 = r.t1 - stages1.map(_._2).sum
         val floorF = r.tF - stagesF.map(_._2).sum
         def f(d: Double): String = f"$d%.1f"
-        r.copy(note = "composed-pipeline rung is OVERHEAD-BOUND at this " +
-          s"scale: wall minus stage sum ~= ${f(floor1)} s at 1x / " +
-          s"${f(floorF)} s at ${factor}x is fixed cost (plan analysis, " +
-          "checkpoints, CC driver rounds); see the " +
-          "llm_clean_corpus_stage_* rungs for the data-dependent terms")
+        r.copy(note = "composed-pipeline rung constrains LITTLE at this " +
+          s"scale, for two measured reasons: wall minus stage sum ~= " +
+          s"${f(floor1)} s at 1x / ${f(floorF)} s at ${factor}x is fixed " +
+          "cost (plan analysis, checkpoints, CC driver rounds), and the " +
+          "quality gate filters out rotated replicas so post-filter " +
+          "stages see near-constant data (out-rows in the " +
+          "llm_clean_corpus_stage_* rungs)")
       case r => r
     }
     (annotated :+ inc) ++ stageRungs ++ indexSizeRungs(spark, d1)

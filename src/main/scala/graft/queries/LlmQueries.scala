@@ -767,28 +767,36 @@ object LlmQueries {
     *  - `decontam`: the broadcast 8-gram benchmark join;
     *  - `pairs`: the df-capped shingle self-join over the cleaned set;
     *  - `cc_collapse`: connected components + survivor anti-joins.
-    * Returns (stage, seconds) in pipeline order. */
+    * Returns (stage, seconds, output rows) in pipeline order. The row
+    * counts matter as much as the times: the ladder's replica rotation
+    * decorrelates shingles but also destroys STOPWORD statistics, so
+    * rotated replicas fail the stopword-ratio quality gate and the
+    * post-filter corpus barely grows with the factor — visible here as
+    * out-row counts, and the reason the composed rung's exponent says
+    * nothing about dedup scaling on generated data. */
   private[graft] def cleanCorpusStageTimes(spark: SparkSession,
-                                           sfDir: String): Seq[(String, Double)] = {
+                                           sfDir: String): Seq[(String, Double, Long)] = {
     val (bench, kept) = cleanCorpusSplits(spark, sfDir)
-    def timed(body: => Unit): Double = {
-      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    def timed(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = body
+      ((System.nanoTime() - t0) / 1e9, n)
     }
     val keptP = kept.persist()
-    val tFilter = timed(keptP.count())
+    val (tFilter, nKept) = timed(keptP.count())
     val cleanP = keptP.join(
       graft.ext.Decontamination.decontaminate(keptP, bench, "doc_id", "text", n = 8)
         .where(!col("contaminated")).select("doc_id"),
       Seq("doc_id")).persist()
-    val tDecontam = timed(cleanP.count())
+    val (tDecontam, nClean) = timed(cleanP.count())
     val pairsP = Dedup.jaccardPairs(cleanP, "doc_id", "text",
       n = 3, threshold = 0.5, maxDf = JaccardMaxDf).persist()
-    val tPairs = timed(pairsP.count())
-    val tCc = timed(
+    val (tPairs, nPairs) = timed(pairsP.count())
+    val (tCc, nOut) = timed(
       Dedup.dedupedCorpusCC(cleanP, "doc_id", "text", pairsP).count())
     Seq(keptP, cleanP, pairsP).foreach(_.unpersist())
-    Seq("filter" -> tFilter, "decontam" -> tDecontam,
-      "pairs" -> tPairs, "cc_collapse" -> tCc)
+    Seq(("filter", tFilter, nKept), ("decontam", tDecontam, nClean),
+      ("pairs", tPairs, nPairs), ("cc_collapse", tCc, nOut))
   }
 
   /** Persisted copy of the [[dedupCc]] OUTPUT (a few hundred (id, comp)
