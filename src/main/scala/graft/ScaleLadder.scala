@@ -156,7 +156,8 @@ object ScaleLadder {
       val idx = s"$dir/__inc_index"
       graft.ext.IncrementalDedup.writeIndex(docs.where(!isNew),
         "doc_id", "text", idx, n = 3,
-        maxDf = graft.queries.LlmQueries.JaccardMaxDf)
+        maxDf = graft.queries.LlmQueries.JaccardMaxDf,
+        shingleBuckets = 16)
       timed(graft.ext.IncrementalDedup.nearDupPairs(spark, idx,
         docs.where(isNew), "doc_id", "text", threshold = 0.12).count())
     }

@@ -34,10 +34,16 @@ import org.apache.spark.sql.functions._
   *    (≤ |new grams| × maxDf rows), never corpus size;
   *  - the df table is corpus-sized but 2 columns, scanned
   *    column-pruned + broadcast-filtered to the grams that matter;
-  *  - at 100 TB, write postings bucketed by `shingle` (pass A) — the
-  *    IO prunes too; [[appendToIndex]] stays a pure file append.
+  *  - at 100 TB, build with `shingleBuckets > 0`: postings and df land
+  *    partitioned by a shingle hash bucket, and the pass-A scans are
+  *    PARTITION-PRUNED to the batch grams' buckets before any file IO
+  *    (spec-asserted: only the matching `__sb=` dirs are read);
+  *    [[appendToIndex]] stays a pure file append in either layout.
   */
 object IncrementalDedup {
+
+  /** Partition column of the shingle-bucketed layout. */
+  private val BucketCol = "__sb"
 
   /** Build the persisted index for `docs` at `path`:
     *  - `shingles/__epoch=<e>/` (doc_id, shingle): the postings — every
@@ -45,16 +51,28 @@ object IncrementalDedup {
     *    build/append epoch;
     *  - `df/__epoch=<e>/` (shingle, df): per-epoch document-frequency
     *    partials (readers SUM across epochs);
-    *  - `meta/` (n, max_df): parameters every query/append must agree
-    *    on.
-    * One shuffle on shingle (the df aggregate), once per build/append. */
+    *  - `meta/` (n, max_df, shingle_buckets): parameters every
+    *    query/append must agree on.
+    * One shuffle on shingle (the df aggregate), once per build/append.
+    *
+    * `shingleBuckets > 0` selects the BUCKETED layout — postings and df
+    * additionally partitioned by `__sb = pmod(hash(shingle), buckets)`
+    * inside each epoch dir. This is the 100 TB storage shape the probe
+    * exploits: [[nearDupPairs]] computes the arriving batch's gram
+    * bucket set (a bounded ≤`shingleBuckets`-int planning collect, like
+    * the bucketed sink's touched-set) and partition-prunes the pass-A
+    * postings and df scans to exactly those directories — the index IO
+    * per probe tracks the BATCH's gram diversity, not the corpus size,
+    * before the broadcast filter even runs. */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  path: String, n: Int = 3,
-                 maxDf: Long = Long.MaxValue): Unit = {
+                 maxDf: Long = Long.MaxValue,
+                 shingleBuckets: Int = 0): Unit = {
     val spark = docs.sparkSession
-    writeEpoch(docs, idCol, textCol, path, n, epoch = "base")
+    writeEpoch(docs, idCol, textCol, path, n, epoch = "base",
+      shingleBuckets = shingleBuckets)
     import spark.implicits._
-    Seq((n, maxDf)).toDF("n", "max_df")
+    Seq((n, maxDf, shingleBuckets)).toDF("n", "max_df", "shingle_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -70,17 +88,36 @@ object IncrementalDedup {
     require(epoch.nonEmpty && epoch != "base" && !epoch.contains('/'),
       s"epoch must be a non-'base', path-safe name, got '$epoch'")
     val spark = newDocs.sparkSession
-    val n = spark.read.parquet(s"$path/meta").head().getAs[Int]("n")
-    writeEpoch(newDocs, idCol, textCol, path, n, epoch)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    // every epoch must share the base layout, or partition discovery
+    // over the epoch dirs breaks (mixed directory depths)
+    writeEpoch(newDocs, idCol, textCol, path, meta.getAs[Int]("n"), epoch,
+      shingleBuckets = metaShingleBuckets(meta))
   }
 
+  /** `shingle_buckets` from a meta row, tolerating pre-bucketing
+    * indexes whose meta lacks the column (layout 0 = flat). */
+  private def metaShingleBuckets(meta: org.apache.spark.sql.Row): Int =
+    if (meta.schema.fieldNames.contains("shingle_buckets"))
+      meta.getAs[Int]("shingle_buckets")
+    else 0
+
   private def writeEpoch(docs: DataFrame, idCol: String, textCol: String,
-                         path: String, n: Int, epoch: String): Unit = {
+                         path: String, n: Int, epoch: String,
+                         shingleBuckets: Int): Unit = {
     val sh = Dedup.shingles(docs, idCol, textCol, n)
-    sh.select(col(idCol).as("doc_id"), col("shingle"))
-      .write.mode("overwrite").parquet(s"$path/shingles/__epoch=$epoch")
-    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/df/__epoch=$epoch")
+    def bucketed(df: DataFrame): (DataFrame, Seq[String]) =
+      if (shingleBuckets <= 0) (df, Nil)
+      else (df.withColumn(BucketCol,
+        pmod(hash(col("shingle")), lit(shingleBuckets))), Seq(BucketCol))
+    val (posts, pCols) = bucketed(sh.select(col(idCol).as("doc_id"), col("shingle")))
+    val pw = posts.write.mode("overwrite")
+    (if (pCols.isEmpty) pw else pw.partitionBy(pCols: _*))
+      .parquet(s"$path/shingles/__epoch=$epoch")
+    val (dfs, dCols) = bucketed(sh.groupBy("shingle").agg(count(lit(1)).as("df")))
+    val dw = dfs.write.mode("overwrite")
+    (if (dCols.isEmpty) dw else dw.partitionBy(dCols: _*))
+      .parquet(s"$path/df/__epoch=$epoch")
   }
 
   /** All near-dup pairs (Jaccard >= threshold under the COMBINED-corpus
@@ -105,6 +142,7 @@ object IncrementalDedup {
     val meta = spark.read.parquet(s"$path/meta").head()
     val n = meta.getAs[Int]("n")
     val maxDf = meta.getAs[Long]("max_df")
+    val buckets = metaShingleBuckets(meta)
     def dropExcluded(t: DataFrame): DataFrame =
       if (excludeEpochs.isEmpty) t
       else t.where(!col("__epoch").isin(excludeEpochs: _*))
@@ -112,11 +150,28 @@ object IncrementalDedup {
     val dfTable = dropExcluded(spark.read.parquet(s"$path/df"))
 
     val newSh = Dedup.shingles(newDocs, idCol, textCol, n)
+
+    // Bucketed layout: the pass-A scans only ever keep rows whose
+    // shingle is a BATCH gram, so they can be partition-pruned to the
+    // batch grams' bucket dirs before any file IO. The bucket set is a
+    // bounded planning collect (≤ shingle_buckets ints, independent of
+    // data size — the bucketed sink's touched-set pattern). Pass B must
+    // NOT use it: candidate docs' gram lists exceed the batch's grams.
+    val pruneBatchGrams: DataFrame => DataFrame =
+      if (buckets <= 0) identity
+      else {
+        val bs = newSh
+          .select(pmod(hash(col("shingle")), lit(buckets)).as(BucketCol))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        t => t.where(col(BucketCol).isin(bs: _*))
+      }
+    val postingsA = pruneBatchGrams(postings)
+    val dfTableA = pruneBatchGrams(dfTable)
     // Combined df for the batch's grams: batch-local counts + the SUM
     // of the index's per-epoch partials for exactly those grams
     // (column-pruned scan, broadcast-filtered). Bounded by |new grams|.
     val dfNew = newSh.groupBy("shingle").agg(count(lit(1)).as("df_new"))
-    val dfOldForNew = dfTable
+    val dfOldForNew = dfTableA
       .join(broadcast(dfNew.select("shingle")), Seq("shingle"), "left_semi")
       .groupBy("shingle").agg(sum("df").as("df_old"))
     // LIVE grams only: anything at-or-under the combined cap. Hot
@@ -132,9 +187,10 @@ object IncrementalDedup {
       .agg(count(lit(1)).as("n_sh"))
 
     // PASS A over the postings: live shared grams only (map-side
-    // broadcast filter) → new-vs-old intersections, bounded by
-    // |new grams| × maxDf.
-    val interNO = postings
+    // broadcast filter, partition-pruned to the batch grams' buckets
+    // under the bucketed layout) → new-vs-old intersections, bounded
+    // by |new grams| × maxDf.
+    val interNO = postingsA
       .join(broadcast(liveGrams), "shingle")
       .select(col("doc_id").as("old_id"), col("shingle"))
       .join(newCapped.select(col(idCol).as("new_id"), col("shingle")), "shingle")

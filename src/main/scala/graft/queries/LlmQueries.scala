@@ -570,9 +570,12 @@ object LlmQueries {
     * contract). */
   private def jaccardIndexDir(spark: SparkSession, sfDir: String): String =
     incIndexDir(spark, s"jaccard|$sfDir") { dir =>
+      // bucketed layout (the 100 TB storage shape): the oracle-gated
+      // query therefore proves the partition-pruned probe path
       graft.ext.IncrementalDedup.writeIndex(
         docs(spark, sfDir).where(col("doc_id") % 10 =!= 0),
-        "doc_id", "text", dir, n = 3, maxDf = JaccardMaxDf)
+        "doc_id", "text", dir, n = 3, maxDf = JaccardMaxDf,
+        shingleBuckets = 16)
     }
 
   private def decontamIndexDir(spark: SparkSession, sfDir: String): String =

@@ -152,6 +152,60 @@ class IncrementalDedupSpec extends SparkSpecBase {
     assert(inc === Set((1L, 20L, 1.0), (10L, 20L, 1.0)))
   }
 
+  test("bucketed layout: output identical to flat; pass-A scan prunes to batch-gram dirs") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = all.where(col("doc_id") % 10 =!= 0)
+    // a tiny batch (few grams) so its bucket set covers only SOME of
+    // the 16 shingle buckets — the pruning regime
+    val nw = docs((900001L, "a b c d e f g"))
+    val flat = tmp(); val bkt = tmp()
+    IncrementalDedup.writeIndex(old, "doc_id", "text", flat, n = 3, maxDf = 50L)
+    IncrementalDedup.writeIndex(old, "doc_id", "text", bkt, n = 3, maxDf = 50L,
+      shingleBuckets = 16)
+    // identical results through either layout (here: identical empties
+    // or pairs — use the real sf shard too for a non-trivial check)
+    val shard = all.where(col("doc_id") % 10 === 0)
+    val viaFlat = pairsOf(IncrementalDedup.nearDupPairs(spark, flat, shard,
+      "doc_id", "text", threshold = 0.12))
+    val viaBkt = pairsOf(IncrementalDedup.nearDupPairs(spark, bkt, shard,
+      "doc_id", "text", threshold = 0.12))
+    assert(viaBkt === viaFlat)
+    assert(viaBkt.nonEmpty)
+    // the layout really is bucketed: epoch dir holds __sb= partitions
+    val epochDir = new java.io.File(s"$bkt/shingles/__epoch=base")
+    val sbDirs = Option(epochDir.listFiles()).get
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__sb=")).toSet
+    assert(sbDirs.nonEmpty && sbDirs.size <= 16)
+    // and a small batch's pass-A read PRUNES: the bucket-set filter is
+    // classified as a PARTITION filter on the scan (so the source skips
+    // non-matching dirs at listing time — `inputFiles` can't show this:
+    // it reports the relation's unpruned listing), and the scanned rows
+    // carry only the batch's buckets
+    val batchBuckets = Dedup.shingles(nw, "doc_id", "text", 3)
+      .select(pmod(hash(col("shingle")), lit(16)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(batchBuckets.size < sbDirs.size, "batch covers all buckets — widen the corpus")
+    val pruned = spark.read.parquet(s"$bkt/shingles")
+      .where(col("__sb").isin(batchBuckets.toSeq: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__sb"),
+      s"bucket filter not pushed as a partition filter:\n$plan")
+    val scannedBuckets = pruned.select("__sb").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(scannedBuckets.subsetOf(batchBuckets))
+    // appends inherit the bucketed layout (mixed depths would break
+    // partition discovery) and stay correct
+    IncrementalDedup.appendToIndex(nw, "doc_id", "text", bkt, epoch = "b1")
+    val b1Dirs = Option(new java.io.File(s"$bkt/shingles/__epoch=b1").listFiles()).get
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__sb=")).toSet
+    assert(b1Dirs.nonEmpty && b1Dirs.subsetOf(
+      batchBuckets.map(b => s"__sb=$b")))
+    val nw2 = docs((900002L, "a b c d e f g"))   // dup of the appended doc
+    val after = pairsOf(IncrementalDedup.nearDupPairs(spark, bkt, nw2,
+      "doc_id", "text", threshold = 0.2))
+    assert(after.exists { case (a, b, _) => a == 900001L && b == 900002L })
+  }
+
   test("decontam flagAgainstIndex == direct decontaminate on the shard") {
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = all.where(col("doc_id") % 17 === 0)
