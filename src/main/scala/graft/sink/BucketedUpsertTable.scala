@@ -145,6 +145,31 @@ final class BucketedUpsertTable(
   private def bucketPaths(m: Manifest): Seq[String] =
     m.buckets.values.toSeq.sorted.map(tfs.str)
 
+  /** Point-lookup read: current state for exactly the keys in `keysDf`
+    * (a DataFrame carrying the table's key columns), scanning ONLY the
+    * bucket dirs those keys hash into — at scale, a handful of file
+    * groups instead of the table. The bucket set is a bounded planning
+    * collect (≤ `nBuckets` ints, the upsert path's touched-set
+    * pattern); the key equality itself is a broadcast semi-join, so
+    * composite keys and arbitrary key counts work unchanged. Returns
+    * None before the first commit; empty-schema'd result if no bucket
+    * matches. */
+  def readForKeys(keysDf: DataFrame): Option[DataFrame] = currentSnapshot().map { snap =>
+    val m = readManifest(snap)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val touched = keysDf.select(bucketCol.as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val dirs = m.buckets.view.filterKeys(touched).toMap
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(bucketPaths(Manifest(m.schemaDdl, dirs)): _*)
+        .join(broadcast(keysDf.select(keys.map(col): _*).distinct()),
+          keys, "left_semi")
+  }
+
   // --------------------------------------------------------------- upsert
 
   /** Apply one batch: merge against ONLY the touched buckets' stored

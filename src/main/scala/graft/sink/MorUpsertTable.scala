@@ -164,6 +164,33 @@ final class MorUpsertTable(
     }
   }
 
+  /** Point-lookup read on the log-structured layout: the current state
+    * for exactly the keys in `keysDf`, scanning ONLY the delta chains
+    * of the buckets those keys hash into, then folding the log and
+    * masking tombstones as [[read]] does. The bounded bucket-set
+    * collect + broadcast semi-join shape matches
+    * [[BucketedUpsertTable.readForKeys]]; per lookup the IO is at most
+    * `touched buckets × compactAfter` files. */
+  def readForKeys(keysDf: DataFrame): Option[DataFrame] = currentSnapshot().map { snap =>
+    val m = readManifest(snap)
+    val touched = keysDf.select(bucketCol.as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val chains = m.buckets.view.filterKeys(touched).toMap
+    scanAll(Manifest(m.schemaDdl, chains)) match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL(m.schemaDdl))
+      case Some(rows) =>
+        MorUpsertTable.logMerge(
+            rows.join(broadcast(keysDf.select(keys.map(col): _*).distinct()),
+              keys, "left_semi"),
+            keys, versionCol, tiebreak, CommitCol)
+          .where(!col(CdcNormalize.DeletedCol))
+          .drop(CommitCol)
+    }
+  }
+
   // --------------------------------------------------------------- upsert
 
   /** Apply one batch: in-batch dedup (tombstones KEPT — they must mask

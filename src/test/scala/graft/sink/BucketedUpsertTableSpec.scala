@@ -223,6 +223,28 @@ class BucketedUpsertTableSpec extends SparkSpecBase {
     assert(byName(1L) === "v1b" && byName(2L) === "v2")
   }
 
+  test("readForKeys scans only the keys' bucket dirs and matches the filtered full read") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-bkt-keys")
+    val t = new BucketedUpsertTable(spark, root.toString, Seq("id"), nBuckets = 16)
+    t.upsert(batch((0L to 200L).map(i => (i, s"v$i", 1L, false)): _*))
+    t.upsert(batch((7L, "v7b", 2L, false), (9L, "gone", 2L, true)))
+    val keys = Seq(7L, 9L, 13L, 99999L).toDF("id") // incl. deleted + absent
+    val got = t.readForKeys(keys).get
+    val expected = t.read().get
+      .where(org.apache.spark.sql.functions.col("id").isin(7L, 13L))
+    assert(got.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet ===
+      expected.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet)
+    assert(got.count() === 2) // 7 updated, 13 seed; 9 deleted, 99999 absent
+    // IO bound: the lookup's scan lists strictly fewer files than the
+    // full read, and every file sits in a bucket dir the keys hash into
+    val fullFiles = t.read().get.inputFiles.toSet
+    val keyFiles = got.inputFiles.toSet
+    assert(keyFiles.nonEmpty && keyFiles.size < fullFiles.size,
+      s"lookup read ${keyFiles.size} of ${fullFiles.size} files — no pruning")
+    assert(keyFiles.subsetOf(fullFiles))
+  }
+
   test("crash replay: a commit interrupted before the pointer swap converges on re-run") {
     val root = Files.createTempDirectory("graft-bkt-crash")
     val twinRoot = Files.createTempDirectory("graft-bkt-crash-twin")

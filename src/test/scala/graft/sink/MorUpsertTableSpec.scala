@@ -69,6 +69,23 @@ class MorUpsertTableSpec extends SparkSpecBase {
     assert(state(t) === Map(1L -> "v4"))
   }
 
+  test("readForKeys folds only the keys' bucket chains; tombstones stay masked") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("mor-keys")
+    val t = new MorUpsertTable(spark, root.toString, Seq("id"), nBuckets = 16)
+    t.upsert(batch((0L to 200L).map(i => (i, s"v$i", 1L, false)): _*))
+    t.upsert(batch((7L, "v7b", 2L, false), (9L, "gone", 2L, true)))
+    val keys = Seq(7L, 9L, 13L, 99999L).toDF("id")
+    val got = t.readForKeys(keys).get
+    assert(got.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet ===
+      Set(7L -> "v7b", 13L -> "v13")) // 9 tombstoned, 99999 absent
+    val fullFiles = t.read().get.inputFiles.toSet
+    val keyFiles = got.inputFiles.toSet
+    assert(keyFiles.nonEmpty && keyFiles.size < fullFiles.size,
+      s"lookup read ${keyFiles.size} of ${fullFiles.size} files — no pruning")
+    assert(keyFiles.subsetOf(fullFiles))
+  }
+
   test("tombstone masks until a NEWER version; older-after-delete stays masked (MOR rule)") {
     val root = Files.createTempDirectory("mor-tomb")
     val t = new MorUpsertTable(spark, root.toString, Seq("id"), nBuckets = 2)
