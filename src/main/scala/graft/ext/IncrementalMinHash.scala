@@ -42,19 +42,34 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalMinHash {
 
+  /** Partition column of the bucket-hash-partitioned layout. */
+  private val PartCol = "__bp"
+
   /** Build the signature index for `docs` at `path`:
     *  - `buckets/__epoch=<e>/` (doc_id, band, bucket): `bands` rows per
     *    doc, one partition dir per build/append epoch;
-    *  - `meta/` (n, bands, rows): parameters every probe/append must
-    *    agree on (the banded-signature family is derived from seeded
-    *    xxhash64, so equal parameters ⇒ equal buckets on any node). */
+    *  - `meta/` (n, bands, rows, bucket_partitions): parameters every
+    *    probe/append must agree on (the banded-signature family is
+    *    derived from seeded xxhash64, so equal parameters ⇒ equal
+    *    buckets on any node).
+    * `bucketPartitions > 0` selects the PARTITIONED layout — postings
+    * additionally partitioned by `__bp = pmod(hash(band, bucket),
+    * partitions)` inside each epoch dir, and [[nearDupPairs]]
+    * partition-prunes the index scan to the probe batch's (band,
+    * bucket) partitions (a bounded ≤`bucketPartitions`-int planning
+    * collect) — probe IO then tracks the BATCH's bucket diversity, not
+    * the indexed corpus cardinality. The [[IncrementalDedup]]
+    * `shingleBuckets` pattern, applied to the signature layout. */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  path: String, n: Int = 3,
-                 bands: Int = 16, rows: Int = 4): Unit = {
+                 bands: Int = 16, rows: Int = 4,
+                 bucketPartitions: Int = 0): Unit = {
     val spark = docs.sparkSession
-    writeEpoch(docs, idCol, textCol, path, n, bands, rows, epoch = "base")
+    writeEpoch(docs, idCol, textCol, path, n, bands, rows, epoch = "base",
+      bucketPartitions = bucketPartitions)
     import spark.implicits._
-    Seq((n, bands, rows)).toDF("n", "bands", "rows")
+    Seq((n, bands, rows, bucketPartitions))
+      .toDF("n", "bands", "rows", "bucket_partitions")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -68,18 +83,34 @@ object IncrementalMinHash {
       s"epoch must be a non-'base', path-safe name, got '$epoch'")
     val spark = newDocs.sparkSession
     val m = spark.read.parquet(s"$path/meta").head()
+    // every epoch shares the base layout (mixed depths break discovery)
     writeEpoch(newDocs, idCol, textCol, path, m.getAs[Int]("n"),
-      m.getAs[Int]("bands"), m.getAs[Int]("rows"), epoch)
+      m.getAs[Int]("bands"), m.getAs[Int]("rows"), epoch,
+      bucketPartitions = metaBucketPartitions(m))
   }
+
+  /** `bucket_partitions` from a meta row, tolerating pre-partitioning
+    * indexes whose meta lacks the column (layout 0 = flat). */
+  private def metaBucketPartitions(meta: org.apache.spark.sql.Row): Int =
+    if (meta.schema.fieldNames.contains("bucket_partitions"))
+      meta.getAs[Int]("bucket_partitions")
+    else 0
+
+  private def partitionOf(nParts: Int) =
+    pmod(hash(col("band"), col("bucket")), lit(nParts))
 
   private def writeEpoch(docs: DataFrame, idCol: String, textCol: String,
                          path: String, n: Int, bands: Int, rows: Int,
-                         epoch: String): Unit = {
+                         epoch: String, bucketPartitions: Int): Unit = {
     val sh = Dedup.shingles(docs, idCol, textCol, n)
     val sigs = Dedup.minhashSignatures(sh, idCol, bands * rows)
-    Dedup.minhashBuckets(sigs, idCol, bands, rows)
+    val posts = Dedup.minhashBuckets(sigs, idCol, bands, rows)
       .select(col(idCol).as("doc_id"), col("band"), col("bucket"))
-      .write.mode("overwrite").parquet(s"$path/buckets/__epoch=$epoch")
+    val w =
+      if (bucketPartitions <= 0) posts.write
+      else posts.withColumn(PartCol, partitionOf(bucketPartitions))
+        .write.partitionBy(PartCol)
+    w.mode("overwrite").parquet(s"$path/buckets/__epoch=$epoch")
   }
 
   /** Near-dup pairs (exact uncapped Jaccard >= threshold) with at least
@@ -103,15 +134,26 @@ object IncrementalMinHash {
     val n = meta.getAs[Int]("n")
     val bands = meta.getAs[Int]("bands")
     val rows = meta.getAs[Int]("rows")
-    val oldBuckets = {
-      val t = spark.read.parquet(s"$path/buckets")
-      if (excludeEpochs.isEmpty) t
-      else t.where(!col("__epoch").isin(excludeEpochs: _*))
-    }
+    val nParts = metaBucketPartitions(meta)
 
     val newSh = Dedup.shingles(newDocs, idCol, textCol, n)
     val newSigs = Dedup.minhashSignatures(newSh, idCol, bands * rows)
     val newBuckets = Dedup.minhashBuckets(newSigs, idCol, bands, rows)
+
+    val oldBuckets = {
+      val t0 = spark.read.parquet(s"$path/buckets")
+      val t = if (excludeEpochs.isEmpty) t0
+        else t0.where(!col("__epoch").isin(excludeEpochs: _*))
+      if (nParts <= 0) t
+      else {
+        // partitioned layout: prune the index scan to the batch's
+        // (band, bucket) partitions — a bounded ≤nParts-int planning
+        // collect, before any file IO
+        val bs = newBuckets.select(partitionOf(nParts).as(PartCol))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        t.where(col(PartCol).isin(bs: _*))
+      }
+    }
 
     // candidate generation — new-vs-indexed via the persisted buckets,
     // new-vs-new via in-batch banded LSH (the batch can carry internal

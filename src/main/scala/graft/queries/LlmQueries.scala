@@ -604,9 +604,12 @@ object LlmQueries {
     * registered MinHash preset. */
   private def minhashIncIndexDir(spark: SparkSession, sfDir: String): String =
     incIndexDir(spark, s"minhash|$sfDir") { dir =>
+      // partitioned layout (the 100 TB probe shape): the gated query
+      // exercises the partition-pruned scan path
       graft.ext.IncrementalMinHash.writeIndex(
         docs(spark, sfDir).where(col("doc_id") % 10 =!= 0),
-        "doc_id", "text", dir, n = 3, bands = 16, rows = 4)
+        "doc_id", "text", dir, n = 3, bands = 16, rows = 4,
+        bucketPartitions = 16)
     }
 
   /** Incremental MinHash near-dup: the arriving shard probed against

@@ -77,6 +77,45 @@ class IncrementalMinHashSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$dir/buckets").count() === rows1)
   }
 
+  test("partitioned layout: identical output to flat; probe scan prunes by partition") {
+    val s = spark; import s.implicits._
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val oldDocs = all.where(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+    val shard = all.where(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+    val flat = tmp(); val part = tmp()
+    IncrementalMinHash.writeIndex(oldDocs, "doc_id", "text", flat, n = 3)
+    IncrementalMinHash.writeIndex(oldDocs, "doc_id", "text", part, n = 3,
+      bucketPartitions = 16)
+    val viaFlat = pairsOf(IncrementalMinHash.nearDupPairs(spark, flat, shard,
+      all, "doc_id", "text", threshold = 0.12))
+    val viaPart = pairsOf(IncrementalMinHash.nearDupPairs(spark, part, shard,
+      all, "doc_id", "text", threshold = 0.12))
+    assert(viaPart === viaFlat)
+    assert(viaPart.nonEmpty)
+    // the layout really is partitioned, and a filtered read classifies
+    // __bp as a partition filter (dir-level pruning at the source)
+    val dirs = Option(new java.io.File(s"$part/buckets/__epoch=base").listFiles()).get
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__bp=")).toSet
+    assert(dirs.nonEmpty && dirs.size <= 16)
+    val prunedPlan = spark.read.parquet(s"$part/buckets")
+      .where(org.apache.spark.sql.functions.col("__bp").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") && prunedPlan.contains("__bp"))
+    // appends inherit the layout and later probes see them
+    IncrementalMinHash.appendToIndex(
+      Seq((900001L, "j k l m n o p")).toDF("doc_id", "text"),
+      "doc_id", "text", part, epoch = "b1")
+    val b1Dirs = Option(new java.io.File(s"$part/buckets/__epoch=b1").listFiles()).get
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__bp=")).toSet
+    assert(b1Dirs.nonEmpty)
+    val later = pairsOf(IncrementalMinHash.nearDupPairs(spark, part,
+      Seq((900002L, "j k l m n o p")).toDF("doc_id", "text"),
+      Seq((900001L, "j k l m n o p"), (900002L, "j k l m n o p"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.2))
+    assert(later.exists { case (a, b, _) => a == 900001L && b == 900002L })
+  }
+
   test("index stores a fixed row count per doc, independent of doc length") {
     val short = docs((1L, "a b c d e"))
     val long = docs((2L, Seq.tabulate(500)(i => s"w$i").mkString(" ")))
