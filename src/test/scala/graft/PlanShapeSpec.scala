@@ -80,6 +80,31 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), "index scan filter should broadcast")
   }
 
+  test("bucketed incremental indexes: probe scans carry partition filters") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val oldDocs = real.where(col("doc_id") % 10 =!= 0)
+    val shard = real.where(col("doc_id") % 10 === 0)
+    // exact postings index, shingle-bucketed layout
+    val exDir = java.nio.file.Files.createTempDirectory("plan-inc-bkt").toString
+    graft.ext.IncrementalDedup.writeIndex(oldDocs, "doc_id", "text", exDir,
+      n = 3, maxDf = 50L, shingleBuckets = 16)
+    val pe = plan(graft.ext.IncrementalDedup.nearDupPairs(spark, exDir,
+      shard, "doc_id", "text", 0.12))
+    assert(pe.contains("PartitionFilters") && pe.contains("__sb"),
+      s"bucketed exact probe lost its partition filter:\n$pe")
+    // signature index, bucket-hash-partitioned layout
+    val mhDir = java.nio.file.Files.createTempDirectory("plan-mh-bkt").toString
+    graft.ext.IncrementalMinHash.writeIndex(oldDocs, "doc_id", "text", mhDir,
+      n = 3, bucketPartitions = 16)
+    val pm = plan(graft.ext.IncrementalMinHash.nearDupPairs(spark, mhDir,
+      shard, real, "doc_id", "text", 0.12))
+    assert(pm.contains("PartitionFilters") && pm.contains("__bp"),
+      s"partitioned signature probe lost its partition filter:\n$pm")
+    assert(!pm.contains("CartesianProduct") &&
+      !pm.contains("BroadcastNestedLoopJoin"),
+      "signature probe plans an all-pairs join")
+  }
+
   test("brute-force top-k broadcasts the query side (corpus never shuffled)") {
     val all = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(Similarity.bruteForceTopK(all, all.where(col("vec_id") < 5),
