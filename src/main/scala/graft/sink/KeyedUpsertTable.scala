@@ -93,6 +93,39 @@ final class KeyedUpsertTable(
     read().getOrElse(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema))
 
+  /** Point-lookup read on the COW layout: the current state for exactly
+    * the keys in `keysDf`. The COW table has no bucket structure to
+    * prune, so the lookup collects the key tuples (bounded planning
+    * collect — point lookups are small by contract; `maxKeys` makes
+    * that loud) and pushes them as literal `In` filters into the
+    * parquet scan, where row-group min/max statistics skip non-matching
+    * groups. The bucketed/MOR layouts' [[BucketedUpsertTable.readForKeys]]
+    * is the stronger form (dir-level pruning); this is the best the
+    * single-snapshot layout can do, and the filter pushdown is
+    * spec-asserted. */
+  def readForKeys(keysDf: DataFrame, maxKeys: Int = 10000): Option[DataFrame] =
+    read().map { state =>
+      val keyCols = keys.map(col)
+      val rows = keysDf.select(keyCols: _*).distinct().limit(maxKeys + 1).collect()
+      require(rows.length <= maxKeys,
+        s"readForKeys is a point-lookup API (> $maxKeys keys collected); " +
+          "scan read() with a join for batch-sized key sets")
+      if (rows.isEmpty) state.where(lit(false))
+      else {
+        // per-column isin is the PUSHABLE (over-approximating, for
+        // composite keys) predicate parquet row-group stats answer
+        val pred = keys.zipWithIndex.map { case (k, i) =>
+          col(k).isin(rows.map(_.get(i)).distinct.toSeq: _*)
+        }.reduce(_ && _)
+        val filtered = state.where(pred)
+        if (keys.size == 1) filtered // single key: isin IS exact
+        else // exact tuple membership via broadcast semi-join, no
+             // O(|keys|)-term expression tree
+          filtered.join(broadcast(keysDf.select(keyCols: _*).distinct()),
+            keys, "left_semi")
+      }
+    }
+
   /** Apply one batch of change rows (payload ++ mtime ++
     * `_hoodie_is_deleted`). Pure-plan merge; one action (the write). */
   def upsert(batch: DataFrame): Unit = {

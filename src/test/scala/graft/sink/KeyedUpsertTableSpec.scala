@@ -80,6 +80,27 @@ class KeyedUpsertTableSpec extends SparkSpecBase {
       Seq((1L, "a2"), (3L, "c1"), (4L, "d1")))
   }
 
+  test("readForKeys pushes key filters into the parquet scan") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-cow-keys").toString
+    val t = new KeyedUpsertTable(spark, root, Seq("id"))
+    t.upsert((0L to 200L).map(i => (i, s"v$i", 1L, false))
+      .toDF("id", "v", CdcNormalize.MtimeCol, CdcNormalize.DeletedCol))
+    t.upsert(Seq((7L, "v7b", 2L, false), (9L, "gone", 2L, true))
+      .toDF("id", "v", CdcNormalize.MtimeCol, CdcNormalize.DeletedCol))
+    val got = t.readForKeys(Seq(7L, 9L, 13L, 99999L).toDF("id")).get
+    assert(got.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet ===
+      Set(7L -> "v7b", 13L -> "v13")) // 9 deleted, 99999 absent
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("In(id"),
+      s"key lookup filter not pushed to the scan:\n$p")
+    // the point-lookup contract is loud: oversized key sets are refused
+    val big = spark.range(0, 50).toDF("id")
+    intercept[IllegalArgumentException] {
+      t.readForKeys(big, maxKeys = 10).get
+    }
+  }
+
   test("catalog sync: spark.table reads the latest snapshot across swaps and evolution") {
     val s = spark; import s.implicits._
     val root = Files.createTempDirectory("graft-upsert-catalog").toString
