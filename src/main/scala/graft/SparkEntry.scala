@@ -129,6 +129,8 @@ object SparkEntry {
     "llm_dedup_incremental"    -> (LlmQueries.dedupIncremental _),
     "llm_minhash_incremental"  -> (LlmQueries.minhashIncremental _),
     "llm_minhash_incremental_recall" -> (LlmQueries.minhashIncrementalRecall _),
+    "llm_simhash_incremental"  -> (LlmQueries.simhashIncremental _),
+    "llm_simhash_incremental_parity" -> (LlmQueries.simhashIncrementalParity _),
     "llm_decontam_incremental" -> (LlmQueries.decontamIncremental _),
     "llm_clean_corpus"         -> (LlmQueries.cleanCorpus _),
     "llm_mixture_stats"        -> (LlmQueries.mixtureStats _),
@@ -246,6 +248,9 @@ object SparkEntry {
   private val PinIvf01 = 64L
   private val PinMinhash01 = 256L
   private val PinMinhashInc01 = 53L
+  private val PinSimhashInc0001 = 9L
+  private val PinSimhashInc001 = 4L
+  private val PinSimhashInc01 = 97L
   private val PinSimhash01 = 525L
   private val PinCands01 = 34117L
 
@@ -974,6 +979,14 @@ object SparkEntry {
          |    WHEN 6000 THEN 27 WHEN 60000 THEN 17 WHEN 600000 THEN $PinSimhash01 END AS BIGINT) AS p)
          |SELECT p AS n_brute, p AS n_blocked, CAST(0 AS BIGINT) AS n_mismatch
          |FROM n""".stripMargin,
+    // Incremental-simhash gate: blocked-incremental ≡ brute restricted
+    // (blocking is lossless in the Hamming ball), zero mismatches; the
+    // deterministic pair count pinned per sf.
+    "llm_simhash_incremental_parity" ->
+      s"""WITH n AS (SELECT CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN ${PinSimhashInc0001} WHEN 60000 THEN ${PinSimhashInc001} WHEN 600000 THEN $PinSimhashInc01 END AS BIGINT) AS p)
+         |SELECT p AS n_brute, p AS n_blocked, CAST(0 AS BIGINT) AS n_mismatch
+         |FROM n""".stripMargin,
     // LSH prune observability: n_possible recomputed live, the
     // deterministic candidate count pinned per sf; the fraction is the
     // IEEE division of the two (bit-identical across engines).
@@ -1303,6 +1316,7 @@ object SparkEntry {
     // minhash/simhash/winnowing → recall, parity, and value checksums
     "llm_neardup_minhash"          -> "llm_minhash_recall",
     "llm_minhash_incremental"      -> "llm_minhash_incremental_recall",
+    "llm_simhash_incremental"      -> "llm_simhash_incremental_parity",
     "llm_simhash_fingerprints"     -> "llm_simhash_checksum",
     "llm_simhash_neardup"          -> "llm_simhash_parity",
     "llm_winnow_fingerprints"      -> "llm_winnow_checksum",

@@ -339,11 +339,11 @@ object Dedup {
     sums.select(col(idCol), fp.as("simhash"))
   }
 
-  /** SimHash near-dup candidates within `maxHamming` bits, via pigeonhole
-    * blocking: split 64 bits into (maxHamming+1) blocks — any pair within
-    * the ball agrees exactly on at least one block, so bucketing on block
-    * value has 100% recall. Hamming distance verified on candidates. */
-  def simhashNearDups(fps: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+  /** Pigeonhole block keys of a fingerprint table: (id, simhash, blk,
+    * v) — `maxHamming + 1` rows per doc. Shared by the in-corpus
+    * [[simhashNearDups]] self-join and the incremental index
+    * ([[IncrementalSimHash]]), which persists exactly these rows. */
+  def simhashBlocks(fps: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
     val blockCols = (0 until blocks).map { bIdx =>
@@ -353,9 +353,17 @@ object Dedup {
       struct(lit(bIdx).as("blk"),
         shiftright(col("simhash"), shiftBits).bitwiseAND(mask).as("v"))
     }
-    val exploded = fps.select(col(idCol), col("simhash"),
-      explode(array(blockCols: _*)).as("b"))
+    fps.select(col(idCol), col("simhash"),
+        explode(array(blockCols: _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.blk"), col("b.v"))
+  }
+
+  /** SimHash near-dup candidates within `maxHamming` bits, via pigeonhole
+    * blocking: split 64 bits into (maxHamming+1) blocks — any pair within
+    * the ball agrees exactly on at least one block, so bucketing on block
+    * value has 100% recall. Hamming distance verified on candidates. */
+  def simhashNearDups(fps: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val exploded = simhashBlocks(fps, idCol, maxHamming)
     val a = exploded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
       col("blk"), col("v"))
     val b = exploded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),

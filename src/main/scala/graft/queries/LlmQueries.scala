@@ -645,6 +645,56 @@ object LlmQueries {
       cachedDF("minhash_inc_found", spark, sfDir)(
         minhashIncremental(spark, sfDir)))
 
+  /** Session-cached SimHash block index over the existing-corpus split
+    * — the third incremental member ([[graft.ext.IncrementalSimHash]]):
+    * maxHamming+1 fixed-width rows per doc, partitioned layout. */
+  private def simhashIncIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"simhash|$sfDir") { dir =>
+      graft.ext.IncrementalSimHash.writeIndex(
+        docs(spark, sfDir).where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", dir, maxHamming = 3, blockPartitions = 16)
+    }
+
+  /** Incremental SimHash near-dup: the arriving shard probed against
+    * the PERSISTED pigeonhole-block index — EXACT within the Hamming
+    * ball (blocking is lossless; hamming comes from the stored
+    * fingerprints), equal to the blocked full recompute restricted to
+    * shard-touching pairs. Rows-only under the driver gate (xxhash64
+    * fingerprints are Spark-specific); gated by
+    * [[simhashIncrementalParity]]. */
+  def simhashIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.IncrementalSimHash.nearDupPairs(spark,
+        simhashIncIndexDir(spark, sfDir),
+        docs(spark, sfDir).where(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
+  /** Gate row for [[simhashIncremental]]: the incremental blocked path
+    * must EQUAL the brute-force Hamming-ball pairs over the whole
+    * corpus restricted to shard-touching pairs — zero mismatches, not
+    * a recall bound (the [[simhashParity]] contract, incremental
+    * form). The brute side is the quadratic in-Spark check harness;
+    * the count is pinned per sf in the oracle. */
+  def simhashIncrementalParity(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Dedup.simhash(docs(spark, sfDir), "doc_id", "text")
+    val a = fps.select(col("doc_id").as("id_a"), col("simhash").as("__sa"))
+    val b = fps.select(col("doc_id").as("id_b"), col("simhash").as("__sb"))
+    val brute = a.crossJoin(b)
+      .where(col("id_a") < col("id_b") &&
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))) <= 3 &&
+        (col("id_a") % 10 === 0 || col("id_b") % 10 === 0))
+      .select("id_a", "id_b")
+    val inc = cachedDF("simhash_inc_found", spark, sfDir)(
+        simhashIncremental(spark, sfDir))
+      .select(col("id_a").as("__ba"), col("id_b").as("__bb"))
+    brute.join(inc,
+        col("id_a") === col("__ba") && col("id_b") === col("__bb"), "full_outer")
+      .agg(
+        count(when(col("id_a").isNotNull, 1)).as("n_brute"),
+        count(when(col("__ba").isNotNull, 1)).as("n_blocked"),
+        count(when(col("id_a").isNull || col("__ba").isNull, 1)).as("n_mismatch"))
+  }
+
   /** Incremental decontamination: the arriving shard (corpus docs with
     * doc_id % 10 == 0) flagged against the PERSISTED benchmark gram set
     * — [[decontam]]'s report restricted to the shard, with the bench
