@@ -44,6 +44,7 @@ object SparkEntry {
     "lineitem_unpivot_charges" -> (RelationalQueries.lineitemUnpivotCharges _),
     "q18_large_orders"         -> (RelationalQueries.q18LargeOrders _),
     "events_audience_sets"     -> (RelationalQueries.eventsAudienceSets _),
+    "events_zorder_pruned"     -> (RelationalQueries.eventsZOrderPruned _),
     "events_approx_distinct"   -> (RelationalQueries.eventsApproxDistinct _),
     "events_approx_distinct_check" -> (RelationalQueries.eventsApproxDistinctCheck _),
     "q17_avg_yearly"           -> (RelationalQueries.q17AvgYearly _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "llm_sample_strata"        -> (LlmQueries.sampleStrata _),
     "llm_pack_stats"           -> (LlmQueries.packStats _),
     "llm_decontam"             -> (LlmQueries.decontam _),
+    "llm_decontam_bloom"       -> (LlmQueries.decontamBloom _),
     "llm_dedup_incremental"    -> (LlmQueries.dedupIncremental _),
     "llm_minhash_incremental"  -> (LlmQueries.minhashIncremental _),
     "llm_minhash_incremental_recall" -> (LlmQueries.minhashIncrementalRecall _),
@@ -153,6 +155,25 @@ object SparkEntry {
   // Spark-side arithmetic — see TextStats / Dedup scaladoc).
   private val W = """regexp_split_to_array(trim(text), '\s+')"""
   private val WL = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+
+  /** Shared by `llm_decontam` and `llm_decontam_bloom`: the bloom path
+    * is an exact-equivalent plan variant, so it gates on the same SQL. */
+  private lazy val DecontamSql =
+    s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
+       |bench AS (SELECT DISTINCT array_to_string(ws[g:g+7], ' ') AS shingle
+       |          FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(g)
+       |          WHERE doc_id % 17 = 0 AND len(ws) >= 8),
+       |corpus AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+7], ' ') AS shingle
+       |           FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(g)
+       |           WHERE doc_id % 17 <> 0 AND len(ws) >= 8),
+       |counts AS (SELECT doc_id, count(*) AS n_grams,
+       |             count(*) FILTER (WHERE shingle IN (SELECT shingle FROM bench)) AS n_hits
+       |           FROM corpus GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(c.n_hits, 0) AS BIGINT) AS n_hits,
+       |  coalesce(c.n_hits, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+       |WHERE d.doc_id % 17 <> 0 ORDER BY d.doc_id""".stripMargin
   private val NWORDS =
     s"CASE WHEN trim(text) = '' THEN 0 ELSE len($W) END"
   private val MEANWL =
@@ -436,6 +457,13 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Z-order clustered rectangle scan: the engine reads a manifest-
+    // pruned file subset of its clustered copy; the oracle full-scans
+    // the raw table — a green hash proves file skipping loses nothing.
+    "events_zorder_pruned" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE user_id BETWEEN 10 AND 20 AND value BETWEEN 5 AND 10
+        |ORDER BY event_id""".stripMargin,
     // Set operations: INTERSECT/EXCEPT restated verbatim in DuckDB.
     "events_audience_sets" ->
       """SELECT user_id, 'click_and_purchase' AS audience FROM (
@@ -850,22 +878,11 @@ object SparkEntry {
     // Benchmark-overlap decontamination: every 17th doc_id is the
     // benchmark suite; 8-word grams, Jaccard-family tokenization. The
     // corpus-side DISTINCT mirrors array_distinct in Dedup.shingles.
-    "llm_decontam" ->
-      s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
-         |bench AS (SELECT DISTINCT array_to_string(ws[g:g+7], ' ') AS shingle
-         |          FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(g)
-         |          WHERE doc_id % 17 = 0 AND len(ws) >= 8),
-         |corpus AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+7], ' ') AS shingle
-         |           FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(g)
-         |           WHERE doc_id % 17 <> 0 AND len(ws) >= 8),
-         |counts AS (SELECT doc_id, count(*) AS n_grams,
-         |             count(*) FILTER (WHERE shingle IN (SELECT shingle FROM bench)) AS n_hits
-         |           FROM corpus GROUP BY doc_id)
-         |SELECT d.doc_id, CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
-         |  CAST(coalesce(c.n_hits, 0) AS BIGINT) AS n_hits,
-         |  coalesce(c.n_hits, 0) > 0 AS contaminated
-         |FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
-         |WHERE d.doc_id % 17 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "llm_decontam" -> DecontamSql,
+    // The Bloom-prefiltered path must produce the IDENTICAL report —
+    // same oracle; a green hash proves the sketch's fpp never reaches
+    // the answer (false positives die in the exact verify join).
+    "llm_decontam_bloom" -> DecontamSql,
     "llm_cosine_topk" ->
       s"$ExactTopKSql ORDER BY query_id, rank",
     // Recall / parity oracles for the probabilistic family: exact side

@@ -62,6 +62,65 @@ object Decontamination {
     Seq(n).toDF("n").coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** [[writeIndex]] plus a serialized Bloom sketch of the gram set
+    * (`bloom/filter.bin`) — the scale path for benchmark batteries whose
+    * DISTINCT gram set outgrows comfortable broadcast (100s of MBs):
+    * the sketch is ~1.2 bytes/gram at 1% fpp, and [[flagWithBloom]]
+    * probes it map-side so ~(1−fpp) of the corpus gram stream never
+    * reaches a join. Written through the Hadoop FileSystem API (the
+    * [[graft.util.TableFs]] seam) so the index root may be object
+    * storage. */
+  def writeBloomIndex(bench: DataFrame, idCol: String, textCol: String,
+                      path: String, n: Int = 8, fpp: Double = 0.01): Unit = {
+    writeIndex(bench, idCol, textCol, path, n)
+    val spark = bench.sparkSession
+    val grams = spark.read.parquet(s"$path/grams")
+    // expectedNumItems from the just-written set (exact, cheap — the
+    // bench side is the small side by construction). stat.bloomFilter
+    // builds the sketch DISTRIBUTED (partition-local sketches merged);
+    // only the final ~MB sketch reaches the driver.
+    val nGrams = math.max(grams.count(), 1L)
+    val bloom = grams.stat.bloomFilter("shingle", nGrams, fpp)
+    val fs = new graft.util.TableFs(path, spark.sparkContext.hadoopConfiguration)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    fs.writeBytes("bloom/filter.bin", bos.toByteArray)
+  }
+
+  /** [[flagAgainstIndex]] with the Bloom prefilter: corpus grams are
+    * dropped map-side unless the sketch says maybe-member; only the
+    * surviving trickle joins the exact stored gram set (inner — a Bloom
+    * never false-negatives, so no true hit is lost, and the join kills
+    * the false positives). The report is therefore EXACTLY equal to
+    * [[decontaminate]] over the same inputs — fpp shifts intermediate
+    * volume, never the answer — which is what the `llm_decontam_bloom`
+    * oracle row proves by hash. Two doc-id-keyed aggregations instead of
+    * one (gram totals can't ride the filtered stream), both map-side
+    * combinable and output-bounded by |docs|; the stored gram set is
+    * never broadcast — at test scale AQE may still choose broadcast for
+    * the trickle join, which is then its call, not a plan requirement. */
+  def flagWithBloom(spark: SparkSession, path: String, newDocs: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val n = spark.read.parquet(s"$path/meta").head().getAs[Int]("n")
+    val benchGrams = spark.read.parquet(s"$path/grams")
+    val fs = new graft.util.TableFs(path, spark.sparkContext.hadoopConfiguration)
+    val bloomPath = fs.str("bloom/filter.bin")
+    val corpusGrams = Dedup.shingles(newDocs, idCol, textCol, n)
+    val perDocTotal = corpusGrams
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val perDocHits = corpusGrams
+      .where(graft.functions.BloomExpressions.mightContain(col("shingle"), bloomPath))
+      .join(benchGrams, Seq("shingle"), "inner")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    newDocs.select(col(idCol))
+      .join(perDocTotal, Seq(idCol), "left")
+      .join(perDocHits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** [[decontaminate]] for an append batch against the index written by
     * [[writeIndex]]: identical per-doc report (the gram set is the same
     * set, just read instead of recomputed — still broadcast), cost

@@ -707,6 +707,30 @@ object LlmQueries {
         "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Session-cached Bloom-augmented benchmark gram index
+    * ([[graft.ext.Decontamination.writeBloomIndex]]): the exact gram
+    * parquet plus a ~1.2 byte/gram sketch, built once per
+    * (session, sfDir). */
+  private def decontamBloomIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"decontam-bloom|$sfDir") { dir =>
+      graft.ext.Decontamination.writeBloomIndex(
+        docs(spark, sfDir).where(col("doc_id") % 17 === 0),
+        "doc_id", "text", dir, n = 8, fpp = 0.01)
+    }
+
+  /** Bloom-prefiltered decontamination over the FULL corpus split: the
+    * map-side sketch probe drops non-overlapping grams before any
+    * shuffle, the exact verify join kills the sketch's false positives,
+    * and the report equals [[decontam]] exactly — same oracle SQL, so
+    * the green hash IS the proof that fpp never leaks into the answer
+    * (see [[graft.functions.BloomMightContain]] for the 100 TB case). */
+  def decontamBloom(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Decontamination.flagWithBloom(spark,
+        decontamBloomIndexDir(spark, sfDir),
+        docs(spark, sfDir).where(col("doc_id") % 17 =!= 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Session-cached IVF index over the EXISTING embedding split (the
     * incremental counterpart of [[ivfIndexDir]]): trained and written
     * once on vec_id % 10 != 0; arriving vectors probe it. */

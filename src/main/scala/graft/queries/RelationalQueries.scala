@@ -436,4 +436,40 @@ object RelationalQueries {
     cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .orderBy("c_custkey")
   }
+
+  /** Session-scoped z-order clustered copy of `events` on
+    * (user_id, value) — built once per (session, sf) into a
+    * shutdown-cleaned temp dir (the [[LlmQueries]] index-cache
+    * pattern). */
+  private val sharedZOrder =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  private def zorderDir(spark: SparkSession, sfDir: String): String = {
+    val perSession = sharedZOrder.synchronized {
+      sharedZOrder.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, String])
+    }
+    perSession.getOrElseUpdate(sfDir, {
+      val dir = CdcQueries.tempSinkDir("graft-zorder").toString
+      graft.sink.ZOrderLayout.write(
+        t(spark, sfDir, "events"), Seq("user_id", "value"), dir,
+        targetFiles = 32)
+      dir
+    })
+  }
+
+  /** Rectangle query against the z-order clustered events table
+    * ([[graft.sink.ZOrderLayout]]): the manifest prunes data files by
+    * BOTH dimensions before any data IO, then the row predicate runs on
+    * the surviving files — result provably identical to the full-scan
+    * SQL (the oracle). ZOrderLayoutSpec additionally asserts files are
+    * genuinely skipped at this shape, so the green hash plus the spec
+    * together say "same answer, less IO". */
+  def eventsZOrderPruned(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sink.ZOrderLayout.readPruned(spark, zorderDir(spark, sfDir),
+        Map("user_id" -> (Some(10.0), Some(20.0)),
+            "value" -> (Some(5.0), Some(10.0))))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
 }
