@@ -258,25 +258,39 @@ object Ivf {
   def writeIndex(corpus: DataFrame, vecCol: String, model: Model,
                  path: String): Unit = {
     save(corpus.sparkSession, model, s"$path/model")
+    // epoch-FIRST layout (`data/__epoch=base/cell=N/`), the
+    // IncrementalMinHash convention: appends land as sibling epoch
+    // dirs, so a replayed stream batch overwrites ITS OWN epoch only,
+    // and readers can exclude an in-flight epoch by partition value.
+    // Partition discovery exposes both `__epoch` and `cell`; the probe
+    // path's cell pruning is unaffected (cell is still a partition col
+    // at every epoch).
     assignCells(corpus, vecCol, model)
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/data")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/data/__epoch=base")
   }
 
   /** Fold new vectors into a written index: assign cells under the
-    * index's OWN model and append into the cell-partitioned layout —
-    * O(batch) writes, the ANN counterpart of the dedup index's
-    * `appendToIndex`. The coarse quantizer deliberately stays fixed
-    * (retraining would silently reshuffle every stored cell assignment
-    * — the [[save]] scaladoc's train-once contract); under corpus
-    * drift, recall degrades gracefully until a scheduled re-train +
-    * re-bucket, which is a REBUILD, not an append. Appended ids must be
-    * disjoint from indexed ids. */
+    * index's OWN model and write them as the `__epoch=<epoch>` sibling
+    * of the base layout — O(batch) writes, the ANN counterpart of the
+    * dedup index's `appendToIndex`, IDEMPOTENT per epoch (a replayed
+    * batch overwrites its own epoch dir — the at-least-once seam
+    * [[StreamIvf]] relies on). The coarse quantizer deliberately stays
+    * fixed (retraining would silently reshuffle every stored cell
+    * assignment — the [[save]] scaladoc's train-once contract); under
+    * corpus drift, recall degrades gracefully until a scheduled
+    * re-train + re-bucket, which is a REBUILD, not an append. Appended
+    * ids must be disjoint from every id already indexed, and each
+    * append needs its own epoch name. */
   def appendToIndex(newVectors: DataFrame, vecCol: String,
-                    path: String): Unit = {
+                    path: String, epoch: String): Unit = {
+    require(epoch.nonEmpty && epoch != "base" && !epoch.contains('/'),
+      s"epoch must be a non-'base', path-safe name, got '$epoch'")
     val spark = newVectors.sparkSession
     val model = load(spark, s"$path/model")
     assignCells(newVectors, vecCol, model)
-      .write.partitionBy("cell").mode("append").parquet(s"$path/data")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/data/__epoch=$epoch")
   }
 
   /** Top-k against a written index, in one of two probe-resolution
@@ -303,9 +317,10 @@ object Ivf {
     * re-derivation; ranking is identical to [[topK]]. */
   def topKIndexed(spark: SparkSession, path: String, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int, nProbe: Int,
-                  broadcastProbes: Boolean = true): DataFrame =
+                  broadcastProbes: Boolean = true,
+                  excludeEpochs: Seq[String] = Nil): DataFrame =
     topKIndexedWith(spark, load(spark, s"$path/model"), path, queries,
-      idCol, vecCol, k, nProbe, broadcastProbes)
+      idCol, vecCol, k, nProbe, broadcastProbes, excludeEpochs)
 
   /** [[topKIndexed]] with a pre-loaded model — the entry for callers
     * that serve many searches against one index (load the tiny model
@@ -316,7 +331,14 @@ object Ivf {
   def topKIndexedWith(spark: SparkSession, model: Model, path: String,
                       queries: DataFrame, idCol: String, vecCol: String,
                       k: Int, nProbe: Int,
-                      broadcastProbes: Boolean): DataFrame = {
+                      broadcastProbes: Boolean,
+                      excludeEpochs: Seq[String] = Nil): DataFrame = {
+    // at-least-once replay seam (the IncrementalDedup convention):
+    // `__epoch` is a partition value, so excluding an in-flight batch's
+    // own epoch prunes its directories before any IO
+    def epochFiltered(df: DataFrame): DataFrame =
+      if (excludeEpochs.isEmpty) df
+      else df.where(!col("__epoch").isin(excludeEpochs: _*))
     // one probe-cell derivation per query row, shared by both modes
     val probesPlan = queries.select(col(idCol).as("query_id"),
       explode(VectorExpressions.nearestCells(
@@ -329,7 +351,7 @@ object Ivf {
       val probes = spark.createDataFrame(
         java.util.Arrays.asList(collected: _*), probesPlan.schema)
       val qCells = collected.map(_.getInt(1)).distinct.toIndexedSeq
-      val corpus = spark.read.parquet(s"$path/data")
+      val corpus = epochFiltered(spark.read.parquet(s"$path/data"))
         .where(col("cell").isin(qCells: _*))
       val cands = corpus.select(col(idCol).as("neighbor_id"), col("cell"))
         .join(broadcast(probes), "cell")
@@ -338,7 +360,7 @@ object Ivf {
       verifyTopK(cands, corpus, queries, idCol, vecCol, k,
         broadcastQueries = true)
     } else {
-      val corpus = spark.read.parquet(s"$path/data")
+      val corpus = epochFiltered(spark.read.parquet(s"$path/data"))
       val cands = corpus.select(col(idCol).as("neighbor_id"), col("cell"))
         .join(probesPlan, "cell")
         .where(col("query_id") =!= col("neighbor_id"))

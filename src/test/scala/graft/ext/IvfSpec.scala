@@ -264,7 +264,7 @@ class IvfSpec extends SparkSpecBase {
     val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
     try {
       Ivf.writeIndex(first, "embedding", model, s"$dir/grown")
-      Ivf.appendToIndex(batch, "embedding", s"$dir/grown")
+      Ivf.appendToIndex(batch, "embedding", s"$dir/grown", epoch = "b1")
       Ivf.writeIndex(all, "embedding", model, s"$dir/whole")
       val grown = Ivf.topKIndexed(spark, s"$dir/grown", q, "vec_id",
         "embedding", k = 5, nProbe = 2)
