@@ -56,6 +56,15 @@ object BenchOne {
       cpu(8).toDouble / 100.0
     } catch { case _: Throwable => -1.0 }
 
+  /** Cumulative JVM GC seconds (all collectors) — sampled before/after
+    * each rep; the delta separates "the machine was slow" (cal/steal)
+    * from "this JVM was collecting" (a major GC landing inside a rep). */
+  private def gcSeconds(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum / 1000.0
+  }
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -129,13 +138,15 @@ object BenchOne {
     while (i < minReps || (i < maxReps && spreadTol > 0 && times.nonEmpty &&
         times.max / times.min > spreadTol)) {
       val s0 = stealSeconds()
+      val g0 = gcSeconds()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       val steal = { val s1 = stealSeconds(); if (s0 < 0 || s1 < 0) -1.0 else s1 - s0 }
+      val gc = gcSeconds() - g0
       val cal = calibrate()
       println(s"[bench-one] $name rep${i + 1} rows=$n ${fmt(dt)} s " +
-        s"cal=${fmt(cal)} steal=${fmt(steal)}")
+        s"cal=${fmt(cal)} steal=${fmt(steal)} gc=${fmt(gc)}")
       times :+= dt
       i += 1
       if (gcBetweenReps) System.gc()

