@@ -91,6 +91,7 @@ object SparkEntry {
     "llm_cosine_topk_lsh_scale" -> (LlmQueries.cosineTopKLshScale _),
     "llm_cosine_topk_ivf"      -> (LlmQueries.cosineTopKIvf _),
     "llm_cosine_topk_ivf_indexed" -> (LlmQueries.cosineTopKIvfIndexed _),
+    "llm_cosine_topk_pq"       -> (LlmQueries.cosineTopKPq _),
     "llm_ivf_cells"            -> (LlmQueries.ivfCellStats _),
     "llm_cosine_neardup"       -> (LlmQueries.cosineNearDup _),
     "llm_cosine_neardup_scale" -> (LlmQueries.cosineNearDupScale _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "llm_lsh_recall"           -> (LlmQueries.lshRecall _),
     "llm_lsh_scale_recall"     -> (LlmQueries.lshScaleRecall _),
     "llm_ivf_recall"           -> (LlmQueries.ivfRecall _),
+    "llm_pq_recall"            -> (LlmQueries.pqRecall _),
     "llm_ivf_indexed_parity"   -> (LlmQueries.ivfIndexedParity _),
     "llm_minhash_recall"       -> (LlmQueries.minhashRecall _),
     "llm_simhash_parity"       -> (LlmQueries.simhashParity _),
@@ -268,6 +270,11 @@ object SparkEntry {
   private val PinNearDupScale01 = 128L
   private val PinLshScale01 = 1L
   private val PinIvf01 = 64L
+  // IVF-PQ found counts (measured from the deterministic engine output
+  // per sf — see the llm_pq_recall entry)
+  private val PinPq0001 = 63L
+  private val PinPq001 = 53L
+  private val PinPq01 = 53L
   private val PinMinhash01 = 256L
   private val PinMinhashInc01 = 53L
   private val PinSimhashInc0001 = 9L
@@ -908,6 +915,12 @@ object SparkEntry {
       Seq(6000L -> 4L, 60000L -> 2L, 600000L -> PinLshScale01), nQueries = true),
     "llm_ivf_recall" -> recallOracle(ExactTopKSql, SfDiscriminatorSql,
       Seq(6000L -> 65L, 60000L -> 55L, 600000L -> PinIvf01), nQueries = true),
+    // IVF-PQ: same probes as llm_ivf_recall, candidates ADC-shortlisted
+    // from 8-byte codes before the exact rerank — the pin records what
+    // the 32x code compression costs vs the IVF-Flat pin above.
+    "llm_pq_recall" -> recallOracle(ExactTopKSql, SfDiscriminatorSql,
+      Seq(6000L -> PinPq0001, 60000L -> PinPq001, 600000L -> PinPq01),
+      nQueries = true),
     "llm_minhash_recall" -> recallOracle(JaccardPairsSql, SfDiscriminatorSql,
       Seq(6000L -> 28L, 60000L -> 25L, 600000L -> PinMinhash01), nQueries = false),
     // Incremental-minhash gate: exact side = UNCAPPED shard-touching
@@ -1338,6 +1351,7 @@ object SparkEntry {
     // IVF family → recall + serving parity + cell-occupancy checksum
     "llm_cosine_topk_ivf"          -> "llm_ivf_recall",
     "llm_cosine_topk_ivf_indexed"  -> "llm_ivf_indexed_parity",
+    "llm_cosine_topk_pq"           -> "llm_pq_recall",
     "llm_ivf_cells"                -> "llm_ivf_cells_checksum",
     // minhash/simhash/winnowing → recall, parity, and value checksums
     "llm_neardup_minhash"          -> "llm_minhash_recall",

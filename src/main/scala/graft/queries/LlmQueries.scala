@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Ivf, Multimodal, Sampling, Similarity, TextStats, Winnowing}
+import graft.ext.{Dedup, Ivf, Multimodal, Pq, Sampling, Similarity, TextStats, Winnowing}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -181,6 +181,31 @@ object LlmQueries {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
 
+  /** Session-cached IVF-PQ index over the full embedding table
+    * ([[graft.ext.Pq.writeIndex]]): 64-dim vectors → 8 subspaces × 32
+    * codes = 8 code BYTES per vector (32× smaller than the float rows
+    * the ADC scan would otherwise stream). */
+  private def pqIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"pq|$sfDir") { dir =>
+      val all = emb(spark, sfDir)
+      val pqm = Pq.train(all, "vec_id", "embedding", m = 8, ksub = 32)
+      Pq.writeIndex(all, "vec_id", "embedding", ivfModel(spark, sfDir),
+        pqm, dir)
+    }
+
+  /** IVF-PQ top-k: probe 4 of 16 cells, ADC-rank their CODES (8 table
+    * lookups per candidate, floats untouched), exact-rerank the top 50
+    * from raw vectors — reported sims are exact cosines, PQ only picks
+    * who reaches the rerank ([[graft.ext.Pq]]). Rows-only under the
+    * driver gate (trained codebooks); recall pinned by
+    * [[pqRecall]]. */
+  def cosineTopKPq(spark: SparkSession, sfDir: String): DataFrame =
+    Pq.topKIndexed(spark, pqIndexDir(spark, sfDir),
+        emb(spark, sfDir).where(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nProbe = 4, rerank = 50)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+
   // --------------------------------------------------------------------
   // Driver-gated recall / parity rows for the probabilistic ANN family.
   //
@@ -228,6 +253,13 @@ object LlmQueries {
   /** Recall@5 of IVF-Flat (nProbe=4 of 16) against the exact baseline. */
   def ivfRecall(spark: SparkSession, sfDir: String): DataFrame =
     topKRecall(cosineTopK(spark, sfDir), cosineTopKIvf(spark, sfDir))
+
+  /** Recall@5 of IVF-PQ (same probes as [[ivfRecall]], candidates
+    * ADC-shortlisted from 8-byte codes before the exact rerank) against
+    * the exact baseline — the price of the 32× code compression is
+    * whatever this pin records vs the IVF-Flat pin. */
+  def pqRecall(spark: SparkSession, sfDir: String): DataFrame =
+    topKRecall(cosineTopK(spark, sfDir), cosineTopKPq(spark, sfDir))
 
   /** Serving-path parity: the written cell-partitioned IVF index must
     * return EXACTLY the in-memory probe's rows — same neighbor at the
