@@ -213,8 +213,9 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
       }
-    def jsonLine(stream: String, sinkCmp: String, ladder: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"reps_env":$rsEnv,"stream":$stream,"sink_small_batch":$sinkCmp,"ladder":$ladder,"sf":"$sfDir"}"""
+    def jsonLine(stream: String, sinkCmp: String, layout: String,
+                 ladder: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"reps_env":$rsEnv,"stream":$stream,"sink_small_batch":$sinkCmp,"zorder_layout":$layout,"ladder":$ladder,"sf":"$sfDir"}"""
     // Double.toString is locale-independent ('.' decimal always) — the
     // JSON contract must not go through a default-locale formatter.
     def num(d: Double): String = (math.rint(d * 1000) / 1000).toString
@@ -223,7 +224,8 @@ object Bench {
     val noStream = """{"events":0,"batches":0,"sec":-1,"events_per_sec":-1}"""
     val noCmp = """{"events_per_batch":0,"batches":0,"cow_eps":-1,"mor_eps":-1}"""
     val noLadder = """{"factor":0,"queries":{}}"""
-    persist(jsonLine(noStream, noCmp, noLadder))
+    val noLayout = """{"files_total":0,"files_read":0,"rows":0,"full_sec":-1,"pruned_sec":-1}"""
+    persist(jsonLine(noStream, noCmp, noLayout, noLadder))
     // Streaming throughput row (fixed batch count, see StreamBench):
     // runs AFTER the fork phase so its JVM state can't perturb query
     // timings; caches were already dropped above. Bounded wait — a
@@ -242,7 +244,7 @@ object Bench {
         System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
         noStream
       }
-    persist(jsonLine(stream, noCmp, noLadder))
+    persist(jsonLine(stream, noCmp, noLayout, noLadder))
     // Small-batch write-amplification row, timed at the SINK layer: the
     // streaming harness's ~2 s/trigger fixed cost (JSON normalize,
     // fan-out, scheduling) buries any sink difference locally (measured:
@@ -267,7 +269,23 @@ object Bench {
         System.err.println(s"[bench] sink small-batch bench failed: ${e.getMessage}")
         noCmp
       }
-    persist(jsonLine(stream, sinkCmp, noLadder))
+    persist(jsonLine(stream, sinkCmp, noLayout, noLadder))
+    // Z-order layout row: the measured file-skipping ratio behind the
+    // events_zorder_pruned oracle row. Bounded wait like the others.
+    val layout =
+      try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val r = Await.result(
+          Future(graft.sink.LayoutBench.run(spark, sfDir)), 300.seconds)
+        s"""{"files_total":${r.filesTotal},"files_read":${r.filesRead},""" +
+          s""""rows":${r.rows},"full_sec":${num(r.fullSec)},"pruned_sec":${num(r.prunedSec)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] zorder layout bench failed: ${e.getMessage}")
+        noLayout
+      }
+    persist(jsonLine(stream, sinkCmp, layout, noLadder))
     // Scale-ladder rungs LAST (the slowest phase; every earlier number
     // is already persisted if it wedges): headline queries timed at 1x
     // and Fx generated data, exponent per query — the measured form of
@@ -285,7 +303,7 @@ object Bench {
         System.err.println(s"[bench] scale ladder failed: ${e.getMessage}")
         noLadder
       }
-    val line = jsonLine(stream, sinkCmp, ladder)
+    val line = jsonLine(stream, sinkCmp, layout, ladder)
     println(line)
     persist(line)
     spark.stop()

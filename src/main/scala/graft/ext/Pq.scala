@@ -201,6 +201,27 @@ object Pq {
       .parquet(s"$path/data/__epoch=base")
   }
 
+  /** Fold new vectors into a written IVF-PQ index under its OWN stored
+    * models (cell assignment AND codes — the [[Ivf.appendToIndex]]
+    * train-once contract, extended to the codebooks: re-training either
+    * quantizer would silently re-map every stored code), written as an
+    * `__epoch=<epoch>` sibling — O(batch), idempotent per epoch.
+    * Appended ids must be disjoint from every id already indexed. */
+  def appendToIndex(newVectors: DataFrame, idCol: String, vecCol: String,
+                    path: String, epoch: String): Unit = {
+    require(epoch.nonEmpty && epoch != "base" && !epoch.contains('/'),
+      s"epoch must be a non-'base', path-safe name, got '$epoch'")
+    val spark = newVectors.sparkSession
+    val ivfModel = Ivf.load(spark, s"$path/model")
+    val pqModel = load(spark, s"$path/pq")
+    newVectors
+      .withColumn("cell", Ivf.cellOf(col(vecCol), ivfModel))
+      .withColumn("codes",
+        PqExpressions.encode(col(vecCol).cast("array<double>"), pqModel))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/data/__epoch=$epoch")
+  }
+
   /** Top-k against a written IVF-PQ index: probe `nProbe` cells per
     * query (bounded planning collect, the [[Ivf.topKIndexed]]
     * broadcast-probes shape), ADC-rank the probed cells' CODES, keep

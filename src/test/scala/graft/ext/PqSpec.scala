@@ -136,6 +136,26 @@ class PqSpec extends SparkSpecBase {
       s"cell partition pruning missing:\n${partFilters.mkString("\n")}")
   }
 
+  test("appendToIndex: searches after an epoch append equal a from-scratch index") {
+    val all = clustered()
+    val first = all.where(col("vec_id") % 3 =!= 0)
+    val batch = all.where(col("vec_id") % 3 === 0)
+    val q = all.where(col("vec_id") < 3)
+    val ivf = Ivf.train(all, "vec_id", "embedding", nCells = 4)
+    val pq = Pq.train(all, "vec_id", "embedding", m = 4, ksub = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq-append").toString
+    Pq.writeIndex(first, "vec_id", "embedding", ivf, pq, s"$dir/grown")
+    Pq.appendToIndex(batch, "vec_id", "embedding", s"$dir/grown", "b1")
+    Pq.writeIndex(all, "vec_id", "embedding", ivf, pq, s"$dir/whole")
+    def run(p: String) = Pq.topKIndexed(spark, p, q, "vec_id", "embedding",
+        k = 5, nProbe = 2, rerank = 20)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(run(s"$dir/grown") === run(s"$dir/whole"))
+    // idempotent replay: re-appending the same epoch changes nothing
+    Pq.appendToIndex(batch, "vec_id", "embedding", s"$dir/grown", "b1")
+    assert(run(s"$dir/grown") === run(s"$dir/whole"))
+  }
+
   test("codes are m bytes: 8x smaller than the float vectors they index") {
     val df = clustered()
     val ivf = Ivf.train(df, "vec_id", "embedding", nCells = 4)
