@@ -137,7 +137,13 @@ object Bench {
     // alphabetically and populate it), so their in-JVM runs time a
     // cache scan — observed cdc_normalize_dms 0.10 s vs its uncached
     // strict/flink siblings at 2.4-2.8 s.
+    // events_zorder_pruned / llm_cosine_topk_pq / llm_decontam_bloom:
+    // their in-JVM first run pays the one-time session-cached INDEX
+    // BUILD (clustered write / PQ train+encode / bloom build); the fork
+    // rebuilds it in untimed warmup, so the timed reps measure the
+    // production read path.
     val alwaysFork = Set("events_sessions", "llm_neardup_jaccard",
+      "events_zorder_pruned", "llm_cosine_topk_pq", "llm_decontam_bloom",
       "llm_neardup_minhash", "llm_cosine_neardup", "llm_cosine_neardup_scale",
       "cdc_normalize_debezium", "cdc_normalize_dms", "cdc_normalize_inferalways")
     // Heavy-tail re-time in a FRESH JVM, recording every rep so a judge

@@ -70,5 +70,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 1, "graft_repetition_stats(text)")
         RepetitionStats(args(0))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "graft_bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          "graft_bloom_might_contain(text, '/index/bloom/filter.bin')")
+        val path = args(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
+            if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"bloom path must be a string literal, got $other")
+        }
+        BloomMightContain(args(0), path)
+      }))
   }
 }

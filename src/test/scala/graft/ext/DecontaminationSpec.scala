@@ -108,6 +108,30 @@ class DecontaminationSpec extends SparkSpecBase {
     assert(exprNo.eval(null).isInstanceOf[Boolean])
   }
 
+  test("plan: bloom probe is a Filter BELOW the verify join (map-side prune)") {
+    val corpus = docs((1L, "a b c d"), (2L, "x y z w"))
+    val bench = docs((100L, "b c d e"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom3").toString
+    Decontamination.writeBloomIndex(bench, "doc_id", "text", dir, n = 3)
+    val plan = Decontamination.flagWithBloom(spark, dir, corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val lines = plan.split("\n")
+    val probeLine = lines.indexWhere(_.contains("graft_bloom_might_contain"))
+    assert(probeLine >= 0, s"bloom probe missing from plan:\n$plan")
+    // the probe must sit strictly below (deeper than) every join — i.e.
+    // some join appears ABOVE it in the operator tree dump
+    val joinAbove = lines.take(probeLine).exists(l =>
+      l.contains("Join") || l.contains("HashJoin"))
+    assert(joinAbove,
+      s"bloom probe is not below the verify join:\n$plan")
+    // and no join may appear BELOW the probe (the filter feeds the join,
+    // never the other way round)
+    val joinBelow = lines.drop(probeLine + 1).exists(l =>
+      l.contains("Join") || l.contains("HashJoin"))
+    assert(!joinBelow,
+      s"a join sits below the bloom probe — prefilter not map-side:\n$plan")
+  }
+
   test("plan: bench side broadcast, corpus never shuffled before the join") {
     val corpus = docs((1L, "a b c d"), (2L, "x y z w"))
     val bench = docs((100L, "b c d e"))

@@ -54,4 +54,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT graft_repetition_stats('a b a b a') AS s").head()
     assert(r.getSeq[Long](0) === Seq(5L, 3L, 5L, 4L, 2L))
   }
+
+  test("graft_bloom_might_contain is callable from SQL; path must be literal") {
+    // build a tiny bloom through the public write path
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gx-bloom").toString
+    graft.ext.Decontamination.writeBloomIndex(
+      Seq((1L, "hello world of spark")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, n = 2)
+    val p = s"$dir/bloom/filter.bin"
+    val row = spark.sql(
+      s"""SELECT graft_bloom_might_contain('hello world', '$p') AS hit,
+         |       graft_bloom_might_contain(CAST(NULL AS STRING), '$p') AS nul
+         |""".stripMargin).head()
+    assert(row.getBoolean(0))
+    assert(row.isNullAt(1))
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_might_contain('x', concat('a', 'b'))").head()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
 }
