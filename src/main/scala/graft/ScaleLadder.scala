@@ -201,7 +201,40 @@ object ScaleLadder {
           "llm_clean_corpus_stage_* rungs)")
       case r => r
     }
-    (annotated :+ inc) ++ stageRungs ++ indexSizeRungs(spark, d1)
+    (annotated :+ inc) ++ stageRungs ++ indexSizeRungs(spark, d1) :+
+      zorderRung(spark, d1, dF, factor)
+  }
+
+  /** The z-order file-skipping claim at scale, MEASURED (rung values
+    * are FILE COUNTS, not seconds): cluster the 1x and Fx generated
+    * events copies at CONSTANT file size (targetFiles ∝ data), query
+    * the same rectangle, record files actually read. The generator
+    * strides user_id per replica, so the rectangle keeps selecting the
+    * same absolute rows while the table grows Fx — a layout whose
+    * pruning tracks the RECTANGLE holds files_read ~flat (exponent
+    * near 0); a layout that degraded with scale would drift toward
+    * exponent 1 (files_read ∝ files_total). */
+  private def zorderRung(spark: SparkSession, d1: String, dF: String,
+                         factor: Int): Rung = {
+    val ranges: graft.sink.ZOrderLayout.Ranges =
+      Map("user_id" -> (Some(10.0), Some(20.0)),
+          "value" -> (Some(5.0), Some(10.0)))
+    def filesRead(dir: String, files: Int): Double = {
+      val zdir = s"$dir/__zorder"
+      graft.sink.ZOrderLayout.write(
+        spark.read.parquet(s"$dir/events.parquet"),
+        Seq("user_id", "value"), zdir, targetFiles = files)
+      val (kept, _) = graft.sink.ZOrderLayout.candidateFiles(spark, zdir, ranges)
+      kept.size.toDouble
+    }
+    val n1 = filesRead(d1, 32)
+    val nF = filesRead(dF, 32 * factor)
+    Rung("zorder_files_read", n1, nF,
+      math.log(nF / n1) / math.log(factor.toDouble),
+      s"FILE COUNTS not seconds: files read for the gated rectangle at " +
+        s"constant file size (32 files at 1x, ${32 * factor} at " +
+        s"${factor}x); near 0 means pruned IO tracks the rectangle, " +
+        "not the corpus")
   }
 
   /** On-disk bytes of a directory tree through the Hadoop FS (the same

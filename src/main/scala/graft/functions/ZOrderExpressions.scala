@@ -26,30 +26,43 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * centroids).
   */
 object ZOrderExpressions {
-  /** Max clustered columns: 8 cols × 8 bits = the 64-bit key. */
+  /** Max clustered columns (at the default 8 bits each; fewer columns
+    * may use more bits — the constraint is cols × bits ≤ 63). */
   val MaxCols = 8
   val BitsPerCol = 8
 
-  def zValue(cols: Seq[Column], boundaries: Seq[Array[Double]]): Column =
+  def zValue(cols: Seq[Column], boundaries: Seq[Array[Double]],
+             bitsPerCol: Int = BitsPerCol): Column =
     GraftExpressionBridge.column(
-      ZValue(cols.map(GraftExpressionBridge.expression), boundaries))
+      ZValue(cols.map(GraftExpressionBridge.expression), boundaries,
+        bitsPerCol))
 }
 
 /** Interleaved quantile-rank key: each child (cast to double upstream)
-  * is ranked into 256 buckets via binary search over its 255 sorted
-  * boundaries, and bit b of column c lands at output bit `b·k + c`.
+  * is ranked into 2^bitsPerCol buckets via binary search over its
+  * sorted boundaries, and bit b of column c lands at output bit
+  * `b·k + c`. Bucket RESOLUTION must grow with the clustered domain
+  * (the ladder's zorder_files_read rung measures exactly this): at a
+  * fixed 8 bits, a 10× corpus makes each bucket cover 10× more keys
+  * and an absolute-size rectangle stops pruning — so
+  * [[graft.sink.ZOrderLayout]] scales bits with the target file
+  * count.
   * NULL ranks as bucket 0 (sorts first; range predicates null-reject,
   * so manifest pruning stays correct). NaN ranks last (bucket 255) —
   * `java.util.Arrays.binarySearch` orders NaN above +∞, matching the
   * `Double.compare` total order Spark sorts use. */
-case class ZValue(children: Seq[Expression], boundaries: Seq[Array[Double]])
+case class ZValue(children: Seq[Expression], boundaries: Seq[Array[Double]],
+                  bitsPerCol: Int = ZOrderExpressions.BitsPerCol)
     extends Expression {
   require(children.nonEmpty && children.size <= ZOrderExpressions.MaxCols,
     s"z-order supports 1..${ZOrderExpressions.MaxCols} columns")
+  require(bitsPerCol >= 1 && children.size * bitsPerCol <= 63,
+    s"cols × bitsPerCol must fit a positive long, got " +
+      s"${children.size} × $bitsPerCol")
   require(boundaries.size == children.size,
     "one boundary array per clustered column")
-  require(boundaries.forall(_.length == 255),
-    "each boundary array must have 255 entries (256 buckets)")
+  require(boundaries.forall(_.length == (1 << bitsPerCol) - 1),
+    s"each boundary array must have 2^$bitsPerCol - 1 entries")
 
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
@@ -73,7 +86,7 @@ case class ZValue(children: Seq[Expression], boundaries: Seq[Array[Double]])
         if (v == null) 0
         else ZValue.bucketOf(boundaries(c), v.asInstanceOf[Double])
       var b = 0
-      while (b < ZOrderExpressions.BitsPerCol) {
+      while (b < bitsPerCol) {
         if (((bucket >> b) & 1) == 1) z |= 1L << (b * k + c)
         b += 1
       }
@@ -96,7 +109,7 @@ case class ZValue(children: Seq[Expression], boundaries: Seq[Array[Double]])
          |${childGen.code}
          |int $bucket = ${childGen.isNull} ? 0 :
          |  graft.functions.ZValue.bucketOf($bnd, ${childGen.value});
-         |for (int $b = 0; $b < ${ZOrderExpressions.BitsPerCol}; $b++) {
+         |for (int $b = 0; $b < $bitsPerCol; $b++) {
          |  if ((($bucket >> $b) & 1) == 1) $z |= 1L << ($b * $k + $c);
          |}
        """.stripMargin
@@ -116,9 +129,9 @@ case class ZValue(children: Seq[Expression], boundaries: Seq[Array[Double]])
 }
 
 object ZValue {
-  /** Bucket index in [0, 255] for `v` against 255 sorted boundaries:
-    * the count of boundaries <= v, via binary search. Called from
-    * generated code — must stay public, static-forwardable, and
+  /** Bucket index in [0, len] for `v` against sorted boundaries: the
+    * count of boundaries <= v, via binary search. Called from generated
+    * code — must stay public, static-forwardable, and
     * allocation-free. */
   def bucketOf(bnd: Array[Double], v: Double): Int = {
     val i = java.util.Arrays.binarySearch(bnd, v)

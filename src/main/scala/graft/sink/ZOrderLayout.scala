@@ -41,19 +41,34 @@ object ZOrderLayout {
 
   /** Cluster `df` on `cols` (numeric; cast to double for ranking only —
     * stored values are untouched) into `targetFiles` z-sorted files. */
+  /** Bucket bits per column: resolution must GROW with the clustered
+    * domain or an absolute-size rectangle stops pruning at scale (the
+    * ladder's `zorder_files_read` rung measured exponent 0.83 with
+    * fixed 8-bit buckets vs ~0 with scaled bits). ≥16 buckets per
+    * target file keeps bucket width well under file width; floor 8
+    * bits, ceiling 63/k bits (the long key). */
+  private[sink] def bitsFor(nCols: Int, targetFiles: Int): Int = {
+    val wanted = math.ceil(
+      math.log(math.max(256.0, 16.0 * targetFiles)) / math.log(2.0)).toInt
+    math.min(math.max(8, wanted), 63 / nCols)
+  }
+
   def write(df: DataFrame, cols: Seq[String], path: String,
             targetFiles: Int = 64): Unit = {
     require(cols.nonEmpty && cols.size <= ZOrderExpressions.MaxCols)
     val spark = df.sparkSession
     val fs = new TableFs(path, spark.sparkContext.hadoopConfiguration)
-    // 255 interior quantile boundaries per column = 256 equi-depth
-    // buckets. relativeError 1e-3 keeps rank skew under a row group.
-    val probs = (1 until 256).map(_ / 256.0).toArray
+    // 2^bits - 1 interior quantile boundaries per column = 2^bits
+    // equi-depth buckets; relativeError keeps rank skew under a bucket.
+    val bits = bitsFor(cols.size, targetFiles)
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val asDouble = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
     val boundaries: Seq[Array[Double]] =
-      asDouble.stat.approxQuantile(cols.toArray, probs, 1e-3).toSeq
+      asDouble.stat.approxQuantile(cols.toArray, probs,
+        0.25 / nBuckets).toSeq
     val zc = ZOrderExpressions.zValue(
-      cols.map(c => col(c).cast("double")), boundaries)
+      cols.map(c => col(c).cast("double")), boundaries, bits)
     df.withColumn("__z", zc)
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
