@@ -85,8 +85,101 @@ object ZOrderLayout {
       .coalesce(1)
       .write.mode("overwrite").parquet(fs.str("manifest"))
     import df.sparkSession.implicits._
-    cols.zip(boundaries).toDF("col", "boundaries")
+    cols.zip(boundaries).map { case (c, b) => (c, b.toSeq, bits) }
+      .toDF("col", "boundaries", "bits")
       .coalesce(1).write.mode("overwrite").parquet(fs.str("meta"))
+  }
+
+  private def readMeta(spark: SparkSession, fs: TableFs)
+      : (Seq[String], Seq[Array[Double]], Int) = {
+    val rows = spark.read.parquet(fs.str("meta"))
+      .select(col("col"), col("boundaries").cast("array<double>"),
+        col("bits").cast("int"))
+      .collect()
+    require(rows.nonEmpty, "empty z-order meta")
+    (rows.map(_.getString(0)).toSeq,
+      rows.map(_.getSeq[Double](1).toArray).toSeq,
+      rows.head.getInt(2))
+  }
+
+  /** Scheme-independent identity for file-set diffs: `input_file_name`
+    * renders `file:///a/b` where a Hadoop listing renders `file:/a/b`. */
+  private def filePathKey(s: String): String =
+    try new java.net.URI(s).getPath catch { case _: Throwable => s }
+
+  /** Fold a new batch into an existing clustered table WITHOUT
+    * re-clustering the world: the batch is z-sorted under the STORED
+    * boundaries (no re-quantile — the bucketing stays stable so old and
+    * new files share one key space), lands as `batchFiles` additional
+    * data files, and only THOSE files' min/max rows append to the
+    * manifest (a metadata pass over the new files alone — O(batch), not
+    * O(table)). Under data drift the stored boundaries slowly skew
+    * equi-depth into unequal buckets; pruning stays CORRECT (min/max is
+    * per actual file content) but gradually loosens — [[optimize]] is
+    * the scheduled repair, exactly the Delta/Hudi
+    * append-then-recluster loop. */
+  def append(df: DataFrame, path: String, batchFiles: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val fs = new TableFs(path, spark.sparkContext.hadoopConfiguration)
+    val (cols, boundaries, bits) = readMeta(spark, fs)
+    val before = spark.read.parquet(fs.str("manifest"))
+      .select("file").collect().map(r => filePathKey(r.getString(0))).toSet
+    val zc = ZOrderExpressions.zValue(
+      cols.map(c => col(c).cast("double")), boundaries, bits)
+    df.withColumn("__z", zc)
+      .repartitionByRange(batchFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("append").parquet(fs.str("data"))
+    // manifest delta: stat ONLY the files the append created. The file
+    // inventory comes from ONE directory listing (object-store-metered
+    // metadata), not a footer scan of the table.
+    val dataPath = new org.apache.hadoop.fs.Path(fs.str("data"))
+    val hfs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val allFiles = hfs.listStatus(dataPath)
+      .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    val newFiles = allFiles.filterNot(f => before.contains(filePathKey(f)))
+    if (newFiles.nonEmpty) {
+      val aggs: Seq[Column] = cols.flatMap { c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) }
+      spark.read.parquet(newFiles: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.mode("append").parquet(fs.str("manifest"))
+    }
+  }
+
+  /** Re-cluster the whole table into `targetFiles` fresh z-sorted files
+    * (the OPTIMIZE step after a run of appends): the new layout is
+    * built COMPLETELY in a staging dir while readers still see the old
+    * files, then swapped in. The dir swap is not atomic (a reader in
+    * the swap window can miss the table) — a production deployment
+    * fronts the table with the sinks' snapshot-pointer machinery
+    * ([[KeyedUpsertTable]]'s pattern); this op is the layout kernel. */
+  def optimize(spark: SparkSession, path: String,
+               targetFiles: Int = 64): Unit = {
+    val fs = new TableFs(path, spark.sparkContext.hadoopConfiguration)
+    val (cols, _, _) = readMeta(spark, fs)
+    val staged = s"$path/__compact"
+    write(read(spark, path), cols, staged, targetFiles)
+    for (d <- Seq("data", "manifest", "meta")) {
+      fs.deleteRecursively(d)
+      val src = new org.apache.hadoop.fs.Path(fs.str(s"__compact/$d"))
+      val dst = new org.apache.hadoop.fs.Path(fs.str(d))
+      val hfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(hfs.rename(src, dst), s"optimize rename failed: $src -> $dst")
+    }
+    // the staged manifest's file paths still point into __compact —
+    // rewrite them to the final location (string surgery, no data IO)
+    val m = spark.read.parquet(fs.str("manifest"))
+      .withColumn("file",
+        regexp_replace(col("file"), "/__compact/data/", "/data/"))
+      .collect()
+    val schema = spark.read.parquet(fs.str("manifest")).schema
+    spark.createDataFrame(java.util.Arrays.asList(m: _*), schema)
+      .coalesce(1).write.mode("overwrite").parquet(fs.str("manifest"))
+    fs.deleteRecursively("__compact")
   }
 
   /** Full-table read (no pruning) — the correctness baseline. */

@@ -71,6 +71,36 @@ class ZOrderLayoutSpec extends SparkSpecBase {
     assert(out.columns.toSeq === Seq("id", "x", "y", "tag"))
   }
 
+  test("append + optimize: the lakehouse maintenance loop") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-z5").toString
+    val base = table().where(col("id") < 3000)
+    val batch = table().where(col("id") >= 3000)
+    ZOrderLayout.write(base, Seq("x", "y"), dir, targetFiles = 8)
+    ZOrderLayout.append(batch, dir, batchFiles = 2)
+    val ranges: ZOrderLayout.Ranges =
+      Map("x" -> (Some(10.0), Some(20.0)), "y" -> (Some(15.0), Some(45.0)))
+    // pruned read ≡ full filter over base ∪ batch
+    def prunedIds() = ZOrderLayout.readPruned(spark, dir, ranges)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val expect = table()
+      .where(col("x").between(10, 20) && col("y").between(15.0, 45.0))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(prunedIds() === expect)
+    // manifest covers the appended files: total count grew by batchFiles
+    val (_, totalAfterAppend) = ZOrderLayout.candidateFiles(spark, dir, ranges)
+    assert(totalAfterAppend === 10)
+    // optimize re-clusters to the target; answers unchanged, manifest
+    // rebuilt, staging dir gone
+    ZOrderLayout.optimize(spark, dir, targetFiles = 8)
+    assert(prunedIds() === expect)
+    val (keptOpt, totalOpt) = ZOrderLayout.candidateFiles(spark, dir, ranges)
+    assert(totalOpt === 8)
+    assert(keptOpt.size < totalOpt)
+    assert(!new java.io.File(s"$dir/__compact").exists())
+    assert(ZOrderLayout.read(spark, dir).count() === 4096)
+  }
+
   test("z-value kernel: interpreted eval matches codegen; nulls rank first") {
     val s = spark; import s.implicits._
     val bnd = Seq(Array.tabulate(255)(i => i + 1.0),
