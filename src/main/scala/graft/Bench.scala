@@ -237,14 +237,23 @@ object Bench {
     // timings; caches were already dropped above. Bounded wait — a
     // wedged processAllAvailable records eps=-1 instead of hanging the
     // bench; spark.stop()/JVM exit reaps the abandoned attempt.
+    // Median of 3 full runs (r11: a single shot recorded 10.1k ev/s in
+    // a run whose standalone repeats sat at a stable ~20.5k — the
+    // stream row gets the same median discipline as the forked
+    // queries; all three eps values go to stderr for the record).
     val stream =
       try {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
-        val r = Await.result(
-          Future(graft.stream.StreamBench.run(spark, eventsPerBatch = 25000, batches = 6)),
-          300.seconds)
+        val runs = (1 to 3).map { i =>
+          val r = Await.result(
+            Future(graft.stream.StreamBench.run(spark, eventsPerBatch = 25000, batches = 6)),
+            300.seconds)
+          System.err.println(s"[bench] stream run$i eps=${num(r.eps)}")
+          r
+        }
+        val r = runs.sortBy(_.eps).apply(runs.size / 2)
         s"""{"events":${r.events},"batches":${r.batches},"sec":${num(r.sec)},"events_per_sec":${num(r.eps)}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
