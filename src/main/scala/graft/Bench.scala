@@ -188,7 +188,12 @@ object Bench {
               if (cals.forall(_ > 0)) {
                 val noBurst = rsCal.filter(_._3 <= 1.0)
                 val pool = if (noBurst.size >= 3) noBurst else rsCal
-                pool.sortBy(_._2).take(3).map(_._1)
+                // tie-break equal-cal windows toward the faster rep: a
+                // 29.6 s rep with probe values identical to a 3.6 s one
+                // (r11, llm_dedup_incremental) is IO contention the
+                // CPU probes cannot see — among equally-quiet windows
+                // the less-interfered measurement is the better one
+                pool.sortBy(r => (r._2, r._1)).take(3).map(_._1)
               } else rs
             name -> clean.sorted.apply(clean.size / 2)
           case None =>
