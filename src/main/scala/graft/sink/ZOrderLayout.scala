@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
   *
   * Layout (all via the Hadoop [[TableFs]] seam — object-store ready):
   * {{{
-  *   root/data/              clustered parquet files
-  *   root/manifest/          one row per data file: min/max per column
-  *   root/meta/              clustered column names + boundaries
+  *   root/data/__epoch=e/     clustered parquet files (base + appends)
+  *   root/manifest/__epoch=e/ one row per data file: min/max per column
+  *   root/meta/               clustered column names + boundaries + bits
   * }}}
   *
   * Scale notes:
@@ -69,11 +69,18 @@ object ZOrderLayout {
         0.25 / nBuckets).toSeq
     val zc = ZOrderExpressions.zValue(
       cols.map(c => col(c).cast("double")), boundaries, bits)
+    // epoch-FIRST layout (`data/__epoch=base/`, the engine's index
+    // convention): appends land as sibling epoch dirs and a replayed
+    // stream batch overwrites ONLY its own epoch — see [[append]].
+    // A full (re)write is the whole table: clear prior epochs first —
+    // per-dir overwrite would otherwise leave stale append siblings.
+    fs.deleteRecursively("data")
+    fs.deleteRecursively("manifest")
     df.withColumn("__z", zc)
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(fs.str("data"))
+      .write.mode("overwrite").parquet(fs.str("data/__epoch=base"))
     // Per-file min/max manifest: one metadata pass over the just-written
     // files (column-pruned to the clustered columns), grouped by file.
     val written = df.sparkSession.read.parquet(fs.str("data"))
@@ -83,7 +90,7 @@ object ZOrderLayout {
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
-      .write.mode("overwrite").parquet(fs.str("manifest"))
+      .write.mode("overwrite").parquet(fs.str("manifest/__epoch=base"))
     import df.sparkSession.implicits._
     cols.zip(boundaries).map { case (c, b) => (c, b.toSeq, bits) }
       .toDF("col", "boundaries", "bits")
@@ -102,52 +109,42 @@ object ZOrderLayout {
       rows.head.getInt(2))
   }
 
-  /** Scheme-independent identity for file-set diffs: `input_file_name`
-    * renders `file:///a/b` where a Hadoop listing renders `file:/a/b`. */
-  private def filePathKey(s: String): String =
-    try new java.net.URI(s).getPath catch { case _: Throwable => s }
-
   /** Fold a new batch into an existing clustered table WITHOUT
     * re-clustering the world: the batch is z-sorted under the STORED
     * boundaries (no re-quantile — the bucketing stays stable so old and
-    * new files share one key space), lands as `batchFiles` additional
-    * data files, and only THOSE files' min/max rows append to the
-    * manifest (a metadata pass over the new files alone — O(batch), not
-    * O(table)). Under data drift the stored boundaries slowly skew
+    * new files share one key space) and lands as the `__epoch=<epoch>`
+    * sibling of the base layout, with ONLY its own files' min/max rows
+    * written under the matching manifest epoch — O(batch) everywhere,
+    * no table scan, no file diffing, and IDEMPOTENT per epoch (a
+    * replayed stream batch overwrites its own data AND manifest
+    * partitions — the [[graft.stream.StreamZOrder]] at-least-once
+    * seam). Under data drift the stored boundaries slowly skew
     * equi-depth into unequal buckets; pruning stays CORRECT (min/max is
     * per actual file content) but gradually loosens — [[optimize]] is
     * the scheduled repair, exactly the Delta/Hudi
     * append-then-recluster loop. */
-  def append(df: DataFrame, path: String, batchFiles: Int = 8): Unit = {
+  def append(df: DataFrame, path: String, epoch: String,
+             batchFiles: Int = 8): Unit = {
+    require(epoch.nonEmpty && epoch != "base" && !epoch.contains('/'),
+      s"epoch must be a non-'base', path-safe name, got '$epoch'")
     val spark = df.sparkSession
     val fs = new TableFs(path, spark.sparkContext.hadoopConfiguration)
     val (cols, boundaries, bits) = readMeta(spark, fs)
-    val before = spark.read.parquet(fs.str("manifest"))
-      .select("file").collect().map(r => filePathKey(r.getString(0))).toSet
     val zc = ZOrderExpressions.zValue(
       cols.map(c => col(c).cast("double")), boundaries, bits)
+    val epochDir = fs.str(s"data/__epoch=$epoch")
     df.withColumn("__z", zc)
       .repartitionByRange(batchFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("append").parquet(fs.str("data"))
-    // manifest delta: stat ONLY the files the append created. The file
-    // inventory comes from ONE directory listing (object-store-metered
-    // metadata), not a footer scan of the table.
-    val dataPath = new org.apache.hadoop.fs.Path(fs.str("data"))
-    val hfs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val allFiles = hfs.listStatus(dataPath)
-      .map(_.getPath.toString).filter(_.endsWith(".parquet"))
-    val newFiles = allFiles.filterNot(f => before.contains(filePathKey(f)))
-    if (newFiles.nonEmpty) {
-      val aggs: Seq[Column] = cols.flatMap { c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) }
-      spark.read.parquet(newFiles: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(aggs.head, aggs.tail: _*)
-        .coalesce(1)
-        .write.mode("append").parquet(fs.str("manifest"))
-    }
+      .write.mode("overwrite").parquet(epochDir)
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) }
+    spark.read.parquet(epochDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(fs.str(s"manifest/__epoch=$epoch"))
   }
 
   /** Re-cluster the whole table into `targetFiles` fresh z-sorted files
@@ -157,35 +154,62 @@ object ZOrderLayout {
     * the swap window can miss the table) — a production deployment
     * fronts the table with the sinks' snapshot-pointer machinery
     * ([[KeyedUpsertTable]]'s pattern); this op is the layout kernel. */
+  /** `preserveEpochs` is the STREAMING compaction seam
+    * ([[graft.stream.StreamZOrder]]): epochs listed there are left in
+    * place as sibling dirs instead of folded into the rebuilt base.
+    * Inside `foreachBatch`, every batch below the current id is
+    * checkpoint-committed by definition, so folding them is safe; the
+    * CURRENT batch's epoch must be preserved — a crashed attempt may
+    * have left it on disk, and folding it before the replay re-appends
+    * would duplicate its rows. */
   def optimize(spark: SparkSession, path: String,
-               targetFiles: Int = 64): Unit = {
+               targetFiles: Int = 64,
+               preserveEpochs: Seq[String] = Nil): Unit = {
+    require(!preserveEpochs.contains("base"), "base is always folded")
     val fs = new TableFs(path, spark.sparkContext.hadoopConfiguration)
     val (cols, _, _) = readMeta(spark, fs)
     val staged = s"$path/__compact"
-    write(read(spark, path), cols, staged, targetFiles)
+    val all = spark.read.parquet(fs.str("data"))
+    val foldable =
+      if (preserveEpochs.isEmpty) all
+      else all.where(!col("__epoch").isin(preserveEpochs: _*))
+    write(foldable.drop("__epoch"), cols, staged, targetFiles)
+    // fix up the staged manifest BEFORE the swap: paths point into
+    // __compact (string surgery, no data IO), and the discovered
+    // __epoch partition value must not become a data column
+    val mdf = spark.read.parquet(s"$staged/manifest").drop("__epoch")
+      .withColumn("file",
+        regexp_replace(col("file"), "/__compact/data/", "/data/"))
+    val m = mdf.collect()
+    val stagedFs = new TableFs(staged, spark.sparkContext.hadoopConfiguration)
+    stagedFs.deleteRecursively("manifest")
+    spark.createDataFrame(java.util.Arrays.asList(m: _*), mdf.schema)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(stagedFs.str("manifest/__epoch=base"))
+    // carry the preserved epochs into the staged layout unchanged
+    val hfs = new org.apache.hadoop.fs.Path(fs.str("data"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (e <- preserveEpochs; d <- Seq("data", "manifest")
+         if fs.exists(s"$d/__epoch=$e")) {
+      val src = new org.apache.hadoop.fs.Path(fs.str(s"$d/__epoch=$e"))
+      val dst = new org.apache.hadoop.fs.Path(stagedFs.str(s"$d/__epoch=$e"))
+      require(hfs.rename(src, dst), s"optimize preserve failed: $src -> $dst")
+    }
     for (d <- Seq("data", "manifest", "meta")) {
       fs.deleteRecursively(d)
       val src = new org.apache.hadoop.fs.Path(fs.str(s"__compact/$d"))
       val dst = new org.apache.hadoop.fs.Path(fs.str(d))
-      val hfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
       require(hfs.rename(src, dst), s"optimize rename failed: $src -> $dst")
     }
-    // the staged manifest's file paths still point into __compact —
-    // rewrite them to the final location (string surgery, no data IO)
-    val m = spark.read.parquet(fs.str("manifest"))
-      .withColumn("file",
-        regexp_replace(col("file"), "/__compact/data/", "/data/"))
-      .collect()
-    val schema = spark.read.parquet(fs.str("manifest")).schema
-    spark.createDataFrame(java.util.Arrays.asList(m: _*), schema)
-      .coalesce(1).write.mode("overwrite").parquet(fs.str("manifest"))
     fs.deleteRecursively("__compact")
   }
 
-  /** Full-table read (no pruning) — the correctness baseline. */
+  /** Full-table read (no pruning) — the correctness baseline. The
+    * `__epoch` partition value is layout plumbing, not table schema —
+    * dropped here so readers see exactly the written columns. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val fs = new TableFs(path, spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(fs.str("data"))
+    spark.read.parquet(fs.str("data")).drop("__epoch")
   }
 
   /** Inclusive range predicates per clustered column:

@@ -77,7 +77,7 @@ class ZOrderLayoutSpec extends SparkSpecBase {
     val base = table().where(col("id") < 3000)
     val batch = table().where(col("id") >= 3000)
     ZOrderLayout.write(base, Seq("x", "y"), dir, targetFiles = 8)
-    ZOrderLayout.append(batch, dir, batchFiles = 2)
+    ZOrderLayout.append(batch, dir, epoch = "b1", batchFiles = 2)
     val ranges: ZOrderLayout.Ranges =
       Map("x" -> (Some(10.0), Some(20.0)), "y" -> (Some(15.0), Some(45.0)))
     // pruned read ≡ full filter over base ∪ batch
@@ -90,6 +90,12 @@ class ZOrderLayoutSpec extends SparkSpecBase {
     // manifest covers the appended files: total count grew by batchFiles
     val (_, totalAfterAppend) = ZOrderLayout.candidateFiles(spark, dir, ranges)
     assert(totalAfterAppend === 10)
+    // at-least-once replay: re-appending the same epoch is a no-op
+    ZOrderLayout.append(batch, dir, epoch = "b1", batchFiles = 2)
+    assert(prunedIds() === expect)
+    assert(ZOrderLayout.read(spark, dir).count() === 4096)
+    val (_, totalAfterReplay) = ZOrderLayout.candidateFiles(spark, dir, ranges)
+    assert(totalAfterReplay === 10)
     // optimize re-clusters to the target; answers unchanged, manifest
     // rebuilt, staging dir gone
     ZOrderLayout.optimize(spark, dir, targetFiles = 8)
