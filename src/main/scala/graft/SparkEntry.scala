@@ -140,7 +140,9 @@ object SparkEntry {
     "llm_clean_corpus"         -> (LlmQueries.cleanCorpus _),
     "llm_mixture_stats"        -> (LlmQueries.mixtureStats _),
     "llm_dedup_cluster_sizes"  -> (LlmQueries.dedupClusterSizes _),
-    // --- multimodal plumbing (stub kernels, real Spark shape)
+    // --- multimodal (real JDK image/audio codecs + AVI/MP4 container
+    // parsers; only video frame DECODE is a disclosed stand-in — the
+    // JDK ships no video codec)
     "mm_decode_meta"           -> (LlmQueries.mmDecodeMeta _),
     "mm_resize_meta"           -> (LlmQueries.mmResizeMeta _),
     "mm_image_features"        -> (LlmQueries.mmImageFeatures _),

@@ -1,5 +1,7 @@
 package graft.functions
 
+import graft.util.SerializableHadoopConf
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -27,8 +29,12 @@ import org.apache.spark.util.sketch.BloomFilter
   * The filter itself is NOT an expression field: a multi-MB sketch in
   * the plan tree would be re-shipped with every task binary and paid on
   * every Catalyst `equals`/`hashCode` pass (the [[LshPlanes]] lesson).
-  * The expression carries only the index PATH; each executor JVM loads
-  * and caches the sketch once via [[BloomRegistry]], through the Hadoop
+  * The expression carries only the index PATH plus the DRIVER's Hadoop
+  * configuration ([[graft.util.SerializableHadoopConf]] — executors
+  * have no active SparkSession, and a bare `new Configuration()` there
+  * would drop `spark.hadoop.*` object-store credentials and
+  * `fs.<scheme>.impl` bindings); each executor JVM loads and caches the
+  * sketch once via [[BloomRegistry]], through the Hadoop
   * [[org.apache.hadoop.fs.FileSystem]] API so the path may live on
   * `file://`, `hdfs://`, or an object store — the same seam as
   * [[graft.util.TableFs]].
@@ -36,27 +42,31 @@ import org.apache.spark.util.sketch.BloomFilter
 object BloomExpressions {
   def mightContain(text: Column, bloomPath: String): Column =
     GraftExpressionBridge.column(
-      BloomMightContain(GraftExpressionBridge.expression(text), bloomPath))
+      BloomMightContain(GraftExpressionBridge.expression(text), bloomPath,
+        new SerializableHadoopConf(driverConf())))
+
+  /** The DRIVER-side Hadoop configuration, captured at Column
+    * construction time (always on the driver, where a session is
+    * active); the bare-`Configuration` fallback only fires in
+    * sessionless unit code, never on the executor path. */
+  private def driverConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
 }
 
 /** Per-JVM cache of deserialized Bloom sketches, keyed by
   * (path, length, modTime) so an overwritten index file is re-read
-  * rather than served stale. Executors resolve the Hadoop
-  * configuration from the active SparkSession when one exists (it
-  * carries `fs.<scheme>.impl` test bindings); a bare `Configuration()`
-  * otherwise — built-in schemes resolve either way. */
+  * rather than served stale. The caller supplies the Hadoop
+  * configuration — on executors that is the DRIVER's conf, shipped
+  * inside the probing expression ([[SerializableHadoopConf]]). */
 object BloomRegistry {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Long), BloomFilter]
 
-  private def conf(): Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new Configuration())
-
-  def load(path: String): BloomFilter = {
+  def load(path: String, conf: SerializableHadoopConf): BloomFilter = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf())
+    val fs = p.getFileSystem(conf.value)
     val st = fs.getFileStatus(p)
     cache.getOrElseUpdate((path, st.getLen, st.getModificationTime), {
       val in = fs.open(p)
@@ -71,10 +81,12 @@ object BloomRegistry {
   * gram inserted as a JVM String and probed as a Spark UTF8String always
   * matches. Null text → null; never a false NEGATIVE (Bloom contract),
   * so an `inner` verify join downstream loses no true hit. */
-case class BloomMightContain(child: Expression, bloomPath: String)
+case class BloomMightContain(child: Expression, bloomPath: String,
+                             conf: SerializableHadoopConf)
     extends UnaryExpression {
 
-  @transient private lazy val bloom: BloomFilter = BloomRegistry.load(bloomPath)
+  @transient private lazy val bloom: BloomFilter =
+    BloomRegistry.load(bloomPath, conf)
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -93,8 +105,11 @@ case class BloomMightContain(child: Expression, bloomPath: String)
     // One registry load per generated class instance (≈ once per task),
     // served from the per-JVM cache after the first task touches it.
     val pathRef = ctx.addReferenceObj("graftBloomPath", bloomPath, "java.lang.String")
+    val confRef = ctx.addReferenceObj("graftBloomConf", conf,
+      "graft.util.SerializableHadoopConf")
     val bf = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
-      "graftBloom", v => s"$v = graft.functions.BloomRegistry.load($pathRef);")
+      "graftBloom",
+      v => s"$v = graft.functions.BloomRegistry.load($pathRef, $confRef);")
     nullSafeCodeGen(ctx, ev,
       c => s"${ev.value} = $bf.mightContainBinary($c.getBytes());")
   }

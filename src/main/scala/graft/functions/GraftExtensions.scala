@@ -83,7 +83,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"bloom path must be a string literal, got $other")
         }
-        BloomMightContain(args(0), path)
+        // SQL registration runs on the driver with an active session —
+        // capture its Hadoop conf for the executors, same as the
+        // Column-API construction path
+        BloomMightContain(args(0), path, new graft.util.SerializableHadoopConf(
+          org.apache.spark.sql.SparkSession.getActiveSession
+            .map(_.sparkContext.hadoopConfiguration)
+            .getOrElse(new org.apache.hadoop.conf.Configuration())))
       }))
   }
 }

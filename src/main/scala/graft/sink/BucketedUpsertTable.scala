@@ -29,7 +29,7 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   data/commit-<n>/__bucket=<b>/part-*.parquet   immutable data dirs
   *   snap-<n>/_buckets.json                        manifest: bucket -> data dir
-  *   _current                                      pointer file (atomic swap)
+  *   _current.v<N>                                 versioned pointer files
   * }}}
   * A snapshot is a MANIFEST, not a directory of data: commit k's manifest
   * maps every non-empty bucket to the data dir that last rewrote it
@@ -112,9 +112,7 @@ final class BucketedUpsertTable(
   }
 
   def currentSnapshot(): Option[String] =
-    if (tfs.exists("_current"))
-      Some(tfs.readString("_current").trim).filter(_.nonEmpty)
-    else None
+    tfs.readPointer("_current").map(_.trim).filter(_.nonEmpty)
 
   /** The data dir currently serving bucket `b`, if non-empty (test /
     * observability hook: untouched buckets keep the same dir across

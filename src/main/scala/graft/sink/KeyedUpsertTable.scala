@@ -81,9 +81,7 @@ final class KeyedUpsertTable(
 
   /** Name of the snapshot directory currently visible to readers. */
   def currentSnapshot(): Option[String] =
-    if (tfs.exists("_current"))
-      Some(tfs.readString("_current").trim).filter(_.nonEmpty)
-    else None
+    tfs.readPointer("_current").map(_.trim).filter(_.nonEmpty)
 
   /** Current table state, or None before the first commit. */
   def read(): Option[DataFrame] =

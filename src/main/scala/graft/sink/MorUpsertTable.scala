@@ -42,7 +42,7 @@ import scala.jdk.CollectionConverters._
   *   data/commit-<n>/__bucket=<b>/part-*.parquet     delta appends
   *   data/commit-<n>-compact/__bucket=<b>/…          compacted bases
   *   snap-<n>/_buckets.json    manifest: bucket -> ORDERED dir list
-  *   _current                  pointer file (atomic swap)
+  *   _current.v<N>             versioned pointer files (readers take max N)
   * }}}
   * Driver-side state stays bounded by `nBuckets` (touched-set collect +
   * manifest), exactly like the bucketed sink.
@@ -123,9 +123,7 @@ final class MorUpsertTable(
   }
 
   def currentSnapshot(): Option[String] =
-    if (tfs.exists("_current"))
-      Some(tfs.readString("_current").trim).filter(_.nonEmpty)
-    else None
+    tfs.readPointer("_current").map(_.trim).filter(_.nonEmpty)
 
   /** Chain length of bucket `b` (observability: the soak spec bounds it
     * by `compactAfter`). */

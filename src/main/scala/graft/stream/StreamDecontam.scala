@@ -8,16 +8,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 /** Streaming incremental decontamination: every arriving micro-batch of
   * documents is flagged IN-FLIGHT against the persisted benchmark-gram
   * index ([[Decontamination.writeIndex]]) and the per-doc report lands
-  * in an append-only parquet table — the ingest-time contamination
+  * epoch-keyed in a parquet table — the ingest-time contamination
   * check a production pipeline runs on each shard BEFORE it reaches the
   * training corpus, instead of a full-corpus batch sweep afterwards.
   *
   * Shape: `foreachBatch` → [[Decontamination.flagAgainstIndex]] (the
   * gram set is read from the index and broadcast; the batch is never
-  * shuffled on the gram) → parquet append. At-least-once from the
-  * checkpoint; the report is keyed by doc id and deterministic, so
-  * replayed batches append duplicate-but-identical rows a downstream
-  * reader dedups by id (or a keyed sink absorbs).
+  * shuffled on the gram) → epoch-keyed parquet overwrite
+  * (`__epoch=b<batchId>`, surfaced to readers as a partition column).
+  * At-least-once from the checkpoint, exactly-once for the report: the
+  * flag output is deterministic, so a replayed batch overwrites its own
+  * epoch with identical rows instead of appending duplicates.
   */
 object StreamDecontam {
 
@@ -31,10 +32,10 @@ object StreamDecontam {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Decontamination.flagAgainstIndex(batch.sparkSession, indexPath,
             batch, idCol, textCol)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/__epoch=b$batchId")
       }
       .start()
 }

@@ -14,9 +14,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * PERSISTED IVF index (cells pruned, top-k per probe, exact-cosine
   * verified), plus exact pairs within the batch itself (batch-sized by
   * contract — the [[graft.queries.LlmQueries.cosineNearDupIncremental]]
-  * shape); the pair report lands in an append-only parquet table, and
-  * the batch then folds into the index as an O(batch) epoch-keyed
-  * append.
+  * shape); the pair report lands epoch-keyed in a parquet table
+  * (readers see an `__epoch` partition column), and the batch then
+  * folds into the index as an O(batch) epoch-keyed append.
   *
   * The coarse quantizer stays FIXED across the stream (the
   * [[Ivf.appendToIndex]] train-once contract): cell assignments are
@@ -24,10 +24,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * gracefully until a scheduled offline re-train + re-bucket.
   *
   * Delivery: at-least-once from the checkpoint, exactly-once for the
-  * index by epoch-keyed overwrite (a replayed batch rewrites its own
-  * `__epoch=b<batchId>` partitions), and the flag pass excludes the
-  * batch's own epoch from the index read, so a crash between append
-  * and checkpoint-commit replays byte-identically — no self-pairs
+  * index AND the pair report by epoch-keyed overwrite (a replayed
+  * batch rewrites its own `__epoch=b<batchId>` partitions in both),
+  * and the flag pass excludes the batch's own epoch from the index
+  * read, so a crash between append and checkpoint-commit replays
+  * byte-identically — no self-pairs, no duplicated report rows
   * (asserted in the spec). */
 object StreamIvf {
 
@@ -59,7 +60,7 @@ object StreamIvf {
           val newNew = Similarity.exactCosinePairs(batch, idCol, vecCol,
             threshold)
           newOld.unionByName(newNew)
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/__epoch=$epoch")
           Ivf.appendToIndex(batch, vecCol, indexPath, epoch)
         } finally { batch.unpersist(); () }
       }

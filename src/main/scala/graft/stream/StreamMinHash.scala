@@ -25,8 +25,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * bounded candidate id set.
   *
   * Delivery: at-least-once from the checkpoint, exactly-once for the
-  * index AND the corpus store by epoch-keyed overwrite (a replayed
-  * batch rewrites its own `__epoch=b<batchId>` partitions), and the
+  * index, the corpus store AND the pair report by epoch-keyed
+  * overwrite (a replayed batch rewrites its own `__epoch=b<batchId>`
+  * partitions in all three), and the
   * flag pass excludes the batch's own epoch from BOTH reads, so a
   * crash between append and checkpoint-commit replays byte-identically
   * (no self-pairs; asserted in the spec). */
@@ -64,7 +65,7 @@ object StreamMinHash {
             .select(col(idCol), col(textCol))
           IncrementalMinHash.nearDupPairs(spark, indexPath, batch, corpus,
               idCol, textCol, threshold, excludeEpochs = Seq(epoch))
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/__epoch=$epoch")
           batch.select(col(idCol), col(textCol))
             .write.mode("overwrite").parquet(s"$corpusDir/__epoch=$epoch")
           IncrementalMinHash.appendToIndex(batch, idCol, textCol, indexPath,

@@ -20,9 +20,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the INDEX by epoch-keyed appends — each batch writes its postings
   * and df partials under `__epoch=b<batchId>`, so a replayed batch
   * overwrites its own partition dirs instead of double-counting
-  * (asserted in the spec). The report parquet itself stays append-only
-  * (replayed rows are deterministic duplicates a downstream reader
-  * dedups by pair id) — and the flag pass EXCLUDES the batch's own
+  * (asserted in the spec). The report parquet is epoch-keyed the same
+  * way (readers see an `__epoch` partition column; a replay overwrites
+  * its own rows) — and the flag pass EXCLUDES the batch's own
   * epoch from the index read (`excludeEpochs = b<batchId>`), so a
   * replay that crashed between append and checkpoint-commit still sees
   * exactly the pre-batch index: no self-pairs, no double-counted df
@@ -50,7 +50,7 @@ object StreamNearDup {
           IncrementalDedup.nearDupPairs(spark, indexPath, batch,
               idCol, textCol, threshold,
               excludeEpochs = Seq(s"b$batchId"))
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/__epoch=b$batchId")
           IncrementalDedup.appendToIndex(batch, idCol, textCol, indexPath,
             epoch = s"b$batchId")
         } finally { batch.unpersist(); () }

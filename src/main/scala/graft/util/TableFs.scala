@@ -1,7 +1,7 @@
 package graft.util
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import java.nio.charset.StandardCharsets
 
@@ -18,21 +18,26 @@ import java.nio.charset.StandardCharsets
   * files and the metadata files are guaranteed to live on the same
   * filesystem.
   *
-  * Atomicity notes, per store:
-  *  - the pointer swap ([[swapPointer]]) uses `FileContext.rename` with
-  *    `Options.Rename.OVERWRITE` — single-operation atomic
-  *    replace-on-rename on HDFS and POSIX local filesystems, the same
-  *    primitive Structured Streaming's checkpoint manager relies on;
-  *  - a filesystem with no [[FileContext]] binding (custom schemes that
-  *    register only `fs.<scheme>.impl`) falls back to delete-then-rename
-  *    — a small non-atomic window in which the pointer is missing;
-  *    [[currentSnapshot readers|readString]] of a missing pointer see
-  *    "no snapshot", never a torn value, so the failure mode is a
-  *    retryable read, not corruption;
-  *  - object stores without atomic rename (S3) should front the pointer
-  *    with a consistent store (the same requirement Hudi/Delta document
-  *    for their commit files); everything else in the layout is
-  *    immutable write-once data, which object stores handle natively.
+  * Pointer atomicity — MONOTONIC VERSION-NAMED files, no overwrite on
+  * any scheme: [[swapPointer]] publishes `<rel>.v<N>` (N strictly
+  * increasing), readers ([[readPointer]]) list the versions and take
+  * max-N, and old versions are deleted AFTER the new one is visible.
+  * Because nothing is ever renamed OVER the live pointer, there is no
+  * window on ANY scheme in which the pointer is missing or torn:
+  *  - the new version file appears via rename of a fully-written tmp
+  *    file to a FRESH name — atomic on HDFS/POSIX, and on object
+  *    stores a single-object copy whose destination key materializes
+  *    only complete (single-PUT atomicity);
+  *  - a reader that races the post-publish cleanup and loses its
+  *    listed max version simply retries the next-lower surviving
+  *    version (retention keeps the previous version through the swap);
+  *  - no `FileContext`/`AbstractFileSystem` binding is required — a
+  *    scheme registering only `fs.<scheme>.impl` gets the identical
+  *    guarantee (spec: `SinkSchemeSpec` reads the pointer inside every
+  *    mutation the swap performs and never sees "no snapshot").
+  * Legacy single-file pointers (pre-versioning layouts) are still
+  * readable: [[readPointer]] falls back to the plain `<rel>` file when
+  * no versioned one exists.
   */
 final class TableFs(root: String, conf: Configuration) {
 
@@ -41,12 +46,6 @@ final class TableFs(root: String, conf: Configuration) {
   /** Fully-qualified table root (scheme + authority pinned, so relative
     * resolution can never silently hop filesystems). */
   val rootPath: Path = fs.makeQualified(new Path(root))
-
-  /** `FileContext` bound to the root's scheme, if the scheme registers
-    * an `AbstractFileSystem` (all built-in schemes do) — the holder of
-    * the atomic overwrite-rename used by [[swapPointer]]. */
-  private lazy val fileContext: Option[FileContext] =
-    scala.util.Try(FileContext.getFileContext(rootPath.toUri, conf)).toOption
 
   def resolve(rel: String): Path =
     if (rel.isEmpty) rootPath else new Path(rootPath, rel)
@@ -80,24 +79,68 @@ final class TableFs(root: String, conf: Configuration) {
   def writeString(rel: String, s: String): Unit =
     writeBytes(rel, s.getBytes(StandardCharsets.UTF_8))
 
-  /** Atomically publish `content` at `rel`: write `<rel>.tmp`, then
-    * rename over the destination (see the class-level atomicity notes).
-    * This is the sinks' commit point — after it returns, readers
-    * resolve the new snapshot. */
+  // ------------------------------------------------------------- pointer
+
+  /** How many published versions survive a swap (the new one plus this
+    * many predecessors): 2 keeps the previous pointer alive through
+    * the entire swap + cleanup, so a reader racing the cleanup always
+    * has a version to fall back to. */
+  private val RetainPointerVersions = 2
+
+  private def versionName(rel: String, n: Long): String = s"$rel.v$n"
+
+  /** Published versions of `rel`, ascending by N. One `globStatus`
+    * call on `<rel>.v*` — bounded by the retention count plus any
+    * in-flight swap. */
+  private def pointerVersions(rel: String): Seq[Long] = {
+    val pattern = new Path(rootPath, rel + ".v*")
+    val VName = (java.util.regex.Pattern.quote(
+      resolve(rel).getName) + "\\.v(\\d+)").r
+    Option(fs.globStatus(pattern)).getOrElse(Array.empty)
+      .flatMap(st => st.getPath.getName match {
+        case VName(n) => Some(n.toLong)
+        case _        => None // .tmp files and strays never count
+      })
+      .sorted.toSeq
+  }
+
+  /** Atomically publish `content` at pointer `rel`: write
+    * `<rel>.v<N+1>.tmp`, rename it to the FRESH name `<rel>.v<N+1>`
+    * (never over a live file), then delete versions older than the
+    * previous one. This is the sinks' commit point — after it returns,
+    * [[readPointer]] resolves the new snapshot; at every instant
+    * DURING it, readers resolve the old one (see the class-level
+    * atomicity notes). Single-writer per table, like the sinks'
+    * commit protocol itself. */
   def swapPointer(rel: String, content: String): Unit = {
-    val tmpRel = rel + ".tmp"
+    val next = pointerVersions(rel).lastOption.map(_ + 1).getOrElse(0L)
+    val tmpRel = versionName(rel, next) + ".tmp"
     writeString(tmpRel, content)
-    val (src, dst) = (resolve(tmpRel), resolve(rel))
-    fileContext match {
-      case Some(fc) => fc.rename(src, dst, Options.Rename.OVERWRITE)
-      case None =>
-        // no AbstractFileSystem binding: delete-then-rename (documented
-        // non-atomic window; readers of a missing pointer see "no
-        // snapshot", never a torn value)
-        fs.delete(dst, false)
-        require(fs.rename(src, dst), s"pointer rename failed: $src -> $dst")
+    require(fs.rename(resolve(tmpRel), resolve(versionName(rel, next))),
+      s"pointer publish failed: $tmpRel -> ${versionName(rel, next)}")
+    // cleanup AFTER the publish, best-effort (a failed delete must
+    // never fail a committed swap): keep the new version and its
+    // predecessor, drop older ones plus any legacy plain file
+    val stale = pointerVersions(rel).dropRight(RetainPointerVersions)
+    stale.foreach(n =>
+      { scala.util.Try(fs.delete(resolve(versionName(rel, n)), false)): Unit })
+    scala.util.Try(fs.delete(resolve(rel), false)): Unit
+  }
+
+  /** Resolve pointer `rel`: the highest published version's content,
+    * retrying lower versions if the listed max vanished to a
+    * concurrent cleanup; falls back to the legacy plain `<rel>` file
+    * (pre-versioning layouts), and None when nothing is published. */
+  def readPointer(rel: String): Option[String] = {
+    val versioned = pointerVersions(rel).reverse.iterator
+      .map(n => scala.util.Try(readString(versionName(rel, n))).toOption)
+      .collectFirst { case Some(s) => s }
+    versioned.orElse {
+      if (exists(rel)) scala.util.Try(readString(rel)).toOption else None
     }
   }
+
+  // ------------------------------------------------------------- listing
 
   /** Names of the immediate SUBDIRECTORIES of `rel` (empty if the dir
     * doesn't exist) — the cleaner/manifest listing primitive. One

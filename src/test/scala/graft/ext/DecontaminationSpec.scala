@@ -97,12 +97,15 @@ class DecontaminationSpec extends SparkSpecBase {
     assert(kept.size <= members.size + 100,
       s"bloom passed ${kept.size - members.size} of 2000 non-members (fpp=0.01)")
     // Interpreted eval must agree with codegen (nullSafeEval path).
+    val hconf = new graft.util.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     val expr = graft.functions.BloomMightContain(
-      org.apache.spark.sql.catalyst.expressions.Literal("b c d"), bloomPath)
+      org.apache.spark.sql.catalyst.expressions.Literal("b c d"), bloomPath,
+      hconf)
     assert(expr.eval(null) === true)
     val exprNo = graft.functions.BloomMightContain(
       org.apache.spark.sql.catalyst.expressions.Literal("definitely absent gram"),
-      bloomPath)
+      bloomPath, hconf)
     // not asserting false (could be a false positive in principle) —
     // just that it evaluates without error to a boolean
     assert(exprNo.eval(null).isInstanceOf[Boolean])

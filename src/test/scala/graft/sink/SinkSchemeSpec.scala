@@ -86,14 +86,47 @@ class SinkSchemeSpec extends SparkSpecBase {
       "inline compaction must bound chains through the scheme")
   }
 
-  test("pointer swap works without an AbstractFileSystem binding (fallback path)") {
+  test("pointer swap works without an AbstractFileSystem binding " +
+      "(versioned files; readers never see a missing pointer mid-swap)") {
     registerSchemes()
     val root = "graftraw:" + Files.createTempDirectory("graftraw-ptr").toString
     val tfs = new TableFs(root, spark.sparkContext.hadoopConfiguration)
     tfs.swapPointer("_current", "snap-0")
-    assert(tfs.readString("_current") === "snap-0")
-    tfs.swapPointer("_current", "snap-1") // overwrite via delete+rename
-    assert(tfs.readString("_current") === "snap-1")
-    assert(!tfs.exists("_current.tmp"), "tmp file must not survive the swap")
+    assert(tfs.readPointer("_current") === Some("snap-0"))
+
+    // a SECOND TableFs plays the concurrent reader: the mutation hook
+    // resolves the pointer at every intermediate filesystem state the
+    // swap passes through (around each rename/delete) — on a scheme
+    // with NO AbstractFileSystem binding, readers must never see "no
+    // snapshot" and never a torn value
+    val reader = new TableFs(root, spark.sparkContext.hadoopConfiguration)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Option[String])]
+    graft.util.GraftRawTestFileSystem.onMutation =
+      what => seen += (what -> reader.readPointer("_current"))
+    try {
+      tfs.swapPointer("_current", "snap-1")
+      tfs.swapPointer("_current", "snap-2")
+    } finally graft.util.GraftRawTestFileSystem.onMutation = _ => ()
+    assert(seen.nonEmpty, "the swap must mutate through the scheme's FS")
+    val bad = seen.filter { case (_, v) =>
+      !v.exists(Set("snap-0", "snap-1", "snap-2")) }
+    assert(bad.isEmpty, s"reader saw a missing/torn pointer at: $bad")
+    assert(tfs.readPointer("_current") === Some("snap-2"))
+    // retention: current + previous version survive, older ones and the
+    // tmp files do not
+    val vs = new java.io.File(root.stripPrefix("graftraw:")).listFiles()
+      .map(_.getName).filter(_.startsWith("_current")).sorted.toSeq
+    assert(vs === Seq("_current.v1", "_current.v2"), s"got $vs")
+  }
+
+  test("readPointer falls back to a legacy plain pointer file") {
+    registerSchemes()
+    val root = "graftraw:" + Files.createTempDirectory("graftraw-legacy").toString
+    val tfs = new TableFs(root, spark.sparkContext.hadoopConfiguration)
+    tfs.writeString("_current", "snap-7") // pre-versioning layout
+    assert(tfs.readPointer("_current") === Some("snap-7"))
+    tfs.swapPointer("_current", "snap-8") // upgrade replaces the legacy file
+    assert(tfs.readPointer("_current") === Some("snap-8"))
+    assert(!tfs.exists("_current"), "legacy plain file is cleaned on swap")
   }
 }

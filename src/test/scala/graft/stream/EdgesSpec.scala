@@ -43,7 +43,8 @@ class EdgesSpec extends SparkSpecBase {
         .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
       assert(state === Map(1L -> "a2", 2L -> "b1"))
       // the bucketed edge really was selected (manifest layout on disk)
-      assert(new java.io.File(s"$root/edge_db/acct/_current").exists())
+      assert(new java.io.File(s"$root/edge_db/acct").listFiles()
+        .exists(_.getName.matches("_current\\.v\\d+")))
     } finally { q.stop(); p.shutdown() }
   }
 

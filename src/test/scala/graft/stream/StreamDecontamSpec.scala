@@ -63,5 +63,15 @@ class StreamDecontamSpec extends SparkSpecBase {
     assert(got.exists { case (id, _, hits, c) => id == 1L && hits > 0 && c })
     assert(got.exists { case (id, _, hits, c) => id == 2L && hits == 0 && !c })
     assert(got.exists { case (id, g, _, c) => id == 4L && g == 0 && !c })
+
+    // replay idempotency: an at-least-once redelivery of shard 2
+    // (batch 1) re-runs the flag pass and overwrites its OWN epoch —
+    // the report gains no duplicate rows
+    val before = spark.read.parquet(out).count()
+    Decontamination.flagAgainstIndex(spark, idx,
+        Seq((3L, "prefix one two three four five six seven eight nine ten"),
+          (4L, "short doc")).toDF("doc_id", "text"), "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/__epoch=b1")
+    assert(spark.read.parquet(out).count() === before)
   }
 }
