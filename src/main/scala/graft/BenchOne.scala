@@ -125,9 +125,11 @@ object BenchOne {
     // Timed reps, with OUTLIER EXTENSION: when the first GRAFT_REPS reps
     // disagree by more than GRAFT_EXTRA_ON_SPREAD (e.g. one rep caught a
     // major GC), keep measuring up to GRAFT_MAX_REPS. Every rep is
-    // printed — the consumer sees the full distribution and takes the
-    // median over ALL recorded reps, so this widens the evidence on a
-    // noisy run rather than selecting flattering measurements.
+    // printed — the consumer (Bench) records the full distribution and
+    // BOTH a median-over-all and a quiet-window median (cal/steal-based
+    // selection with an order-stable tie-break), re-forking when the
+    // two diverge — so this widens the evidence on a noisy run rather
+    // than selecting flattering measurements.
     val minReps = sys.env.getOrElse("GRAFT_REPS", "1").toInt
     val maxReps = sys.env.getOrElse("GRAFT_MAX_REPS", minReps.toString).toInt
     val spreadTol = sys.env.getOrElse("GRAFT_EXTRA_ON_SPREAD", "0").toDouble
