@@ -53,20 +53,32 @@ object ZOrderLayout {
     math.min(math.max(8, wanted), 63 / nCols)
   }
 
+  /** `fixedBoundaries` = (per-column boundaries, bits): when set, the
+    * quantile pass is SKIPPED and the given bucketing is reused —
+    * [[optimize]]'s default, so preserved epochs and the rebuilt base
+    * keep sharing one key space; None derives fresh equi-depth
+    * boundaries from `df` (initial builds and drift repair). */
   def write(df: DataFrame, cols: Seq[String], path: String,
-            targetFiles: Int = 64): Unit = {
+            targetFiles: Int = 64,
+            fixedBoundaries: Option[(Seq[Array[Double]], Int)] = None): Unit = {
     require(cols.nonEmpty && cols.size <= ZOrderExpressions.MaxCols)
     val spark = df.sparkSession
     val fs = new TableFs(path, spark.sparkContext.hadoopConfiguration)
     // 2^bits - 1 interior quantile boundaries per column = 2^bits
     // equi-depth buckets; relativeError keeps rank skew under a bucket.
-    val bits = bitsFor(cols.size, targetFiles)
-    val nBuckets = 1 << bits
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val asDouble = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
-    val boundaries: Seq[Array[Double]] =
-      asDouble.stat.approxQuantile(cols.toArray, probs,
-        0.25 / nBuckets).toSeq
+    val (boundaries: Seq[Array[Double]], bits: Int) = fixedBoundaries match {
+      case Some((b, storedBits)) =>
+        require(b.size == cols.size,
+          s"fixed boundaries for ${b.size} cols, clustering ${cols.size}")
+        (b, storedBits)
+      case None =>
+        val bits = bitsFor(cols.size, targetFiles)
+        val nBuckets = 1 << bits
+        val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+        val asDouble = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+        (asDouble.stat.approxQuantile(cols.toArray, probs,
+          0.25 / nBuckets).toSeq, bits)
+    }
     val zc = ZOrderExpressions.zValue(
       cols.map(c => col(c).cast("double")), boundaries, bits)
     // epoch-FIRST layout (`data/__epoch=base/`, the engine's index
@@ -97,8 +109,51 @@ object ZOrderLayout {
       .coalesce(1).write.mode("overwrite").parquet(fs.str("meta"))
   }
 
+  private def hadoopFs(spark: SparkSession, fs: TableFs)
+      : org.apache.hadoop.fs.FileSystem =
+    fs.rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Roll FORWARD a crashed [[optimize]] swap. The swap's rename order
+    * makes the crash state unambiguous: `meta` is renamed aside FIRST
+    * and renamed back in LAST, so "primary `meta` missing AND a
+    * complete staged `__compact/meta` present" holds exactly while a
+    * swap is in flight — a healthy mid-BUILD (`__compact` growing,
+    * primaries untouched) never matches, and a completed swap (meta
+    * present) never matches. Recovery finishes the swap
+    * deterministically and is itself re-runnable from any crash point,
+    * because it preserves the same invariant until its own last
+    * rename. Called by every reader entry point, so a stream that
+    * crashed mid-recluster serves the new layout on its next read
+    * instead of wedging. Single-writer per table, like the sinks. */
+  private def recoverSwap(spark: SparkSession, fs: TableFs): Unit =
+    if (!fs.exists("meta") && fs.exists("__compact/meta")) {
+      val hfs = hadoopFs(spark, fs)
+      def abs(rel: String) = new org.apache.hadoop.fs.Path(fs.str(rel))
+      fs.mkdirs("__old")
+      for (d <- Seq("data", "manifest")) {
+        // a primary with NO staged counterpart is already the new one
+        // (the crashed swap renamed it in before dying) — touching it
+        // would destroy the table; only a primary whose replacement is
+        // still staged is the OLD one to set aside
+        if (fs.exists(s"__compact/$d")) {
+          if (fs.exists(d)) {
+            fs.deleteRecursively(s"__old/$d")
+            require(hfs.rename(abs(d), abs(s"__old/$d")),
+              s"swap recovery: aside rename failed for $d")
+          }
+          require(hfs.rename(abs(s"__compact/$d"), abs(d)),
+            s"swap recovery: staged rename failed for $d")
+        }
+      }
+      require(hfs.rename(abs("__compact/meta"), abs("meta")),
+        "swap recovery: staged rename failed for meta")
+      fs.deleteRecursively("__old")
+      fs.deleteRecursively("__compact")
+    }
+
   private def readMeta(spark: SparkSession, fs: TableFs)
       : (Seq[String], Seq[Array[Double]], Int) = {
+    recoverSwap(spark, fs)
     val rows = spark.read.parquet(fs.str("meta"))
       .select(col("col"), col("boundaries").cast("array<double>"),
         col("bits").cast("int"))
@@ -150,10 +205,25 @@ object ZOrderLayout {
   /** Re-cluster the whole table into `targetFiles` fresh z-sorted files
     * (the OPTIMIZE step after a run of appends): the new layout is
     * built COMPLETELY in a staging dir while readers still see the old
-    * files, then swapped in. The dir swap is not atomic (a reader in
-    * the swap window can miss the table) — a production deployment
-    * fronts the table with the sinks' snapshot-pointer machinery
-    * ([[KeyedUpsertTable]]'s pattern); this op is the layout kernel. */
+    * files, then swapped in via ordered renames. The swap is
+    * crash-safe by ROLL-FORWARD, not atomicity: old dirs are renamed
+    * aside (`__old/`, meta first), staged dirs renamed in (meta LAST),
+    * then `__old`/`__compact` deleted — so primary `meta` present ⟺
+    * table complete, and a crash at ANY point leaves a state
+    * [[recoverSwap]] (run by every reader entry) finishes
+    * deterministically. No window strands the table.
+    *
+    * Boundaries: by default the STORED quantile boundaries are REUSED
+    * (`fixedBoundaries` into [[write]]) — appends and the rebuilt base
+    * keep one key space, and a replayed stream recluster is
+    * content-stable. Under key drift equi-depth degrades (pruning
+    * stays CORRECT — min/max is per actual file content — but
+    * loosens); `rederiveBoundaries = true` is the scheduled repair: it
+    * re-runs `approxQuantile` over the folded table and publishes new
+    * boundaries through the same swap. Files in PRESERVED epochs were
+    * sorted under the old boundaries and keep their old (still
+    * correct) manifest rectangles until they fold in a later
+    * optimize. */
   /** `preserveEpochs` is the STREAMING compaction seam
     * ([[graft.stream.StreamZOrder]]): epochs listed there are left in
     * place as sibling dirs instead of folded into the rebuilt base.
@@ -164,16 +234,37 @@ object ZOrderLayout {
     * would duplicate its rows. */
   def optimize(spark: SparkSession, path: String,
                targetFiles: Int = 64,
-               preserveEpochs: Seq[String] = Nil): Unit = {
+               preserveEpochs: Seq[String] = Nil,
+               rederiveBoundaries: Boolean = false): Unit =
+    optimizeImpl(spark, path, targetFiles, preserveEpochs,
+      rederiveBoundaries, crashAtRename = Int.MaxValue)
+
+  /** [[optimize]] with a crash-injection seam for the spec:
+    * `crashAtRename = k` throws immediately before the (k+1)-th swap
+    * rename, leaving exactly the on-disk state a real crash at that
+    * point would — the crash-matrix spec drives every window and
+    * asserts readers roll forward. */
+  private[sink] def optimizeImpl(spark: SparkSession, path: String,
+               targetFiles: Int,
+               preserveEpochs: Seq[String],
+               rederiveBoundaries: Boolean,
+               crashAtRename: Int): Unit = {
     require(!preserveEpochs.contains("base"), "base is always folded")
     val fs = new TableFs(path, spark.sparkContext.hadoopConfiguration)
-    val (cols, _, _) = readMeta(spark, fs)
+    val (cols, storedBoundaries, storedBits) = readMeta(spark, fs)
+    // readMeta rolled forward any crashed swap; whatever __old or
+    // __compact remains is a stale crashed CLEANUP or BUILD — safe to
+    // clear before building fresh
+    fs.deleteRecursively("__old")
+    fs.deleteRecursively("__compact")
     val staged = s"$path/__compact"
     val all = spark.read.parquet(fs.str("data"))
     val foldable =
       if (preserveEpochs.isEmpty) all
       else all.where(!col("__epoch").isin(preserveEpochs: _*))
-    write(foldable.drop("__epoch"), cols, staged, targetFiles)
+    val fixed =
+      if (rederiveBoundaries) None else Some((storedBoundaries, storedBits))
+    write(foldable.drop("__epoch"), cols, staged, targetFiles, fixed)
     // fix up the staged manifest BEFORE the swap: paths point into
     // __compact (string surgery, no data IO), and the discovered
     // __epoch partition value must not become a data column
@@ -186,21 +277,37 @@ object ZOrderLayout {
     spark.createDataFrame(java.util.Arrays.asList(m: _*), mdf.schema)
       .coalesce(1).write.mode("overwrite")
       .parquet(stagedFs.str("manifest/__epoch=base"))
-    // carry the preserved epochs into the staged layout unchanged
-    val hfs = new org.apache.hadoop.fs.Path(fs.str("data"))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // COPY (not move) the preserved epochs into the staged layout: the
+    // live table must stay complete until the swap starts — a crash
+    // here leaves the primaries untouched and `__compact` stale, which
+    // the next optimize simply clears
+    val hfs = hadoopFs(spark, fs)
     for (e <- preserveEpochs; d <- Seq("data", "manifest")
          if fs.exists(s"$d/__epoch=$e")) {
       val src = new org.apache.hadoop.fs.Path(fs.str(s"$d/__epoch=$e"))
       val dst = new org.apache.hadoop.fs.Path(stagedFs.str(s"$d/__epoch=$e"))
-      require(hfs.rename(src, dst), s"optimize preserve failed: $src -> $dst")
+      require(org.apache.hadoop.fs.FileUtil.copy(hfs, src, hfs, dst,
+        false, spark.sparkContext.hadoopConfiguration),
+        s"optimize preserve copy failed: $src -> $dst")
     }
-    for (d <- Seq("data", "manifest", "meta")) {
-      fs.deleteRecursively(d)
-      val src = new org.apache.hadoop.fs.Path(fs.str(s"__compact/$d"))
-      val dst = new org.apache.hadoop.fs.Path(fs.str(d))
-      require(hfs.rename(src, dst), s"optimize rename failed: $src -> $dst")
+    // THE SWAP. Aside order meta-FIRST, staged-in order meta-LAST: the
+    // invariant "meta missing ⟺ swap in flight" holds at every
+    // intermediate state, which is exactly what recoverSwap keys on.
+    def abs(rel: String) = new org.apache.hadoop.fs.Path(fs.str(rel))
+    var renames = 0
+    def swapRename(src: String, dst: String): Unit = {
+      if (renames >= crashAtRename)
+        throw new IllegalStateException(s"injected crash before $src -> $dst")
+      renames += 1
+      require(hfs.rename(abs(src), abs(dst)),
+        s"optimize swap rename failed: $src -> $dst")
     }
+    fs.mkdirs("__old")
+    for (d <- Seq("meta", "manifest", "data") if fs.exists(d))
+      swapRename(d, s"__old/$d")
+    for (d <- Seq("data", "manifest", "meta"))
+      swapRename(s"__compact/$d", d)
+    fs.deleteRecursively("__old")
     fs.deleteRecursively("__compact")
   }
 
@@ -209,6 +316,7 @@ object ZOrderLayout {
     * dropped here so readers see exactly the written columns. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val fs = new TableFs(path, spark.sparkContext.hadoopConfiguration)
+    recoverSwap(spark, fs)
     spark.read.parquet(fs.str("data")).drop("__epoch")
   }
 
@@ -222,6 +330,7 @@ object ZOrderLayout {
   def candidateFiles(spark: SparkSession, path: String,
                      ranges: Ranges): (Seq[String], Int) = {
     val fs = new TableFs(path, spark.sparkContext.hadoopConfiguration)
+    recoverSwap(spark, fs)
     val manifest = spark.read.parquet(fs.str("manifest"))
     val keep = ranges.foldLeft(lit(true)) { case (acc, (c, (lo, hi))) =>
       val loOk = lo.map(v => col(s"max_$c").cast("double") >= v).getOrElse(lit(true))

@@ -24,13 +24,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * `preserveEpochs`): committed epochs fold exactly once
   * (re-clustering them again on replay is a content-preserving
   * rewrite), and a crashed attempt's own leftover epoch is never
-  * folded — the re-append overwrites it instead.
+  * folded — the re-append overwrites it instead. A crash in the
+  * MIDDLE of the recluster's directory swap is rolled forward by the
+  * layout itself ([[ZOrderLayout]]'s `recoverSwap`, run by every
+  * reader entry), so the replayed batch finds a complete table.
   *
-  * The quantile boundaries deliberately stay FIXED across the stream
-  * (the append contract: one key space for every file); under drift
-  * the scheduled optimize is where a deployment would also re-derive
-  * boundaries — rebuilding via [[ZOrderLayout.write]] instead of
-  * [[ZOrderLayout.optimize]] at a maintenance window. */
+  * Boundaries: APPENDS always use the stored quantile boundaries (the
+  * append contract — one key space for every file between
+  * reclusters). The scheduled optimize reuses them too by default, so
+  * a replayed recluster is content-stable; under key DRIFT (the
+  * ingested distribution migrating away from the boundaries the table
+  * was built with) equi-depth buckets skew and pruning loosens —
+  * correctness is unaffected, min/max manifests are per actual file
+  * content. `rederiveBoundaries = true` makes each scheduled optimize
+  * re-run the quantile pass over the folded table and publish fresh
+  * boundaries through the same crash-safe swap — the maintenance-
+  * window repair that restores pruning after drift (asserted in the
+  * spec). */
 object StreamZOrder {
 
   /** Start ingesting `rows` (a streaming DataFrame whose schema matches
@@ -38,6 +48,7 @@ object StreamZOrder {
   def start(rows: DataFrame, tablePath: String, checkpointDir: String,
             batchFiles: Int = 8, optimizeEvery: Int = 0,
             targetFiles: Int = 64,
+            rederiveBoundaries: Boolean = false,
             triggerInterval: String = "1 second"): StreamingQuery =
     rows.writeStream
       .outputMode("append")
@@ -51,7 +62,8 @@ object StreamZOrder {
         // before the re-append below would duplicate its rows.
         if (optimizeEvery > 0 && batchId > 0 && batchId % optimizeEvery == 0)
           ZOrderLayout.optimize(batch.sparkSession, tablePath, targetFiles,
-            preserveEpochs = Seq(s"b$batchId"))
+            preserveEpochs = Seq(s"b$batchId"),
+            rederiveBoundaries = rederiveBoundaries)
         ZOrderLayout.append(batch, tablePath, s"b$batchId", batchFiles)
       }
       .start()

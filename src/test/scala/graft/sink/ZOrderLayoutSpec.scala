@@ -107,6 +107,85 @@ class ZOrderLayoutSpec extends SparkSpecBase {
     assert(ZOrderLayout.read(spark, dir).count() === 4096)
   }
 
+  test("boundary drift: rederiveBoundaries restores pruning; default reuse does not") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-z6").toString
+    ZOrderLayout.write(table(), Seq("x", "y"), dir, targetFiles = 16)
+    // drifted ingest: the key distribution migrates entirely ABOVE the
+    // stored boundaries — every drifted row maps to the top bucket of
+    // both columns, so under the stored bucketing they are z-UNSORTABLE
+    val drifted = (0 until 4096).map { i =>
+      val x = 1000L + (i * 37) % 64
+      val y = 1000.0 + ((i * 101) % 64) * 1.5
+      (100000L + i, x, y, s"d$i")
+    }.toDF("id", "x", "y", "tag")
+    ZOrderLayout.append(drifted, dir, epoch = "b1", batchFiles = 4)
+    // a small rectangle INSIDE the drifted region
+    val ranges: ZOrderLayout.Ranges =
+      Map("x" -> (Some(1010.0), Some(1020.0)), "y" -> (Some(1015.0), Some(1045.0)))
+    val expect = drifted
+      .where(col("x").between(1010, 1020) && col("y").between(1015.0, 1045.0))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(expect.nonEmpty && expect.size < 1000)
+    def prunedIds() = ZOrderLayout.readPruned(spark, dir, ranges)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    def rowsScanned(): Long = {
+      val (kept, _) = ZOrderLayout.candidateFiles(spark, dir, ranges)
+      if (kept.isEmpty) 0L else spark.read.parquet(kept: _*).count()
+    }
+    // default optimize (boundary REUSE): correct but loose — the whole
+    // drifted half shares one z-value, so its rows cannot spread across
+    // files and the rectangle read drags in ~all 4096 drifted rows
+    ZOrderLayout.optimize(spark, dir, targetFiles = 16)
+    assert(prunedIds() === expect)
+    val loose = rowsScanned()
+    assert(loose >= 4096,
+      s"expected stored-boundary pruning to be loose under drift, scanned $loose")
+    // the scheduled repair: re-derive boundaries over the folded table —
+    // the drifted region gets real quantiles and pruning tightens
+    ZOrderLayout.optimize(spark, dir, targetFiles = 16,
+      rederiveBoundaries = true)
+    assert(prunedIds() === expect)
+    val tight = rowsScanned()
+    assert(tight * 2 <= loose,
+      s"rederive should at least halve the scanned rows: $loose -> $tight")
+  }
+
+  test("crash matrix: a crash before ANY swap rename rolls forward on next read") {
+    val s = spark; import s.implicits._
+    val ranges: ZOrderLayout.Ranges =
+      Map("x" -> (Some(10.0), Some(20.0)), "y" -> (Some(15.0), Some(45.0)))
+    val expect = table()
+      .where(col("x").between(10, 20) && col("y").between(15.0, 45.0))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // 6 renames: 3 aside (meta, manifest, data) + 3 staged-in. k = 0
+    // crashes before the first — the old table must keep serving; k in
+    // 1..5 crash mid-swap — recovery must finish the swap.
+    for (k <- 0 to 5) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-zc$k").toString
+      ZOrderLayout.write(table().where(col("id") < 3000), Seq("x", "y"),
+        dir, targetFiles = 8)
+      ZOrderLayout.append(table().where(col("id") >= 3000), dir,
+        epoch = "b1", batchFiles = 2)
+      intercept[IllegalStateException] {
+        ZOrderLayout.optimizeImpl(spark, dir, targetFiles = 8,
+          preserveEpochs = Nil, rederiveBoundaries = false,
+          crashAtRename = k)
+      }
+      // every reader entry point must serve the complete table
+      assert(ZOrderLayout.read(spark, dir).count() === 4096,
+        s"read() after crash at rename $k")
+      assert(ZOrderLayout.readPruned(spark, dir, ranges)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq === expect,
+        s"readPruned() after crash at rename $k")
+      // and a subsequent optimize completes cleanly, clearing the debris
+      ZOrderLayout.optimize(spark, dir, targetFiles = 8)
+      assert(!new java.io.File(s"$dir/__compact").exists())
+      assert(!new java.io.File(s"$dir/__old").exists())
+      assert(ZOrderLayout.read(spark, dir).count() === 4096)
+    }
+  }
+
   test("z-value kernel: interpreted eval matches codegen; nulls rank first") {
     val s = spark; import s.implicits._
     val bnd = Seq(Array.tabulate(255)(i => i + 1.0),

@@ -50,6 +50,44 @@ class StreamZOrderSpec extends SparkSpecBase {
     assert(kept.size < total, s"kept ${kept.size} of $total")
   }
 
+  test("rederiveBoundaries stream: drifted ingest re-buckets at the recluster") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      s.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    import s.implicits._
+    val dir = Files.createTempDirectory("szo-d").toString
+    val base = (0L until 1000L).map(row).toDF("id", "x", "y")
+    ZOrderLayout.write(base, Seq("x", "y"), dir, targetFiles = 8)
+    // drifted stream: keys entirely above the stored boundaries
+    def drifted(i: Long): (Long, Long, Double) =
+      (i, 1000L + i % 64, 1000.0 + (i % 64) * 1.5)
+    val ckpt = Files.createTempDirectory("szo-d-ckpt").toString
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = StreamZOrder.start(input.toDF().toDF("id", "x", "y"), dir, ckpt,
+      batchFiles = 2, optimizeEvery = 2, targetFiles = 8,
+      rederiveBoundaries = true)
+    try {
+      input.addData((1000L until 2000L).map(drifted): _*)
+      q.processAllAvailable()
+      input.addData((2000L until 3000L).map(drifted): _*)
+      q.processAllAvailable() // batch 2 reclusters with fresh boundaries
+      input.addData((3000L until 4000L).map(drifted): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ZOrderLayout.read(spark, dir).count() === 4000)
+    // after the rederive, a rectangle inside the DRIFTED range prunes:
+    // the re-derived boundaries subdivide it, so files are skipped and
+    // the pruned answer stays exact
+    val ranges: ZOrderLayout.Ranges = Map("x" -> (Some(1010.0), Some(1020.0)))
+    val pruned = ZOrderLayout.readPruned(spark, dir, ranges)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pruned === (1000L until 4000L)
+      .filter(i => i % 64 >= 10 && i % 64 <= 20).toSet)
+    val (kept, total) = ZOrderLayout.candidateFiles(spark, dir, ranges)
+    assert(kept.size < total,
+      s"drifted rectangle must prune after rederive: kept ${kept.size} of $total")
+  }
+
   test("crash replay: fold-committed + preserve-current + re-append is exactly-once") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("szo-r").toString
