@@ -324,11 +324,15 @@ object Bench {
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
         val r = Await.result(
-          Future(graft.sink.SinkBench.run(spark)), 480.seconds)
+          Future(graft.sink.SinkBench.run(spark)), 600.seconds)
+        val curve = r.morReadCurve
+          .map { case (c, s) => s"""{"chain":$c,"sec":${num(s)}}""" }
+          .mkString("[", ",", "]")
         s"""{"table_rows":${r.tableRows},"batch_rows":${r.batchRows},"commits":${r.commits},""" +
           s""""cow_sec":${num(r.cowSec)},"bucketed_sec":${num(r.bucketedSec)},"mor_sec":${num(r.morSec)},""" +
           s""""cow_read_sec":${num(r.cowReadSec)},"bucketed_read_sec":${num(r.bucketedReadSec)},""" +
-          s""""mor_read_sec":${num(r.morReadSec)},"mor_read_chain_len":${r.morChainLen}}"""
+          s""""mor_read_sec":${num(r.morReadSec)},"mor_read_chain_len":${r.morChainLen},""" +
+          s""""mor_read_curve":$curve}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sink small-batch bench failed: ${e.getMessage}")
         noCmp

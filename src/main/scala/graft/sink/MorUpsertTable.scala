@@ -60,6 +60,19 @@ final class MorUpsertTable(
       * `compactAfter` files per bucket. Hudi's
       * `hoodie.compact.inline.max.delta.commits` equivalent. */
     val compactAfter: Int = 4,
+    /** MEASURED read-amplification trigger (0 disables): compact a
+      * bucket when its chain's total bytes exceed this multiple of its
+      * base (first-dir) bytes — i.e. when a reader scans more than
+      * `compactReadAmp×` the merged state's size. Commit COUNT alone
+      * misjudges both directions: a small base under heavy deltas hits
+      * punishing read amp at chain length 2, while a huge base under
+      * trickle deltas wastes a full rewrite at length `compactAfter`.
+      * Bytes-based triggering is Hudi's log-file-size compaction
+      * strategy re-expressed; cost is one `getContentSummary` per
+      * chained dir per commit (≤ buckets × compactAfter metadata
+      * calls). The bench's `mor_read_curve` row measures the latency
+      * curve this knob bounds. */
+    val compactReadAmp: Double = 0.0,
     /** Hive-sync equivalent for the LOG-STRUCTURED layout: when set
       * (`[db.]table`), every commit (re)publishes a SNAPSHOT-QUERY view
       * (Hudi MOR's by-name read): the log fold itself — latest-per-key
@@ -249,8 +262,18 @@ final class MorUpsertTable(
           (m.buckets.keySet ++ appended.keySet).map { b =>
             b -> (m.buckets.getOrElse(b, Nil) ++ appended.get(b))
           }.toMap
-        // inline compaction of over-long chains, scoped to those buckets
-        val toCompact = chains.filter(_._2.length > compactAfter)
+        // inline compaction, scoped to triggered buckets: chain LENGTH
+        // over compactAfter, or measured chain BYTES over compactReadAmp
+        // times the bucket's base bytes (see the knob's scaladoc)
+        val ampTriggered: Set[Int] =
+          if (compactReadAmp <= 0) Set.empty
+          else chains.collect {
+            case (b, chain) if chain.length > 1 =>
+              val sizes = chain.map(tfs.sizeBytes)
+              b -> (sizes.sum.toDouble / math.max(sizes.head, 1L))
+          }.filter(_._2 > compactReadAmp).keySet
+        val toCompact = chains.filter { case (b, chain) =>
+          chain.length > compactAfter || ampTriggered(b) }
         if (toCompact.isEmpty) (chains, StructType.fromDDL(m.schemaDdl))
         else {
           val dirs = toCompact.values.flatten.toSeq.sorted.map(tfs.str)

@@ -37,7 +37,11 @@ object SinkBench {
   final case class Result(cowSec: Double, bucketedSec: Double, morSec: Double,
                           cowReadSec: Double, bucketedReadSec: Double,
                           morReadSec: Double, morChainLen: Int,
-                          tableRows: Long, batchRows: Int, commits: Int)
+                          tableRows: Long, batchRows: Int, commits: Int,
+                          /** MOR read latency vs delta-chain length
+                            * 1..N — the curve the `compactReadAmp`
+                            * policy knob bounds. */
+                          morReadCurve: Seq[(Int, Double)])
 
   def run(spark: SparkSession, tableRows: Long = 4000000L,
           batchRows: Int = 1000, commits: Int = 6): Result = {
@@ -86,9 +90,24 @@ object SinkBench {
         compactAfter = commits + 10), timed = false)
     val morChain = (0 until 16)
       .map(morReadT.asInstanceOf[MorUpsertTable].bucketChainLength).max
+    // Read-amplification CURVE: snapshot-read latency at every chain
+    // length 1..12 on one compaction-deferred table — the measured form
+    // of the MOR read-side trade, and the data a deployment uses to set
+    // `compactReadAmp`/`compactAfter`. Deltas are O(batch) appends, so
+    // the curve's cost is dominated by the 12 timed reads.
+    val curveRoot = graft.queries.CdcQueries.tempSinkDir("graft-sink-curve")
+    val curveT = new MorUpsertTable(spark, curveRoot.toString, Seq("id"),
+      nBuckets = 16, compactAfter = 1000)
+    curveT.upsert(seed)
+    val morCurve = (1 to 12).map { chain =>
+      val observed = (0 until 16).map(curveT.bucketChainLength).max
+      val sec = readTime(curveT)
+      if (chain < 12) curveT.upsert(batch(chain + 100)) // fresh keys per delta
+      observed -> sec
+    }
     Result(cow, bucketed, mor,
       readTime(cowT), readTime(bktT), readTime(morReadT), morChain,
-      tableRows, batchRows, commits)
+      tableRows, batchRows, commits, morCurve)
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,6 +118,8 @@ object SinkBench {
       f"mor_speedup=${r.cowSec / r.morSec}%.1fx " +
       f"read: cow=${r.cowReadSec}%.2fs bucketed=${r.bucketedReadSec}%.2fs " +
       f"mor(chain=${r.morChainLen})=${r.morReadSec}%.2fs")
+    println("[sink-bench] mor_read_curve: " + r.morReadCurve
+      .map { case (c, s) => f"$c:$s%.2fs" }.mkString(" "))
     spark.stop()
   }
 }

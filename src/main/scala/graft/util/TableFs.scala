@@ -153,6 +153,15 @@ final class TableFs(root: String, conf: Configuration) {
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
   }
 
+  /** Total bytes under `rel` (0 if absent) — the read-amplification
+    * observable the MOR compaction policy keys on. One
+    * `getContentSummary` call per chained dir; callers bound the call
+    * count by buckets × chain length, never data-file fan-out. */
+  def sizeBytes(rel: String): Long = {
+    val p = resolve(rel)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
   /** Recursive delete, tolerant of concurrent deleters (cleanup runs
     * after the pointer swap and must never fail a published commit). */
   def deleteRecursively(rel: String): Unit =

@@ -69,6 +69,42 @@ class MorUpsertTableSpec extends SparkSpecBase {
     assert(state(t) === Map(1L -> "v4"))
   }
 
+  test("compactReadAmp: measured chain bytes trigger compaction where commit count would not") {
+    // small base + one heavy delta: chain length 2 is far below
+    // compactAfter, but a reader scans ~100x the merged state's bytes —
+    // the byte-ratio policy compacts, the count-only twin does not
+    def bigBatch(from: Long, n: Int, mtime: Long) =
+      batch((from until from + n).map(i => (i, s"wide-$i-" + "x" * 64, mtime, false)): _*)
+    val ampRoot = Files.createTempDirectory("mor-amp").toString
+    val amp = new MorUpsertTable(spark, ampRoot, Seq("id"),
+      nBuckets = 2, compactAfter = 10, compactReadAmp = 3.0)
+    amp.upsert(batch((1L, "seed1", 1L, false), (2L, "seed2", 1L, false)))
+    amp.upsert(bigBatch(100L, 2000, 2L))
+    assert((0 until 2).map(amp.bucketChainLength).max === 1,
+      "byte-ratio trigger must compact the heavy-delta chain")
+    assert(state(amp).size === 2002)
+    assert(state(amp)(1L) === "seed1")
+
+    val cntRoot = Files.createTempDirectory("mor-cnt").toString
+    val cnt = new MorUpsertTable(spark, cntRoot, Seq("id"),
+      nBuckets = 2, compactAfter = 10) // count-only policy
+    cnt.upsert(batch((1L, "seed1", 1L, false), (2L, "seed2", 1L, false)))
+    cnt.upsert(bigBatch(100L, 2000, 2L))
+    assert((0 until 2).map(cnt.bucketChainLength).max === 2,
+      "count-only policy must NOT compact at chain length 2")
+
+    // converse: heavy base + trickle delta stays below the ratio — no
+    // wasted rewrite (the other misjudgement count-only makes, inverted)
+    val trickleRoot = Files.createTempDirectory("mor-trickle").toString
+    val tr = new MorUpsertTable(spark, trickleRoot, Seq("id"),
+      nBuckets = 2, compactAfter = 10, compactReadAmp = 3.0)
+    tr.upsert(bigBatch(100L, 2000, 1L))
+    tr.upsert(batch((1L, "tiny", 2L, false)))
+    assert((0 until 2).map(tr.bucketChainLength).max === 2,
+      "a trickle delta over a heavy base must not trigger the ratio")
+    assert(state(tr)(1L) === "tiny")
+  }
+
   test("readForKeys folds only the keys' bucket chains; tombstones stay masked") {
     val s = spark; import s.implicits._
     val root = Files.createTempDirectory("mor-keys")
