@@ -273,10 +273,13 @@ object SparkEntry {
   private val PinLshScale01 = 1L
   private val PinIvf01 = 64L
   // IVF-PQ found counts (measured from the deterministic engine output
-  // per sf — see the llm_pq_recall entry)
-  private val PinPq0001 = 63L
-  private val PinPq001 = 53L
-  private val PinPq01 = 53L
+  // per sf — see the llm_pq_recall entry). Residual/IVFADC codebooks at
+  // ksub=256 + rerank=100 (r12): 65/55/62 vs IVF-Flat's 65/55/64 — the
+  // 32x code compression now costs at most 2 recall points on these
+  // probes (the r11 raw-position/32-code configuration paid 0/2/11).
+  private val PinPq0001 = 65L
+  private val PinPq001 = 55L
+  private val PinPq01 = 62L
   private val PinMinhash01 = 256L
   private val PinMinhashInc01 = 53L
   private val PinSimhashInc0001 = 9L

@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   * decomposes over subspaces (dot(q,x) = Σ_j dot(q_j, x_j)), a
   * per-query lookup table of m × ksub partial dots turns scoring into
   * `m` table lookups per candidate (asymmetric distance computation,
-  * Jégou et al., TPAMI 2011 — public method). The pipeline is the
+  * Jégou et al., TPAMI 2011 — public method). Codebooks may quantize
+  * RESIDUALS against the coarse cell centroid (the paper's IVFADC
+  * form, [[train]]'s `residualOf`): the ADC score then adds the
+  * per-(query, cell) `dot(q, centroid)` constant, and the same code
+  * budget buys measurably more recall because residuals concentrate
+  * near the origin. The pipeline is the
   * standard one: IVF cells prune the corpus, ADC ranks the survivors
   * from codes alone, the top `rerank` candidates are re-scored EXACTLY
   * from their raw vectors (read back by id from the probed cells
@@ -51,12 +56,22 @@ object Pq {
     * distinct subvectors seed, lower-index ties, plain L2 Lloyd
     * iterations — L2 on unit-normalized full vectors is the right
     * quantization objective for dot-product ADC). Vectors are
-    * unit-normalized before splitting; zero vectors are excluded. */
+    * unit-normalized before splitting; zero vectors are excluded.
+    *
+    * `residualOf`: when set, codebooks are trained on RESIDUALS —
+    * `unit(v) - centroid(cell(v))` under that coarse quantizer (the
+    * IVFADC form from the same Jégou TPAMI'11 paper). Residuals
+    * concentrate near the origin regardless of which cell a vector
+    * lives in, so the same `m × ksub` code budget quantizes far finer
+    * than it does raw positions — the public remedy for PQ recall at
+    * fixed compression. Indexes built from a residual model must
+    * encode AND score in residual mode ([[writeIndex]]'s `residual`
+    * flag, persisted with the codebooks). */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int, ksub: Int = 256, maxTrain: Int = 25600,
-            iters: Int = 10): Model = {
+            iters: Int = 10, residualOf: Option[Ivf.Model] = None): Model = {
     require(m >= 1 && ksub >= 1 && ksub <= 256 && iters >= 0)
-    val sample = corpus
+    val sampleU = corpus
       .select(col(idCol).cast("long").as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
       .where(col("__v").isNotNull)
@@ -67,7 +82,20 @@ object Pq {
       .map(_.getSeq[Double](0).toArray)
       .map(unit)
       .filter(_ != null)
-    require(sample.nonEmpty, "PQ training: no non-zero vectors in corpus")
+    require(sampleU.nonEmpty, "PQ training: no non-zero vectors in corpus")
+    val sample = residualOf match {
+      case None => sampleU
+      case Some(im) =>
+        require(im.centroids(0).length == sampleU(0).length,
+          "coarse quantizer dim != corpus dim")
+        sampleU.map { u =>
+          val cent = im.centroids(nearestCellByDot(im.centroids, u))
+          val r = u.clone()
+          var d = 0
+          while (d < r.length) { r(d) -= cent(d); d += 1 }
+          r
+        }
+    }
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val subDim = dim / m
@@ -77,6 +105,25 @@ object Pq {
       kmeansL2(subs, ksub, iters)
     }
     Model(books)
+  }
+
+  /** Driver-side twin of [[graft.functions.NearestCells]]' assignment
+    * rule (argmax dot, strict comparisons, ties keep the LOWER index) —
+    * residual training must bucket its sample exactly as
+    * [[Ivf.cellOf]] buckets the corpus, or codes and cells disagree. */
+  private def nearestCellByDot(cents: Array[Array[Double]],
+                               v: Array[Double]): Int = {
+    var best = 0
+    var bs = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val w = cents(c)
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * w(i); i += 1 }
+      if (s > bs) { bs = s; best = c }
+      c += 1
+    }
+    best
   }
 
   /** v/|v|, or null for the zero vector (the [[Ivf]] helper, repeated
@@ -151,15 +198,20 @@ object Pq {
     best
   }
 
-  /** Persist a trained model as a (subspace, code, centroid) parquet
-    * table — the train-once artifact, same contract as [[Ivf.save]]. */
-  def save(spark: SparkSession, model: Model, path: String): Unit = {
+  /** Persist a trained model as a (subspace, code, centroid, residual)
+    * parquet table — the train-once artifact, same contract as
+    * [[Ivf.save]]. `residual` records the ENCODING MODE the codebooks
+    * were trained for, so a written index is self-describing: append
+    * and search resolve the mode from storage, never from the caller
+    * remembering it. */
+  def save(spark: SparkSession, model: Model, path: String,
+           residual: Boolean = false): Unit = {
     import spark.implicits._
     (for {
       j <- model.codebooks.indices
       c <- model.codebooks(j).indices
-    } yield (j, c, model.codebooks(j)(c).toSeq))
-      .toDF("subspace", "code", "centroid")
+    } yield (j, c, model.codebooks(j)(c).toSeq, residual))
+      .toDF("subspace", "code", "centroid", "residual")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -178,6 +230,36 @@ object Pq {
     Model(books.map(_.toArray))
   }
 
+  /** The stored encoding mode ([[save]]'s `residual` column); false for
+    * pre-flag model tables. */
+  private def loadResidualFlag(spark: SparkSession, path: String): Boolean = {
+    val df = spark.read.parquet(path)
+    if (!df.columns.contains("residual")) false
+    else df.select("residual").head().getBoolean(0)
+  }
+
+  /** Tiny (cell, centroid) frame of the coarse quantizer — the
+    * broadcast side of residual encode/score joins (nCells rows). */
+  private def centroidsDf(spark: SparkSession, ivfModel: Ivf.Model): DataFrame = {
+    import spark.implicits._
+    ivfModel.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "__cent")
+  }
+
+  /** codes column for `df` (which already carries `cell`): plain or
+    * residual per the model's mode. */
+  private def encoded(df: DataFrame, vecCol: String, ivfModel: Ivf.Model,
+                      pqModel: Model, residual: Boolean): DataFrame =
+    if (!residual)
+      df.withColumn("codes",
+        PqExpressions.encode(col(vecCol).cast("array<double>"), pqModel))
+    else
+      df.join(broadcast(centroidsDf(df.sparkSession, ivfModel)), "cell")
+        .withColumn("codes", PqExpressions.encodeResidual(
+          col(vecCol).cast("array<double>"), col("__cent"), pqModel))
+        .drop("__cent")
+
   /** Persist the corpus as a searchable IVF-PQ index:
     * {{{
     *   path/model   the coarse (cell) quantizer  — [[Ivf.save]]
@@ -189,14 +271,14 @@ object Pq {
     * (id, codes) — column pruning keeps the float columns out of the
     * hot scan, which is the IO story PQ exists for. */
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                 ivfModel: Ivf.Model, pqModel: Model, path: String): Unit = {
+                 ivfModel: Ivf.Model, pqModel: Model, path: String,
+                 residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     Ivf.save(spark, ivfModel, s"$path/model")
-    save(spark, pqModel, s"$path/pq")
-    corpus
-      .withColumn("cell", Ivf.cellOf(col(vecCol), ivfModel))
-      .withColumn("codes",
-        PqExpressions.encode(col(vecCol).cast("array<double>"), pqModel))
+    save(spark, pqModel, s"$path/pq", residual)
+    encoded(
+        corpus.withColumn("cell", Ivf.cellOf(col(vecCol), ivfModel)),
+        vecCol, ivfModel, pqModel, residual)
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/data/__epoch=base")
   }
@@ -214,10 +296,10 @@ object Pq {
     val spark = newVectors.sparkSession
     val ivfModel = Ivf.load(spark, s"$path/model")
     val pqModel = load(spark, s"$path/pq")
-    newVectors
-      .withColumn("cell", Ivf.cellOf(col(vecCol), ivfModel))
-      .withColumn("codes",
-        PqExpressions.encode(col(vecCol).cast("array<double>"), pqModel))
+    val residual = loadResidualFlag(spark, s"$path/pq")
+    encoded(
+        newVectors.withColumn("cell", Ivf.cellOf(col(vecCol), ivfModel)),
+        vecCol, ivfModel, pqModel, residual)
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/data/__epoch=$epoch")
   }
@@ -234,12 +316,27 @@ object Pq {
                   rerank: Int = 50): DataFrame = {
     val ivfModel = Ivf.load(spark, s"$path/model")
     val pqModel = load(spark, s"$path/pq")
+    val residual = loadResidualFlag(spark, s"$path/pq")
     val qBase = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"),
       Similarity.l2(col(vecCol)).as("__qn"))
-    val probesPlan = qBase.select(col("query_id"),
+    // Probe rows carry (query, cell, dot(unit q, cell centroid)): under
+    // residual encoding the ADC score decomposes as dot(q,x) ≈
+    // dot(q,cent) + Σ_j lut[codes_j] — the per-(query,cell) constant
+    // term is computed here once (broadcast-small) instead of per
+    // candidate; in plain mode it is simply 0.
+    val probesCells = qBase.select(col("query_id"), col("__qv"), col("__qn"),
       explode(VectorExpressions.nearestCells(
         col("__qv"), ivfModel.asSeq, nProbe)).as("cell"))
+    val probesPlan =
+      if (residual)
+        probesCells.join(broadcast(centroidsDf(spark, ivfModel)), "cell")
+          .select(col("query_id"), col("cell"),
+            (VectorExpressions.dotProduct(col("__qv"), col("__cent")) /
+              col("__qn")).as("__qdotc"))
+      else
+        probesCells.select(col("query_id"), col("cell"),
+          lit(0.0).as("__qdotc"))
     val collected = probesPlan.collect()
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(collected: _*), probesPlan.schema)
@@ -257,7 +354,9 @@ object Pq {
       .where(col("query_id") =!= col("neighbor_id"))
       .join(qLut, "query_id")
       .select(col("query_id"), col("neighbor_id"),
-        PqExpressions.adc(col("codes"), col("__lut"), pqModel.ksub).as("__adc"))
+        (col("__qdotc") +
+          PqExpressions.adc(col("codes"), col("__lut"), pqModel.ksub))
+          .as("__adc"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("__adc").desc, col("neighbor_id").asc)
     val shortlist = adcScored

@@ -28,6 +28,19 @@ object PqExpressions {
       GraftExpressionBridge.expression(vec),
       flatten(model), model.m, model.ksub, model.subDim))
 
+  /** Residual encode (the IVFADC form, Jégou et al. TPAMI 2011): codes
+    * for `unit(vec) - cent`, where `cent` is the row's coarse-cell
+    * centroid — the codebooks quantize residuals, which are far more
+    * compact than raw positions, so the same code budget buys more
+    * recall. The residual is NOT re-normalized (dot(q,x) =
+    * dot(q,cent) + dot(q,residual) only holds for the raw residual). */
+  def encodeResidual(vec: Column, cent: Column,
+                     model: graft.ext.Pq.Model): Column =
+    GraftExpressionBridge.column(PqEncodeResidual(
+      GraftExpressionBridge.expression(vec),
+      GraftExpressionBridge.expression(cent),
+      flatten(model), model.m, model.ksub, model.subDim))
+
   def lut(vec: Column, model: graft.ext.Pq.Model): Column =
     GraftExpressionBridge.column(PqLut(
       GraftExpressionBridge.expression(vec),
@@ -92,6 +105,18 @@ object PqKernels {
       j += 1
     }
     out
+  }
+
+  /** Codes for `unitOrNull(v) - cent` (residual/IVFADC encoding); null
+    * on zero/mismatched `v` or a `cent` of the wrong dim. The residual
+    * is deliberately NOT re-normalized. */
+  def encodeResidual(v: Array[Double], cent: Array[Double], flat: Array[Double],
+                     m: Int, ksub: Int, subDim: Int): Array[Byte] = {
+    val u = unitOrNull(v, m * subDim)
+    if (u == null || cent.length != u.length) return null
+    var i = 0
+    while (i < u.length) { u(i) -= cent(i); i += 1 }
+    encode(u, flat, m, ksub, subDim)
   }
 
   /** m·ksub partial dots of a unit query against every codeword. */
@@ -161,6 +186,48 @@ case class PqEncode(child: Expression, flat: Array[Double],
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
+}
+
+/** (vector, cell centroid) → m residual-PQ code bytes
+  * ([[PqKernels.encodeResidual]]). Null input, wrong lengths, or the
+  * zero vector → null. */
+case class PqEncodeResidual(left: Expression, right: Expression,
+                            flat: Array[Double],
+                            m: Int, ksub: Int, subDim: Int)
+    extends BinaryExpression {
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_encode_residual expects (array<double>, array<double>), " +
+          s"got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_pq_encode_residual"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqKernels.encodeResidual(
+      a.asInstanceOf[ArrayData].toDoubleArray(),
+      b.asInstanceOf[ArrayData].toDoubleArray(), flat, m, ksub, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fl = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val c = ctx.freshName("codes")
+      s"""
+         |byte[] $c = graft.functions.PqKernels.encodeResidual(
+         |  $a.toDoubleArray(), $b.toDoubleArray(), $fl, $m, $ksub, $subDim);
+         |if ($c == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $c; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeResidual =
+    copy(left = newLeft, right = newRight)
 }
 
 /** query vector → ADC lookup table (array<double> of m·ksub). Same

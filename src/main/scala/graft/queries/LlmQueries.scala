@@ -182,15 +182,20 @@ object LlmQueries {
       .orderBy("query_id", "rank")
 
   /** Session-cached IVF-PQ index over the full embedding table
-    * ([[graft.ext.Pq.writeIndex]]): 64-dim vectors → 8 subspaces × 32
-    * codes = 8 code BYTES per vector (32× smaller than the float rows
-    * the ADC scan would otherwise stream). */
+    * ([[graft.ext.Pq.writeIndex]]): 64-dim vectors → 8 subspaces × 256
+    * RESIDUAL codes (the IVFADC form — codebooks quantize
+    * `unit(v) − cellCentroid`) = 8 code BYTES per vector, 1 byte per
+    * subspace — still 32× smaller than the float rows the ADC scan
+    * would otherwise stream, with measurably higher recall than the
+    * r11 raw-position/32-code configuration at the SAME code size. */
   private def pqIndexDir(spark: SparkSession, sfDir: String): String =
     incIndexDir(spark, s"pq|$sfDir") { dir =>
       val all = emb(spark, sfDir)
-      val pqm = Pq.train(all, "vec_id", "embedding", m = 8, ksub = 32)
-      Pq.writeIndex(all, "vec_id", "embedding", ivfModel(spark, sfDir),
-        pqm, dir)
+      val ivfm = ivfModel(spark, sfDir)
+      val pqm = Pq.train(all, "vec_id", "embedding", m = 8, ksub = 256,
+        residualOf = Some(ivfm))
+      Pq.writeIndex(all, "vec_id", "embedding", ivfm, pqm, dir,
+        residual = true)
     }
 
   /** IVF-PQ top-k: probe 4 of 16 cells, ADC-rank their CODES (8 table
@@ -202,7 +207,7 @@ object LlmQueries {
   def cosineTopKPq(spark: SparkSession, sfDir: String): DataFrame =
     Pq.topKIndexed(spark, pqIndexDir(spark, sfDir),
         emb(spark, sfDir).where(col("vec_id") < 20), "vec_id", "embedding",
-        k = 5, nProbe = 4, rerank = 50)
+        k = 5, nProbe = 4, rerank = 100)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
 

@@ -156,6 +156,75 @@ class PqSpec extends SparkSpecBase {
     assert(run(s"$dir/grown") === run(s"$dir/whole"))
   }
 
+  test("residual (IVFADC) mode: exact-rerank equality, stored-mode append parity") {
+    val df = clustered()
+    val queries = df.where(col("vec_id") < 4)
+    val ivf = Ivf.train(df, "vec_id", "embedding", nCells = 4)
+    val pq = Pq.train(df, "vec_id", "embedding", m = 4, ksub = 8,
+      residualOf = Some(ivf))
+    val dir = java.nio.file.Files.createTempDirectory("pq-res").toString
+    Pq.writeIndex(df, "vec_id", "embedding", ivf, pq, s"$dir/idx",
+      residual = true)
+    val got = Pq.topKIndexed(spark, s"$dir/idx", queries, "vec_id",
+        "embedding", k = 5, nProbe = 2, rerank = 20)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding",
+        k = 5)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === exact, s"missed: ${exact -- got}; spurious: ${got -- exact}")
+
+    // appendToIndex must resolve residual mode FROM STORAGE: a grown
+    // index equals a from-scratch one, and replay is idempotent
+    val first = df.where(col("vec_id") % 3 =!= 0)
+    val batch = df.where(col("vec_id") % 3 === 0)
+    Pq.writeIndex(first, "vec_id", "embedding", ivf, pq, s"$dir/grown",
+      residual = true)
+    Pq.appendToIndex(batch, "vec_id", "embedding", s"$dir/grown", "b1")
+    Pq.appendToIndex(batch, "vec_id", "embedding", s"$dir/grown", "b1")
+    def run(p: String) = Pq.topKIndexed(spark, p, queries, "vec_id",
+        "embedding", k = 5, nProbe = 2, rerank = 20)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(run(s"$dir/grown") === run(s"$dir/idx"))
+  }
+
+  test("residual codes beat raw-position codes on ADC rank (before rerank)") {
+    // isotropic-ish corpus where raw-position PQ at a tiny code budget
+    // visibly misranks: compare how many exact top-k pairs survive to
+    // the ADC shortlist under each encoding at rerank = k (no slack).
+    val s = spark; import s.implicits._
+    val df = (0 until 256).map { i =>
+      val v = Array.tabulate(16)(d =>
+        math.sin(i * 2.39996 + d * 1.7) + 0.3 * math.cos(i * 0.77 * (d + 1)))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 8)
+    val ivf = Ivf.train(df, "vec_id", "embedding", nCells = 4)
+    val raw = Pq.train(df, "vec_id", "embedding", m = 4, ksub = 8)
+    val res = Pq.train(df, "vec_id", "embedding", m = 4, ksub = 8,
+      residualOf = Some(ivf))
+    val dir = java.nio.file.Files.createTempDirectory("pq-ab").toString
+    Pq.writeIndex(df, "vec_id", "embedding", ivf, raw, s"$dir/raw")
+    Pq.writeIndex(df, "vec_id", "embedding", ivf, res, s"$dir/res",
+      residual = true)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding",
+        k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(p: String): Int =
+      Pq.topKIndexed(spark, p, queries, "vec_id", "embedding",
+          k = 5, nProbe = 4, rerank = 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(exact).size
+    val (rawHits, resHits) = (hits(s"$dir/raw"), hits(s"$dir/res"))
+    assert(resHits >= rawHits,
+      s"residual ADC ($resHits) must not rank worse than raw ($rawHits)")
+    assert(resHits > rawHits,
+      s"fixture expected to discriminate: raw=$rawHits res=$resHits of ${exact.size}")
+  }
+
   test("codes are m bytes: 8x smaller than the float vectors they index") {
     val df = clustered()
     val ivf = Ivf.train(df, "vec_id", "embedding", nCells = 4)
