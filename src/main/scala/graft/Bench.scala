@@ -364,8 +364,10 @@ object Bench {
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
         val factor = sys.env.getOrElse("GRAFT_LADDER_FACTOR", "10").toInt
+        // 2400 s: the factor-30 3-point rungs add ~5-6 min on top of the
+        // factor-10 sweep at sf0.1
         val rungs = Await.result(
-          Future(ScaleLadder.run(spark, sfDir, factor)), 1500.seconds)
+          Future(ScaleLadder.run(spark, sfDir, factor)), 2400.seconds)
         ScaleLadder.toJson(factor, rungs)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale ladder failed: ${e.getMessage}")

@@ -65,24 +65,29 @@ object ScaleLadder {
         s"size(embedding) - ($k % size(embedding))), " +
         s"slice(embedding, 1, $k % size(embedding)))")
 
-  /** Write the factor-F tables under `outDir` (documents, embeddings,
-    * events — everything the ladder queries read). */
+  /** Write the factor-F tables under `outDir` (by default documents,
+    * embeddings, events — everything the ladder queries read; `tables`
+    * restricts the set so a deep rung over one table doesn't pay for
+    * generating the others at that factor). */
   def generate(spark: SparkSession, baseDir: String, outDir: String,
-               factor: Int): Unit = {
+               factor: Int,
+               tables: Seq[String] = Seq("documents", "embeddings", "events"))
+      : Unit = {
     def replicate(table: String)(one: Int => DataFrame): Unit =
-      (0 until factor).map(one).reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
-    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      if (tables.contains(table))
+        (0 until factor).map(one).reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    lazy val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     replicate("documents") { k =>
       docs.select((col("doc_id") + lit(k.toLong * Stride)).as("doc_id"),
         rotText(k).as("text"), col("lang"), col("source"), col("n_chars"))
     }
-    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    lazy val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     replicate("embeddings") { k =>
       emb.select((col("vec_id") + lit(k.toLong * Stride)).as("vec_id"),
         rotVec(k).as("embedding"), col("label"))
     }
-    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    lazy val ev = spark.read.parquet(s"$baseDir/events.parquet")
     replicate("events") { k =>
       ev.select((col("event_id") + lit(k.toLong * Stride)).as("event_id"),
         col("ts"), (col("user_id") + lit(k.toLong * Stride)).as("user_id"),
@@ -201,8 +206,52 @@ object ScaleLadder {
           "llm_clean_corpus_stage_* rungs)")
       case r => r
     }
-    (annotated :+ inc) ++ stageRungs ++ indexSizeRungs(spark, d1) :+
+    (annotated :+ inc) ++ threePointRungs(spark, baseDir, root, factor,
+      rungs) ++ stageRungs ++ indexSizeRungs(spark, d1) :+
       zorderRung(spark, d1, dF, factor)
+  }
+
+  /** The two STEEPEST rungs ladder a second decade: a 2-point fit rests
+    * on one decade and cannot see a super-linear knee past it, so the
+    * near-linear suspects (`maxDf`-capped inverted index, CC iteration
+    * count) get a third point at `factor2` and a least-squares exponent
+    * over log t vs log F across {1, F, F2}. Documents-only generation —
+    * both queries read nothing else. `GRAFT_LADDER_FACTOR2=0`
+    * disables. */
+  private val DeepRungQueries = Seq("llm_neardup_jaccard", "llm_dedup_corpus_cc")
+
+  private def threePointRungs(spark: SparkSession, baseDir: String,
+                              root: String, factor: Int,
+                              twoPoint: Seq[Rung]): Seq[Rung] = {
+    val factor2 = sys.env.getOrElse("GRAFT_LADDER_FACTOR2", "30").toInt
+    if (factor2 <= factor) Nil
+    else {
+      val d2 = s"$root/x$factor2"
+      generate(spark, baseDir, d2, factor2, tables = Seq("documents"))
+      def lsSlope(pts: Seq[(Double, Double)]): Double = {
+        val xs = pts.map(p => math.log(p._1)); val ys = pts.map(p => math.log(p._2))
+        val n = pts.size
+        val xm = xs.sum / n; val ym = ys.sum / n
+        xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+          xs.map(x => (x - xm) * (x - xm)).sum
+      }
+      DeepRungQueries.flatMap { name =>
+        twoPoint.find(_.name == name).map { r =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, d2).count()
+          val t2 = (System.nanoTime() - t0) / 1e9
+          System.gc()
+          val e = lsSlope(Seq(1.0 -> r.t1, factor.toDouble -> r.tF,
+            factor2.toDouble -> t2))
+          def f(d: Double): String = f"$d%.1f"
+          Rung(s"${name}_3pt", r.t1, t2, e,
+            s"3-point least-squares over 1x/${factor}x/${factor2}x " +
+              s"(t = ${f(r.t1)} / ${f(r.tF)} / ${f(t2)} s); tF is the " +
+              s"${factor2}x time, exponent is the fitted slope; a knee " +
+              "past the first decade would push it above the 2-point fit")
+        }
+      }
+    }
   }
 
   /** The z-order file-skipping claim at scale, MEASURED (rung values
