@@ -258,9 +258,17 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
       }
+    // `full = false` drops the per-rep evidence arrays from the line:
+    // the driver captures only a bounded stdout TAIL and its JSON parse
+    // of the r11 line (with reps/reps_env inlined) came back null. The
+    // printed line stays parseable; bench_out.json holds everything.
     def jsonLine(stream: String, sinkCmp: String, layout: String,
-                 ladder: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"reps_env":$rsEnv,"medians":$medStr,"stream":$stream,"sink_small_batch":$sinkCmp,"zorder_layout":$layout,"ladder":$ladder,"sf":"$sfDir"}"""
+                 ladder: String, full: Boolean = true): String = {
+      val evidence =
+        if (full) s""","reps":$rs,"reps_env":$rsEnv,"medians":$medStr"""
+        else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$evidence,"stream":$stream,"sink_small_batch":$sinkCmp,"zorder_layout":$layout,"ladder":$ladder,"sf":"$sfDir"}"""
+    }
     // Double.toString is locale-independent ('.' decimal always) — the
     // JSON contract must not go through a default-locale formatter.
     def num(d: Double): String = (math.rint(d * 1000) / 1000).toString
@@ -373,9 +381,8 @@ object Bench {
         System.err.println(s"[bench] scale ladder failed: ${e.getMessage}")
         noLadder
       }
-    val line = jsonLine(stream, sinkCmp, layout, ladder)
-    println(line)
-    persist(line)
+    println(jsonLine(stream, sinkCmp, layout, ladder, full = false))
+    persist(jsonLine(stream, sinkCmp, layout, ladder))
     spark.stop()
   }
 }
