@@ -80,6 +80,9 @@ object SparkEntry {
     "llm_dedup_cc"             -> (LlmQueries.dedupCc _),
     "llm_dedup_corpus_cc"      -> (LlmQueries.dedupCorpusCc _),
     "llm_neardup_jaccard"      -> (LlmQueries.nearDupJaccard _),
+    "llm_span_dedup"           -> (LlmQueries.spanDedup _),
+    "llm_span_dedup_stats"     -> (LlmQueries.spanDedupStats _),
+    "llm_lm_score"             -> (LlmQueries.lmScore _),
     "llm_neardup_minhash"      -> (LlmQueries.minhashNearDup _),
     "llm_simhash_fingerprints" -> (LlmQueries.simhashFingerprints _),
     "llm_simhash_neardup"      -> (LlmQueries.simhashNearDup _),
@@ -790,6 +793,80 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin,
     "llm_neardup_jaccard" ->
       s"$JaccardPairsSql\nORDER BY id_a, id_b",
+    // Span-level exact substring dedup (Lee et al. 2022): the oracle
+    // groups windows by their TEXT; the engine groups by a 128-bit
+    // fingerprint — identical output short of a 2^-128-scale collision
+    // (disclosed in SpanDedup's scaladoc; text/fingerprint parity is
+    // additionally spec-asserted on this corpus).
+    "llm_span_dedup" ->
+      s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
+         |g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+11], ' ') AS gram
+         |      FROM w, unnest(generate_series(1, len(ws) - 11)) AS t(i)
+         |      WHERE len(ws) >= 12),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+         |isl AS (SELECT doc_id, pos,
+         |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 12
+         |               THEN 0 ELSE 1 END AS brk
+         |        FROM hits),
+         |sp AS (SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |       FROM isl)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 11 AS BIGINT) AS span_end,
+         |  CAST(max(pos) + 11 - min(pos) + 1 AS BIGINT) AS span_words
+         |FROM sp GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+    "llm_span_dedup_stats" ->
+      s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
+         |g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+11], ' ') AS gram
+         |      FROM w, unnest(generate_series(1, len(ws) - 11)) AS t(i)
+         |      WHERE len(ws) >= 12),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+         |isl AS (SELECT doc_id, pos,
+         |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 12
+         |               THEN 0 ELSE 1 END AS brk
+         |        FROM hits),
+         |sp AS (SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |       FROM isl),
+         |spans AS (SELECT doc_id, max(pos) + 11 - min(pos) + 1 AS span_words
+         |          FROM sp GROUP BY doc_id, island),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(len(ws)) AS BIGINT) AS total_words FROM w)
+         |SELECT tot.n_docs, tot.total_words,
+         |  CAST(count(DISTINCT spans.doc_id) AS BIGINT) AS docs_affected,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(spans.span_words) AS BIGINT) AS dup_words,
+         |  CAST(sum(spans.span_words) AS DOUBLE) / tot.total_words AS dup_fraction
+         |FROM spans, tot GROUP BY tot.n_docs, tot.total_words""".stripMargin,
+    // CCNet-style n-gram LM score: per-trigram cost quantized to whole
+    // bits via binary-string length (bin() / format('{:b}') — pure
+    // integer arithmetic, so no transcendental or sum-order divergence;
+    // see NgramLm's scaladoc), one final BIGINT/BIGINT division.
+    "llm_lm_score" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
+        |tri AS (SELECT doc_id, substr(txt, i, 3) AS tri
+        |        FROM t, unnest(generate_series(1, len(txt) - 2)) AS s(i)
+        |        WHERE len(txt) >= 3),
+        |big AS (SELECT doc_id, substr(txt, i, 2) AS big
+        |        FROM t, unnest(generate_series(1, len(txt) - 1)) AS s(i)
+        |        WHERE len(txt) >= 2),
+        |v AS (SELECT count(DISTINCT substr(txt, i, 1)) AS nv
+        |      FROM t, unnest(generate_series(1, len(txt))) AS s(i)),
+        |m3 AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY tri),
+        |m2 AS (SELECT big, count(*) AS c2 FROM big GROUP BY big),
+        |scored AS (
+        |  SELECT tri.doc_id,
+        |    length(format('{:b}', m2.c2 + (SELECT nv FROM v)))
+        |      - length(format('{:b}', m3.c3 + 1)) AS bits
+        |  FROM tri JOIN m3 USING (tri)
+        |  JOIN m2 ON m2.big = substr(tri.tri, 1, 2))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(bits) AS BIGINT) AS total_bits,
+        |  CAST(sum(bits) AS DOUBLE) / count(*) AS bits_per_trigram
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Incremental ≡ full-recompute-restricted: the SAME full-corpus
     // Jaccard CTE (combined-df cap included), restricted to pairs with
     // at least one side in the arriving shard (doc_id % 10 = 0). The

@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Character n-gram language-model quality scoring — the CCNet-style
+  * perplexity filter (Wenzek et al. 2020: score each document under an
+  * n-gram LM, rank, keep the low-perplexity head). Extension beyond the
+  * reference (SURVEY.md §2.8 north star).
+  *
+  * The model is a char-TRIGRAM LM with add-one (Laplace) smoothing
+  * trained on a reference corpus: P(c3 | c1c2) = (C(c1c2c3) + 1) /
+  * (C(c1c2) + V), V = the reference charset size. A document's score is
+  * its total cross-entropy in bits; low bits/char ≈ fluent under the
+  * reference distribution, high ≈ junk — the ranking CCNet thresholds.
+  *
+  * Cross-engine exactness: log2 is a transcendental (engines differ in
+  * the last ulp) and per-doc float SUMS are accumulation-order-dependent
+  * — both would break a bit-identical oracle. The per-trigram cost is
+  * therefore QUANTIZED TO WHOLE BITS with pure integer arithmetic:
+  *
+  *   bits(t) = bitlen(C(ctx) + V) − bitlen(C(t) + 1)
+  *
+  * where bitlen(n) = floor(log2(n)) + 1 is the binary-string length of
+  * a positive integer — exact in any engine (`bin()` in Spark,
+  * `format('{:b}', n)` in DuckDB). Since p = (C(t)+1)/(C(ctx)+V),
+  * bits(t) is within ±1 of −log2(p), an error bound that is uniform and
+  * disclosed; the per-doc TOTAL is a BIGINT sum (order-free), and the
+  * single final division to bits/trigram is one IEEE double op, which
+  * is bit-identical across engines.
+  *
+  * Scale design (the 100 TB contract):
+  *  - the model is two hash aggregates over the trigram/bigram streams
+  *    — map-side partial aggregation collapses each task's stream to at
+  *    most |charset|³ rows, so the shuffle is bounded by the CHARSET,
+  *    not the corpus (a 100-symbol charset caps the model at 1M rows);
+  *  - scoring joins the model to per-document trigram COUNTS (computed
+  *    with one doc-keyed aggregate), and the model side is broadcast —
+  *    the document stream is never shuffled on the trigram;
+  *  - per-doc totals reuse the (doc, trigram) aggregate's partitioning.
+  */
+object NgramLm {
+
+  /** 1-based char n-gram array of `lower(text)` — spaces kept (they
+    * carry word-boundary signal, as in CCNet's SentencePiece stream). */
+  private def charGrams(textCol: Column, n: Int): Column = {
+    val t = lower(textCol)
+    when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (gram, cnt) corpus counts of char n-grams. */
+  private def gramCounts(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.select(explode(charGrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+
+  /** The trained model: trigram counts, context-bigram counts, and the
+    * charset size — three tiny DataFrames a caller may persist. */
+  case class Model(tri: DataFrame, big: DataFrame, vocab: DataFrame)
+
+  def train(ref: DataFrame, textCol: String): Model = Model(
+    tri = gramCounts(ref, textCol, 3).withColumnRenamed("cnt", "c3"),
+    big = gramCounts(ref, textCol, 2).withColumnRenamed("cnt", "c2"),
+    vocab = gramCounts(ref, textCol, 1)
+      .agg(count(lit(1)).as("v_chars")))
+
+  /** Per-document integer-bit cross-entropy under the model:
+    * (idCol, n_trigrams, total_bits, bits_per_trigram), one row per doc
+    * that has at least one trigram. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            model: Model): DataFrame = {
+    // per-doc trigram counts: ONE doc-keyed shuffle with map-side combine
+    val docTri = docs
+      .select(col(idCol), explode(charGrams(col(textCol), 3)).as("tri"))
+      .groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("n"))
+    // model joins are broadcast (model rows bounded by charset size);
+    // every doc trigram exists in the model when scoring the training
+    // corpus itself — for out-of-corpus text an unseen trigram has
+    // C(t)=0 and an unseen context C(ctx)=0, handled by the coalesce.
+    val joined = docTri
+      .join(broadcast(model.tri.withColumnRenamed("gram", "tri")),
+        Seq("tri"), "left")
+      .join(broadcast(model.big.withColumnRenamed("gram", "ctx")),
+        substring(col("tri"), 1, 2) === col("ctx"), "left")
+      .crossJoin(broadcast(model.vocab)) // single-row charset size
+      .withColumn("bits",
+        (length(bin(coalesce(col("c2"), lit(0L)) + col("v_chars"))) -
+          length(bin(coalesce(col("c3"), lit(0L)) + 1))).cast("long"))
+    joined.groupBy(col(idCol))
+      .agg(sum("n").as("n_trigrams"),
+        sum(col("n") * col("bits")).as("total_bits"))
+      .select(col(idCol), col("n_trigrams"), col("total_bits"),
+        (col("total_bits").cast("double") / col("n_trigrams"))
+          .as("bits_per_trigram"))
+  }
+
+  /** Self-scored corpus (model trained on `docs` itself — the common
+    * bootstrap when no external reference corpus exists). */
+  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    score(docs, idCol, textCol, train(docs, textCol))
+}

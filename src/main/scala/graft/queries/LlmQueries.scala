@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Ivf, Multimodal, Pq, Sampling, Similarity, TextStats, Winnowing}
+import graft.ext.{Dedup, Ivf, Multimodal, NgramLm, Pq, Sampling, Similarity, SpanDedup, TextStats, Winnowing}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,6 +40,33 @@ object LlmQueries {
     Dedup.jaccardPairs(docs(spark, sfDir), "doc_id", "text", n = 3,
         threshold = 0.12, maxDf = JaccardMaxDf)
       .orderBy("id_a", "id_b")
+
+  /** Span window width for the registered span-dedup queries: 12 words
+    * — long enough that the ~40-word fixture vocabulary cannot repeat a
+    * window by chance (40^-12 per pair), short enough that mutated
+    * near-duplicate documents still share runs. Lee et al. 2022 use 50
+    * BPE tokens at web scale; the knob is the operator's `w`. */
+  val SpanW = 12
+
+  /** Exact substring (span-level) dedup — per-doc maximal duplicated
+    * spans (see [[SpanDedup]]; fingerprint-bucketed, never shuffles
+    * window text). */
+  def spanDedup(spark: SparkSession, sfDir: String): DataFrame =
+    SpanDedup.spans(docs(spark, sfDir), "doc_id", "text", w = SpanW)
+      .orderBy("doc_id", "span_start")
+
+  /** Corpus summary of duplicated-span mass (the number an operator
+    * reads before deciding to cut spans corpus-wide). */
+  def spanDedupStats(spark: SparkSession, sfDir: String): DataFrame =
+    SpanDedup.stats(docs(spark, sfDir), "doc_id", "text", w = SpanW)
+
+  /** CCNet-style n-gram LM quality score, self-trained on the corpus:
+    * per-doc integer-bit cross-entropy (see [[NgramLm]] for why the
+    * per-trigram cost is quantized to whole bits — cross-engine
+    * exactness). */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame =
+    NgramLm.selfScore(docs(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
 
   /** MinHash-LSH near-dup (approximate candidates, exact verification).
     * No SQL oracle — LSH recall is probabilistic; correctness is covered

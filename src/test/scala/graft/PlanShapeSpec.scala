@@ -166,6 +166,30 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("graft_dot"), "scoring should use the codegen dot kernel")
   }
 
+  test("span dedup: fingerprint agg partial map-side, no cartesian, no window text shuffled") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.SpanDedup.spans(real, "doc_id", "text", w = 12))
+    assert(!p.contains("CartesianProduct"), s"span dedup plans a cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      "occurrence counting should partial-aggregate map-side")
+    // the scale contract: only fingerprints cross the occurrence-count
+    // shuffle — no hashpartitioning exchange keyed on the gram text
+    val gramKeyed = "Exchange hashpartitioning\\(gram".r.findAllIn(p)
+    assert(gramKeyed.isEmpty, s"window TEXT is a shuffle key:\n$p")
+  }
+
+  test("lm score: model joins broadcast, doc stream never shuffled on the trigram") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.NgramLm.selfScore(real, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), "model joins should broadcast")
+    assert(!p.contains("CartesianProduct"), s"lm score plans a cartesian:\n$p")
+    // hash exchanges may key on (doc_id, tri) for the per-doc counts and
+    // on doc_id for totals — but never on the trigram ALONE (that would
+    // be a model-sized shuffle of the full document stream)
+    val triOnly = "Exchange hashpartitioning\\(tri#\\d+, \\d+\\)".r.findAllIn(p)
+    assert(triOnly.isEmpty, s"doc stream shuffled on trigram:\n$p")
+  }
+
   test("multimodal decode/feature extraction never shuffles the blob") {
     import graft.ext.Multimodal
     val ids = spark.range(0, 50).withColumnRenamed("id", "doc_id")
