@@ -101,6 +101,7 @@ object ScaleLadder {
     * the production preset is what a scale claim is about. */
   private val LadderQueries = Seq(
     "llm_neardup_jaccard",
+    "llm_span_dedup",
     "llm_neardup_minhash",
     "llm_dedup_corpus_cc",
     "llm_cosine_neardup_scale",

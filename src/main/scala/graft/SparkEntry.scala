@@ -82,6 +82,7 @@ object SparkEntry {
     "llm_neardup_jaccard"      -> (LlmQueries.nearDupJaccard _),
     "llm_span_dedup"           -> (LlmQueries.spanDedup _),
     "llm_span_dedup_stats"     -> (LlmQueries.spanDedupStats _),
+    "llm_span_dedup_cut"       -> (LlmQueries.spanDedupCut _),
     "llm_lm_score"             -> (LlmQueries.lmScore _),
     "llm_neardup_minhash"      -> (LlmQueries.minhashNearDup _),
     "llm_simhash_fingerprints" -> (LlmQueries.simhashFingerprints _),
@@ -841,6 +842,39 @@ object SparkEntry {
          |  CAST(sum(spans.span_words) AS BIGINT) AS dup_words,
          |  CAST(sum(spans.span_words) AS DOUBLE) / tot.total_words AS dup_fraction
          |FROM spans, tot GROUP BY tot.n_docs, tot.total_words""".stripMargin,
+    // The dedup REWRITE: drop every duplicated-span occurrence except
+    // the lexicographically first (min doc_id, then min pos). A word
+    // position is cut iff covered by some duplicated window and by no
+    // surviving occurrence.
+    "llm_span_dedup_cut" ->
+      s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
+         |words AS (SELECT doc_id, i AS j, ws[i] AS word
+         |          FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+         |g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+11], ' ') AS gram
+         |      FROM w, unnest(generate_series(1, len(ws) - 11)) AS t(i)
+         |      WHERE len(ws) >= 12),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, pos, gram FROM g
+         |         WHERE gram IN (SELECT gram FROM dup)),
+         |surv AS (SELECT gram, min(doc_id) AS sd FROM hits GROUP BY gram),
+         |surv2 AS (SELECT h.gram, s.sd, min(h.pos) AS sp
+         |          FROM hits h JOIN surv s ON h.gram = s.gram AND h.doc_id = s.sd
+         |          GROUP BY h.gram, s.sd),
+         |hit2 AS (SELECT h.doc_id, h.pos,
+         |           (h.doc_id = s.sd AND h.pos = s.sp) AS is_surv
+         |         FROM hits h JOIN surv2 s ON h.gram = s.gram),
+         |cover AS (SELECT doc_id, pos + k AS j, max(is_surv) AS sc
+         |          FROM hit2, unnest(generate_series(0, 11)) AS t(k)
+         |          GROUP BY doc_id, pos + k),
+         |kept AS (SELECT words.doc_id, words.j, words.word,
+         |           coalesce(c.sc, TRUE) AS keep
+         |         FROM words LEFT JOIN cover c
+         |           ON words.doc_id = c.doc_id AND words.j = c.j)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_cut,
+         |  coalesce(string_agg(word, ' ' ORDER BY j) FILTER (WHERE keep), '')
+         |    AS text_dedup
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // CCNet-style n-gram LM score: per-trigram cost quantized to whole
     // bits via binary-string length (bin() / format('{:b}') — pure
     // integer arithmetic, so no transcendental or sum-order divergence;

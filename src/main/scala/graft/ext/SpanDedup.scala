@@ -123,6 +123,58 @@ object SpanDedup {
           .as("dup_fraction"))
   }
 
+  /** The dedup REWRITE (Lee et al. 2022 §3: drop every occurrence of a
+    * duplicated span except one): a word position is cut when some
+    * duplicated window covers it and NO SURVIVING window occurrence
+    * does. The survivor of each window group is its lexicographically
+    * first occurrence, min (doc_id, pos) — deterministic under retries
+    * and engine-independent. Output per doc:
+    * (idCol, n_words, n_cut, text_dedup) with the kept words rejoined
+    * in order.
+    *
+    * Scale notes: the per-position coverage explode is w rows per
+    * DUPLICATED window occurrence (bounded by the duplicate mass, not
+    * the corpus); the rebuild groups by doc with a sort_array over the
+    * doc's own words — state bounded by document length, the same bound
+    * any text transform carries. */
+  def cut(docs: DataFrame, idCol: String, textCol: String, w: Int,
+          minCount: Long = 2L): DataFrame = {
+    val win = windows(docs, idCol, textCol, w)
+    // survivor per duplicated window group: lexicographic min of
+    // (doc_id, pos) via a struct MIN — one aggregate, map-side partial
+    val groups = win.groupBy("fp1", "fp2")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col(idCol), col("pos"))).as("surv"))
+      .where(col("n_occ") >= minCount)
+      .select(col("fp1"), col("fp2"),
+        col(s"surv.$idCol").as("surv_doc"), col("surv.pos").as("surv_pos"))
+    val hits = win.join(groups, Seq("fp1", "fp2"))
+      .select(col(idCol), col("pos"),
+        (col(idCol) === col("surv_doc") && col("pos") === col("surv_pos"))
+          .as("is_surv"))
+    // per word position: covered by a surviving occurrence?
+    val cover = hits
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (w - 1)))
+        .as("j"), col("is_surv"))
+      .groupBy(col(idCol), col("j"))
+      .agg(max("is_surv").as("surv_cover"))
+    val ws = split(trim(lower(col(textCol))), TextStats.WsRun)
+    val words = docs
+      .select(col(idCol), posexplode(ws).as(Seq("j0", "word")))
+      .select(col(idCol), (col("j0") + 1).cast("long").as("j"), col("word"))
+    val kept = words.join(cover, Seq(idCol, "j"), "left")
+      .withColumn("keep", coalesce(col("surv_cover"), lit(true)))
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_cut"),
+        concat_ws(" ",
+          transform(
+            sort_array(collect_list(when(col("keep"),
+              struct(col("j"), col("word"))))),
+            s => s.getField("word"))).as("text_dedup"))
+      .select(col(idCol), col("n_words"), col("n_cut"), col("text_dedup"))
+  }
+
   /** Text-grouped twin of the fingerprint path, used ONLY by the parity
     * spec: identical output unless a 128-bit fingerprint collision
     * occurred. Never on the scale path — it shuffles full window texts. */

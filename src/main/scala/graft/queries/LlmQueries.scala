@@ -60,6 +60,12 @@ object LlmQueries {
   def spanDedupStats(spark: SparkSession, sfDir: String): DataFrame =
     SpanDedup.stats(docs(spark, sfDir), "doc_id", "text", w = SpanW)
 
+  /** The span-dedup REWRITE: every duplicated span occurrence cut
+    * except the lexicographically first (see [[SpanDedup.cut]]). */
+  def spanDedupCut(spark: SparkSession, sfDir: String): DataFrame =
+    SpanDedup.cut(docs(spark, sfDir), "doc_id", "text", w = SpanW)
+      .orderBy("doc_id")
+
   /** CCNet-style n-gram LM quality score, self-trained on the corpus:
     * per-doc integer-bit cross-entropy (see [[NgramLm]] for why the
     * per-trigram cost is quantized to whole bits — cross-engine

@@ -72,6 +72,34 @@ class SpanDedupSpec extends SparkSpecBase {
     assert(r.getDouble(5) === 40.0 / 45.0)
   }
 
+  test("cut: the lexicographically first occurrence survives, later ones are dropped") {
+    val d = df(1L -> s"$run alpha beta", 2L -> s"prefix word $run")
+    val out = SpanDedup.cut(d, "doc_id", "text", w = 12)
+      .orderBy("doc_id").collect()
+    // doc 1 holds the survivor (min doc_id): nothing cut
+    assert(out(0).getLong(2) === 0L)
+    assert(out(0).getString(3) === s"$run alpha beta")
+    // doc 2 loses exactly the 20 shared words, keeps its own prefix
+    assert(out(1).getLong(1) === 22L && out(1).getLong(2) === 20L)
+    assert(out(1).getString(3) === "prefix word")
+  }
+
+  test("cut: within-doc repeat keeps the first copy only") {
+    val d = df(1L -> s"$run mid $run", 2L -> "unrelated words only here")
+    val out = SpanDedup.cut(d, "doc_id", "text", w = 12)
+      .where(col("doc_id") === 1L).collect().head
+    assert(out.getLong(1) === 41L && out.getLong(2) === 20L)
+    assert(out.getString(3) === s"$run mid")
+  }
+
+  test("cut: untouched docs pass through verbatim (lowercased words rejoined)") {
+    val d = df(1L -> "Solo Text With  Mixed   Spacing", 2L -> "another solo")
+    val out = SpanDedup.cut(d, "doc_id", "text", w = 12)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) === 0L)
+    assert(out(0).getString(3) === "solo text with mixed spacing")
+  }
+
   test("1-based positions align with the DuckDB slice convention") {
     val win = SpanDedup.windows(df(1L -> "a b c d"), "doc_id", "text",
       w = 3, keepText = true).orderBy("pos").collect()
