@@ -83,6 +83,8 @@ object SparkEntry {
     "llm_span_dedup"           -> (LlmQueries.spanDedup _),
     "llm_span_dedup_stats"     -> (LlmQueries.spanDedupStats _),
     "llm_span_dedup_cut"       -> (LlmQueries.spanDedupCut _),
+    "llm_span_dedup_incremental" -> (LlmQueries.spanDedupIncremental _),
+    "llm_lm_incremental"       -> (LlmQueries.lmIncremental _),
     "llm_lm_score"             -> (LlmQueries.lmScore _),
     "llm_neardup_minhash"      -> (LlmQueries.minhashNearDup _),
     "llm_simhash_fingerprints" -> (LlmQueries.simhashFingerprints _),
@@ -842,6 +844,57 @@ object SparkEntry {
          |  CAST(sum(spans.span_words) AS BIGINT) AS dup_words,
          |  CAST(sum(spans.span_words) AS DOUBLE) / tot.total_words AS dup_fraction
          |FROM spans, tot GROUP BY tot.n_docs, tot.total_words""".stripMargin,
+    // Incremental ≡ full-recompute-restricted: the SAME span CTE over
+    // ALL documents (the dup set sees corpus + shard occurrences), hits
+    // restricted to shard docs. The engine never re-windows the corpus
+    // — it probes the persisted per-epoch window-count partials — so a
+    // green hash proves the count-sum arithmetic exactly.
+    "llm_span_dedup_incremental" ->
+      s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
+         |g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+11], ' ') AS gram
+         |      FROM w, unnest(generate_series(1, len(ws) - 11)) AS t(i)
+         |      WHERE len(ws) >= 12),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM g
+         |         WHERE gram IN (SELECT gram FROM dup) AND doc_id % 10 = 0),
+         |isl AS (SELECT doc_id, pos,
+         |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 12
+         |               THEN 0 ELSE 1 END AS brk
+         |        FROM hits),
+         |sp AS (SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |       FROM isl)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 11 AS BIGINT) AS span_end,
+         |  CAST(max(pos) + 11 - min(pos) + 1 AS BIGINT) AS span_words
+         |FROM sp GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+    // Incremental LM ≡ full retrain restricted to the shard: counts are
+    // a monoid, so the summed per-epoch model must reproduce the
+    // full-corpus scores bit-for-bit.
+    "llm_lm_incremental" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
+        |tri AS (SELECT doc_id, substr(txt, i, 3) AS tri
+        |        FROM t, unnest(generate_series(1, len(txt) - 2)) AS s(i)
+        |        WHERE len(txt) >= 3),
+        |big AS (SELECT doc_id, substr(txt, i, 2) AS big
+        |        FROM t, unnest(generate_series(1, len(txt) - 1)) AS s(i)
+        |        WHERE len(txt) >= 2),
+        |v AS (SELECT count(DISTINCT substr(txt, i, 1)) AS nv
+        |      FROM t, unnest(generate_series(1, len(txt))) AS s(i)),
+        |m3 AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY tri),
+        |m2 AS (SELECT big, count(*) AS c2 FROM big GROUP BY big),
+        |scored AS (
+        |  SELECT tri.doc_id,
+        |    length(format('{:b}', m2.c2 + (SELECT nv FROM v)))
+        |      - length(format('{:b}', m3.c3 + 1)) AS bits
+        |  FROM tri JOIN m3 USING (tri)
+        |  JOIN m2 ON m2.big = substr(tri.tri, 1, 2)
+        |  WHERE tri.doc_id % 10 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(bits) AS BIGINT) AS total_bits,
+        |  CAST(sum(bits) AS DOUBLE) / count(*) AS bits_per_trigram
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // The dedup REWRITE: drop every duplicated-span occurrence except
     // the lexicographically first (min doc_id, then min pos). A word
     // position is cut iff covered by some duplicated window and by no

@@ -57,14 +57,16 @@ object NgramLm {
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
 
   /** The trained model: trigram counts, context-bigram counts, and the
-    * charset size — three tiny DataFrames a caller may persist. */
-  case class Model(tri: DataFrame, big: DataFrame, vocab: DataFrame)
+    * reference CHARSET (distinct characters, not a pre-aggregated size
+    * — the set form is what incremental epoch unions need; see
+    * [[IncrementalNgramLm]]). Three tiny charset-bounded DataFrames a
+    * caller may persist. */
+  case class Model(tri: DataFrame, big: DataFrame, charset: DataFrame)
 
   def train(ref: DataFrame, textCol: String): Model = Model(
     tri = gramCounts(ref, textCol, 3).withColumnRenamed("cnt", "c3"),
     big = gramCounts(ref, textCol, 2).withColumnRenamed("cnt", "c2"),
-    vocab = gramCounts(ref, textCol, 1)
-      .agg(count(lit(1)).as("v_chars")))
+    charset = gramCounts(ref, textCol, 1).select("gram"))
 
   /** Per-document integer-bit cross-entropy under the model:
     * (idCol, n_trigrams, total_bits, bits_per_trigram), one row per doc
@@ -84,7 +86,8 @@ object NgramLm {
         Seq("tri"), "left")
       .join(broadcast(model.big.withColumnRenamed("gram", "ctx")),
         substring(col("tri"), 1, 2) === col("ctx"), "left")
-      .crossJoin(broadcast(model.vocab)) // single-row charset size
+      .crossJoin(broadcast(
+        model.charset.agg(count(lit(1)).as("v_chars")))) // single row
       .withColumn("bits",
         (length(bin(coalesce(col("c2"), lit(0L)) + col("v_chars"))) -
           length(bin(coalesce(col("c3"), lit(0L)) + 1))).cast("long"))

@@ -79,17 +79,14 @@ object SpanDedup {
     win.join(counts, Seq("fp1", "fp2")).select(col(idCol), col("pos"))
   }
 
-  /** Maximal duplicated spans per document: overlapping or adjacent
-    * duplicated windows [p, p+w) merge into one span. Output
-    * (idCol, span_start, span_end) in 1-based inclusive word indexes.
-    *
-    * Island detection: per doc ordered by pos, a new island starts when
-    * the gap to the previous duplicated window start exceeds w (the
-    * windows no longer overlap or touch); span bounds are the island's
-    * min pos and max pos + w - 1. */
-  def spans(docs: DataFrame, idCol: String, textCol: String, w: Int,
-            minCount: Long = 2L): DataFrame = {
-    val hits = duplicatedPositions(docs, idCol, textCol, w, minCount)
+  /** Island merge shared by every span producer: duplicated window
+    * starts (idCol, pos) → maximal spans. Per doc ordered by pos, a new
+    * island starts when the gap to the previous duplicated window start
+    * exceeds w (the windows no longer overlap or touch); span bounds
+    * are the island's min pos and max pos + w - 1. One doc-keyed
+    * shuffle, state bounded by a document's own window count. */
+  private[ext] def mergeSpans(hits: DataFrame, idCol: String,
+                              w: Int): DataFrame = {
     val byDoc = Window.partitionBy(idCol).orderBy("pos")
     val marked = hits.withColumn("brk",
       when(col("pos") - lag("pos", 1).over(byDoc) <= w, lit(0L))
@@ -101,6 +98,15 @@ object SpanDedup {
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_words"))
   }
+
+  /** Maximal duplicated spans per document: overlapping or adjacent
+    * duplicated windows [p, p+w) merge into one span. Output
+    * (idCol, span_start, span_end, span_words) in 1-based inclusive
+    * word indexes. */
+  def spans(docs: DataFrame, idCol: String, textCol: String, w: Int,
+            minCount: Long = 2L): DataFrame =
+    mergeSpans(duplicatedPositions(docs, idCol, textCol, w, minCount),
+      idCol, w)
 
   /** Corpus-level summary a pipeline operator reads before deciding to
     * cut spans: affected docs, span count, duplicated word mass vs the
@@ -185,15 +191,6 @@ object SpanDedup {
     val counts = win.groupBy("gram").agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= minCount).select("gram")
     val hits = win.join(counts, Seq("gram")).select(col(idCol), col("pos"))
-    val byDoc = Window.partitionBy(idCol).orderBy("pos")
-    val marked = hits.withColumn("brk",
-      when(col("pos") - lag("pos", 1).over(byDoc) <= w, lit(0L))
-        .otherwise(lit(1L)))
-    marked.withColumn("island", sum("brk").over(byDoc))
-      .groupBy(col(idCol), col("island"))
-      .agg(min("pos").as("span_start"),
-        (max("pos") + (w - 1)).as("span_end"))
-      .select(col(idCol), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_words"))
+    mergeSpans(hits, idCol, w)
   }
 }

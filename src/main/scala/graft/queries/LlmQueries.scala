@@ -66,6 +66,50 @@ object LlmQueries {
     SpanDedup.cut(docs(spark, sfDir), "doc_id", "text", w = SpanW)
       .orderBy("doc_id")
 
+  /** Session-cached window-count index over the existing-corpus split
+    * (doc_id % 10 != 0), bucketed layout so the gated query exercises
+    * the partition-pruned probe. */
+  private def spanIncIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"span|$sfDir") { dir =>
+      graft.ext.IncrementalSpanDedup.writeIndex(
+        docs(spark, sfDir).where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", dir, w = SpanW, windowBuckets = 16)
+    }
+
+  /** Incremental span dedup: the arriving shard's duplicated spans
+    * against `indexed ∪ shard` via the persisted window-count index —
+    * live-oracled as the full recompute restricted to shard docs. */
+  def spanDedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.IncrementalSpanDedup.spans(spark,
+        spanIncIndexDir(spark, sfDir),
+        docs(spark, sfDir).where(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id", "span_start")
+
+  /** Session-cached LM-count index: built from the existing-corpus
+    * split, then the shard appended as an epoch — so the gated query
+    * exercises BOTH the build and the O(batch) append path, and the
+    * summed model must equal a full-corpus retrain. */
+  private def lmIncIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"lm|$sfDir") { dir =>
+      graft.ext.IncrementalNgramLm.writeIndex(
+        docs(spark, sfDir).where(col("doc_id") % 10 =!= 0), "text", dir)
+      graft.ext.IncrementalNgramLm.appendToIndex(
+        docs(spark, sfDir).where(col("doc_id") % 10 === 0), "text", dir,
+        epoch = "shard1")
+    }
+
+  /** Incremental LM scoring: the shard scored under the SUMMED
+    * per-epoch model — live-oracled as llm_lm_score (full-corpus
+    * retrain) restricted to shard docs, proving count-monoid
+    * equivalence. */
+  def lmIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.IncrementalNgramLm.score(spark,
+        lmIncIndexDir(spark, sfDir),
+        docs(spark, sfDir).where(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** CCNet-style n-gram LM quality score, self-trained on the corpus:
     * per-doc integer-bit cross-entropy (see [[NgramLm]] for why the
     * per-trigram cost is quantized to whole bits — cross-engine
