@@ -36,13 +36,22 @@ object Dedup {
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // TextStats.WsRun, not Java `\s`: the oracle splits with RE2's
     // `\s` = [\t\n\f\r ], which excludes \x0B (see TextStats.WsChars).
-    val w = split(trim(lower(col(textCol))), TextStats.WsRun)
+    // The split is MATERIALIZED as its own projection: an expression
+    // captured inside a higher-order-function lambda is re-evaluated
+    // PER ELEMENT (the regex split ran once per window — measured ~3.6×
+    // on the span-dedup twin of this shape), while an attribute
+    // reference reads the row buffer. CollapseProject keeps the
+    // boundary because the attribute is referenced more than once.
+    val w = col("__graft_ws")
     val grams = when(size(w) >= n,
         transform(
           sequence(lit(0), size(w) - n),
           i => concat_ws(" ", slice(w, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+    docs
+      .select(col(idCol),
+        split(trim(lower(col(textCol))), TextStats.WsRun).as("__graft_ws"))
+      .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
   }
 
   // ------------------------------------------------- exact n-gram Jaccard

@@ -41,19 +41,23 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
-  /** 1-based char n-gram array of `lower(text)` — spaces kept (they
-    * carry word-boundary signal, as in CCNet's SentencePiece stream). */
-  private def charGrams(textCol: Column, n: Int): Column = {
-    val t = lower(textCol)
+  /** 1-based char n-gram array over an already-materialized lowered
+    * text ATTRIBUTE — the caller must project `lower(text)` first: an
+    * expression captured inside a higher-order-function lambda is
+    * re-evaluated per element (lower() would copy the string once per
+    * gram — O(len²) per doc), an attribute reference reads the row
+    * buffer. Spaces kept (they carry word-boundary signal, as in
+    * CCNet's SentencePiece stream). */
+  private def charGrams(t: Column, n: Int): Column =
     when(length(t) >= n,
         transform(sequence(lit(1), length(t) - (n - 1)),
           i => t.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** (gram, cnt) corpus counts of char n-grams. */
   private def gramCounts(docs: DataFrame, textCol: String, n: Int): DataFrame =
-    docs.select(explode(charGrams(col(textCol), n)).as("gram"))
+    docs.select(lower(col(textCol)).as("__graft_t"))
+      .select(explode(charGrams(col("__graft_t"), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
 
   /** The trained model: trigram counts, context-bigram counts, and the
@@ -75,7 +79,8 @@ object NgramLm {
             model: Model): DataFrame = {
     // per-doc trigram counts: ONE doc-keyed shuffle with map-side combine
     val docTri = docs
-      .select(col(idCol), explode(charGrams(col(textCol), 3)).as("tri"))
+      .select(col(idCol), lower(col(textCol)).as("__graft_t"))
+      .select(col(idCol), explode(charGrams(col("__graft_t"), 3)).as("tri"))
       .groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("n"))
     // model joins are broadcast (model rows bounded by charset size);
     // every doc trigram exists in the model when scoring the training

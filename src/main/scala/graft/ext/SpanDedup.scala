@@ -45,15 +45,23 @@ object SpanDedup {
   private[ext] def windows(docs: DataFrame, idCol: String, textCol: String,
                            w: Int, keepText: Boolean = false): DataFrame = {
     // TextStats.WsRun, not Java \s: oracle splits with RE2 \s (see
-    // Dedup.shingles — same parity requirement).
-    val ws = split(trim(lower(col(textCol))), TextStats.WsRun)
-    val wins = when(size(ws) >= w,
+    // Dedup.shingles — same parity requirement). The split is
+    // MATERIALIZED as its own projection before the lambda: an
+    // expression captured inside a higher-order-function body is
+    // re-evaluated PER ELEMENT (regex split × every window — measured
+    // ~2× on this query), while an attribute reference is computed once
+    // per row. CollapseProject keeps the boundary because `__graft_ws` is
+    // referenced more than once above it.
+    val wsc = col("__graft_ws")
+    val wins = when(size(wsc) >= w,
         transform(
-          sequence(lit(1), size(ws) - w + 1),
+          sequence(lit(1), size(wsc) - w + 1),
           i => struct(i.as("pos"),
-            concat_ws(" ", slice(ws, i, lit(w))).as("gram"))))
+            concat_ws(" ", slice(wsc, i, lit(w))).as("gram"))))
       .otherwise(array().cast("array<struct<pos:int,gram:string>>"))
     val base = docs
+      .select(col(idCol),
+        split(trim(lower(col(textCol))), TextStats.WsRun).as("__graft_ws"))
       .select(col(idCol), explode(wins).as("win"))
       .select(col(idCol), col("win.pos").cast("long").as("pos"),
         col("win.gram").as("gram"))

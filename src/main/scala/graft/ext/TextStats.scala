@@ -129,15 +129,20 @@ object TextStats {
   }
 
   /** Character trigrams (positions 1..n-2 of the lowercased text) — the
-    * currency of the classic n-gram language-ID profile method. ONE
-    * transform producing the array (never a transform-of-transform — the
-    * winnowing lesson: inner arrays re-inline per outer element). */
-  def charTrigrams(text: Column): Column = {
-    val t = lower(text)
-    when(length(t) >= 3,
-        transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * currency of the classic n-gram language-ID profile method. The
+    * lowered text is BOUND once via a singleton-array lambda variable:
+    * an expression captured inside a higher-order-function body is
+    * re-evaluated per element (`lower` would copy the string once per
+    * trigram — O(len²) per doc), while a lambda VARIABLE is evaluated
+    * once when the outer array is built. (Contrast the winnowing
+    * lesson — a transform-of-transform whose INNER COLLECTION is
+    * captured in the outer lambda re-inlines per outer element; a
+    * one-element outer binding is the opposite shape.) */
+  def charTrigrams(text: Column): Column =
+    flatten(transform(array(lower(text)), t =>
+      when(length(t) >= 3,
+          transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))))
 
   /** Signature character trigrams per language (frequent-trigram
     * profiles; the classic Cavnar-Trenkle shape with a tiny fixed
