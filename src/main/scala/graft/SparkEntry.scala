@@ -114,6 +114,8 @@ object SparkEntry {
     "llm_minhash_recall"       -> (LlmQueries.minhashRecall _),
     "llm_simhash_parity"       -> (LlmQueries.simhashParity _),
     "llm_lsh_candidate_stats"  -> (LlmQueries.lshCandidateStats _),
+    "llm_semdedup"             -> (LlmQueries.semDedup _),
+    "llm_semdedup_check"       -> (LlmQueries.semDedupCheck _),
     "llm_cosine_neardup_recall" -> (LlmQueries.cosineNearDupRecall _),
     "llm_cosine_neardup_scale_recall" -> (LlmQueries.cosineNearDupScaleRecall _),
     "llm_cosine_incremental_recall" -> (LlmQueries.cosineIncrementalRecall _),
@@ -1104,6 +1106,28 @@ object SparkEntry {
     // recomputes the whole denominator live; only the deterministic
     // LSH-found count is pinned (found pairs verify with the identical
     // rounded sim expression, hence n_spurious = 0 by construction).
+    // SemDeDup gate: n_vectors and n_catchable (vectors with a
+    // smaller-id exact neighbor at tau — the structural superset of the
+    // prunable set) live; the deterministic pruned count pinned per sf;
+    // n_spurious_pruned is live-computed engine-side and must be ZERO
+    // (pruned ⊆ catchable holds structurally — both sides score with
+    // the same rounded pairSim).
+    "llm_semdedup_check" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        round(list_cosine_similarity(a.e, b.e), 6) AS sim
+         |      FROM v a JOIN v b ON a.vec_id < b.vec_id),
+         |c AS (SELECT DISTINCT id_b FROM p WHERE sim >= 0.35),
+         |pin AS (SELECT CAST(CASE ($SfDiscriminatorSql)
+         |          WHEN 6000 THEN 71 WHEN 60000 THEN 74
+         |          WHEN 600000 THEN 792 END AS BIGINT) AS n)
+         |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_vectors,
+         |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_catchable,
+         |  pin.n AS n_pruned,
+         |  CAST(0 AS BIGINT) AS n_spurious_pruned,
+         |  CAST(pin.n AS DOUBLE) /
+         |    CAST((SELECT count(*) FROM c) AS DOUBLE) AS coverage
+         |FROM pin""".stripMargin,
     "llm_cosine_neardup_recall" -> recallOracle(ExactCosinePairsSql,
       SfDiscriminatorSql,
       Seq(6000L -> 234L, 60000L -> 254L, 600000L -> PinNearDup01),
@@ -1517,6 +1541,8 @@ object SparkEntry {
     "llm_cosine_neardup_incremental" -> "llm_cosine_incremental_recall",
     "llm_cosine_topk_lsh"          -> "llm_lsh_recall",
     "llm_cosine_topk_lsh_scale"    -> "llm_lsh_scale_recall",
+    // SemDeDup → structural-subset + live-catchable coverage row
+    "llm_semdedup"                 -> "llm_semdedup_check",
     // IVF family → recall + serving parity + cell-occupancy checksum
     "llm_cosine_topk_ivf"          -> "llm_ivf_recall",
     "llm_cosine_topk_ivf_indexed"  -> "llm_ivf_indexed_parity",

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Ivf, Multimodal, NgramLm, Pq, Sampling, Similarity, SpanDedup, TextStats, Winnowing}
+import graft.ext.{Dedup, Ivf, Multimodal, NgramLm, Pq, Sampling, SemDedup, Similarity, SpanDedup, TextStats, Winnowing}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -494,6 +494,40 @@ object LlmQueries {
     pairRecall(exactCosinePairs(spark, sfDir, 0.35),
       cachedDF("neardup_scale_found", spark, sfDir)(
         cosineNearDupScale(spark, sfDir)).where(col("is_neardup")))
+
+  /** SemDeDup verdicts (Abbas et al. 2023): per-vector kept/pruned under
+    * the session IVF quantizer at tau=0.35 (the corpus's exact-pair
+    * ground-truth threshold). Rows-only — cluster assignment is the
+    * Spark-seeded k-means; the hash gate is [[semDedupCheck]]. */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame =
+    SemDedup.prune(emb(spark, sfDir), "vec_id", "embedding",
+        ivfModel(spark, sfDir), tau = 0.35)
+      .orderBy("vec_id")
+
+  /** The SemDeDup gate: pruned vectors are a STRUCTURAL subset of
+    * vectors with a smaller-id exact-cosine neighbor at tau anywhere
+    * (both sides score with [[Similarity.pairSim]]) — so
+    * n_spurious_pruned is live-computed and must be ZERO; n_catchable
+    * is recomputed live by the oracle; the deterministic pruned count
+    * is pinned per scale factor. coverage < 1 is the method's disclosed
+    * price: only within-cluster pairs are candidates. */
+  def semDedupCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val verdicts = cachedDF("semdedup", spark, sfDir)(semDedup(spark, sfDir))
+    val pruned = verdicts.where(!col("kept")).select("vec_id")
+    val catchable = exactCosinePairs(spark, sfDir, 0.35)
+      .select(col("id_b").as("vec_id")).distinct()
+    val joined = pruned
+      .join(catchable.withColumn("__c", lit(true)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_pruned"),
+        count(when(col("__c").isNull, 1)).as("n_spurious_pruned"))
+    emb(spark, sfDir).agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(catchable.agg(count(lit(1)).as("n_catchable")))
+      .crossJoin(joined) // all single-row aggregates
+      .select(col("n_vectors"), col("n_catchable"), col("n_pruned"),
+        col("n_spurious_pruned"),
+        (col("n_pruned").cast("double") / col("n_catchable").cast("double"))
+          .as("coverage"))
+  }
 
   /** IVF occupancy checksum under the driver gate: every corpus vector
     * is assigned to exactly one cell (`n_assigned` equals the corpus
