@@ -102,6 +102,7 @@ object ScaleLadder {
   private val LadderQueries = Seq(
     "llm_neardup_jaccard",
     "llm_span_dedup",
+    "llm_semdedup",
     "llm_neardup_minhash",
     "llm_dedup_corpus_cc",
     "llm_cosine_neardup_scale",
@@ -116,7 +117,12 @@ object ScaleLadder {
     "llm_cosine_neardup_scale" ->
       ("fixed 12-plane LSH: candidates scale n^2/2^p; at 10x data a " +
         "production deployment raises nPlanes by ~log2(10) to hold the " +
-        "bucket width, which this rung deliberately does not do"))
+        "bucket width, which this rung deliberately does not do"),
+    "llm_semdedup" ->
+      ("fixed 16-cell quantizer: within-cell pairs scale n^2/k; the " +
+        "paper's production recipe scales nCells with n (they use " +
+        "~sqrt(n)) to hold occupancy, which this rung deliberately " +
+        "does not do"))
 
   def run(spark: SparkSession, baseDir: String, factor: Int): Seq[Rung] = {
     val root = graft.queries.CdcQueries.tempSinkDir("graft-ladder").toString
