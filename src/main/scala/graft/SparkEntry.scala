@@ -116,6 +116,8 @@ object SparkEntry {
     "llm_lsh_candidate_stats"  -> (LlmQueries.lshCandidateStats _),
     "llm_semdedup"             -> (LlmQueries.semDedup _),
     "llm_semdedup_check"       -> (LlmQueries.semDedupCheck _),
+    "llm_semdedup_incremental" -> (LlmQueries.semDedupIncremental _),
+    "llm_semdedup_incremental_check" -> (LlmQueries.semDedupIncrementalCheck _),
     "llm_cosine_neardup_recall" -> (LlmQueries.cosineNearDupRecall _),
     "llm_cosine_neardup_scale_recall" -> (LlmQueries.cosineNearDupScaleRecall _),
     "llm_cosine_incremental_recall" -> (LlmQueries.cosineIncrementalRecall _),
@@ -1128,6 +1130,28 @@ object SparkEntry {
          |  CAST(pin.n AS DOUBLE) /
          |    CAST((SELECT count(*) FROM c) AS DOUBLE) AS coverage
          |FROM pin""".stripMargin,
+    // Incremental SemDeDup gate: same structural property restricted to
+    // the shard (catchable = shard vectors with a smaller-id exact
+    // neighbor anywhere — the witness is real whichever side of the
+    // index it sat on).
+    "llm_semdedup_incremental_check" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        round(list_cosine_similarity(a.e, b.e), 6) AS sim
+         |      FROM v a JOIN v b ON a.vec_id < b.vec_id),
+         |c AS (SELECT DISTINCT id_b FROM p
+         |      WHERE sim >= 0.35 AND id_b % 10 = 0),
+         |pin AS (SELECT CAST(CASE ($SfDiscriminatorSql)
+         |          WHEN 6000 THEN 4 WHEN 60000 THEN 7
+         |          WHEN 600000 THEN 68 END AS BIGINT) AS n)
+         |SELECT CAST((SELECT count(*) FROM v WHERE vec_id % 10 = 0)
+         |    AS BIGINT) AS n_shard,
+         |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_catchable,
+         |  pin.n AS n_pruned,
+         |  CAST(0 AS BIGINT) AS n_spurious_pruned,
+         |  CAST(pin.n AS DOUBLE) /
+         |    CAST((SELECT count(*) FROM c) AS DOUBLE) AS coverage
+         |FROM pin""".stripMargin,
     "llm_cosine_neardup_recall" -> recallOracle(ExactCosinePairsSql,
       SfDiscriminatorSql,
       Seq(6000L -> 234L, 60000L -> 254L, 600000L -> PinNearDup01),
@@ -1541,8 +1565,9 @@ object SparkEntry {
     "llm_cosine_neardup_incremental" -> "llm_cosine_incremental_recall",
     "llm_cosine_topk_lsh"          -> "llm_lsh_recall",
     "llm_cosine_topk_lsh_scale"    -> "llm_lsh_scale_recall",
-    // SemDeDup → structural-subset + live-catchable coverage row
+    // SemDeDup → structural-subset + live-catchable coverage rows
     "llm_semdedup"                 -> "llm_semdedup_check",
+    "llm_semdedup_incremental"     -> "llm_semdedup_incremental_check",
     // IVF family → recall + serving parity + cell-occupancy checksum
     "llm_cosine_topk_ivf"          -> "llm_ivf_recall",
     "llm_cosine_topk_ivf_indexed"  -> "llm_ivf_indexed_parity",

@@ -529,6 +529,55 @@ object LlmQueries {
           .as("coverage"))
   }
 
+  /** Session-cached clustered index over the existing-embedding split —
+    * the [[graft.ext.Ivf]] artifact (model + cell-partitioned data),
+    * shared shape with ANN serving. */
+  private def semIncIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"semdedup|$sfDir") { dir =>
+      graft.ext.IncrementalSemDedup.writeIndex(
+        emb(spark, sfDir).where(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", dir, nCells = 16)
+    }
+
+  /** Incremental SemDeDup: the arriving shard's verdicts against the
+    * persisted clustered index (witnesses = indexed ∪ earlier-in-batch
+    * vectors, the one-shot rule). Rows-only — cell assignment is the
+    * index's Spark-seeded quantizer; gated by
+    * [[semDedupIncrementalCheck]]. */
+  def semDedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.IncrementalSemDedup.prune(spark,
+        semIncIndexDir(spark, sfDir),
+        emb(spark, sfDir).where(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", tau = 0.35)
+      .orderBy("vec_id")
+
+  /** The incremental gate: same structural-subset property as
+    * [[semDedupCheck]], restricted to the shard — every pruned shard
+    * vector has a smaller-id exact neighbor at tau ANYWHERE (the
+    * witness was real whichever side of the index it sat on); the
+    * catchable superset is live in the oracle, the deterministic pruned
+    * count pinned per scale factor. */
+  def semDedupIncrementalCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val verdicts = cachedDF("semdedup_inc", spark, sfDir)(
+      semDedupIncremental(spark, sfDir))
+    val pruned = verdicts.where(!col("kept")).select("vec_id")
+    val catchable = exactCosinePairs(spark, sfDir, 0.35)
+      .where(col("id_b") % 10 === 0)
+      .select(col("id_b").as("vec_id")).distinct()
+    val joined = pruned
+      .join(catchable.withColumn("__c", lit(true)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_pruned"),
+        count(when(col("__c").isNull, 1)).as("n_spurious_pruned"))
+    emb(spark, sfDir).where(col("vec_id") % 10 === 0)
+      .agg(count(lit(1)).as("n_shard"))
+      .crossJoin(catchable.agg(count(lit(1)).as("n_catchable")))
+      .crossJoin(joined) // all single-row aggregates
+      .select(col("n_shard"), col("n_catchable"), col("n_pruned"),
+        col("n_spurious_pruned"),
+        (col("n_pruned").cast("double") / col("n_catchable").cast("double"))
+          .as("coverage"))
+  }
+
   /** IVF occupancy checksum under the driver gate: every corpus vector
     * is assigned to exactly one cell (`n_assigned` equals the corpus
     * count — live in the oracle), the used-cell count and the largest
