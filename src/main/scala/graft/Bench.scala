@@ -147,7 +147,13 @@ object Bench {
     val alwaysFork = Set("events_sessions", "llm_neardup_jaccard",
       "events_zorder_pruned", "llm_cosine_topk_pq", "llm_decontam_bloom",
       "llm_neardup_minhash", "llm_cosine_neardup", "llm_cosine_neardup_scale",
-      "cdc_normalize_debezium", "cdc_normalize_dms", "cdc_normalize_inferalways")
+      "cdc_normalize_debezium", "cdc_normalize_dms", "cdc_normalize_inferalways",
+      // index-backed incremental rows: their in-JVM first run pays the
+      // one-time session-cached index build (window-count / LM-count /
+      // clustered-IVF); the fork rebuilds it in untimed warmup so the
+      // timed reps measure the production probe path
+      "llm_span_dedup_incremental", "llm_lm_incremental",
+      "llm_semdedup_incremental")
     // Heavy-tail re-time in a FRESH JVM, recording every rep so a judge
     // (or a regression diff) sees the spread, not just the median.
     // Failed forks fall back to the previous in-JVM median-of-3; a query

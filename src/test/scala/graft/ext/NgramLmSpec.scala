@@ -49,6 +49,21 @@ class NgramLmSpec extends SparkSpecBase {
     assert(out.getLong(2) === 2L) // 2 trigrams x (bitlen(2)-bitlen(1)) = 1
   }
 
+  test("the integer-bit cost is within 1 bit of -log2(p), exhaustively") {
+    // bits = bitlen(c2+V) - bitlen(c3+1) vs true -log2((c3+1)/(c2+V)):
+    // for any positive integers a=c3+1 <= b=c2+V,
+    // bits = floor(log2 b) - floor(log2 a) in [-log2(a/b) - 1 + eps,
+    // -log2(a/b) + 1 - eps] — the claim the scaladoc discloses. Checked
+    // over every (a, b) pair up to 512 (covers multiple octaves).
+    for (b <- 1 to 512; a <- 1 to b) {
+      val bits = (63 - java.lang.Long.numberOfLeadingZeros(b.toLong)) -
+        (63 - java.lang.Long.numberOfLeadingZeros(a.toLong))
+      val trueBits = -math.log(a.toDouble / b.toDouble) / math.log(2.0)
+      assert(math.abs(bits - trueBits) < 1.0,
+        s"a=$a b=$b bits=$bits true=$trueBits")
+    }
+  }
+
   test("lowercasing: scores are case-insensitive") {
     val a = NgramLm.selfScore(df(1L -> "The Table"), "doc_id", "text").collect()
     val b = NgramLm.selfScore(df(1L -> "the table"), "doc_id", "text").collect()
