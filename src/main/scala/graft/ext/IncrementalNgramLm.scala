@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.util.StagedSwap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,8 +29,15 @@ import org.apache.spark.sql.functions._
   * [[NgramLm.score]] exactly like a freshly-trained one. */
 object IncrementalNgramLm {
 
-  def writeIndex(docs: DataFrame, textCol: String, path: String): Unit =
+  def writeIndex(docs: DataFrame, textCol: String, path: String): Unit = {
     writeEpoch(docs, textCol, path, "base")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // `meta` doubles as the compaction swap's sentinel (aside first /
+    // in last — see StagedSwap)
+    Seq(3).toDF("n").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/meta")
+  }
 
   /** O(batch) append, IDEMPOTENT per epoch (a replay overwrites its own
     * partition dirs — the [[IncrementalDedup.appendToIndex]] argument). */
@@ -36,6 +45,10 @@ object IncrementalNgramLm {
                     epoch: String): Unit = {
     require(epoch.nonEmpty && epoch != "base" && !epoch.contains('/'),
       s"epoch must be a non-'base', path-safe name, got '$epoch'")
+    // roll a crashed compaction forward BEFORE writing: an epoch dir
+    // created inside a half-swapped table would be set aside (and lost)
+    // by a later recovery
+    swapFor(newDocs.sparkSession, path).recover()
     writeEpoch(newDocs, textCol, path, epoch)
   }
 
@@ -47,10 +60,39 @@ object IncrementalNgramLm {
     m.charset.write.mode("overwrite").parquet(s"$path/chars/__epoch=$epoch")
   }
 
+  private def swapFor(spark: SparkSession, path: String) =
+    new StagedSwap(spark, path, sentinel = "meta",
+      others = Seq("tri", "big", "chars"))
+
+  /** Fold every epoch's count partials into a single `base` epoch (the
+    * [[IncrementalSpanDedup.compact]] maintenance pass — counts sum,
+    * the charset unions; staged + crash-safe ordered rename; results
+    * identical before and after, spec-asserted; quiet window only,
+    * checkpoint-committed epochs only). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val swap = swapFor(spark, path)
+    swap.recover()
+    spark.read.parquet(s"$path/tri").groupBy("gram")
+      .agg(sum("c3").as("c3"))
+      .write.mode("overwrite")
+      .parquet(s"${swap.stagedDir("tri")}/__epoch=base")
+    spark.read.parquet(s"$path/big").groupBy("gram")
+      .agg(sum("c2").as("c2"))
+      .write.mode("overwrite")
+      .parquet(s"${swap.stagedDir("big")}/__epoch=base")
+    spark.read.parquet(s"$path/chars").select("gram").distinct()
+      .write.mode("overwrite")
+      .parquet(s"${swap.stagedDir("chars")}/__epoch=base")
+    spark.read.parquet(s"$path/meta").coalesce(1)
+      .write.mode("overwrite").parquet(swap.stagedDir("meta"))
+    swap.swap()
+  }
+
   /** The summed model over every epoch not excluded — exactly the model
     * a full retrain over the union corpus would produce. */
   def model(spark: SparkSession, path: String,
             excludeEpochs: Seq[String] = Nil): NgramLm.Model = {
+    swapFor(spark, path).recover()
     def rd(t: String): DataFrame = {
       val d = spark.read.parquet(s"$path/$t")
       if (excludeEpochs.isEmpty) d

@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.util.StagedSwap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -57,6 +59,7 @@ object IncrementalSpanDedup {
     require(epoch.nonEmpty && epoch != "base" && !epoch.contains('/'),
       s"epoch must be a non-'base', path-safe name, got '$epoch'")
     val spark = newDocs.sparkSession
+    swapFor(spark, path).recover()
     val meta = spark.read.parquet(s"$path/meta").head()
     writeEpoch(newDocs, idCol, textCol, path, meta.getAs[Int]("w"), epoch,
       meta.getAs[Int]("window_buckets"))
@@ -76,6 +79,45 @@ object IncrementalSpanDedup {
       .parquet(s"$path/counts/__epoch=$epoch")
   }
 
+  private def swapFor(spark: SparkSession, path: String) =
+    new StagedSwap(spark, path, sentinel = "meta", others = Seq("counts"))
+
+  /** Fold every epoch's count partials into a single `base` epoch — the
+    * maintenance pass a 100 TB operator schedules so N daily appends
+    * don't leave N epoch directories (small files + ever-growing
+    * partition discovery). Counts are a monoid, so the fold is one
+    * re-aggregate; the replacement is staged under `__compact/` and
+    * swapped in with the crash-safe ordered rename ([[StagedSwap]] —
+    * `meta` aside first / in last, roll-forward recovery at every
+    * entry point). Results are identical before and after
+    * (spec-asserted). Run it at a quiet window, single-writer, with any
+    * maintenance STREAM quiescent: folding an epoch into `base` erases
+    * the epoch identity the stream's own-epoch replay exclusion prunes
+    * by, so only checkpoint-committed batches may be folded — the same
+    * rule Hudi/Delta apply to compacting not-yet-committed deltas. */
+  def compact(spark: SparkSession, path: String): Unit =
+    compactImpl(spark, path, Int.MaxValue)
+
+  private[ext] def compactImpl(spark: SparkSession, path: String,
+                               crashAtRename: Int): Unit = {
+    val swap = swapFor(spark, path)
+    swap.recover()
+    val meta = spark.read.parquet(s"$path/meta")
+    val buckets = meta.head().getAs[Int]("window_buckets")
+    val folded = spark.read.parquet(s"$path/counts")
+      .groupBy("fp1", "fp2").agg(sum("n").as("n"))
+    val (out, pCols) =
+      if (buckets <= 0) (folded, Nil)
+      else (folded.withColumn(BucketCol,
+        pmod(col("fp1"), lit(buckets.toLong)).cast("int")), Seq(BucketCol))
+    val wtr = out.write.mode("overwrite")
+    (if (pCols.isEmpty) wtr else wtr.partitionBy(pCols: _*))
+      .parquet(s"${swap.stagedDir("counts")}/__epoch=base")
+    meta.coalesce(1).write.mode("overwrite")
+      .parquet(swap.stagedDir("meta"))
+    swap.swapImpl(crashAtRename)
+  }
+
   /** Maximal duplicated spans of the NEW shard against `indexed ∪ new`
     * — identical to the restricted full recompute. `excludeEpochs` is
     * the streaming replay seam (ignore the batch's own epoch so a
@@ -84,6 +126,7 @@ object IncrementalSpanDedup {
   def spans(spark: SparkSession, path: String, newDocs: DataFrame,
             idCol: String, textCol: String,
             excludeEpochs: Seq[String] = Nil): DataFrame = {
+    swapFor(spark, path).recover()
     val meta = spark.read.parquet(s"$path/meta").head()
     val w = meta.getAs[Int]("w")
     val minCount = meta.getAs[Long]("min_count")

@@ -37,6 +37,27 @@ class IncrementalNgramLmSpec extends SparkSpecBase {
     assert(m.charset.count() === 3L)
   }
 
+  test("compact folds epochs to one with an identical model") {
+    val all = spark.read.parquet(real)
+    val dir = tmp("inc-lm-c")
+    IncrementalNgramLm.writeIndex(
+      all.where(col("doc_id") % 10 =!= 0), "text", dir)
+    IncrementalNgramLm.appendToIndex(
+      all.where(col("doc_id") % 10 === 0), "text", dir, "shard1")
+    val shard = all.where(col("doc_id") % 10 === 0)
+    val before = IncrementalNgramLm.score(spark, dir, shard, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    IncrementalNgramLm.compact(spark, dir)
+    val after = IncrementalNgramLm.score(spark, dir, shard, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(after === before)
+    for (t <- Seq("tri", "big", "chars")) {
+      val epochs = new java.io.File(s"$dir/$t").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__epoch="))
+      assert(epochs.toSeq === Seq("__epoch=base"), s"$t: ${epochs.toSeq}")
+    }
+  }
+
   test("append is replay-idempotent; excludeEpochs restores the pre-append model") {
     val s = spark; import s.implicits._
     val base = Seq((1L, "aaab")).toDF("doc_id", "text")

@@ -76,6 +76,52 @@ class IncrementalSpanDedupSpec extends SparkSpecBase {
       .count() === 1L)
   }
 
+  test("compact folds epochs to one with identical results") {
+    val all = spark.read.parquet(real)
+    val dir = tmp("inc-span-c")
+    IncrementalSpanDedup.writeIndex(
+      all.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 =!= 0),
+      "doc_id", "text", dir, w = 12, windowBuckets = 4)
+    IncrementalSpanDedup.appendToIndex(
+      all.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 0),
+      "doc_id", "text", dir, "b1")
+    val batch = all.where(col("doc_id") % 10 === 0)
+    val before = IncrementalSpanDedup.spans(spark, dir, batch,
+      "doc_id", "text").orderBy("doc_id", "span_start")
+      .collect().map(_.toString).toSeq
+    IncrementalSpanDedup.compact(spark, dir)
+    val after = IncrementalSpanDedup.spans(spark, dir, batch,
+      "doc_id", "text").orderBy("doc_id", "span_start")
+      .collect().map(_.toString).toSeq
+    assert(after === before)
+    assert(before.nonEmpty)
+    val epochs = new java.io.File(s"$dir/counts").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__epoch="))
+    assert(epochs.toSeq === Seq("__epoch=base"), s"got ${epochs.toSeq}")
+  }
+
+  test("a compaction crashed at EVERY rename point rolls forward on next read") {
+    val all = spark.read.parquet(real)
+    val batch = all.where(col("doc_id") % 10 === 0)
+    // swap renames: meta aside, counts aside, counts in, meta in = 4
+    for (crashAt <- 0 until 4) {
+      val dir = tmp(s"inc-span-x$crashAt")
+      IncrementalSpanDedup.writeIndex(
+        all.where(col("doc_id") % 10 =!= 0), "doc_id", "text", dir, w = 12)
+      IncrementalSpanDedup.appendToIndex(batch, "doc_id", "text", dir, "b1")
+      val expect = IncrementalSpanDedup.spans(spark, dir, batch,
+        "doc_id", "text").orderBy("doc_id", "span_start")
+        .collect().map(_.toString).toSeq
+      intercept[IllegalStateException] {
+        IncrementalSpanDedup.compactImpl(spark, dir, crashAtRename = crashAt)
+      }
+      val got = IncrementalSpanDedup.spans(spark, dir, batch,
+        "doc_id", "text").orderBy("doc_id", "span_start")
+        .collect().map(_.toString).toSeq
+      assert(got === expect, s"crash point $crashAt broke the table")
+    }
+  }
+
   test("bucketed layout: identical output; probe scan is partition-pruned") {
     val all = spark.read.parquet(real)
     val flat = tmp("inc-span-f"); val bkt = tmp("inc-span-b")
