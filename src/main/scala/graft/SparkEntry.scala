@@ -84,6 +84,9 @@ object SparkEntry {
     "llm_span_dedup_stats"     -> (LlmQueries.spanDedupStats _),
     "llm_span_dedup_cut"       -> (LlmQueries.spanDedupCut _),
     "llm_span_dedup_incremental" -> (LlmQueries.spanDedupIncremental _),
+    "llm_line_dedup_stats"     -> (LlmQueries.lineDedupStats _),
+    "llm_line_dedup"           -> (LlmQueries.lineDedupBoilerplate _),
+    "llm_line_dedup_first"     -> (LlmQueries.lineDedupFirst _),
     "llm_lm_incremental"       -> (LlmQueries.lmIncremental _),
     "llm_lm_score"             -> (LlmQueries.lmScore _),
     "llm_neardup_minhash"      -> (LlmQueries.minhashNearDup _),
@@ -849,6 +852,73 @@ object SparkEntry {
          |  CAST(sum(spans.span_words) AS DOUBLE) / tot.total_words AS dup_fraction
          |FROM spans, tot GROUP BY tot.n_docs, tot.total_words""".stripMargin,
     // Incremental ≡ full-recompute-restricted: the SAME span CTE over
+    // CCNet/Dolma line-level dedup: "lines" are 10-word chunks (the
+    // single-line fixture corpus has no newlines — disclosed adapter in
+    // LlmQueries.LineW; a real corpus feeds LineDedup.lines the same
+    // machinery). The oracle groups lines by TEXT; the engine by a
+    // 128-bit fingerprint — identical short of a 2^-128-scale collision
+    // (the SpanDedup disclosure; parity additionally spec-asserted).
+    "llm_line_dedup_stats" ->
+      s"""WITH w0 AS (SELECT doc_id, $WL AS ws FROM documents),
+         |w AS (SELECT * FROM w0
+         |      WHERE len(ws) >= 1 AND NOT (len(ws) = 1 AND ws[1] = '')),
+         |l AS (SELECT doc_id, i + 1 AS line_idx,
+         |        array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS line
+         |      FROM w, unnest(generate_series(0, (len(ws)-1)//10)) AS t(i)),
+         |g AS (SELECT line, count(DISTINCT doc_id) AS df, count(*) AS n_occ
+         |      FROM l GROUP BY line)
+         |SELECT CAST(sum(n_occ) AS BIGINT) AS n_lines,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+         |  CAST(sum(CASE WHEN df >= 2 THEN n_occ ELSE 0 END) AS BIGINT) AS occ_dropped,
+         |  CAST(max(df) AS BIGINT) AS max_df
+         |FROM g""".stripMargin,
+    "llm_line_dedup" ->
+      s"""WITH w0 AS (SELECT doc_id, $WL AS ws FROM documents),
+         |w AS (SELECT * FROM w0
+         |      WHERE len(ws) >= 1 AND NOT (len(ws) = 1 AND ws[1] = '')),
+         |l AS (SELECT doc_id, i + 1 AS line_idx,
+         |        array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS line
+         |      FROM w, unnest(generate_series(0, (len(ws)-1)//10)) AS t(i)),
+         |hot AS (SELECT line FROM l GROUP BY line
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |f AS (SELECT doc_id, line_idx, line,
+         |        line IN (SELECT line FROM hot) AS dropped FROM l),
+         |a AS (SELECT doc_id,
+         |        coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+         |                            ' ' ORDER BY line_idx), '') AS text,
+         |        CAST(sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |        CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |      FROM f GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.text, '') AS text,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.n_dropped, 0) AS n_dropped
+         |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // Strict keep-first: Spark's min(struct(doc_id, line_idx)) ==
+    // row_number ordered by (doc_id, line_idx) — both total orders.
+    "llm_line_dedup_first" ->
+      s"""WITH w0 AS (SELECT doc_id, $WL AS ws FROM documents),
+         |w AS (SELECT * FROM w0
+         |      WHERE len(ws) >= 1 AND NOT (len(ws) = 1 AND ws[1] = '')),
+         |l AS (SELECT doc_id, i + 1 AS line_idx,
+         |        array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS line
+         |      FROM w, unnest(generate_series(0, (len(ws)-1)//10)) AS t(i)),
+         |f AS (SELECT doc_id, line_idx, line,
+         |        row_number() OVER (PARTITION BY line
+         |                           ORDER BY doc_id, line_idx) AS rn
+         |      FROM l),
+         |a AS (SELECT doc_id,
+         |        coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+         |                            ' ' ORDER BY line_idx), '') AS text,
+         |        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |        CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |      FROM f GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.text, '') AS text,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.n_dropped, 0) AS n_dropped
+         |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // ALL documents (the dup set sees corpus + shard occurrences), hits
     // restricted to shard docs. The engine never re-windows the corpus
     // — it probes the persisted per-epoch window-count partials — so a

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Ivf, Multimodal, NgramLm, Pq, Sampling, SemDedup, Similarity, SpanDedup, TextStats, Winnowing}
+import graft.ext.{Dedup, Ivf, LineDedup, Multimodal, NgramLm, Pq, Sampling, SemDedup, Similarity, SpanDedup, TextStats, Winnowing}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -64,6 +64,40 @@ object LlmQueries {
     * except the lexicographically first (see [[SpanDedup.cut]]). */
   def spanDedupCut(spark: SparkSession, sfDir: String): DataFrame =
     SpanDedup.cut(docs(spark, sfDir), "doc_id", "text", w = SpanW)
+      .orderBy("doc_id")
+
+  /** "Line" width for the registered line-dedup queries: the fixture
+    * corpus is single-line word soup, so lines are 10-word chunks via
+    * [[LineDedup.chunkLines]] — the same machinery a newline split
+    * feeds on real web text (disclosed adapter, oracle uses the
+    * identical chunking). 10 is below [[SpanW]] on purpose: planted
+    * near-dup runs then span multiple aligned chunks. */
+  val LineW = 10
+
+  /** A line in >= this many DISTINCT docs is boilerplate (CCNet uses
+    * shard-relative thresholds; 2 is the strictest cross-doc form and
+    * the fixture corpus has ~130 such chunk-lines). */
+  val LineMinDocs = 2
+
+  private def chunkLines(spark: SparkSession, sfDir: String): DataFrame =
+    LineDedup.chunkLines(docs(spark, sfDir), "doc_id", "text", LineW)
+
+  /** Corpus line-frequency audit (read before a corpus-wide rewrite). */
+  def lineDedupStats(spark: SparkSession, sfDir: String): DataFrame =
+    LineDedup.stats(chunkLines(spark, sfDir), "doc_id", LineMinDocs)
+
+  /** CCNet boilerplate drop: documents rewritten with every cross-doc
+    * repeated line removed (see [[LineDedup.dropBoilerplate]]). */
+  def lineDedupBoilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    LineDedup.dropBoilerplate(docs(spark, sfDir), "doc_id", "text",
+        chunkLines(spark, sfDir), LineMinDocs)
+      .orderBy("doc_id")
+
+  /** Strict global line dedup: every repeated line cut except its first
+    * (doc_id, line_idx) occurrence (see [[LineDedup.dedupLines]]). */
+  def lineDedupFirst(spark: SparkSession, sfDir: String): DataFrame =
+    LineDedup.dedupLines(docs(spark, sfDir), "doc_id", "text",
+        chunkLines(spark, sfDir))
       .orderBy("doc_id")
 
   /** Session-cached window-count index over the existing-corpus split

@@ -178,6 +178,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(gramKeyed.isEmpty, s"window TEXT is a shuffle key:\n$p")
   }
 
+  test("line dedup: df count partial map-side, no cartesian, no line text in the count shuffle") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val lines = graft.ext.LineDedup.chunkLines(real, "doc_id", "text", w = 10)
+    val p = plan(graft.ext.LineDedup.dropBoilerplate(real, "doc_id", "text",
+      lines, minDocs = 2))
+    assert(!p.contains("CartesianProduct"), s"line dedup plans a cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      "line-frequency count should partial-aggregate map-side")
+    // the scale contract: the frequency count shuffles 128-bit
+    // fingerprints, never the line text itself
+    val lineKeyed = "Exchange hashpartitioning\\(line#".r.findAllIn(p)
+    assert(lineKeyed.isEmpty, s"line TEXT is a shuffle key:\n$p")
+  }
+
   test("lm score: model joins broadcast, doc stream never shuffled on the trigram") {
     val real = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ext.NgramLm.selfScore(real, "doc_id", "text"))
