@@ -87,6 +87,8 @@ object SparkEntry {
     "llm_line_dedup_stats"     -> (LlmQueries.lineDedupStats _),
     "llm_line_dedup"           -> (LlmQueries.lineDedupBoilerplate _),
     "llm_line_dedup_first"     -> (LlmQueries.lineDedupFirst _),
+    "llm_pii_redact"           -> (LlmQueries.piiRedact _),
+    "llm_pii_stats"            -> (LlmQueries.piiStats _),
     "llm_lm_incremental"       -> (LlmQueries.lmIncremental _),
     "llm_lm_score"             -> (LlmQueries.lmScore _),
     "llm_neardup_minhash"      -> (LlmQueries.minhashNearDup _),
@@ -173,6 +175,28 @@ object SparkEntry {
   // Spark-side arithmetic — see TextStats / Dedup scaladoc).
   private val W = """regexp_split_to_array(trim(text), '\s+')"""
   private val WL = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+
+  // PII fragments: regexes verbatim from PiiRedact (Java/RE2-identical
+  // syntax only); the planted CTE is the byte-identical twin of
+  // LlmQueries.piiDocs.
+  private val PiiEmailSql = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PiiIpSql    = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val PiiPhoneSql = """\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"""
+  private val PiiPlantedSql =
+    """SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0
+      |       THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.' ||
+      |            CAST(doc_id % 200 AS VARCHAR)
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0
+      |       THEN ' call ' ||
+      |            CASE WHEN doc_id % 2 = 0 THEN '(415) 555-' ELSE '415-555-' END ||
+      |            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |       ELSE '' END AS text
+      |FROM documents""".stripMargin
 
   /** Shared by `llm_decontam` and `llm_decontam_bloom`: the bloom path
     * is an exact-equivalent plan variant, so it gates on the same SQL. */
@@ -919,6 +943,36 @@ object SparkEntry {
          |  coalesce(a.n_dropped, 0) AS n_dropped
          |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // Dolma-style PII masking. The corpus contains no PII (zero matches
+    // for every pattern, verified at all sfs), so the fixture PLANTS
+    // emails/IPs/phones deterministically from doc_id — the `p` CTE is
+    // the byte-identical twin of LlmQueries.piiDocs, and the regexes
+    // use only syntax with identical Java/RE2 semantics (PiiRedact
+    // scaladoc). Redaction + counts are what the hash gates.
+    "llm_pii_redact" ->
+      s"""WITH p AS ($PiiPlantedSql)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$PiiEmailSql', '|||EMAIL_ADDRESS|||', 'g'),
+         |    '$PiiIpSql', '|||IP_ADDRESS|||', 'g'),
+         |    '$PiiPhoneSql', '|||PHONE_NUMBER|||', 'g') AS text,
+         |  CAST(len(regexp_extract_all(text, '$PiiEmailSql')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PiiIpSql')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$PiiPhoneSql')) AS BIGINT) AS n_phones
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "llm_pii_stats" ->
+      s"""WITH p AS ($PiiPlantedSql),
+         |c AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$PiiEmailSql')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PiiIpSql')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$PiiPhoneSql')) AS BIGINT) AS n_phones
+         |FROM p)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_emails + n_ips + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+         |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+         |  CAST(sum(n_ips) AS BIGINT) AS n_ips,
+         |  CAST(sum(n_phones) AS BIGINT) AS n_phones
+         |FROM c""".stripMargin,
     // ALL documents (the dup set sees corpus + shard occurrences), hits
     // restricted to shard docs. The engine never re-windows the corpus
     // — it probes the persisted per-epoch window-count partials — so a

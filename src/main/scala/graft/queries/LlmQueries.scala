@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Ivf, LineDedup, Multimodal, NgramLm, Pq, Sampling, SemDedup, Similarity, SpanDedup, TextStats, Winnowing}
+import graft.ext.{Dedup, Ivf, LineDedup, Multimodal, NgramLm, PiiRedact, Pq, Sampling, SemDedup, Similarity, SpanDedup, TextStats, Winnowing}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -99,6 +99,39 @@ object LlmQueries {
     LineDedup.dedupLines(docs(spark, sfDir), "doc_id", "text",
         chunkLines(spark, sfDir))
       .orderBy("doc_id")
+
+  /** Fixture adapter for the PII queries: the word-soup corpus contains
+    * no PII (verified: zero matches for any pattern), so emails / IPv4s
+    * / phones are PLANTED deterministically from doc_id — the oracle
+    * SQL performs the identical construction, so redaction itself is
+    * what the gate tests. doc_id % 2 alternates the two NANP phone
+    * shapes so both regex branches are exercised. */
+  private def piiDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val id = col("doc_id")
+    def mod(m: Int) = (id % m).cast("string")
+    docs(spark, sfDir).select(id, concat(
+      col("text"),
+      when(id % 3 === 0,
+        concat(lit(" contact u"), id.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" from 10."), mod(250), lit(".0."), mod(200)))
+        .otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" call "),
+        when(id % 2 === 0, lit("(415) 555-")).otherwise(lit("415-555-")),
+        lpad(mod(10000), 4, "0")))
+        .otherwise(lit(""))).as("text"))
+  }
+
+  /** Dolma-style PII masking: redacted corpus + per-doc detection
+    * counts (see [[PiiRedact.redactDocs]] — one map-side projection). */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    PiiRedact.redactDocs(piiDocs(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** One-row corpus PII audit (see [[PiiRedact.stats]]). */
+  def piiStats(spark: SparkSession, sfDir: String): DataFrame =
+    PiiRedact.stats(piiDocs(spark, sfDir), "doc_id", "text")
 
   /** Session-cached window-count index over the existing-corpus split
     * (doc_id % 10 != 0), bucketed layout so the gated query exercises
