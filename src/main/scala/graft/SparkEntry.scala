@@ -89,6 +89,9 @@ object SparkEntry {
     "llm_line_dedup_first"     -> (LlmQueries.lineDedupFirst _),
     "llm_pii_redact"           -> (LlmQueries.piiRedact _),
     "llm_pii_stats"            -> (LlmQueries.piiStats _),
+    "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
+    "warc_gz_roundtrip"        -> (LlmQueries.warcGzRoundtrip _),
+    "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
     "llm_lm_incremental"       -> (LlmQueries.lmIncremental _),
     "llm_lm_score"             -> (LlmQueries.lmScore _),
     "llm_neardup_minhash"      -> (LlmQueries.minhashNearDup _),
@@ -973,6 +976,30 @@ object SparkEntry {
          |  CAST(sum(n_ips) AS BIGINT) AS n_ips,
          |  CAST(sum(n_phones) AS BIGINT) AS n_phones
          |FROM c""".stripMargin,
+    // WARC/WET container round-trip: the engine wraps the corpus into
+    // real WARC/1.0 WET files (CRLF framing, Content-Length octets;
+    // gz variant = one gzip member per record, the Common Crawl layout)
+    // and parses them back map-side. The oracle reads the ORIGINAL
+    // table — a green hash proves the container framing byte-exactly.
+    "warc_wet_roundtrip" ->
+      """SELECT doc_id, text,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS content_length
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "warc_gz_roundtrip" ->
+      """SELECT doc_id, text,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS content_length
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Per-file record/byte audit: file = 50 consecutive ids, plus the
+    // warcinfo record whose fixed block length is interpolated from the
+    // same constant the writer uses.
+    "warc_files_meta" ->
+      s"""SELECT doc_id // 50 AS file_id,
+         |  CAST(count(*) + 1 AS BIGINT) AS n_records,
+         |  CAST(count(*) AS BIGINT) AS n_conversion,
+         |  CAST(sum(octet_length(CAST(text AS BLOB)))
+         |       + ${graft.ext.Warc.WarcinfoBlock.getBytes("UTF-8").length}
+         |       AS BIGINT) AS block_bytes
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // ALL documents (the dup set sees corpus + shard occurrences), hits
     // restricted to shard docs. The engine never re-windows the corpus
     // — it probes the persisted per-epoch window-count partials — so a

@@ -1,0 +1,224 @@
+package graft.ext
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One parsed WARC record (top-level so the case-class encoder stays on
+  * the codegen path — the [[AudioMetaRow]] lesson). */
+private[ext] case class WarcRecordRow(file_id: Long, rec_idx: Int,
+    warc_type: String, target_uri: String, record_id: String,
+    warc_date: String, content_type: String, content_length: Long,
+    text: String)
+
+/** WARC / WET container support — the format 100 TB of LLM training
+  * data actually ARRIVES in: Common Crawl publishes crawls as
+  * `.warc.gz` (raw HTTP captures) and `.wet.gz` (extracted-text
+  * "conversion" records), per ISO 28500 / the WARC 1.1 spec. CCNet,
+  * Dolma, RefinedWeb, and every public web-corpus pipeline starts by
+  * parsing exactly these files. Extension beyond the reference
+  * (SURVEY.md §2.8 north star: "another source format").
+  *
+  * Scale design (the 100 TB contract):
+  *  - the unit of parallelism is the FILE (Common Crawl ships ~1 GiB
+  *    segments, ~72k per crawl): one blob row per file — in production
+  *    via `spark.read.format("binaryFile")` — parsed map-side with
+  *    [[parseRecords]]; records never span files so no cross-partition
+  *    coordination exists, and the blob never crosses a shuffle (the
+  *    [[Multimodal]] rule);
+  *  - parsing is a single forward scan over the byte array: headers are
+  *    decoded from a bounded slice, each payload is ONE copy (the
+  *    `Content-Length` slice) — no regex over the full file, no
+  *    line-splitting of megabyte blocks;
+  *  - gzip: Common Crawl writes one gzip MEMBER per record so readers
+  *    can split; [[gunzipAll]] inflates concatenated members in one
+  *    streaming pass (JDK `GZIPInputStream` handles multi-member), and
+  *    the downstream parser is byte-identical for both forms.
+  *
+  * The writer side ([[synthesizeWet]]) exists for the fixture: the
+  * corpus has no WARC files, so documents are wrapped into REAL WET
+  * files (warcinfo + one conversion record per doc, CRLF framing,
+  * Content-Length octets) and the oracle checks the parse recovers the
+  * corpus byte-for-byte — the container round-trip is what the gate
+  * tests, and a production run replaces only the synthesis with
+  * `binaryFile` reads of published crawls.
+  */
+object Warc {
+
+  val Version = "WARC/1.0"
+  private val Crlf = "\r\n"
+
+  /** Fixed warcinfo block so the per-file byte arithmetic is
+    * oracle-computable (see `warc_files_meta`). */
+  val WarcinfoBlock: String = "software: graft-wet/1.0\r\nformat: WARC File Format 1.0\r\n"
+  val FixtureDate = "2026-01-01T00:00:00Z"
+
+  def targetUri(docId: Long): String = s"https://example.com/doc/$docId"
+
+  private def record(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder(Version).append(Crlf)
+    for ((k, v) <- headers) h.append(k).append(": ").append(v).append(Crlf)
+    h.append("Content-Length: ").append(block.length).append(Crlf).append(Crlf)
+    val head = h.toString.getBytes(UTF_8)
+    val out = new Array[Byte](head.length + block.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(block, 0, out, head.length, block.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  def warcinfoRecord(fileId: Long): Array[Byte] = record(Seq(
+    "WARC-Type" -> "warcinfo",
+    "WARC-Record-ID" -> s"<urn:graft:file:$fileId>",
+    "WARC-Date" -> FixtureDate,
+    "Content-Type" -> "application/warc-fields"),
+    WarcinfoBlock.getBytes(UTF_8))
+
+  def conversionRecord(docId: Long, text: String): Array[Byte] = record(Seq(
+    "WARC-Type" -> "conversion",
+    "WARC-Target-URI" -> targetUri(docId),
+    "WARC-Record-ID" -> s"<urn:graft:doc:$docId>",
+    "WARC-Date" -> FixtureDate,
+    "Content-Type" -> "text/plain"),
+    text.getBytes(UTF_8))
+
+  /** One WET file: a warcinfo record then one conversion record per
+    * (docId, text), docs in ascending id order. */
+  def buildWetFile(fileId: Long, docs: Seq[(Long, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(warcinfoRecord(fileId))
+    for ((id, text) <- docs.sortBy(_._1))
+      out.write(conversionRecord(id, text))
+    out.toByteArray
+  }
+
+  /** Gzip with one member per record boundary is how Common Crawl
+    * writes; for the fixture, one member per whole file exercises the
+    * same multi-member reader when files are concatenated. `perRecord`
+    * re-compresses each record as its own member (the CC layout). */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(bytes); g.close(); bos.toByteArray
+  }
+
+  def gzipPerRecord(records: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    for (r <- records) bos.write(gzip(r))
+    bos.toByteArray
+  }
+
+  /** Inflate ALL concatenated gzip members (JDK GZIPInputStream already
+    * advances across member boundaries). Single streaming pass. */
+  def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+    val out = new ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Parse every record of one WARC file: single forward scan, one
+    * payload copy per record, malformed framing fails loudly (a corrupt
+    * crawl segment should surface, not silently truncate). Gzipped
+    * input (magic-sniffed) is inflated first. */
+  def parseRecords(fileId: Long, bytesIn: Array[Byte]): Seq[WarcRecordRow] = {
+    val bytes = if (isGzip(bytesIn)) gunzipAll(bytesIn) else bytesIn
+    val out = Vector.newBuilder[WarcRecordRow]
+    var pos = 0
+    var idx = 0
+    def line(from: Int): (String, Int) = {
+      var i = from
+      while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      require(i + 1 < bytes.length, s"warc: unterminated header line at $from")
+      (new String(bytes, from, i - from, UTF_8), i + 2)
+    }
+    while (pos < bytes.length) {
+      val (ver, p0) = line(pos)
+      require(ver.startsWith("WARC/"), s"warc: bad version '$ver' at $pos")
+      var p = p0
+      var typ = ""; var uri = ""; var rid = ""; var date = ""
+      var ctype = ""; var clen = -1L
+      var l = line(p)
+      while (l._1.nonEmpty) {
+        val colon = l._1.indexOf(':')
+        require(colon > 0, s"warc: malformed header '${l._1}'")
+        val k = l._1.substring(0, colon).trim.toLowerCase
+        val v = l._1.substring(colon + 1).trim
+        k match {
+          case "warc-type"       => typ = v
+          case "warc-target-uri" => uri = v
+          case "warc-record-id"  => rid = v
+          case "warc-date"       => date = v
+          case "content-type"    => ctype = v
+          case "content-length"  => clen = v.toLong
+          case _                 => // unknown headers are legal; skip
+        }
+        p = l._2; l = line(p)
+      }
+      p = l._2 // past the blank line
+      require(clen >= 0, "warc: record without Content-Length")
+      require(p + clen + 4 <= bytes.length,
+        s"warc: truncated block (need ${clen + 4} at $p of ${bytes.length})")
+      val text = if (typ == "conversion" || typ == "response" || typ == "warcinfo")
+        new String(bytes, p, clen.toInt, UTF_8) else ""
+      require(bytes(p + clen.toInt) == '\r' && bytes(p + clen.toInt + 1) == '\n' &&
+        bytes(p + clen.toInt + 2) == '\r' && bytes(p + clen.toInt + 3) == '\n',
+        s"warc: missing record terminator at ${p + clen}")
+      out += WarcRecordRow(fileId, idx, typ, uri, rid, date, ctype, clen, text)
+      idx += 1
+      pos = p + clen.toInt + 4
+    }
+    out.result()
+  }
+
+  /** Fixture synthesis: wrap `documents` into WET files of
+    * `docsPerFile` consecutive ids (file_id = doc_id / docsPerFile),
+    * optionally gzipped one member per RECORD (the Common Crawl
+    * layout). Output: (file_id, blob). */
+  def synthesizeWet(spark: SparkSession, docs: DataFrame, idCol: String,
+                    textCol: String, docsPerFile: Int,
+                    gzipped: Boolean = false): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .groupByKey(_._1 / docsPerFile)
+      .mapGroups { (fileId, it) =>
+        val ds = it.toSeq.sortBy(_._1)
+        val blob = if (gzipped)
+          gzipPerRecord(warcinfoRecord(fileId) +:
+            ds.map { case (id, t) => conversionRecord(id, t) })
+        else buildWetFile(fileId, ds)
+        (fileId, blob)
+      }
+      .toDF("file_id", "blob")
+  }
+
+  /** All records of all files — one typed map-side pass, blob never
+    * shuffled (production: feed `binaryFile` rows in here). */
+  def records(spark: SparkSession, files: DataFrame, fileIdCol: String,
+              blobCol: String): Dataset[WarcRecordRow] = {
+    import spark.implicits._
+    files.select(col(fileIdCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (fid, blob) => parseRecords(fid, blob) })
+  }
+
+  /** The WET text extraction a corpus build starts from: conversion
+    * records → (doc_id parsed from the target URI, text). */
+  def wetDocs(spark: SparkSession, files: DataFrame, fileIdCol: String,
+              blobCol: String): DataFrame =
+    records(spark, files, fileIdCol, blobCol)
+      .where(col("warc_type") === "conversion")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        col("text"), col("content_length"))
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Ivf, LineDedup, Multimodal, NgramLm, PiiRedact, Pq, Sampling, SemDedup, Similarity, SpanDedup, TextStats, Winnowing}
+import graft.ext.{Dedup, Ivf, LineDedup, Multimodal, NgramLm, PiiRedact, Pq, Sampling, SemDedup, Similarity, SpanDedup, TextStats, Warc, Winnowing}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -132,6 +132,47 @@ object LlmQueries {
   /** One-row corpus PII audit (see [[PiiRedact.stats]]). */
   def piiStats(spark: SparkSession, sfDir: String): DataFrame =
     PiiRedact.stats(piiDocs(spark, sfDir), "doc_id", "text")
+
+  /** Docs per synthesized WET file: 50 consecutive ids per file — 10
+    * files at the 500-doc fixture, enough that record-boundary scanning
+    * and multi-file parallelism are both exercised. */
+  val WarcDocsPerFile = 50
+
+  private def wetRoundtrip(spark: SparkSession, sfDir: String,
+                           gzipped: Boolean): DataFrame = {
+    val files = Warc.synthesizeWet(spark, docs(spark, sfDir), "doc_id",
+      "text", WarcDocsPerFile, gzipped = gzipped)
+    Warc.wetDocs(spark, files, "file_id", "blob").orderBy("doc_id")
+  }
+
+  /** WET container round-trip: corpus → real WARC/1.0 conversion
+    * records → parse → corpus. The oracle reads the original table, so
+    * a green hash proves the container framing byte-exactly (see
+    * [[Warc]]). */
+  def warcWetRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    wetRoundtrip(spark, sfDir, gzipped = false)
+
+  /** Same through the Common Crawl `.wet.gz` layout — one gzip MEMBER
+    * per record, inflated in one multi-member streaming pass. Shares
+    * `llm_decontam`'s gating pattern: an exact-equivalent plan variant
+    * gates on the same oracle SQL. */
+  def warcGzRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    wetRoundtrip(spark, sfDir, gzipped = true)
+
+  /** Per-file record audit over ALL records (warcinfo + conversion):
+    * counts and block byte totals — the numbers a crawl-ingest job
+    * reconciles against the manifest before trusting a segment. */
+  def warcFilesMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = Warc.synthesizeWet(spark, docs(spark, sfDir), "doc_id",
+      "text", WarcDocsPerFile)
+    Warc.records(spark, files, "file_id", "blob")
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("warc_type") === "conversion", 1L).otherwise(0L))
+          .as("n_conversion"),
+        sum("content_length").as("block_bytes"))
+      .orderBy("file_id")
+  }
 
   /** Session-cached window-count index over the existing-corpus split
     * (doc_id % 10 != 0), bucketed layout so the gated query exercises

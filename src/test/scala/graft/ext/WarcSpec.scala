@@ -1,0 +1,90 @@
+package graft.ext
+
+import graft.SparkSpecBase
+
+import org.apache.spark.sql.functions._
+
+class WarcSpec extends SparkSpecBase {
+
+  private def df(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("WET round-trip: corpus -> WARC/1.0 files -> parse -> corpus") {
+    val d = df(0L -> "alpha beta", 1L -> "gamma", 49L -> "delta eps",
+      50L -> "next file", 120L -> "third file")
+    val files = Warc.synthesizeWet(spark, d, "doc_id", "text", 50)
+    assert(files.count() === 3, "ids 0..49 / 50 / 120 -> 3 files")
+    val back = Warc.wetDocs(spark, files, "file_id", "blob")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(back.toSeq === Seq((0L, "alpha beta", 10L), (1L, "gamma", 5L),
+      (49L, "delta eps", 9L), (50L, "next file", 9L), (120L, "third file", 10L)))
+  }
+
+  test("gz layout: one gzip member per record, multi-member inflate") {
+    val d = df(0L -> "a a a", 1L -> "b b", 7L -> "c")
+    val files = Warc.synthesizeWet(spark, d, "doc_id", "text", 50, gzipped = true)
+    val blob = files.collect()(0).getAs[Array[Byte]]("blob")
+    // the blob must really be multi-member: a second gzip magic beyond
+    // offset 0 proves per-record members, not one stream
+    val magics = (1 until blob.length - 1).count(i =>
+      (blob(i) & 0xff) == 0x1f && (blob(i + 1) & 0xff) == 0x8b)
+    assert(magics >= 3, s"expected >=3 extra gzip members, found $magics")
+    val back = Warc.wetDocs(spark, files, "file_id", "blob")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq === Seq((0L, "a a a"), (1L, "b b"), (7L, "c")))
+  }
+
+  test("content-length is octets: multi-byte UTF-8 survives byte-exactly") {
+    val d = df(3L -> "café 中文 naïve")
+    val files = Warc.synthesizeWet(spark, d, "doc_id", "text", 50)
+    val r = Warc.wetDocs(spark, files, "file_id", "blob").collect()(0)
+    assert(r.getString(1) === "café 中文 naïve")
+    assert(r.getLong(2) ===
+      "café 中文 naïve".getBytes("UTF-8").length.toLong)
+  }
+
+  test("unknown headers and arbitrary order are tolerated; warcinfo parsed") {
+    val block = "hello world".getBytes("UTF-8")
+    val rec = (s"WARC/1.0\r\nX-Custom: junk\r\nContent-Type: text/plain\r\n" +
+      s"WARC-Target-URI: https://example.com/doc/9\r\nWARC-Type: conversion\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8") ++
+      block ++ "\r\n\r\n".getBytes("UTF-8")
+    val rows = Warc.parseRecords(5L, rec)
+    assert(rows.length === 1)
+    assert(rows(0).warc_type === "conversion" && rows(0).text === "hello world")
+    val info = Warc.parseRecords(1L, Warc.warcinfoRecord(1L))
+    assert(info(0).warc_type === "warcinfo" &&
+      info(0).text === Warc.WarcinfoBlock)
+  }
+
+  test("corrupt segments fail loudly, never silently truncate") {
+    val good = Warc.conversionRecord(1L, "some text here")
+    // truncated mid-block
+    intercept[IllegalArgumentException] {
+      Warc.parseRecords(0L, good.dropRight(6))
+    }
+    // framing terminator overwritten
+    val bad = good.clone(); bad(good.length - 1) = 'X'
+    intercept[IllegalArgumentException] { Warc.parseRecords(0L, bad) }
+    // wrong magic
+    intercept[IllegalArgumentException] {
+      Warc.parseRecords(0L, "HTTP/1.1 200 OK\r\n\r\n".getBytes("UTF-8"))
+    }
+  }
+
+  test("parse is map-side: no shuffle, blob never crosses an exchange") {
+    val d = df((0L until 20L).map(i => i -> s"doc $i text"): _*)
+    val dir = java.nio.file.Files.createTempDirectory("warc_plan").toString
+    // materialize files first (as a binaryFile-style source would) so
+    // the asserted plan is parse-only, like production ingest
+    Warc.synthesizeWet(spark, d, "doc_id", "text", 5)
+      .write.mode("overwrite").parquet(dir)
+    val files = spark.read.parquet(dir)
+    val p = Warc.wetDocs(spark, files, "file_id", "blob")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"WET parse should not shuffle:\n$p")
+  }
+}
