@@ -87,6 +87,7 @@ object SparkEntry {
     "llm_line_dedup_stats"     -> (LlmQueries.lineDedupStats _),
     "llm_line_dedup"           -> (LlmQueries.lineDedupBoilerplate _),
     "llm_line_dedup_first"     -> (LlmQueries.lineDedupFirst _),
+    "llm_line_dedup_incremental" -> (LlmQueries.lineDedupIncremental _),
     "llm_pii_redact"           -> (LlmQueries.piiRedact _),
     "llm_pii_stats"            -> (LlmQueries.piiStats _),
     "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
@@ -945,6 +946,35 @@ object SparkEntry {
          |  coalesce(a.n_kept, 0) AS n_kept,
          |  coalesce(a.n_dropped, 0) AS n_dropped
          |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // Incremental ≡ full-recompute-restricted: hot lines judged over
+    // ALL documents (corpus + shard frequencies), the rewrite restricted
+    // to shard docs. The engine never re-splits the corpus — it probes
+    // the persisted per-epoch line-frequency partials — so a green hash
+    // proves the df-sum arithmetic exactly.
+    "llm_line_dedup_incremental" ->
+      s"""WITH w0 AS (SELECT doc_id, $WL AS ws FROM documents),
+         |w AS (SELECT * FROM w0
+         |      WHERE len(ws) >= 1 AND NOT (len(ws) = 1 AND ws[1] = '')),
+         |l AS (SELECT doc_id, i + 1 AS line_idx,
+         |        array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS line
+         |      FROM w, unnest(generate_series(0, (len(ws)-1)//10)) AS t(i)),
+         |hot AS (SELECT line FROM l GROUP BY line
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |f AS (SELECT doc_id, line_idx, line,
+         |        line IN (SELECT line FROM hot) AS dropped
+         |      FROM l WHERE doc_id % 10 = 0),
+         |a AS (SELECT doc_id,
+         |        coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+         |                            ' ' ORDER BY line_idx), '') AS text,
+         |        CAST(sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |        CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |      FROM f GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.text, '') AS text,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.n_dropped, 0) AS n_dropped
+         |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+         |WHERE d.doc_id % 10 = 0
          |ORDER BY d.doc_id""".stripMargin,
     // Dolma-style PII masking. The corpus contains no PII (zero matches
     // for every pattern, verified at all sfs), so the fixture PLANTS

@@ -67,7 +67,7 @@ object LineDedup {
         col("line"))
   }
 
-  private def fingerprinted(lines: DataFrame): DataFrame = {
+  private[ext] def fingerprinted(lines: DataFrame): DataFrame = {
     val norm = trim(lower(col("line")))
     lines.withColumn("fp1", xxhash64(norm))
       .withColumn("fp2", xxhash64(lit("graft-line-2"), norm))
@@ -119,8 +119,8 @@ object LineDedup {
   /** (id, text, n_kept, n_dropped) from flagged lines (`__drop` true =
     * remove); every input doc keeps a row (left join), dropped-to-empty
     * docs get text ''. */
-  private def reassemble(docs: DataFrame, idCol: String,
-                         flagged: DataFrame, sep: String): DataFrame = {
+  private[ext] def reassemble(docs: DataFrame, idCol: String,
+                              flagged: DataFrame, sep: String): DataFrame = {
     val folded = flagged.groupBy(idCol).agg(
       coalesce(array_join(transform(
         array_sort(collect_list(when(col("__drop").isNull,

@@ -133,6 +133,27 @@ object LlmQueries {
   def piiStats(spark: SparkSession, sfDir: String): DataFrame =
     PiiRedact.stats(piiDocs(spark, sfDir), "doc_id", "text")
 
+  /** Session-cached line-frequency index over the existing-corpus split
+    * (doc_id % 10 != 0), bucketed so the gated query exercises the
+    * partition-pruned probe. */
+  private def lineIncIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"line|$sfDir") { dir =>
+      graft.ext.IncrementalLineDedup.writeIndex(
+        docs(spark, sfDir).where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", dir, lineW = LineW, minDocs = LineMinDocs,
+        lineBuckets = 16)
+    }
+
+  /** Incremental boilerplate drop: the arriving shard rewritten against
+    * `indexed ∪ shard` line frequencies via the persisted index —
+    * live-oracled as the full recompute restricted to shard docs. */
+  def lineDedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.IncrementalLineDedup.dropBoilerplate(spark,
+        lineIncIndexDir(spark, sfDir),
+        docs(spark, sfDir).where(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Docs per synthesized WET file: 50 consecutive ids per file — 10
     * files at the 500-doc fixture, enough that record-boundary scanning
     * and multi-file parallelism are both exercised. */
