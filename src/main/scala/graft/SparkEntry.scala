@@ -90,6 +90,8 @@ object SparkEntry {
     "llm_line_dedup_incremental" -> (LlmQueries.lineDedupIncremental _),
     "llm_pii_redact"           -> (LlmQueries.piiRedact _),
     "llm_pii_stats"            -> (LlmQueries.piiStats _),
+    "llm_dsir_score"           -> (LlmQueries.dsirScore _),
+    "llm_dsir_select"          -> (LlmQueries.dsirSelect _),
     "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
     "warc_gz_roundtrip"        -> (LlmQueries.warcGzRoundtrip _),
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
@@ -183,6 +185,35 @@ object SparkEntry {
   // PII fragments: regexes verbatim from PiiRedact (Java/RE2-identical
   // syntax only); the planted CTE is the byte-identical twin of
   // LlmQueries.piiDocs.
+  // DSIR score CTE chain shared by llm_dsir_score / llm_dsir_select.
+  private lazy val DsirScoreSql =
+    s"""WITH w0 AS (SELECT doc_id, lang, $WL AS ws FROM documents),
+       |w AS (SELECT * FROM w0
+       |      WHERE len(ws) >= 1 AND NOT (len(ws) = 1 AND ws[1] = '')),
+       |f AS (SELECT doc_id, lang, ws[i] AS feat
+       |      FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+       |      UNION ALL
+       |      SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS feat
+       |      FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+       |      WHERE len(ws) >= 2),
+       |m AS (SELECT feat,
+       |        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+       |        CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_r
+       |      FROM f GROUP BY feat),
+       |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS tt,
+       |        CAST(sum(c_r) AS BIGINT) AS tr, count(*) AS v FROM m),
+       |d AS (SELECT doc_id, feat, count(*) AS n
+       |      FROM f WHERE lang <> 'en' GROUP BY 1, 2),
+       |s AS (SELECT d.doc_id, sum(d.n) AS n_features,
+       |        sum(d.n * (length(format('{:b}', m.c_t + 1))
+       |                   - length(format('{:b}', m.c_r + 1)))) AS feat_bits
+       |      FROM d JOIN m USING (feat) GROUP BY 1),
+       |sc AS (SELECT s.doc_id, s.n_features,
+       |         s.feat_bits + s.n_features *
+       |           (length(format('{:b}', tot.tr + tot.v))
+       |            - length(format('{:b}', tot.tt + tot.v))) AS score_bits
+       |       FROM s, tot)""".stripMargin
+
   private val PiiEmailSql = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val PiiIpSql    = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
   private val PiiPhoneSql = """\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"""
@@ -1006,6 +1037,28 @@ object SparkEntry {
          |  CAST(sum(n_ips) AS BIGINT) AS n_ips,
          |  CAST(sum(n_phones) AS BIGINT) AS n_phones
          |FROM c""".stripMargin,
+    // DSIR importance scoring (Xie et al. 2023): target = lang 'en',
+    // raw = the rest; unigram+bigram features, Laplace over the union
+    // vocabulary, the log-ratio quantized to whole bits with the same
+    // integer bitlen arithmetic as llm_lm_score — so per-doc BIGINT
+    // totals and the single final division are bit-identical across
+    // engines. The engine keys the model on 128-bit fingerprints; the
+    // oracle on feature text (the SpanDedup collision argument).
+    "llm_dsir_score" ->
+      s"""$DsirScoreSql
+         |SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+         |  CAST(score_bits AS BIGINT) AS score_bits,
+         |  CAST(score_bits AS DOUBLE) / n_features AS bits_per_feature
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    // Deterministic top-k selection under the (score DESC, id) total
+    // order — the resampling stand-in the operator reproduces exactly.
+    "llm_dsir_select" ->
+      s"""$DsirScoreSql,
+         |sel AS (SELECT * FROM sc ORDER BY score_bits DESC, doc_id LIMIT 50)
+         |SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+         |  CAST(score_bits AS BIGINT) AS score_bits,
+         |  CAST(score_bits AS DOUBLE) / n_features AS bits_per_feature
+         |FROM sel ORDER BY doc_id""".stripMargin,
     // WARC/WET container round-trip: the engine wraps the corpus into
     // real WARC/1.0 WET files (CRLF framing, Content-Length octets;
     // gz variant = one gzip member per record, the Common Crawl layout)

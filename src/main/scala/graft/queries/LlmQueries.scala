@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Ivf, LineDedup, Multimodal, NgramLm, PiiRedact, Pq, Sampling, SemDedup, Similarity, SpanDedup, TextStats, Warc, Winnowing}
+import graft.ext.{Dedup, Dsir, Ivf, LineDedup, Multimodal, NgramLm, PiiRedact, Pq, Sampling, SemDedup, Similarity, SpanDedup, TextStats, Warc, Winnowing}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -153,6 +153,27 @@ object LlmQueries {
         docs(spark, sfDir).where(col("doc_id") % 10 === 0),
         "doc_id", "text")
       .orderBy("doc_id")
+
+  /** DSIR target/raw split: the `lang = 'en'` slice plays the quality
+    * target corpus, everything else the raw pool being selected from —
+    * the common "select web data that looks like my curated set"
+    * deployment. */
+  private def dsirTarget(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).where(col("lang") === "en")
+  private def dsirRaw(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).where(col("lang") =!= "en")
+
+  /** DSIR importance scores for every raw document (integer-bit
+    * quantized; see [[Dsir]]) — live-oracled bit-for-bit. */
+  def dsirScore(spark: SparkSession, sfDir: String): DataFrame =
+    Dsir.score(dsirTarget(spark, sfDir), dsirRaw(spark, sfDir),
+      "doc_id", "text").orderBy("doc_id")
+
+  /** DSIR selection: the 50 most target-like raw documents under the
+    * deterministic (score DESC, id) order. */
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame =
+    Dsir.select(dsirTarget(spark, sfDir), dsirRaw(spark, sfDir),
+      "doc_id", "text", k = 50).orderBy("doc_id")
 
   /** Docs per synthesized WET file: 50 consecutive ids per file — 10
     * files at the 500-doc fixture, enough that record-boundary scanning
