@@ -107,6 +107,7 @@ object ScaleLadder {
     "llm_dedup_corpus_cc",
     "llm_cosine_neardup_scale",
     "llm_clean_corpus",
+    "llm_domain_cap",
     "cdc_materialize_debezium")
 
   /** Fixed-plane LSH has candidate cost n²/2^planes — superlinear with
@@ -122,7 +123,13 @@ object ScaleLadder {
       ("fixed 16-cell quantizer: within-cell pairs scale n^2/k; the " +
         "paper's production recipe scales nCells with n (they use " +
         "~sqrt(n)) to hold occupancy, which this rung deliberately " +
-        "does not do"))
+        "does not do"),
+    "llm_domain_cap" ->
+      ("a frequency cap must rank every row once, so ~linear is the " +
+        "floor; what the two-phase form buys is a per-reducer bound " +
+        "(cap x salts rows per domain in the exact window) regardless " +
+        "of domain skew — asserted on a 1000:1-skewed fixture in " +
+        "UrlOpsSpec, not visible in this uniform-growth rung"))
 
   def run(spark: SparkSession, baseDir: String, factor: Int): Seq[Rung] = {
     val root = graft.queries.CdcQueries.tempSinkDir("graft-ladder").toString

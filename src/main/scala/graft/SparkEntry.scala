@@ -92,6 +92,9 @@ object SparkEntry {
     "llm_pii_stats"            -> (LlmQueries.piiStats _),
     "llm_dsir_score"           -> (LlmQueries.dsirScore _),
     "llm_dsir_select"          -> (LlmQueries.dsirSelect _),
+    "llm_url_normalize"        -> (LlmQueries.urlNormalize _),
+    "llm_domain_cap"           -> (LlmQueries.domainCap _),
+    "llm_domain_stats"         -> (LlmQueries.domainStats _),
     "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
     "warc_gz_roundtrip"        -> (LlmQueries.warcGzRoundtrip _),
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
@@ -232,6 +235,67 @@ object SparkEntry {
       |            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
       |       ELSE '' END AS text
       |FROM documents""".stripMargin
+
+  /** Byte-identical twin of LlmQueries.urlDocs — the messy-URL fixture
+    * behind the llm_url_* / llm_domain_* rows. */
+  private val UrlFixtureSql =
+    """SELECT doc_id, n_chars,
+      |  CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'
+      |       WHEN doc_id % 4 = 1 THEN 'HTTPS://' ELSE 'https://' END ||
+      |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || upper(source)
+      |       WHEN doc_id % 3 = 1 THEN 'www.' || source ELSE source END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN '.co.uk' WHEN doc_id % 5 = 1 THEN '.org'
+      |       WHEN doc_id % 5 = 2 THEN '.com' WHEN doc_id % 5 = 3 THEN '.net'
+      |       ELSE '.com.au' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN
+      |         CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE ':443' END
+      |       WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END ||
+      |  '/Doc/' || CAST(doc_id AS VARCHAR) ||
+      |  CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END ||
+      |  CASE WHEN doc_id % 9 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+      |       WHEN doc_id % 9 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+      |       WHEN doc_id % 9 = 2 THEN '?utm_a=1&utm_b=2'
+      |       WHEN doc_id % 9 = 3 THEN '?a=1&utm_medium=m&b=2'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 8 = 0 THEN '#Section-2' ELSE '' END AS url
+      |FROM documents""".stripMargin
+
+  /** UrlOps.canonicalize restated rule-by-rule as a DuckDB CTE chain
+    * over the fixture (RE2 `\1` backrefs in place of Java's `$1`; both
+    * substitute empty for a non-participating group — verified), ending
+    * in `d(doc_id, n_chars, url, url_canon, host, domain)`. */
+  private val UrlDomainCteSql =
+    s"""WITH p AS ($UrlFixtureSql),
+       |s1 AS (SELECT doc_id, n_chars, url,
+       |         regexp_replace(url, '#.*$$', '') AS u FROM p),
+       |s2 AS (SELECT doc_id, n_chars, url,
+       |         lower(regexp_extract(u, '^[^/]*//[^/]*')) ||
+       |         substr(u, length(regexp_extract(u, '^[^/]*//[^/]*')) + 1) AS u
+       |       FROM s1),
+       |s3 AS (SELECT doc_id, n_chars, url,
+       |         regexp_replace(regexp_replace(u,
+       |           '^(https://[^/:?#]+):443([/?#].*)?$$', '\\1\\2'),
+       |           '^(http://[^/:?#]+):80([/?#].*)?$$', '\\1\\2') AS u FROM s2),
+       |s4 AS (SELECT doc_id, n_chars, url,
+       |         regexp_replace(u, '^(https?://)www\\.', '\\1') AS u FROM s3),
+       |s5 AS (SELECT doc_id, n_chars, url,
+       |         regexp_replace(regexp_replace(u,
+       |           '(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '', 'g'),
+       |           '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*$$', '') AS u FROM s4),
+       |s6 AS (SELECT doc_id, n_chars, url,
+       |         regexp_replace(regexp_replace(regexp_replace(u,
+       |           '\\?$$', ''), '/\\?', '?'), '/$$', '') AS u FROM s5),
+       |c AS (SELECT doc_id, n_chars, url, u AS url_canon,
+       |        regexp_extract(u, '^[a-z]+://([^/:?#]+)', 1) AS host FROM s6),
+       |d AS (SELECT *,
+       |        CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) IN
+       |               ('co.uk','ac.uk','gov.uk','org.uk','com.au','net.au',
+       |                'org.au','co.jp','or.jp','ne.jp','co.in','com.br',
+       |                'com.cn','co.kr')
+       |             AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+       |             THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+       |             ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain
+       |      FROM c)""".stripMargin
 
   /** Shared by `llm_decontam` and `llm_decontam_bloom`: the bloom path
     * is an exact-equivalent plan variant, so it gates on the same SQL. */
@@ -1059,6 +1123,38 @@ object SparkEntry {
          |  CAST(score_bits AS BIGINT) AS score_bits,
          |  CAST(score_bits AS DOUBLE) / n_features AS bits_per_feature
          |FROM sel ORDER BY doc_id""".stripMargin,
+    // FineWeb-style URL stage. The corpus has no URL column, so the
+    // fixture derives a deliberately messy one deterministically from
+    // (doc_id, source) — the `p` CTE is the byte-identical twin of
+    // LlmQueries.urlDocs — and the oracle restates every
+    // canonicalization rule as its own CTE; the hash gates rules 1-6
+    // plus host/eTLD+1 extraction per document.
+    "llm_url_normalize" ->
+      s"""$UrlDomainCteSql
+         |SELECT doc_id, url, url_canon, host, domain
+         |FROM d ORDER BY doc_id""".stripMargin,
+    // Per-domain cap: the engine's skew-safe two-phase top-N must equal
+    // the oracle's single row_number() window under the deterministic
+    // (n_chars DESC, doc_id) total order.
+    "llm_domain_cap" ->
+      s"""$UrlDomainCteSql,
+         |r AS (SELECT doc_id, domain, n_chars,
+         |        row_number() OVER (PARTITION BY domain
+         |          ORDER BY n_chars DESC, doc_id) AS rk FROM d)
+         |SELECT doc_id, domain, n_chars FROM r
+         |WHERE rk <= ${graft.queries.LlmQueries.DomainCapN}
+         |ORDER BY doc_id""".stripMargin,
+    "llm_domain_stats" ->
+      s"""$UrlDomainCteSql,
+         |r AS (SELECT domain, n_chars,
+         |        row_number() OVER (PARTITION BY domain
+         |          ORDER BY n_chars DESC, doc_id) AS rk FROM d)
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN rk <= ${graft.queries.LlmQueries.DomainCapN}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN rk <= ${graft.queries.LlmQueries.DomainCapN}
+         |    THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+         |FROM r GROUP BY domain ORDER BY domain""".stripMargin,
     // WARC/WET container round-trip: the engine wraps the corpus into
     // real WARC/1.0 WET files (CRLF framing, Content-Length octets;
     // gz variant = one gzip member per record, the Common Crawl layout)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Dsir, Ivf, LineDedup, Multimodal, NgramLm, PiiRedact, Pq, Sampling, SemDedup, Similarity, SpanDedup, TextStats, Warc, Winnowing}
+import graft.ext.{Dedup, Dsir, Ivf, LineDedup, Multimodal, NgramLm, PiiRedact, Pq, Sampling, SemDedup, Similarity, SpanDedup, TextStats, UrlOps, Warc, Winnowing}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -174,6 +174,87 @@ object LlmQueries {
   def dsirSelect(spark: SparkSession, sfDir: String): DataFrame =
     Dsir.select(dsirTarget(spark, sfDir), dsirRaw(spark, sfDir),
       "doc_id", "text", k = 50).orderBy("doc_id")
+
+  /** Fixture adapter for the URL queries: the corpus has no URL column
+    * (in production it arrives as the `WARC-Target-URI` parsed by
+    * [[Warc.wetDocs]]), so a deliberately MESSY url is derived
+    * deterministically from (doc_id, source) — the oracle performs the
+    * identical construction, so canonicalization itself is what the
+    * gate tests. Every [[UrlOps.canonicalize]] rule is exercised:
+    * mixed-case scheme/host, default (`:80`/`:443`) and non-default
+    * (`:8080`) ports, a `www.`/`WWW.` label, tracking params in
+    * leading/middle/trailing position, an all-tracking query, a
+    * trailing path slash, and a fragment; tlds rotate through plain
+    * (`com`/`org`/`net`) and two-label-suffix (`co.uk`/`com.au`)
+    * registries so both eTLD+1 branches run. */
+  private def urlDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val id = col("doc_id")
+    val idS = id.cast("string")
+    val scheme = when(id % 4 === 0, "HTTP://")
+      .when(id % 4 === 1, "HTTPS://").otherwise("https://")
+    val hostCore = when(id % 3 === 0, concat(lit("WWW."), upper(col("source"))))
+      .when(id % 3 === 1, concat(lit("www."), col("source")))
+      .otherwise(col("source"))
+    val tld = when(id % 5 === 0, ".co.uk").when(id % 5 === 1, ".org")
+      .when(id % 5 === 2, ".com").when(id % 5 === 3, ".net")
+      .otherwise(".com.au")
+    val port = when(id % 7 === 0, when(id % 4 === 0, ":80").otherwise(":443"))
+      .when(id % 11 === 0, ":8080").otherwise("")
+    val path = concat(lit("/Doc/"), idS, when(id % 6 === 0, "/").otherwise(""))
+    val query = when(id % 9 === 0, concat(lit("?utm_source=feed&id="), idS))
+      .when(id % 9 === 1, concat(lit("?id="), idS, lit("&utm_campaign=x")))
+      .when(id % 9 === 2, "?utm_a=1&utm_b=2")
+      .when(id % 9 === 3, "?a=1&utm_medium=m&b=2")
+      .otherwise("")
+    val frag = when(id % 8 === 0, "#Section-2").otherwise("")
+    docs(spark, sfDir).select(id, col("n_chars"),
+      concat(scheme, hostCore, tld, port, path, query, frag).as("url"))
+  }
+
+  /** URL canonicalization + host + eTLD+1 per document (see
+    * [[UrlOps]] — one map-side codegen'd projection, no shuffle). */
+  def urlNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    urlDocs(spark, sfDir)
+      .select(col("doc_id"), col("url"),
+        UrlOps.canonicalize(col("url")).as("url_canon"))
+      .withColumn("host", UrlOps.host(col("url_canon")))
+      .withColumn("domain", UrlOps.registeredDomain(col("host")))
+      .orderBy("doc_id")
+
+  private def urlDomainDocs(spark: SparkSession, sfDir: String): DataFrame =
+    urlDocs(spark, sfDir).withColumn("domain",
+      UrlOps.registeredDomain(UrlOps.host(UrlOps.canonicalize(col("url")))))
+
+  /** Deterministic best-first order for the domain cap: longest doc
+    * wins, doc_id breaks ties (total — doc_id is unique). */
+  private def domainOrd = Seq(col("n_chars").desc, col("doc_id"))
+
+  val DomainCapN = 3
+
+  /** FineWeb per-domain frequency cap: at most [[DomainCapN]] docs per
+    * registered domain, best-first under [[domainOrd]] — the skew-safe
+    * two-phase form of [[UrlOps.capPerDomain]], gated against the
+    * oracle's single `row_number()` window. */
+  def domainCap(spark: SparkSession, sfDir: String): DataFrame =
+    UrlOps.capPerDomain(urlDomainDocs(spark, sfDir), col("domain"),
+        domainOrd, cap = DomainCapN)
+      .select("doc_id", "domain", "n_chars")
+      .orderBy("doc_id")
+
+  /** Per-domain corpus audit: raw contribution vs post-cap survivors —
+    * the report a 100 TB operator reads to see which SEO farms the cap
+    * actually bit. One full hash-agg plus the capped agg, joined on the
+    * (low-cardinality) domain key. */
+  def domainStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = urlDomainDocs(spark, sfDir)
+    val kept = UrlOps.capPerDomain(base, col("domain"), domainOrd, cap = DomainCapN)
+      .groupBy("domain")
+      .agg(count("*").as("n_kept"), sum("n_chars").as("chars_kept"))
+    base.groupBy("domain").agg(count("*").as("n_docs"))
+      .join(kept, Seq("domain"))
+      .select(col("domain"), col("n_docs"), col("n_kept"), col("chars_kept"))
+      .orderBy("domain")
+  }
 
   /** Docs per synthesized WET file: 50 consecutive ids per file — 10
     * files at the 500-doc fixture, enough that record-boundary scanning
