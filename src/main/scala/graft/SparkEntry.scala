@@ -98,6 +98,8 @@ object SparkEntry {
     "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
     "warc_gz_roundtrip"        -> (LlmQueries.warcGzRoundtrip _),
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
+    "llm_jsonl_roundtrip"      -> (LlmQueries.jsonlRoundtripPlain _),
+    "llm_jsonl_gz_roundtrip"   -> (LlmQueries.jsonlRoundtripGz _),
     "llm_lm_incremental"       -> (LlmQueries.lmIncremental _),
     "llm_lm_score"             -> (LlmQueries.lmScore _),
     "llm_neardup_minhash"      -> (LlmQueries.minhashNearDup _),
@@ -1167,6 +1169,16 @@ object SparkEntry {
     "warc_gz_roundtrip" ->
       """SELECT doc_id, text,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS content_length
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // JSONL (Dolma/RedPajama layout) round-trip: serialize → line-frame
+    // → explicit-schema FAILFAST parse; the oracle reads the ORIGINAL
+    // table, so a green hash proves escaping + framing byte-exactly.
+    // The gz variant shares the SQL (the decontam/bloom pattern).
+    "llm_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_jsonl_gz_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Per-file record/byte audit: file = 50 consecutive ids, plus the
     // warcinfo record whose fixed block length is interpolated from the

@@ -256,6 +256,26 @@ object LlmQueries {
       .orderBy("domain")
   }
 
+  /** JSONL container round-trip: corpus → one-JSON-object-per-line
+    * files (Dolma/RedPajama layout) → explicit-schema FAILFAST parse →
+    * corpus. The oracle reads the original table, so a green hash
+    * proves serialization + escaping + line framing byte-exactly (see
+    * [[graft.ext.Jsonl]]). */
+  private def jsonlRoundtrip(spark: SparkSession, sfDir: String,
+                             gzipped: Boolean): DataFrame = {
+    val files = graft.ext.Jsonl.synthesize(spark, docs(spark, sfDir),
+      "doc_id", WarcDocsPerFile, gzipped = gzipped)
+    graft.ext.Jsonl.docs(spark, files, "file_id", "blob").orderBy("doc_id")
+  }
+
+  def jsonlRoundtripPlain(spark: SparkSession, sfDir: String): DataFrame =
+    jsonlRoundtrip(spark, sfDir, gzipped = false)
+
+  /** Same through the vendor `.jsonl.gz` layout — shares the plain
+    * variant's oracle SQL (the decontam/bloom pattern). */
+  def jsonlRoundtripGz(spark: SparkSession, sfDir: String): DataFrame =
+    jsonlRoundtrip(spark, sfDir, gzipped = true)
+
   /** Docs per synthesized WET file: 50 consecutive ids per file — 10
     * files at the 500-doc fixture, enough that record-boundary scanning
     * and multi-file parallelism are both exercised. */
