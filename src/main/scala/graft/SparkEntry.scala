@@ -95,6 +95,7 @@ object SparkEntry {
     "llm_url_normalize"        -> (LlmQueries.urlNormalize _),
     "llm_domain_cap"           -> (LlmQueries.domainCap _),
     "llm_domain_stats"         -> (LlmQueries.domainStats _),
+    "llm_domain_cap_incremental" -> (LlmQueries.domainCapIncremental _),
     "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
     "warc_gz_roundtrip"        -> (LlmQueries.warcGzRoundtrip _),
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
@@ -1157,6 +1158,22 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN rk <= ${graft.queries.LlmQueries.DomainCapN}
          |    THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
          |FROM r GROUP BY domain ORDER BY domain""".stripMargin,
+    // Incremental first-come domain admission: the oracle recomputes
+    // the persisted budget live (first-come kept counts over the
+    // existing split are just least(count, cap)) and ranks the shard
+    // within it — the full-recompute restriction the index must equal.
+    "llm_domain_cap_incremental" ->
+      s"""$UrlDomainCteSql,
+         |oldc AS (SELECT domain, least(count(*), ${graft.queries.LlmQueries.DomainAdmitCap}) AS n_old
+         |         FROM d WHERE doc_id % 10 <> 0 GROUP BY domain),
+         |b AS (SELECT doc_id, domain,
+         |        row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+         |      FROM d WHERE doc_id % 10 = 0)
+         |SELECT b.doc_id, b.domain,
+         |  CAST(CASE WHEN coalesce(o.n_old, 0) + b.rk <=
+         |    ${graft.queries.LlmQueries.DomainAdmitCap} THEN 1 ELSE 0 END AS INT) AS admitted
+         |FROM b LEFT JOIN oldc o ON b.domain = o.domain
+         |ORDER BY b.doc_id""".stripMargin,
     // WARC/WET container round-trip: the engine wraps the corpus into
     // real WARC/1.0 WET files (CRLF framing, Content-Length octets;
     // gz variant = one gzip member per record, the Common Crawl layout)

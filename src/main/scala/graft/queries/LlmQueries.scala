@@ -256,6 +256,33 @@ object LlmQueries {
       .orderBy("domain")
   }
 
+  /** First-come admission cap for the incremental twin: sized against
+    * the ~22-per-domain existing split so the shard sees a real
+    * admit/reject mix at sf0.01 (40 admitted / 10 rejected, measured —
+    * all-reject or all-admit would gate nothing). */
+  val DomainAdmitCap = 20
+
+  /** Session-cached kept-count index over the existing-corpus split
+    * (doc_id % 10 != 0), bucketed so the gated query exercises the
+    * partition-pruned probe. */
+  private def domainIncIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"domaincap|$sfDir") { dir =>
+      graft.ext.IncrementalDomainCap.writeIndex(
+        urlDomainDocs(spark, sfDir).where(col("doc_id") % 10 =!= 0),
+        "doc_id", "domain", dir, cap = DomainAdmitCap, buckets = 16)
+    }
+
+  /** Incremental per-domain admission: the arriving shard judged
+    * against the persisted budget via first-come semantics —
+    * live-oracled as the first-come cap over `indexed ∪ shard`
+    * restricted to shard docs (see [[graft.ext.IncrementalDomainCap]]). */
+  def domainCapIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.IncrementalDomainCap.admit(spark,
+        domainIncIndexDir(spark, sfDir),
+        urlDomainDocs(spark, sfDir).where(col("doc_id") % 10 === 0),
+        "doc_id", "domain")
+      .orderBy("doc_id")
+
   /** JSONL container round-trip: corpus → one-JSON-object-per-line
     * files (Dolma/RedPajama layout) → explicit-schema FAILFAST parse →
     * corpus. The oracle reads the original table, so a green hash
