@@ -96,6 +96,7 @@ object SparkEntry {
     "llm_domain_cap"           -> (LlmQueries.domainCap _),
     "llm_domain_stats"         -> (LlmQueries.domainStats _),
     "llm_domain_cap_incremental" -> (LlmQueries.domainCapIncremental _),
+    "llm_pagerank"             -> (LlmQueries.pagerank _),
     "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
     "warc_gz_roundtrip"        -> (LlmQueries.warcGzRoundtrip _),
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
@@ -448,6 +449,36 @@ object SparkEntry {
        |  ${if (nQueries) "" else "CAST(0 AS BIGINT) AS n_spurious,\n  "}CAST(hit.n AS DOUBLE) /
        |    CAST((SELECT count(*) FROM exact) AS DOUBLE) AS recall
        |FROM hit""".stripMargin
+  }
+
+  /** Fixed-point PageRank oracle: the engine's integer iteration
+    * restated as `iters` chained CTEs over the SAME synthetic link
+    * graph (quadratic scatter / mod-97 hubs / affine permutation —
+    * [[graft.queries.LlmQueries]] linkEdges). Integer sums are
+    * shuffle-order-independent and `//` matches Spark's `DIV` on
+    * non-negative operands, so the hash gate is exact. */
+  private def pagerankOracleSql(iters: Int): String = {
+    val head =
+      """cnt AS (SELECT count(*) AS n FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id*doc_id + 1) % n AS dst FROM documents, cnt
+        |  UNION ALL SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+        |  UNION ALL SELECT doc_id AS src, (7*doc_id + 3) % n AS dst FROM documents, cnt),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges
+        |          UNION SELECT DISTINCT dst FROM edges),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micros FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (SELECT n.node,
+         |  CAST(150000 + (85 * coalesce(s.in_sum, 0)) // 100 AS BIGINT) AS rank_micros
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.rank_micros // d.deg) AS BIGINT) AS in_sum
+         |    FROM edges e JOIN r${k - 1} r ON e.src = r.node
+         |    JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }
+    (head +: steps).mkString("WITH ", ",\n", "") +
+      s"\nSELECT node AS doc_id, rank_micros FROM r$iters ORDER BY doc_id"
   }
 
   /** Latest-per-key over raw events: shared by the three W1 forms. */
@@ -1174,6 +1205,11 @@ object SparkEntry {
          |    ${graft.queries.LlmQueries.DomainAdmitCap} THEN 1 ELSE 0 END AS INT) AS admitted
          |FROM b LEFT JOIN oldc o ON b.domain = o.domain
          |ORDER BY b.doc_id""".stripMargin,
+    // Fixed-point PageRank: 10 chained CTEs reproduce the engine's
+    // integer iteration bit-for-bit (rank DIV deg contributions,
+    // (85*sum) DIV 100 damping) — see graft.ext.PageRank for why
+    // fixed-point makes the result hash-gateable across engines.
+    "llm_pagerank" -> pagerankOracleSql(iters = 10),
     // WARC/WET container round-trip: the engine wraps the corpus into
     // real WARC/1.0 WET files (CRLF framing, Content-Length octets;
     // gz variant = one gzip member per record, the Common Crawl layout)

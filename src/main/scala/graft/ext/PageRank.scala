@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph PageRank in FIXED-POINT integer arithmetic — the
+  * corpus-quality signal web-scale pipelines actually use: Common
+  * Crawl publishes host-level ranks, and RefinedWeb/FineWeb-class
+  * pipelines weigh documents by the rank of their host in the crawl's
+  * link graph. Extension beyond the reference (SURVEY.md §2.8 north
+  * star), sibling of [[Dedup.connectedComponents]] in the graph
+  * family.
+  *
+  * Why fixed-point: float PageRank sums contributions in shuffle
+  * order, so two runs (or two engines) disagree in the low bits and
+  * the result cannot be hash-gated. Here every rank is a BIGINT in
+  * micro-units (`scale` = 1.0), each edge contributes
+  * `rank DIV out_degree`, and damping is applied as
+  * `(base*scale) DIV dampDen + (dampNum*sum) DIV dampDen` — integer
+  * sums are order-independent and integer division is exact, so the
+  * `llm_pagerank` oracle reproduces the iteration bit-for-bit in SQL.
+  * The truncation error per edge is < 1 micro-unit per iteration —
+  * noise relative to the 10^6 scale, and identical on both engines.
+  *
+  * Scale shape (the 100 TB contract): each iteration is ONE
+  * shuffle-join of edges against current ranks plus one aggregation on
+  * the destination — the textbook distributed PageRank data layout.
+  * Ranks and degrees are pre-partitioned on the node key once and the
+  * edge table reuses that partitioning across all iterations (no
+  * re-shuffle of the big side per round); lineage is truncated per
+  * round through the [[graft.util.Checkpoints]] seam (the CC loop's
+  * discipline — executor-local by default, durable under
+  * `spark.graft.checkpoint.mode=reliable`). Dangling nodes (out-degree
+  * 0) keep their base rank and leak their surplus, the common
+  * simplification (noted, not hidden); supply graphs with out-edges
+  * everywhere — or self-loops — when mass conservation matters.
+  */
+object PageRank {
+
+  /** Fixed-point ranks after `iters` synchronous iterations.
+    * Input: an edge list (srcCol, dstCol); node set = every id
+    * appearing on either side. Output: (node, rank_micros) — initial
+    * rank `scale` per node, update
+    * `rank' = (base*scale) DIV dampDen + (dampNum * Σ contrib) DIV
+    * dampDen` with `contrib = rank DIV out_degree` and
+    * `base = dampDen - dampNum`. */
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+            scale: Long = 1000000L, dampNum: Long = 85L,
+            dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && scale > 0 && dampNum > 0 && dampDen > dampNum)
+    val spark = edges.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // Degrees and edges partitioned on the join key ONCE; every
+    // iteration's join then reuses this layout instead of re-shuffling
+    // the edge table per round.
+    val outDeg = graft.util.Checkpoints.stage(
+      e.groupBy("src").agg(count(lit(1)).as("deg")).repartition(nParts, col("src")))
+    val eBySrc = graft.util.Checkpoints.stage(e.repartition(nParts, col("src")))
+    val nodesP = graft.util.Checkpoints.stage(
+      nodes.repartition(nParts, col("node")))
+    val base = (dampDen - dampNum) * scale / dampDen
+    var rank = nodesP.withColumn("rank_micros", lit(scale))
+    for (_ <- 1 to iters) {
+      val contribs = eBySrc
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_micros DIV deg").as("c"))
+        .groupBy("node").agg(sum("c").as("in_sum"))
+      rank = graft.util.Checkpoints.stage(
+        nodesP.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) +
+              expr(s"($dampNum * coalesce(in_sum, 0L)) DIV $dampDen"))
+              .as("rank_micros")))
+    }
+    rank
+  }
+}

@@ -283,6 +283,34 @@ object LlmQueries {
         "doc_id", "domain")
       .orderBy("doc_id")
 
+  /** Synthetic link graph over the dense doc_id space [0, N): three
+    * out-edges per doc — a quadratic scatter ((i²+1) mod N), a hub
+    * family (i mod 97: the first 97 docs collect ~N/97 in-links each),
+    * and an affine permutation ((7i+3) mod N) keeping everything
+    * reachable. In-degrees are deliberately heterogeneous so ranks
+    * genuinely vary (a regular graph converges to uniform and gates
+    * nothing); every node has out-degree 3 so no dangling-mass leak.
+    * N arrives via the single-row scalar-join pattern, never a collect. */
+  private def linkEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(col("doc_id"))
+    val cnt = d.agg(count(lit(1)).as("cnt"))
+    d.crossJoin(cnt).select(col("doc_id").as("src"),
+      explode(array(
+        (col("doc_id") * col("doc_id") + 1) % col("cnt"),
+        col("doc_id") % 97,
+        (col("doc_id") * 7 + 3) % col("cnt"))).as("dst"))
+  }
+
+  /** Fixed-point PageRank over the link graph, 10 synchronous
+    * iterations — bit-exact across engines by integer-only arithmetic
+    * (see [[graft.ext.PageRank]]); fully live DuckDB oracle (the same
+    * iteration as 10 chained CTEs). */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.PageRank.ranks(linkEdges(spark, sfDir), "src", "dst",
+        iters = 10)
+      .select(col("node").as("doc_id"), col("rank_micros"))
+      .orderBy("doc_id")
+
   /** JSONL container round-trip: corpus → one-JSON-object-per-line
     * files (Dolma/RedPajama layout) → explicit-schema FAILFAST parse →
     * corpus. The oracle reads the original table, so a green hash

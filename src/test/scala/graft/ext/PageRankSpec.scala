@@ -1,0 +1,76 @@
+package graft.ext
+
+import graft.SparkSpecBase
+
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank against hand-computed references, plus the
+  * structural invariants (mass accounting, determinism, dangling
+  * behavior) the fixed-point formulation guarantees. */
+class PageRankSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def rankMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two-node cycle converges toward equal ranks, exact integers") {
+    // 0 -> 1 -> 0: symmetric, so every iteration keeps both ranks equal:
+    // r' = 150000 + (85 * r) DIV 100, from r = 1000000.
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    var expected = 1000000L
+    for (_ <- 1 to 10) expected = 150000L + (85L * expected) / 100L
+    val got = rankMap(PageRank.ranks(edges, "src", "dst", iters = 10))
+    assert(got === Map(0L -> expected, 1L -> expected))
+  }
+
+  test("star graph: hub collects mass, leaves hold base; exact per-iter arithmetic") {
+    // Leaves 1..4 each point at hub 0; hub points at leaf 1.
+    val edges = (1L to 4L).map(i => (i, 0L)) :+ ((0L, 1L))
+    val df = edges.toDF("src", "dst")
+    // Scala reference of the same integer iteration.
+    val out = Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+    var r = Seq(0L, 1L, 2L, 3L, 4L).map(_ -> 1000000L).toMap
+    for (_ <- 1 to 7) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / out(s) }.sum
+      }
+      r = r.keys.map(k => k -> (150000L + 85L * in.getOrElse(k, 0L) / 100L)).toMap
+    }
+    val got = rankMap(PageRank.ranks(df, "src", "dst", iters = 7))
+    assert(got === r)
+    assert(got(0L) > got(2L), "hub must outrank a leaf")
+    assert(got(2L) === got(3L) && got(3L) === got(4L),
+      "symmetric leaves must tie exactly (fixed-point, not float)")
+  }
+
+  test("dangling node keeps base rank only (disclosed leak semantics)") {
+    // 0 -> 1, 1 has no out-edges: node 1 receives but never contributes.
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val got = rankMap(PageRank.ranks(edges, "src", "dst", iters = 3))
+    // Node 0 never receives: base only from iter 1 onward.
+    assert(got(0L) === 150000L)
+    // Node 1 from iter 2 onward: base + damp(node 0's settled 150000).
+    assert(got(1L) === 150000L + 85L * 150000L / 100L)
+  }
+
+  test("deterministic across partitionings (integer sums are order-free)") {
+    val n = 300L
+    val base = spark.range(n).select(col("id").as("src"),
+      explode(array((col("id") * col("id") + 1) % n,
+        col("id") % 97, (col("id") * 7 + 3) % n)).as("dst"))
+    val a = rankMap(PageRank.ranks(base.repartition(3), "src", "dst", iters = 5))
+    val b = rankMap(PageRank.ranks(base.repartition(17), "src", "dst", iters = 5))
+    assert(a === b)
+    assert(a.values.toSet.size > 10, "heterogeneous graph must produce varied ranks")
+  }
+
+  test("total mass stays bounded by n*scale (no creation)") {
+    val n = 200L
+    val edges = spark.range(n).select(col("id").as("src"),
+      explode(array((col("id") + 1) % n, (col("id") * 3 + 5) % n)).as("dst"))
+    val total = PageRank.ranks(edges, "src", "dst", iters = 6)
+      .agg(sum("rank_micros")).as[Long].head()
+    assert(total <= n * 1000000L)
+    assert(total > n * 900000L, "every node has out-edges: truncation-only loss")
+  }
+}
