@@ -97,6 +97,8 @@ object SparkEntry {
     "llm_domain_stats"         -> (LlmQueries.domainStats _),
     "llm_domain_cap_incremental" -> (LlmQueries.domainCapIncremental _),
     "llm_pagerank"             -> (LlmQueries.pagerank _),
+    "llm_shuffle_shards"       -> (LlmQueries.shuffleShards _),
+    "llm_shuffle_stats"        -> (LlmQueries.shuffleStats _),
     "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
     "warc_gz_roundtrip"        -> (LlmQueries.warcGzRoundtrip _),
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
@@ -479,6 +481,24 @@ object SparkEntry {
     }
     (head +: steps).mkString("WITH ", ",\n", "") +
       s"\nSELECT node AS doc_id, rank_micros FROM r$iters ORDER BY doc_id"
+  }
+
+  /** Shared CTE for the llm_shuffle_* oracles: the affine permutation,
+    * range-slice shard, and within-shard rank with the ENGINE's own
+    * constants interpolated (seed-derived A/B, P = 2^31−1, slice width
+    * Q) — DuckDB reproduces the permutation bit-for-bit. */
+  private lazy val ShuffleCteSql: String = {
+    val (a, b) = graft.ext.ShardShuffle.affineConsts(
+      graft.queries.LlmQueries.ShuffleSeed)
+    val p = graft.ext.ShardShuffle.P
+    val n = graft.queries.LlmQueries.ShuffleShards
+    val q = (p + n - 1) / n
+    s"""WITH s AS (SELECT doc_id, (doc_id * $a + $b) % $p AS skey
+       |           FROM documents),
+       |r AS (SELECT doc_id, CAST(skey // $q AS INT) AS shard,
+       |        row_number() OVER (PARTITION BY skey // $q ORDER BY skey)
+       |          - 1 AS pos_in_shard
+       |      FROM s)""".stripMargin
   }
 
   /** Latest-per-key over raw events: shared by the three W1 forms. */
@@ -1210,6 +1230,19 @@ object SparkEntry {
     // (85*sum) DIV 100 damping) — see graft.ext.PageRank for why
     // fixed-point makes the result hash-gateable across engines.
     "llm_pagerank" -> pagerankOracleSql(iters = 10),
+    // Seeded-permutation training shuffle: the oracle runs the SAME
+    // affine map (constants interpolated from ShardShuffle.affineConsts,
+    // so the two engines cannot drift) and the same range-slice/rank.
+    "llm_shuffle_shards" ->
+      s"""$ShuffleCteSql
+         |SELECT doc_id, shard, pos_in_shard FROM r ORDER BY doc_id""".stripMargin,
+    "llm_shuffle_stats" ->
+      s"""$ShuffleCteSql
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(pos_in_shard) AS BIGINT) AS min_pos,
+         |  CAST(max(pos_in_shard) AS BIGINT) AS max_pos,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
     // WARC/WET container round-trip: the engine wraps the corpus into
     // real WARC/1.0 WET files (CRLF framing, Content-Length octets;
     // gz variant = one gzip member per record, the Common Crawl layout)

@@ -311,6 +311,26 @@ object LlmQueries {
       .select(col("node").as("doc_id"), col("rank_micros"))
       .orderBy("doc_id")
 
+  /** Training-shuffle shard count / seed (also interpolated into the
+    * oracle SQL so both engines run the same affine permutation). */
+  val ShuffleShards = 8
+  val ShuffleSeed = 12L
+
+  /** Deterministic seeded shuffle into training shards: every doc's
+    * (shard, position) from the affine key permutation — no rand(), no
+    * global sort (see [[graft.ext.ShardShuffle]]); fully live oracle. */
+  def shuffleShards(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.ShardShuffle.shuffleToShards(docs(spark, sfDir), "doc_id",
+        nShards = ShuffleShards, seed = ShuffleSeed)
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+      .orderBy("doc_id")
+
+  /** Shard balance/contiguity audit over the same shuffle. */
+  def shuffleStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.ShardShuffle.shardStats(docs(spark, sfDir), "doc_id",
+        nShards = ShuffleShards, seed = ShuffleSeed)
+      .orderBy("shard")
+
   /** JSONL container round-trip: corpus → one-JSON-object-per-line
     * files (Dolma/RedPajama layout) → explicit-schema FAILFAST parse →
     * corpus. The oracle reads the original table, so a green hash
