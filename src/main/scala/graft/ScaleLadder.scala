@@ -108,6 +108,7 @@ object ScaleLadder {
     "llm_cosine_neardup_scale",
     "llm_clean_corpus",
     "llm_domain_cap",
+    "llm_pagerank",
     "cdc_materialize_debezium")
 
   /** Fixed-plane LSH has candidate cost n²/2^planes — superlinear with
@@ -124,6 +125,12 @@ object ScaleLadder {
         "paper's production recipe scales nCells with n (they use " +
         "~sqrt(n)) to hold occupancy, which this rung deliberately " +
         "does not do"),
+    "llm_pagerank" ->
+      ("10 fixed synchronous iterations, out-degree 3: cost is " +
+        "iters*|E| so ~linear is the floor AND the ceiling — iteration " +
+        "count is a convergence knob independent of n, and the " +
+        "edges/degrees layout is partitioned once and reused across " +
+        "iterations (one agg shuffle per round)"),
     "llm_domain_cap" ->
       ("a frequency cap must rank every row once, so ~linear is the " +
         "floor; what the two-phase form buys is a per-reducer bound " +

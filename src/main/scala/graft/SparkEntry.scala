@@ -99,6 +99,7 @@ object SparkEntry {
     "llm_pagerank"             -> (LlmQueries.pagerank _),
     "llm_shuffle_shards"       -> (LlmQueries.shuffleShards _),
     "llm_shuffle_stats"        -> (LlmQueries.shuffleStats _),
+    "text_nfc_normalize"       -> (LlmQueries.nfcNormalize _),
     "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
     "warc_gz_roundtrip"        -> (LlmQueries.warcGzRoundtrip _),
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
@@ -1243,6 +1244,24 @@ object SparkEntry {
          |  CAST(max(pos_in_shard) AS BIGINT) AS max_pos,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    // NFC normalization: the oracle plants the identical denormalized
+    // suffixes via chr() (one exemplar per NFC rule family) and
+    // normalizes with DuckDB's utf8proc — a green hash proves the JVM
+    // and utf8proc NFC kernels agree byte-for-byte.
+    "text_nfc_normalize" ->
+      """WITH p AS (SELECT doc_id, text || ' ' || CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN chr(101)||chr(769)
+        |    WHEN 1 THEN chr(65)||chr(778)
+        |    WHEN 2 THEN chr(8491)
+        |    WHEN 3 THEN chr(113)||chr(775)||chr(803)
+        |    WHEN 4 THEN chr(7691)||chr(803)
+        |    ELSE chr(4352)||chr(4449)||chr(4520) END AS text
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(text) AS norm_text,
+        |  CAST(length(text) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS len_norm,
+        |  nfc_normalize(text) <> text AS changed
+        |FROM p ORDER BY doc_id""".stripMargin,
     // WARC/WET container round-trip: the engine wraps the corpus into
     // real WARC/1.0 WET files (CRLF framing, Content-Length octets;
     // gz variant = one gzip member per record, the Common Crawl layout)

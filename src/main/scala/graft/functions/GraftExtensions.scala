@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `graft_winnow(text, k, w) → array<bigint>` (k, w literal ints)
   *  - `graft_repetition_stats(text) → array<bigint>` ([n_words,
   *    top_word_count, repeated_words, n_bigrams, top_bigram_count])
+  *  - `graft_nfc(text) → text` (Unicode NFC normalization)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -69,6 +70,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 1, "graft_repetition_stats(text)")
         RepetitionStats(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_nfc(text)")
+        NfcNormalize(args(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_might_contain"),

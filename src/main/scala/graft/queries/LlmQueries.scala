@@ -331,6 +331,43 @@ object LlmQueries {
         nShards = ShuffleShards, seed = ShuffleSeed)
       .orderBy("shard")
 
+  /** The word-soup fixture is pure ASCII (NFC-invariant), so — like the
+    * PII row — every doc gets a deterministic DENORMALIZED suffix
+    * planted from doc_id: composition (e+◌́), singleton (Å U+212B),
+    * canonical reordering (q+◌̇+◌̣), decompose-recompose (ḋ+◌̣), and
+    * Hangul jamo — one exemplar per NFC rule family. The oracle plants
+    * the identical suffix with chr() and normalizes with DuckDB's
+    * utf8proc `nfc_normalize`, so the hash gate proves the JVM and
+    * utf8proc normalizers agree byte-for-byte on every family. */
+  private def nfcDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    // Explicit \\u escapes, not literal glyphs: a toolchain normalizing
+    // this source file must not be able to silently compose the fixture.
+    val suffixes = Seq(
+      "e\u0301",            // composition: e + combining acute
+      "A\u030a",            // composition: A + combining ring
+      "\u212b",             // singleton: Angstrom sign -> U+00C5
+      "q\u0307\u0323",      // canonical reordering: ccc 230 planted before 220
+      "\u1e0b\u0323",       // decompose-recompose: d-dot-above + dot-below
+      "\u1100\u1161\u11a8") // Hangul jamo -> one syllable
+    docs(spark, sfDir).select(col("doc_id"), concat(col("text"), lit(" "),
+      element_at(array(suffixes.map(lit): _*),
+        (col("doc_id") % 6).cast("int") + 1)).as("text"))
+  }
+
+  /** Unicode NFC normalization over the planted corpus (see
+    * [[graft.functions.NfcExpressions]]) — per-doc normalized text,
+    * change flag, and codepoint lengths; fully live oracle. */
+  def nfcNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = graft.functions.NfcExpressions.nfc(col("text"))
+    nfcDocs(spark, sfDir).select(
+        col("doc_id"),
+        norm.as("norm_text"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(norm).cast("long").as("len_norm"),
+        (norm =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
   /** JSONL container round-trip: corpus → one-JSON-object-per-line
     * files (Dolma/RedPajama layout) → explicit-schema FAILFAST parse →
     * corpus. The oracle reads the original table, so a green hash

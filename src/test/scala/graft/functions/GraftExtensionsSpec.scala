@@ -55,6 +55,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](0) === Seq(5L, 3L, 5L, 4L, 2L))
   }
 
+  test("graft_nfc is callable from SQL") {
+    val got = spark.sql("SELECT graft_nfc('é') AS t").head().getString(0)
+    assert(got === "é")
+  }
+
   test("graft_bloom_might_contain is callable from SQL; path must be literal") {
     // build a tiny bloom through the public write path
     import spark.implicits._
