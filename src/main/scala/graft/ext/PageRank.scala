@@ -46,37 +46,44 @@ object PageRank {
     * `base = dampDen - dampNum`. */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
             scale: Long = 1000000L, dampNum: Long = 85L,
-            dampDen: Long = 100L): DataFrame = {
-    require(iters >= 1 && scale > 0 && dampNum > 0 && dampDen > dampNum)
+            dampDen: Long = 100L, stageEvery: Int = 3): DataFrame = {
+    require(iters >= 1 && scale > 0 && dampNum > 0 && dampDen > dampNum &&
+      stageEvery >= 1)
     val spark = edges.sparkSession
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // Degrees and edges partitioned on the join key ONCE; every
-    // iteration's join then reuses this layout instead of re-shuffling
-    // the edge table per round.
-    val outDeg = graft.util.Checkpoints.stage(
-      e.groupBy("src").agg(count(lit(1)).as("deg")).repartition(nParts, col("src")))
-    val eBySrc = graft.util.Checkpoints.stage(e.repartition(nParts, col("src")))
+    // Out-degrees are static across iterations, so they ride ON the
+    // edge rows (one join total, not one per round), and the combined
+    // table is partitioned on the join key ONCE — every iteration's
+    // join reuses this layout instead of re-shuffling the big side.
+    val eWithDeg = graft.util.Checkpoints.stage(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+        .repartition(nParts, col("src")))
     val nodesP = graft.util.Checkpoints.stage(
       nodes.repartition(nParts, col("node")))
     val base = (dampDen - dampNum) * scale / dampDen
     var rank = nodesP.withColumn("rank_micros", lit(scale))
-    for (_ <- 1 to iters) {
-      val contribs = eBySrc
+    for (i <- 1 to iters) {
+      val contribs = eWithDeg
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
         .select(col("dst").as("node"),
           expr("rank_micros DIV deg").as("c"))
         .groupBy("node").agg(sum("c").as("in_sum"))
-      rank = graft.util.Checkpoints.stage(
-        nodesP.join(contribs, Seq("node"), "left")
-          .select(col("node"),
-            (lit(base) +
-              expr(s"($dampNum * coalesce(in_sum, 0L)) DIV $dampDen"))
-              .as("rank_micros")))
+      val next = nodesP.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($dampNum * coalesce(in_sum, 0L)) DIV $dampDen"))
+            .as("rank_micros"))
+      // Truncate lineage every `stageEvery` rounds (and at the end):
+      // per-round materialization dominates small-graph wall clock,
+      // while a bounded 3-round join+agg lineage costs the planner
+      // nothing — the classic iterate-then-checkpoint cadence.
+      rank = if (i % stageEvery == 0 || i == iters)
+        graft.util.Checkpoints.stage(next)
+      else next
     }
     rank
   }
