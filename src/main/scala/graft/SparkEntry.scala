@@ -100,6 +100,8 @@ object SparkEntry {
     "llm_shuffle_shards"       -> (LlmQueries.shuffleShards _),
     "llm_shuffle_stats"        -> (LlmQueries.shuffleStats _),
     "text_nfc_normalize"       -> (LlmQueries.nfcNormalize _),
+    "llm_split_leakage"        -> (LlmQueries.splitLeakage _),
+    "llm_split_stats"          -> (LlmQueries.splitStats _),
     "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
     "warc_gz_roundtrip"        -> (LlmQueries.warcGzRoundtrip _),
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
@@ -482,6 +484,40 @@ object SparkEntry {
     }
     (head +: steps).mkString("WITH ", ",\n", "") +
       s"\nSELECT node AS doc_id, rank_micros FROM r$iters ORDER BY doc_id"
+  }
+
+  /** Shared CTE chain for the llm_split_* oracles: the capped
+    * Jaccard-0.5 pair set (same CTE family as llm_dedup_cc — threshold
+    * applied to the RAW ratio, round only on output, matching
+    * Dedup.jaccardPairs), the key-hash 10% val split (Sampling.bucket
+    * restated in BIGINT arithmetic), and the cross-split leak pairs. */
+  private lazy val SplitLeakCteSql = {
+    val m = graft.ext.Sampling.Multiplier
+    val p = graft.ext.Sampling.Prime
+    val mm = graft.ext.Sampling.Million
+    val ppm = graft.queries.LlmQueries.ValPpm
+    s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle
+       |       FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+       |       WHERE len(ws) >= 3),
+       |sh AS (SELECT doc_id, shingle FROM sh0
+       |       WHERE shingle IN (SELECT shingle FROM sh0
+       |                         GROUP BY shingle HAVING count(*) <= 50)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (SELECT id_a, id_b,
+       |    round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+       |  FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+       |             JOIN sizes sb ON inter.id_b = sb.doc_id
+       |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+       |leak AS (SELECT CASE WHEN va THEN id_a ELSE id_b END AS val_doc,
+       |           CASE WHEN va THEN id_b ELSE id_a END AS train_doc, jaccard
+       |         FROM (SELECT id_a, id_b, jaccard,
+       |                 (id_a * $m) % $p % $mm < $ppm AS va,
+       |                 (id_b * $m) % $p % $mm < $ppm AS vb
+       |               FROM pairs) t WHERE va <> vb)""".stripMargin
   }
 
   /** Shared CTE for the llm_shuffle_* oracles: the affine permutation,
@@ -1244,6 +1280,28 @@ object SparkEntry {
          |  CAST(max(pos_in_shard) AS BIGINT) AS max_pos,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    // Split-leakage audit: cross-split near-dup pairs and the per-split
+    // rollup, over the identical capped 0.5-threshold pair CTE.
+    "llm_split_leakage" ->
+      s"""$SplitLeakCteSql
+         |SELECT val_doc, train_doc, jaccard FROM leak
+         |ORDER BY val_doc, train_doc""".stripMargin,
+    "llm_split_stats" ->
+      s"""$SplitLeakCteSql,
+         |d AS (SELECT CASE WHEN (doc_id * ${graft.ext.Sampling.Multiplier})
+         |        % ${graft.ext.Sampling.Prime} % ${graft.ext.Sampling.Million}
+         |        < ${graft.queries.LlmQueries.ValPpm}
+         |      THEN 'val' ELSE 'train' END AS split, n_chars FROM documents),
+         |ld AS (SELECT DISTINCT 'val' AS split, val_doc AS doc_id FROM leak
+         |       UNION SELECT DISTINCT 'train', train_doc FROM leak),
+         |lc AS (SELECT split, CAST(count(*) AS BIGINT) AS n_leak_docs
+         |       FROM ld GROUP BY split),
+         |base AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |           CAST(sum(n_chars) AS BIGINT) AS chars_sum
+         |         FROM d GROUP BY split)
+         |SELECT base.split, n_docs, chars_sum,
+         |  CAST(coalesce(n_leak_docs, 0) AS BIGINT) AS n_leak_docs
+         |FROM base LEFT JOIN lc USING (split) ORDER BY base.split""".stripMargin,
     // NFC normalization: the oracle plants the identical denormalized
     // suffixes via chr() (one exemplar per NFC rule family) and
     // normalizes with DuckDB's utf8proc — a green hash proves the JVM

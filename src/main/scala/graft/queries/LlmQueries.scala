@@ -357,6 +357,51 @@ object LlmQueries {
   /** Unicode NFC normalization over the planted corpus (see
     * [[graft.functions.NfcExpressions]]) — per-doc normalized text,
     * change flag, and codepoint lengths; fully live oracle. */
+  /** Val-split size (ppm) for the split-leakage audit: the standard
+    * 10% held-out fraction, selected by [[graft.ext.Sampling.bucket]]
+    * so the split is reproducible on any engine/cluster/retry. */
+  val ValPpm = 100000L
+
+  private def isVal(c: org.apache.spark.sql.Column) =
+    graft.ext.Sampling.bucket(c) < ValPpm
+
+  /** Train/val split-leakage audit — the eval-hygiene check that a
+    * held-out document is a near-copy of a training document (Lee et
+    * al. 2022 report duplicated-across-split examples memorized
+    * verbatim): the deterministic key-hash split, then every near-dup
+    * pair (the session-shared capped Jaccard-0.5 set [[cappedPairs]] —
+    * no new shuffle work if the dedup family already ran) that CROSSES
+    * the split, reported as (val_doc, train_doc, jaccard). Fully live
+    * oracle over the same pair CTE. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame =
+    cappedPairs(spark, sfDir)
+      .where(isVal(col("id_a")) =!= isVal(col("id_b")))
+      .select(
+        when(isVal(col("id_a")), col("id_a")).otherwise(col("id_b"))
+          .as("val_doc"),
+        when(isVal(col("id_a")), col("id_b")).otherwise(col("id_a"))
+          .as("train_doc"),
+        col("jaccard"))
+      .orderBy("val_doc", "train_doc")
+
+  /** Split audit rollup: per-split doc/char counts plus how many of its
+    * docs appear in a cross-split leak pair. */
+  def splitStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir).select(
+      when(isVal(col("doc_id")), "val").otherwise("train").as("split"),
+      col("n_chars"))
+    val lk = splitLeakage(spark, sfDir)
+    val leaked = lk.select(col("val_doc").as("doc_id"), lit("val").as("split"))
+      .union(lk.select(col("train_doc").as("doc_id"), lit("train").as("split")))
+      .distinct()
+      .groupBy("split").agg(count(lit(1)).as("n_leak_docs"))
+    d.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_sum"))
+      .join(leaked, Seq("split"), "left")
+      .na.fill(0L, Seq("n_leak_docs"))
+      .orderBy("split")
+  }
+
   def nfcNormalize(spark: SparkSession, sfDir: String): DataFrame = {
     val norm = graft.functions.NfcExpressions.nfc(col("text"))
     nfcDocs(spark, sfDir).select(
