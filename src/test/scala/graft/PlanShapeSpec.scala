@@ -204,6 +204,36 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(triOnly.isEmpty, s"doc stream shuffled on trigram:\n$p")
   }
 
+  test("pagerank: keyed joins only, iteration state checkpointed, no cartesian") {
+    val s = spark; import s.implicits._
+    val edges = spark.range(200).select(col("id").as("src"),
+      explode(array((col("id") + 1) % 200, (col("id") * 3 + 5) % 200)).as("dst"))
+    val df = graft.ext.PageRank.ranks(edges, "src", "dst", iters = 4)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank iteration plans a product join:\n$p")
+    // staged lineage: the visible plan hangs off a checkpointed scan,
+    // not 4 rounds of raw join lineage
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("InMemory"), s"iteration state not checkpointed:\n$p")
+  }
+
+  test("shard shuffle: rank window partitioned by shard, never SinglePartition") {
+    val ids = spark.range(500).withColumnRenamed("id", "doc_id")
+    val p = plan(graft.ext.ShardShuffle.shuffleToShards(ids, "doc_id", 8, 12L))
+    assert(!p.contains("SinglePartition"), s"global window in shuffle plan:\n$p")
+    assert(p.contains("hashpartitioning(shard"), s"window not keyed on shard:\n$p")
+  }
+
+  test("nfc normalization is map-side only — no exchange") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.functions.NfcExpressions.nfc(col("text")).as("n"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"nfc projection shuffles:\n$p")
+    assert(p.toLowerCase.contains("graft_nfc"),
+      s"nfc kernel not visible in plan:\n$p")
+  }
+
   test("multimodal decode/feature extraction never shuffles the blob") {
     import graft.ext.Multimodal
     val ids = spark.range(0, 50).withColumnRenamed("id", "doc_id")
