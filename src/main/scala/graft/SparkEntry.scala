@@ -102,6 +102,8 @@ object SparkEntry {
     "text_nfc_normalize"       -> (LlmQueries.nfcNormalize _),
     "llm_split_leakage"        -> (LlmQueries.splitLeakage _),
     "llm_split_stats"          -> (LlmQueries.splitStats _),
+    "llm_snapshot_diff"        -> (LlmQueries.snapshotDiff _),
+    "llm_snapshot_diff_stats"  -> (LlmQueries.snapshotDiffStats _),
     "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
     "warc_gz_roundtrip"        -> (LlmQueries.warcGzRoundtrip _),
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
@@ -485,6 +487,15 @@ object SparkEntry {
     (head +: steps).mkString("WITH ", ",\n", "") +
       s"\nSELECT node AS doc_id, rank_micros FROM r$iters ORDER BY doc_id"
   }
+
+  /** Shared CTE for the llm_snapshot_* oracles: the two fixture
+    * versions (v1 drops every 7th doc; v2 drops every 13th, appends a
+    * marker to every 11th). */
+  private val SnapshotCteSql =
+    """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+      |n AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+      |        ELSE text END AS text
+      |      FROM documents WHERE doc_id % 13 <> 0)""".stripMargin
 
   /** Shared CTE chain for the llm_split_* oracles: the capped
     * Jaccard-0.5 pair set (same CTE family as llm_dedup_cc — threshold
@@ -1302,6 +1313,27 @@ object SparkEntry {
          |SELECT base.split, n_docs, chars_sum,
          |  CAST(coalesce(n_leak_docs, 0) AS BIGINT) AS n_leak_docs
          |FROM base LEFT JOIN lc USING (split) ORDER BY base.split""".stripMargin,
+    // Snapshot diff: the oracle rebuilds both fixture versions and
+    // classifies by comparing TEXT directly — the engine's map-side
+    // digest shortcut must land on identical statuses.
+    "llm_snapshot_diff" ->
+      s"""$SnapshotCteSql
+         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.text <> n.text THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "llm_snapshot_diff_stats" ->
+      s"""$SnapshotCteSql,
+         |d AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+         |        WHEN n.doc_id IS NULL THEN 'removed'
+         |        WHEN o.text <> n.text THEN 'changed'
+         |        ELSE 'unchanged' END AS status
+         |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM d GROUP BY status ORDER BY status""".stripMargin,
     // NFC normalization: the oracle plants the identical denormalized
     // suffixes via chr() (one exemplar per NFC rule family) and
     // normalizes with DuckDB's utf8proc — a green hash proves the JVM

@@ -357,6 +357,32 @@ object LlmQueries {
   /** Unicode NFC normalization over the planted corpus (see
     * [[graft.functions.NfcExpressions]]) — per-doc normalized text,
     * change flag, and codepoint lengths; fully live oracle. */
+  /** Snapshot-diff fixture: v1 drops every 7th doc, v2 drops every 13th
+    * and appends a marker to every 11th — so all four statuses occur at
+    * every gated scale factor. */
+  private def snapOld(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).where(col("doc_id") % 7 =!= 0)
+  private def snapNew(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).where(col("doc_id") % 13 =!= 0)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+
+  /** Corpus snapshot diff (see [[graft.ext.SnapshotDiff]]): per-doc
+    * added/removed/changed/unchanged between the two fixture versions.
+    * The engine classifies from map-side SHA-256 digests (text never
+    * shuffles); the oracle classifies from the text itself — a green
+    * hash proves the digest shortcut changes nothing. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.SnapshotDiff.diff(snapOld(spark, sfDir),
+        snapNew(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Release-notes rollup of the same diff. */
+  def snapshotDiffStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.SnapshotDiff.diffStats(snapOld(spark, sfDir),
+        snapNew(spark, sfDir), "doc_id", "text")
+      .orderBy("status")
+
   /** Val-split size (ppm) for the split-leakage audit: the standard
     * 10% held-out fraction, selected by [[graft.ext.Sampling.bucket]]
     * so the split is reproducible on any engine/cluster/retry. */
