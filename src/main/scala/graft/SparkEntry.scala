@@ -104,6 +104,7 @@ object SparkEntry {
     "llm_split_stats"          -> (LlmQueries.splitStats _),
     "llm_snapshot_diff"        -> (LlmQueries.snapshotDiff _),
     "llm_snapshot_diff_stats"  -> (LlmQueries.snapshotDiffStats _),
+    "llm_snapshot_diff_incremental" -> (LlmQueries.snapshotDiffIncremental _),
     "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
     "warc_gz_roundtrip"        -> (LlmQueries.warcGzRoundtrip _),
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
@@ -1334,6 +1335,20 @@ object SparkEntry {
          |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
          |SELECT status, CAST(count(*) AS BIGINT) AS n_docs
          |FROM d GROUP BY status ORDER BY status""".stripMargin,
+    // Incremental diff: the full-diff CASE restricted to the arriving
+    // shard's ids (removals are whole-snapshot facts, so the shard form
+    // reports added/changed/unchanged only).
+    "llm_snapshot_diff_incremental" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |b AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+        |        ELSE text END AS text
+        |      FROM documents WHERE doc_id % 10 = 0)
+        |SELECT b.doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN o.text <> b.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM b LEFT JOIN o ON b.doc_id = o.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // NFC normalization: the oracle plants the identical denormalized
     // suffixes via chr() (one exemplar per NFC rule family) and
     // normalizes with DuckDB's utf8proc — a green hash proves the JVM

@@ -383,6 +383,27 @@ object LlmQueries {
         snapNew(spark, sfDir), "doc_id", "text")
       .orderBy("status")
 
+  /** Session-cached content-state index over the v1 snapshot, bucketed
+    * so the gated query exercises the partition-pruned probe. */
+  private def snapIncIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"snap|$sfDir") { dir =>
+      graft.ext.IncrementalSnapshotDiff.writeIndex(
+        snapOld(spark, sfDir), "doc_id", "text", dir, buckets = 16)
+    }
+
+  /** Incremental diff: an arriving v2 shard (every 10th doc, with the
+    * v2 mutation) classified against the persisted v1 state (see
+    * [[graft.ext.IncrementalSnapshotDiff]]) — live-oracled as the full
+    * diff restricted to shard ids. */
+  def snapshotDiffIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val shard = docs(spark, sfDir).where(col("doc_id") % 10 === 0)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    graft.ext.IncrementalSnapshotDiff.diffBatch(spark,
+        snapIncIndexDir(spark, sfDir), shard, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Val-split size (ppm) for the split-leakage audit: the standard
     * 10% held-out fraction, selected by [[graft.ext.Sampling.bucket]]
     * so the split is reproducible on any engine/cluster/retry. */
