@@ -100,6 +100,7 @@ object SparkEntry {
     "llm_shuffle_shards"       -> (LlmQueries.shuffleShards _),
     "llm_shuffle_stats"        -> (LlmQueries.shuffleStats _),
     "text_nfc_normalize"       -> (LlmQueries.nfcNormalize _),
+    "text_strip_accents"       -> (LlmQueries.stripAccents _),
     "llm_split_leakage"        -> (LlmQueries.splitLeakage _),
     "llm_split_stats"          -> (LlmQueries.splitStats _),
     "llm_snapshot_diff"        -> (LlmQueries.snapshotDiff _),
@@ -488,6 +489,19 @@ object SparkEntry {
     (head +: steps).mkString("WITH ", ",\n", "") +
       s"\nSELECT node AS doc_id, rank_micros FROM r$iters ORDER BY doc_id"
   }
+
+  /** Shared CTE for the text_nfc_* / text_strip_accents oracles: the
+    * corpus with one planted denormalized exemplar per NFC rule family
+    * (matches LlmQueries.nfcDocs byte-for-byte). */
+  private val NfcPlantCteSql =
+    """WITH p AS (SELECT doc_id, text || ' ' || CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 0 THEN chr(101)||chr(769)
+      |    WHEN 1 THEN chr(65)||chr(778)
+      |    WHEN 2 THEN chr(8491)
+      |    WHEN 3 THEN chr(113)||chr(775)||chr(803)
+      |    WHEN 4 THEN chr(7691)||chr(803)
+      |    ELSE chr(4352)||chr(4449)||chr(4520) END AS text
+      |  FROM documents)""".stripMargin
 
   /** Shared CTE for the llm_snapshot_* oracles: the two fixture
     * versions (v1 drops every 7th doc; v2 drops every 13th, appends a
@@ -1354,19 +1368,21 @@ object SparkEntry {
     // normalizes with DuckDB's utf8proc — a green hash proves the JVM
     // and utf8proc NFC kernels agree byte-for-byte.
     "text_nfc_normalize" ->
-      """WITH p AS (SELECT doc_id, text || ' ' || CASE CAST(doc_id % 6 AS INT)
-        |    WHEN 0 THEN chr(101)||chr(769)
-        |    WHEN 1 THEN chr(65)||chr(778)
-        |    WHEN 2 THEN chr(8491)
-        |    WHEN 3 THEN chr(113)||chr(775)||chr(803)
-        |    WHEN 4 THEN chr(7691)||chr(803)
-        |    ELSE chr(4352)||chr(4449)||chr(4520) END AS text
-        |  FROM documents)
-        |SELECT doc_id, nfc_normalize(text) AS norm_text,
-        |  CAST(length(text) AS BIGINT) AS len_raw,
-        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS len_norm,
-        |  nfc_normalize(text) <> text AS changed
-        |FROM p ORDER BY doc_id""".stripMargin,
+      s"""$NfcPlantCteSql
+         |SELECT doc_id, nfc_normalize(text) AS norm_text,
+         |  CAST(length(text) AS BIGINT) AS len_raw,
+         |  CAST(length(nfc_normalize(text)) AS BIGINT) AS len_norm,
+         |  nfc_normalize(text) <> text AS changed
+         |FROM p ORDER BY doc_id""".stripMargin,
+    // Accent folding over the same planted corpus: DuckDB's
+    // strip_accents is utf8proc NFD→STRIPMARK(Mn/Mc/Me)→NFC — the
+    // engine's expression restates exactly that chain on the JVM.
+    "text_strip_accents" ->
+      s"""$NfcPlantCteSql
+         |SELECT doc_id, strip_accents(text) AS stripped,
+         |  CAST(length(text) AS BIGINT) AS len_raw,
+         |  CAST(length(strip_accents(text)) AS BIGINT) AS len_stripped
+         |FROM p ORDER BY doc_id""".stripMargin,
     // WARC/WET container round-trip: the engine wraps the corpus into
     // real WARC/1.0 WET files (CRLF framing, Content-Length octets;
     // gz variant = one gzip member per record, the Common Crawl layout)

@@ -20,6 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `graft_repetition_stats(text) → array<bigint>` ([n_words,
   *    top_word_count, repeated_words, n_bigrams, top_bigram_count])
   *  - `graft_nfc(text) → text` (Unicode NFC normalization)
+  *  - `graft_strip_accents(text) → text` (NFD → drop Mn/Mc/Me → NFC)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -77,6 +78,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 1, "graft_nfc(text)")
         NfcNormalize(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "graft_strip_accents"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_strip_accents(text)")
+        StripAccents(args(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_might_contain"),

@@ -29,15 +29,45 @@ object NfcExpressions {
   def nfc(text: Column): Column =
     GraftExpressionBridge.column(
       NfcNormalize(GraftExpressionBridge.expression(text)))
+
+  /** Accent folding: NFD → drop the Mark categories (Mn/Mc/Me, the
+    * utf8proc STRIPMARK set — so DuckDB's `strip_accents` restates it
+    * exactly, category-based, NOT combining-class-based) → NFC
+    * recompose. The search-normalization form ("café" matches "cafe");
+    * base letters that are not mark decompositions (ß, ł, ø) stay. */
+  def stripAccents(text: Column): Column =
+    GraftExpressionBridge.column(
+      StripAccents(GraftExpressionBridge.expression(text)))
 }
 
-/** Static kernel, callable from generated code. */
+/** Static kernels, callable from generated code. */
 object Nfc {
-  private val Form = java.text.Normalizer.Form.NFC
+  private val FormC = java.text.Normalizer.Form.NFC
+  private val FormD = java.text.Normalizer.Form.NFD
+
   def normalize(s: UTF8String): UTF8String = {
     val str = s.toString
-    if (java.text.Normalizer.isNormalized(str, Form)) s
-    else UTF8String.fromString(java.text.Normalizer.normalize(str, Form))
+    if (java.text.Normalizer.isNormalized(str, FormC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, FormC))
+  }
+
+  def stripAccents(s: UTF8String): UTF8String = {
+    // ASCII has no marks and is NFD==NFC: zero-allocation fast path
+    if (s.numBytes == s.numChars) return s
+    val nfd = java.text.Normalizer.normalize(s.toString, FormD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK &&
+          t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(sb.toString, FormC))
   }
 }
 
@@ -60,5 +90,27 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
       c => s"${ev.value} = graft.functions.Nfc.normalize($c);")
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+case class StripAccents(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_strip_accents expects string, got ${t.sql}")
+    }
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "graft_strip_accents"
+
+  override def nullSafeEval(input: Any): Any =
+    Nfc.stripAccents(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.Nfc.stripAccents($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
     copy(child = newChild)
 }

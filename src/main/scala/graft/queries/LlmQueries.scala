@@ -460,6 +460,19 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Accent folding over the same planted corpus (see
+    * [[graft.functions.NfcExpressions.stripAccents]]) — the oracle's
+    * `strip_accents` restates the NFD→STRIPMARK→NFC chain exactly. */
+  def stripAccents(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = graft.functions.NfcExpressions.stripAccents(col("text"))
+    nfcDocs(spark, sfDir).select(
+        col("doc_id"),
+        st.as("stripped"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(st).cast("long").as("len_stripped"))
+      .orderBy("doc_id")
+  }
+
   /** JSONL container round-trip: corpus → one-JSON-object-per-line
     * files (Dolma/RedPajama layout) → explicit-schema FAILFAST parse →
     * corpus. The oracle reads the original table, so a green hash

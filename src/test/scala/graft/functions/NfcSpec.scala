@@ -45,4 +45,28 @@ class NfcSpec extends SparkSpecBase {
     assert(e.eval(null).toString === "q\u0323\u0307")
   }
 
+
+  test("strip accents: marks dropped across categories, base letters kept") {
+    val cases = Seq(
+      "cafe\u0301" -> "cafe",                 // Mn after NFD
+      "\u00c5ngstr\u00f6m" -> "Angstrom",      // precomposed decompose+strip
+      "\u0915\u093e" -> "\u0915",             // Mc (spacing mark) dropped
+      "a\u20dd" -> "a",                       // Me (enclosing mark) dropped
+      "stra\u00dfe" -> "stra\u00dfe",          // ß is a letter, kept
+      "\u0142\u00f3d\u017a" -> "\u0142odz",    // ł kept (not a mark decomposition)
+      "\u1100\u1161\u11a8" -> "\uac01",        // jamo recomposed by the final NFC
+      "plain" -> "plain")
+    val got = cases.map(_._1).toDF("t")
+      .select(NfcExpressions.stripAccents(col("t"))).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("strip accents: ascii fast path returns the input, null propagates") {
+    val e = StripAccents(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ascii only")))
+    assert(e.eval(null).toString === "ascii only")
+    val got = Seq[Option[String]](None).toDF("t")
+      .select(NfcExpressions.stripAccents(col("t"))).collect()
+    assert(got(0).isNullAt(0))
+  }
 }
