@@ -183,6 +183,8 @@ object SparkEntry {
     "mm_decode_meta"           -> (LlmQueries.mmDecodeMeta _),
     "mm_resize_meta"           -> (LlmQueries.mmResizeMeta _),
     "mm_image_features"        -> (LlmQueries.mmImageFeatures _),
+    "mm_phash"                 -> (LlmQueries.mmPhash _),
+    "mm_phash_neardup"         -> (LlmQueries.mmPhashNearDup _),
     "mm_feature_topk"          -> (LlmQueries.mmFeatureTopK _),
     "mm_resize_checksum"       -> (LlmQueries.mmResizeChecksum _),
     "mm_audio_meta"            -> (LlmQueries.mmAudioMeta _),
@@ -488,6 +490,49 @@ object SparkEntry {
     }
     (head +: steps).mkString("WITH ", ",\n", "") +
       s"\nSELECT node AS doc_id, rank_micros FROM r$iters ORDER BY doc_id"
+  }
+
+  /** The perceptual-hash oracle kernel: the integer aHash restated from
+    * the fixture pixel formula (decode-free — the engine side proves the
+    * codec; this side proves the hash arithmetic). `plantDups` switches
+    * to the dup-planted fixture (ids ≡ 5 mod 10 render id−5's raster
+    * with pixel (0,0) inverted). Cell 63's bit is the BIGINT sign bit:
+    * built as −2^63, the exact two's-complement weight. */
+  private def phashCteSql(plantDups: Boolean): String = {
+    val sid =
+      if (plantDups)
+        "CASE WHEN doc_id % 10 = 5 AND doc_id >= 5 THEN doc_id - 5 ELSE doc_id END"
+      else "doc_id"
+    // plain fixture: the smooth pixelValue gradient; dup fixture: the
+    // mosaic (per-cell scrambled byte, red channel only) with the
+    // planted (0,0) red+16 perturbation
+    val v0 =
+      if (plantDups)
+        """((((sid % 100000)*64 + ((y*8)//h)*8 + (x*8)//w + 1)
+          |             * 2654435761 % 1000000007)
+          |            * (((sid % 100000)*64 + ((y*8)//h)*8 + (x*8)//w + 1)
+          |             * 2654435761 % 1000000007)
+          |            % 1000000007 % 256
+          |           + CASE WHEN doc_id % 10 = 5 AND doc_id >= 5
+          |                   AND x = 0 AND y = 0 THEN 16 ELSE 0 END) % 256
+          |          * 65536""".stripMargin
+      else "(sid*1000003 + y*1009 + x) % 16777216"
+    s"""WITH src AS (SELECT doc_id, $sid AS sid FROM documents),
+       |dims AS (SELECT doc_id, 8 + sid % 17 AS w, 8 + sid % 13 AS h, sid FROM src),
+       |px AS (SELECT doc_id, x, y, w, h,
+       |          $v0 AS v
+       |        FROM dims, unnest(generate_series(0, w-1)) AS tx(x),
+       |             unnest(generate_series(0, h-1)) AS ty(y)),
+       |g AS (SELECT doc_id, ((y*8)//h)*8 + (x*8)//w AS cell,
+       |        299*(v//65536) + 587*((v//256)%256) + 114*(v%256) AS gray FROM px),
+       |c AS (SELECT doc_id, cell, sum(gray)//count(*) AS cavg FROM g GROUP BY doc_id, cell),
+       |m AS (SELECT doc_id, sum(cavg)//64 AS cmean FROM c GROUP BY doc_id),
+       |hs AS (SELECT c.doc_id,
+       |         CAST(sum(CASE WHEN cavg > cmean THEN
+       |           CASE WHEN cell = 63 THEN -9223372036854775807 - 1
+       |                ELSE 1::BIGINT << CAST(cell AS INT) END
+       |           ELSE 0 END) AS BIGINT) AS phash
+       |       FROM c JOIN m ON c.doc_id = m.doc_id GROUP BY c.doc_id)""".stripMargin
   }
 
   /** Shared CTE for the text_nfc_* / text_strip_accents oracles: the
@@ -2004,6 +2049,21 @@ object SparkEntry {
         |  CAST(sum((v // 256) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum(v % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Perceptual hash: engine decodes the REAL blob and hashes the
+    // raster; the oracle recomputes the identical integer aHash from
+    // the pixel formula — a green hash proves codec + kernel together.
+    "mm_phash" ->
+      s"""${phashCteSql(plantDups = false)}
+         |SELECT doc_id, phash FROM hs ORDER BY doc_id""".stripMargin,
+    // Near-dup pairs: the oracle joins ALL pairs at Hamming <= 3; the
+    // engine's 4-block pigeonhole join must lose nothing in the radius.
+    "mm_phash_neardup" ->
+      s"""${phashCteSql(plantDups = true)}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     // mm_feature_topk: decode → channel-sum features → cosine top-3.
     // Fully live: sums are exact integers (< 2^53 products), sqrt and
     // division are IEEE-correctly-rounded, and both engines evaluate

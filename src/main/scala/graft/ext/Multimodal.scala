@@ -289,6 +289,140 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // Perceptual hash (image dedup)
+  // ------------------------------------------------------------------
+
+  /** 8×8 average-hash of a decoded raster — the perceptual-dedup key
+    * (aHash; the simplest member of the pHash family): integer
+    * luminance 299r+587g+114b summed per grid cell (cell of pixel
+    * (x,y) is (y·8 DIV h)·8 + x·8 DIV w), per-cell integer-average,
+    * bit set iff the cell average exceeds the integer mean of the 64
+    * cell averages. EVERY step is exact integer arithmetic, so the
+    * DuckDB oracle restates the whole kernel from the fixture pixel
+    * formula and hash-gates it bit-for-bit (`mm_phash`) — unlike
+    * DCT-based pHash, whose floats would not cross engines. Near-dup
+    * images differ in a few bits; Hamming distance is the similarity. */
+  def averageHash(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](64); val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val i = cy * 8 + x * 8 / w
+        sums(i) += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        counts(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val avgs = Array.tabulate(64)(i => if (counts(i) == 0) 0L else sums(i) / counts(i))
+    val mean = avgs.sum / 64
+    var hash = 0L; var i = 0
+    while (i < 64) { if (avgs(i) > mean) hash |= 1L << i; i += 1 }
+    hash
+  }
+
+  /** (id, blob) → (id, phash): decode map-side, hash the raster.
+    * Undecodable input → phash 0 (the all-dark image), never a failed
+    * stage. */
+  def imagePhash(spark: SparkSession, df: DataFrame, idCol: String,
+                 blobCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = readImageOrNull(bytes)
+          (id, if (img == null) 0L else averageHash(img))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF(idCol, "phash")
+  }
+
+  /** Near-duplicate image pairs by pHash Hamming distance ≤
+    * `maxHamming` (≤ 3): the 64-bit hash splits into four 16-bit
+    * blocks — pigeonhole: two hashes within Hamming 3 agree on at
+    * least one block — so candidates come from a block-equality
+    * inverted-index join (the [[graft.ext.IncrementalSimHash]]
+    * discipline; never all-pairs, blobs long gone), then the exact
+    * 8-byte Hamming verify. Lossless for the given radius. */
+  def phashNearDups(hashes: DataFrame, idCol: String,
+                    maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-block pigeonhole is lossless only for radius <= 3, got $maxHamming")
+    val blocks = (0 until 4).map(b =>
+      shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL)))
+    val keyed = hashes.select(col(idCol).as("id"), col("phash"))
+      .select(col("id"), col("phash"),
+        posexplode(array(blocks: _*)).as(Seq("blk", "bval")))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.phash").as("h_a"), col("b.phash").as("h_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** The per-cell byte of the MOSAIC fixture: each 8×8 grid cell is a
+    * solid red block with a scrambled byte value — per-cell structure
+    * (what real photos have and the smooth [[pixelValue]] gradient
+    * lacks), so aHash bits are decided by byte-scale differences, not
+    * borderline noise, and unrelated images sit ~32 bits apart. The
+    * scramble is two rounds mod the prime 1e9+7 — scale-then-SQUARE —
+    * because any single affine map leaks linear structure into the low
+    * byte (measured: one round collapsed 500 images to 5 distinct
+    * hashes via t² mod 256 = f(t mod 128)); all arithmetic stays in
+    * BIGINT range so the oracle restates it exactly. */
+  def mosaicCellByte(sid: Long, cx: Int, cy: Int): Int = {
+    val t = Math.floorMod(sid, 100000L) * 64L + (cy * 8 + cx) + 1L
+    val u = t * 2654435761L % 1000000007L
+    (u * u % 1000000007L % 256L).toInt
+  }
+
+  /** Fixture with PLANTED image near-dups over the mosaic scheme: ids
+    * ≡ 5 (mod 10) render the PARTNER id−5's mosaic (same dimensions)
+    * with pixel (0,0)'s red byte shifted +16 — a near-copy whose pHash
+    * sits 0–1 bits from the partner's, while every unrelated pair stays
+    * far outside the radius. SQL-restatable end to end. */
+  def synthesizeImagesWithDups(spark: SparkSession, df: DataFrame,
+                               idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"))
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val dup = id % 10 == 5 && id >= 5
+          val src = if (dup) id - 5 else id
+          val w = fixtureWidth(src); val h = fixtureHeight(src)
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val cb = mosaicCellByte(src, x * 8 / w, y * 8 / h)
+              val red = if (dup && x == 0 && y == 0) (cb + 16) % 256 else cb
+              img.setRGB(x, y, 0xff000000 | (red << 16))
+              x += 1
+            }
+            y += 1
+          }
+          val out = new ByteArrayOutputStream()
+          require(ImageIO.write(img, fixtureFormat(id), out), "no writer")
+          (id, out.toByteArray)
+        }
+      }(enc)
+      .toDF(idCol, "blob")
+  }
+
+  // ------------------------------------------------------------------
   // Real audio (WAV via javax.sound.sampled)
   // ------------------------------------------------------------------
 

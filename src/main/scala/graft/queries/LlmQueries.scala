@@ -1723,6 +1723,27 @@ object LlmQueries {
   private def imageBlobs(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.synthesizeImages(spark, docs(spark, sfDir).select("doc_id"), "doc_id")
 
+  /** Perceptual hash over the real decoded rasters (see
+    * [[Multimodal.averageHash]]) — integer-exact, so the oracle
+    * recomputes every hash from the pixel formula; fully live. */
+  def mmPhash(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.imagePhash(spark, imageBlobs(spark, sfDir), "doc_id", "blob")
+      .orderBy("doc_id")
+
+  /** Image near-dup pairs over the dup-planted fixture (ids ≡ 5 mod 10
+    * are one-pixel-perturbed copies of id−5): blocked pigeonhole
+    * candidates + exact Hamming ≤ 3; the oracle computes the same
+    * hashes from the formula and joins ALL pairs — proving the blocked
+    * join loses nothing inside the radius. */
+  def mmPhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val blobs = Multimodal.synthesizeImagesWithDups(
+      spark, docs(spark, sfDir).select("doc_id"), "doc_id")
+    Multimodal.phashNearDups(
+        Multimodal.imagePhash(spark, blobs, "doc_id", "blob"),
+        "doc_id", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Multimodal metadata decode over REAL image bytes: `ImageIO`
     * header-only probe (format/width/height without raster decode — the
     * O(1) metadata path for a 100 TB blob scan) inside the
