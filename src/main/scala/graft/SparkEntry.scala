@@ -188,6 +188,7 @@ object SparkEntry {
     "mm_feature_topk"          -> (LlmQueries.mmFeatureTopK _),
     "mm_resize_checksum"       -> (LlmQueries.mmResizeChecksum _),
     "mm_audio_meta"            -> (LlmQueries.mmAudioMeta _),
+    "mm_audio_sample_sums"     -> (LlmQueries.mmAudioSampleSums _),
     "mm_video_meta"            -> (LlmQueries.mmVideoMeta _),
     "mm_video_frames"          -> (LlmQueries.mmVideoFrames _),
     "mm_mp4_meta"              -> (LlmQueries.mmMp4Meta _),
@@ -2111,6 +2112,17 @@ object SparkEntry {
         |  CAST(800 + (doc_id % 100) * 8 AS BIGINT) AS n_frames,
         |  CAST(100 + doc_id % 100 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm_audio_sample_sums: full PCM decode, exact integer sums from
+    // the fixture sample formula v=(id*31 + i*7)%65536 - 32768 — proves
+    // the javax.sound read path sample-exact, not just the header.
+    "mm_audio_sample_sums" ->
+      """WITH f AS (SELECT doc_id, 800 + (doc_id % 100) * 8 AS n FROM documents),
+        |s AS (SELECT doc_id, (doc_id*31 + i*7) % 65536 - 32768 AS v
+        |      FROM f, unnest(generate_series(0, n-1)) AS t(i))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sum_s,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // mm_video_meta: real AVI/RIFF container bytes, chunk-walk parsed;
     // the oracle restates the fixture formulas (25 fps ⇒ 40 ms/frame);
     // n_frames_demuxed counts actual movi '00db' chunks and must agree.

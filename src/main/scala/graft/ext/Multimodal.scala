@@ -82,6 +82,41 @@ object Multimodal {
   def pixelValue(id: Long, x: Int, y: Int): Int =
     (((id * 1000003L + y.toLong * 1009L + x.toLong) % 16777216L) + 16777216L).toInt % 16777216
 
+  /** Full PCM decode → exact integer sample sums (id, n_samples,
+    * sum_s, sum_abs). The audio sibling of [[imageChannelSums]]: long
+    * sums the DuckDB oracle recomputes EXACTLY from the fixture sample
+    * formula — a hash-gated proof the `javax.sound` decode round-trips
+    * every 16-bit sample, not just the header. Map-side; undecodable
+    * input → zeros. */
+  def audioSampleSums(spark: SparkSession, df: DataFrame, idCol: String,
+                      blobCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val ais = AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+              val data = ais.readAllBytes()
+              var i = 0; var n = 0L; var s = 0L; var a = 0L
+              while (i + 1 < data.length) {
+                val v = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toLong
+                n += 1; s += v; a += math.abs(v)
+                i += 2
+              }
+              (id, n, s, a)
+            } finally ais.close()
+          } catch { case _: Exception => (id, 0L, 0L, 0L) }
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .toDF(idCol, "n_samples", "sum_s", "sum_abs")
+  }
+
   /** Fixture dimensions/format, SQL-restatable over `doc_id`. */
   def fixtureWidth(id: Long): Int = 8 + math.floorMod(id, 17L).toInt
   def fixtureHeight(id: Long): Int = 8 + math.floorMod(id, 13L).toInt

@@ -1854,6 +1854,15 @@ object LlmQueries {
     * (`getAudioFileFormat` — no sample decode). Frame count
     * `800 + (doc_id%100)*8` at 8 kHz ⇒ `duration_ms = 100 + doc_id%100`,
     * the SQL-restatable contract the oracle recomputes. */
+  /** Full PCM decode gate (see [[Multimodal.audioSampleSums]]): exact
+    * sample sums the oracle recomputes from the fixture formula. */
+  def mmAudioSampleSums(spark: SparkSession, sfDir: String): DataFrame = {
+    val wavs = Multimodal.synthesizeWavs(spark,
+      docs(spark, sfDir).select("doc_id"), "doc_id")
+    Multimodal.audioSampleSums(spark, wavs, "doc_id", "blob")
+      .orderBy("doc_id")
+  }
+
   def mmAudioMeta(spark: SparkSession, sfDir: String): DataFrame = {
     val wavs = Multimodal.synthesizeWavs(spark, docs(spark, sfDir).select("doc_id"), "doc_id")
     Multimodal.audioMeta(spark, wavs, "doc_id", "blob")

@@ -240,6 +240,19 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.demuxMp4Samples(corrupt) === Nil)
   }
 
+  test("audio sample sums decode every 16-bit PCM sample exactly") {
+    val s = spark; import s.implicits._
+    val n = 48
+    val wav = Multimodal.synthesizeWav(9L, n)
+    val df = Seq((9L, wav), (10L, Array[Byte](1, 2, 3))).toDF("doc_id", "blob")
+    val got = Multimodal.audioSampleSums(spark, df, "doc_id", "blob")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val samples = (0 until n).map(i => (9L * 31 + i * 7) % 65536 - 32768)
+    assert(got(9L) === ((n.toLong, samples.sum, samples.map(math.abs(_)).sum)))
+    assert(got(10L) === ((0L, 0L, 0L)), "garbage must degrade, not fail")
+  }
+
   test("fakeFeatures is deterministic and fixed-width") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "payload".getBytes), (2L, "payload".getBytes))
