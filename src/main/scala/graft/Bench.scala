@@ -153,7 +153,12 @@ object Bench {
       // clustered-IVF); the fork rebuilds it in untimed warmup so the
       // timed reps measure the production probe path
       "llm_span_dedup_incremental", "llm_lm_incremental",
-      "llm_semdedup_incremental")
+      "llm_semdedup_incremental",
+      // split-leakage rows consume the session-cached capped pair set
+      // (cachedDF persists the plan — in-JVM time would be a cache
+      // scan); the incremental diff builds a session-cached index
+      "llm_split_leakage", "llm_split_stats",
+      "llm_snapshot_diff_incremental")
     // Heavy-tail re-time in a FRESH JVM, recording every rep so a judge
     // (or a regression diff) sees the spread, not just the median.
     // Failed forks fall back to the previous in-JVM median-of-3; a query
