@@ -158,7 +158,7 @@ object Bench {
       // (cachedDF persists the plan — in-JVM time would be a cache
       // scan); the incremental diff builds a session-cached index
       "llm_split_leakage", "llm_split_stats",
-      "llm_snapshot_diff_incremental")
+      "llm_snapshot_diff_incremental", "mm_phash_incremental")
     // Heavy-tail re-time in a FRESH JVM, recording every rep so a judge
     // (or a regression diff) sees the spread, not just the median.
     // Failed forks fall back to the previous in-JVM median-of-3; a query

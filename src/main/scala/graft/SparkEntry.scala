@@ -185,6 +185,7 @@ object SparkEntry {
     "mm_image_features"        -> (LlmQueries.mmImageFeatures _),
     "mm_phash"                 -> (LlmQueries.mmPhash _),
     "mm_phash_neardup"         -> (LlmQueries.mmPhashNearDup _),
+    "mm_phash_incremental"     -> (LlmQueries.mmPhashIncremental _),
     "mm_feature_topk"          -> (LlmQueries.mmFeatureTopK _),
     "mm_resize_checksum"       -> (LlmQueries.mmResizeChecksum _),
     "mm_audio_meta"            -> (LlmQueries.mmAudioMeta _),
@@ -2064,6 +2065,17 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
          |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Incremental image dedup: the same all-pairs truth RESTRICTED to
+    // pairs touching the arriving shard (ids = 5 mod 10) — the blocked
+    // index probe must equal it exactly.
+    "mm_phash_incremental" ->
+      s"""${phashCteSql(plantDups = true)}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |  AND (a.doc_id % 10 = 5 OR b.doc_id % 10 = 5)
          |ORDER BY id_a, id_b""".stripMargin,
     // mm_feature_topk: decode → channel-sum features → cosine top-3.
     // Fully live: sums are exact integers (< 2^53 products), sqrt and

@@ -36,9 +36,19 @@ object IncrementalSimHash {
     *  - `meta/` (max_hamming, block_partitions). */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  path: String, maxHamming: Int = 3,
-                 blockPartitions: Int = 0): Unit = {
-    val spark = docs.sparkSession
-    writeEpoch(docs, idCol, textCol, path, maxHamming, epoch = "base",
+                 blockPartitions: Int = 0): Unit =
+    writeIndexFingerprints(Dedup.simhash(docs, idCol, textCol), idCol,
+      "simhash", path, maxHamming, blockPartitions)
+
+  /** Fingerprint-level entry: the index machinery is agnostic to WHERE
+    * the 64-bit fingerprint came from — text simhash ([[writeIndex]])
+    * or image pHash ([[Multimodal.imagePhash]]); `fps` carries
+    * (idCol, fpCol). */
+  def writeIndexFingerprints(fps: DataFrame, idCol: String, fpCol: String,
+                             path: String, maxHamming: Int = 3,
+                             blockPartitions: Int = 0): Unit = {
+    val spark = fps.sparkSession
+    writeEpoch(fps, idCol, fpCol, path, maxHamming, epoch = "base",
       blockPartitions = blockPartitions)
     import spark.implicits._
     Seq((maxHamming, blockPartitions))
@@ -50,12 +60,18 @@ object IncrementalSimHash {
     * epoch, layout inherited from meta. Batch ids must be disjoint from
     * every id already indexed. */
   def appendToIndex(newDocs: DataFrame, idCol: String, textCol: String,
-                    path: String, epoch: String): Unit = {
+                    path: String, epoch: String): Unit =
+    appendFingerprints(Dedup.simhash(newDocs, idCol, textCol), idCol,
+      "simhash", path, epoch)
+
+  /** [[appendToIndex]], fingerprint-level. */
+  def appendFingerprints(fps: DataFrame, idCol: String, fpCol: String,
+                         path: String, epoch: String): Unit = {
     require(epoch.nonEmpty && epoch != "base" && !epoch.contains('/'),
       s"epoch must be a non-'base', path-safe name, got '$epoch'")
-    val spark = newDocs.sparkSession
+    val spark = fps.sparkSession
     val m = spark.read.parquet(s"$path/meta").head()
-    writeEpoch(newDocs, idCol, textCol, path, m.getAs[Int]("max_hamming"),
+    writeEpoch(fps, idCol, fpCol, path, m.getAs[Int]("max_hamming"),
       epoch, blockPartitions = metaBlockPartitions(m))
   }
 
@@ -67,11 +83,11 @@ object IncrementalSimHash {
   private def partitionOf(nParts: Int) =
     pmod(hash(col("blk"), col("v")), lit(nParts))
 
-  private def writeEpoch(docs: DataFrame, idCol: String, textCol: String,
+  private def writeEpoch(fps: DataFrame, idCol: String, fpCol: String,
                          path: String, maxHamming: Int, epoch: String,
                          blockPartitions: Int): Unit = {
     val posts = Dedup.simhashBlocks(
-        Dedup.simhash(docs, idCol, textCol), idCol, maxHamming)
+        fps.withColumnRenamed(fpCol, "simhash"), idCol, maxHamming)
       .select(col(idCol).as("doc_id"), col("simhash"), col("blk"), col("v"))
     val w =
       if (blockPartitions <= 0) posts.write
@@ -87,13 +103,22 @@ object IncrementalSimHash {
     * Output (id_a, id_b, hamming), canonical id_a < id_b. */
   def nearDupPairs(spark: SparkSession, path: String, newDocs: DataFrame,
                    idCol: String, textCol: String,
-                   excludeEpochs: Seq[String] = Nil): DataFrame = {
+                   excludeEpochs: Seq[String] = Nil): DataFrame =
+    nearDupPairsFingerprints(spark, path,
+      Dedup.simhash(newDocs, idCol, textCol), idCol, "simhash",
+      excludeEpochs)
+
+  /** [[nearDupPairs]], fingerprint-level. */
+  def nearDupPairsFingerprints(spark: SparkSession, path: String,
+                               newFps: DataFrame, idCol: String,
+                               fpCol: String,
+                               excludeEpochs: Seq[String] = Nil): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta").head()
     val maxHamming = meta.getAs[Int]("max_hamming")
     val nParts = metaBlockPartitions(meta)
+    val fps = newFps.withColumnRenamed(fpCol, "simhash")
 
-    val newBlocks = Dedup.simhashBlocks(
-      Dedup.simhash(newDocs, idCol, textCol), idCol, maxHamming)
+    val newBlocks = Dedup.simhashBlocks(fps, idCol, maxHamming)
 
     val oldBlocks = {
       val t0 = spark.read.parquet(s"$path/blocks")
@@ -122,8 +147,7 @@ object IncrementalSimHash {
       .distinct()
       .where(col("hamming") <= maxHamming)
     // … plus in-batch pairs (the batch can carry internal near-dups)
-    val nn = Dedup.simhashNearDups(
-      Dedup.simhash(newDocs, idCol, textCol), idCol, maxHamming)
+    val nn = Dedup.simhashNearDups(fps, idCol, maxHamming)
     no.unionByName(nn).distinct()
   }
 }

@@ -1744,6 +1744,37 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Dup-fixture pHashes for an id subset (decode map-side). */
+  private def phashesOf(spark: SparkSession, ids: DataFrame): DataFrame =
+    Multimodal.imagePhash(spark,
+      Multimodal.synthesizeImagesWithDups(spark, ids, "doc_id"),
+      "doc_id", "blob")
+
+  /** Session-cached pHash block index over the non-batch images (the
+    * fingerprint-level [[graft.ext.IncrementalSimHash]] — the index is
+    * agnostic to where the 64 bits came from). */
+  private def phashIncIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"phash|$sfDir") { dir =>
+      graft.ext.IncrementalSimHash.writeIndexFingerprints(
+        phashesOf(spark,
+          docs(spark, sfDir).where(col("doc_id") % 10 =!= 5).select("doc_id")),
+        "doc_id", "phash", dir, maxHamming = 3, blockPartitions = 16)
+    }
+
+  /** Incremental image dedup: the arriving shard (ids ≡ 5 mod 10 — the
+    * planted near-copies) probed against the persisted pHash index.
+    * FULLY live oracle (unlike the text-simhash twin's parity gate):
+    * the oracle recomputes every pHash from the pixel formula and joins
+    * ALL batch-touching pairs at Hamming ≤ 3. */
+  def mmPhashIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.IncrementalSimHash.nearDupPairsFingerprints(spark,
+        phashIncIndexDir(spark, sfDir),
+        phashesOf(spark,
+          docs(spark, sfDir).where(col("doc_id") % 10 === 5).select("doc_id")),
+        "doc_id", "phash")
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+
   /** Multimodal metadata decode over REAL image bytes: `ImageIO`
     * header-only probe (format/width/height without raster decode — the
     * O(1) metadata path for a 100 TB blob scan) inside the
