@@ -186,6 +186,7 @@ object SparkEntry {
     "mm_phash"                 -> (LlmQueries.mmPhash _),
     "mm_phash_neardup"         -> (LlmQueries.mmPhashNearDup _),
     "mm_phash_incremental"     -> (LlmQueries.mmPhashIncremental _),
+    "mm_sniff_formats"         -> (LlmQueries.mmSniffFormats _),
     "mm_feature_topk"          -> (LlmQueries.mmFeatureTopK _),
     "mm_resize_checksum"       -> (LlmQueries.mmResizeChecksum _),
     "mm_audio_meta"            -> (LlmQueries.mmAudioMeta _),
@@ -2066,6 +2067,13 @@ object SparkEntry {
          |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // Mixed-blob routing: real container bytes per id formula; the
+    // sniffed route must equal the synthesized type.
+    "mm_sniff_formats" ->
+      """SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+        |  WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav'
+        |  WHEN 3 THEN 'avi' ELSE 'mp4' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Incremental image dedup: the same all-pairs truth RESTRICTED to
     // pairs touching the arriving shard (ids = 5 mod 10) — the blocked
     // index probe must equal it exactly.

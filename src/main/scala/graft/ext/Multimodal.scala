@@ -324,6 +324,69 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // Format sniffing (mixed-blob routing)
+  // ------------------------------------------------------------------
+
+  /** Magic-byte format sniff for a mixed blob column — the routing
+    * step a 100 TB media lake runs FIRST (extensions and upstream
+    * content-types lie; 8 bytes of the blob do not): png / bmp / wav /
+    * avi (RIFF subtype) / mp4 (ISO-BMFF ftyp) / empty / unknown. Pure
+    * function of the first bytes — map-side, never decodes, never
+    * shuffles the blob. */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length == 0) return "empty"
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    def ascii(from: Int, s: String): Boolean =
+      s.zipWithIndex.forall { case (c, i) => at(from + i) == c.toInt }
+    if (at(0) == 0x89 && ascii(1, "PNG")) "png"
+    else if (ascii(0, "BM")) "bmp"
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "wav"
+    else if (ascii(0, "RIFF") && ascii(8, "AVI ")) "avi"
+    else if (bytes.length >= 12 && ascii(4, "ftyp")) "mp4"
+    else "unknown"
+  }
+
+  /** (id, blob) → (id, format, n_bytes): the sniffed route. */
+  def sniffFormats(spark: SparkSession, df: DataFrame, idCol: String,
+                   blobCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (id, sniffFormat(bytes),
+            if (bytes == null) 0L else bytes.length.toLong)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+        Encoders.scalaLong))
+      .toDF(idCol, "format", "n_bytes")
+  }
+
+  /** Mixed-blob fixture: id mod 5 selects the container actually
+    * synthesized (0 png, 1 bmp, 2 wav, 3 avi, 4 mp4) — REAL bytes from
+    * the respective writers, so the sniffed route the oracle restates
+    * from the id formula is a claim about real container magics. */
+  def synthesizeMixedBlobs(spark: SparkSession, df: DataFrame,
+                           idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"))
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val blob = (id % 5) match {
+            case 0 => synthesizeImage(id, fixtureWidth(id), fixtureHeight(id), "png")
+            case 1 => synthesizeImage(id, fixtureWidth(id), fixtureHeight(id), "bmp")
+            case 2 => synthesizeWav(id, 64)
+            case 3 => synthesizeAvi(id, 16, 12, 2)
+            case _ => synthesizeMp4(id, 16, 12, 2)
+          }
+          (id, blob)
+        }
+      }(enc)
+      .toDF(idCol, "blob")
+  }
+
+  // ------------------------------------------------------------------
   // Perceptual hash (image dedup)
   // ------------------------------------------------------------------
 

@@ -1744,6 +1744,21 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Magic-byte routing over a MIXED blob column (see
+    * [[Multimodal.sniffFormat]]): real png/bmp/wav/avi/mp4 bytes, route
+    * sniffed from the first bytes; the oracle restates the route from
+    * the id formula, so a green hash proves the real containers carry
+    * the magics the sniffer claims. n_bytes stays engine-side only
+    * (container sizes aren't SQL-restatable) — the format column is
+    * the gate. */
+  def mmSniffFormats(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.sniffFormats(spark,
+        Multimodal.synthesizeMixedBlobs(spark,
+          docs(spark, sfDir).select("doc_id"), "doc_id"),
+        "doc_id", "blob")
+      .select("doc_id", "format")
+      .orderBy("doc_id")
+
   /** Dup-fixture pHashes for an id subset (decode map-side). */
   private def phashesOf(spark: SparkSession, ids: DataFrame): DataFrame =
     Multimodal.imagePhash(spark,

@@ -240,6 +240,24 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.demuxMp4Samples(corrupt) === Nil)
   }
 
+  test("format sniffer routes real containers and degrades on junk") {
+    assert(Multimodal.sniffFormat(
+      Multimodal.synthesizeImage(3L, 8, 8, "png")) === "png")
+    assert(Multimodal.sniffFormat(
+      Multimodal.synthesizeImage(3L, 8, 8, "bmp")) === "bmp")
+    assert(Multimodal.sniffFormat(Multimodal.synthesizeWav(3L, 16)) === "wav")
+    assert(Multimodal.sniffFormat(
+      Multimodal.synthesizeAvi(3L, 16, 12, 2)) === "avi")
+    assert(Multimodal.sniffFormat(
+      Multimodal.synthesizeMp4(3L, 16, 12, 2)) === "mp4")
+    assert(Multimodal.sniffFormat(Array[Byte]()) === "empty")
+    assert(Multimodal.sniffFormat(null) === "empty")
+    assert(Multimodal.sniffFormat("not a container".getBytes) === "unknown")
+    // truncated magics must not crash or false-positive
+    assert(Multimodal.sniffFormat(Array[Byte](0x89.toByte, 'P')) === "unknown")
+    assert(Multimodal.sniffFormat("RIFF".getBytes) === "unknown")
+  }
+
   test("audio sample sums decode every 16-bit PCM sample exactly") {
     val s = spark; import s.implicits._
     val n = 48
