@@ -134,11 +134,23 @@ object BenchOne {
     val maxReps = sys.env.getOrElse("GRAFT_MAX_REPS", minReps.toString).toInt
     val spreadTol = sys.env.getOrElse("GRAFT_EXTRA_ON_SPREAD", "0").toDouble
     var times = Vector.empty[Double]
+    var steals = Vector.empty[Double]
     var i = 0
     val gcBetweenReps = !sys.env.contains("GRAFT_NO_REP_GC")
     calibrate(); calibrate() // JIT-warm the probe loop itself
-    while (i < minReps || (i < maxReps && spreadTol > 0 && times.nonEmpty &&
-        times.max / times.min > spreadTol)) {
+    // Extension trigger 2, STEAL BURSTS: the consumer's quiet-window
+    // median needs >= 3 reps under ~1 s of host steal to mean anything;
+    // a sustained-contention window can dirty the whole initial pool
+    // (r12 measured all 3 reps of one row at 2.8/15.1/7.6 s of steal).
+    // Extending widens the chance of catching a quiet window; if the
+    // machine stays loud to maxReps, every rep is recorded dirty and
+    // the steal column says so.
+    val wantClean = math.min(3, minReps)
+    def cleanReps = steals.count(s => s >= 0 && s <= 1.0)
+    def stealKnown = steals.nonEmpty && steals.forall(_ >= 0)
+    while (i < minReps || (i < maxReps && spreadTol > 0 &&
+        ((times.nonEmpty && times.max / times.min > spreadTol) ||
+          (stealKnown && cleanReps < wantClean)))) {
       val s0 = stealSeconds()
       val g0 = gcSeconds()
       val t0 = System.nanoTime()
@@ -150,6 +162,7 @@ object BenchOne {
       println(s"[bench-one] $name rep${i + 1} rows=$n ${fmt(dt)} s " +
         s"cal=${fmt(cal)} steal=${fmt(steal)} gc=${fmt(gc)}")
       times :+= dt
+      steals :+= steal
       i += 1
       if (gcBetweenReps) System.gc()
     }
