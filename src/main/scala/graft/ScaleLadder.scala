@@ -148,13 +148,7 @@ object ScaleLadder {
     // contaminate the 1x side.
     generate(spark, baseDir, d1, 1)
     generate(spark, baseDir, dF, factor)
-    def timed(body: => Long): Double = {
-      val t0 = System.nanoTime()
-      body
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.gc()
-      dt
-    }
+    def timed(body: => Long): Double = timedQuiet("rung")(body)
     // Untimed JIT warmup on the 1x copy (shingle/codegen + JSON parse
     // paths): without it C2 compilation lands inside the first 1x
     // timings and the fitted exponents go NEGATIVE (measured at small
@@ -232,6 +226,47 @@ object ScaleLadder {
       zorderRung(spark, d1, dF, factor)
   }
 
+  /** Host-steal seconds since boot (/proc/stat cpu field 8) — the same
+    * counter [[BenchOne]] samples around forked reps. -1 if unreadable. */
+  private def stealSeconds(): Double =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      cpu(8).toDouble / 100.0
+    } catch { case _: Throwable => -1.0 }
+
+  /** Time once; if host steal inside the window exceeded 10% of the
+    * wall, re-time ONCE and keep the run from the QUIETER window (the
+    * smaller steal — never "the faster number", so a genuine slowdown
+    * on a quiet machine is kept). Ladder rungs are single-shot, so a
+    * steal burst otherwise lands directly in a fitted exponent
+    * (measured r12: the same 30x point swung 31 s ↔ 60 s between two
+    * contended windows). Both attempts go to stderr. */
+  private def timedQuiet(label: String)(body: => Long): Double = {
+    def once(): (Double, Double) = {
+      val s0 = stealSeconds()
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      val s1 = stealSeconds()
+      System.gc()
+      (dt, if (s0 < 0 || s1 < 0) -1.0 else s1 - s0)
+    }
+    val (dt1, st1) = once()
+    if (st1 < 0 || st1 <= 0.1 * dt1) dt1
+    else {
+      System.err.println(
+        s"[ladder] $label: ${fmtS(st1)} s steal inside a ${fmtS(dt1)} s " +
+          "window — retiming once")
+      val (dt2, st2) = once()
+      System.err.println(
+        s"[ladder] $label retime: ${fmtS(dt2)} s (steal ${fmtS(st2)} s)")
+      if (st2 < st1) dt2 else dt1
+    }
+  }
+
+  private def fmtS(d: Double): String = (math.rint(d * 100) / 100).toString
+
   /** The two STEEPEST rungs ladder a second decade: a 2-point fit rests
     * on one decade and cannot see a super-linear knee past it, so the
     * near-linear suspects (`maxDf`-capped inverted index, CC iteration
@@ -258,10 +293,8 @@ object ScaleLadder {
       }
       DeepRungQueries.flatMap { name =>
         twoPoint.find(_.name == name).map { r =>
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, d2).count()
-          val t2 = (System.nanoTime() - t0) / 1e9
-          System.gc()
+          val t2 = timedQuiet(s"${name}@${factor2}x")(
+            SparkEntry.queries(name)(spark, d2).count())
           val e = lsSlope(Seq(1.0 -> r.t1, factor.toDouble -> r.tF,
             factor2.toDouble -> t2))
           def f(d: Double): String = f"$d%.1f"
