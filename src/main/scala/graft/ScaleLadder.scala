@@ -125,6 +125,13 @@ object ScaleLadder {
         "paper's production recipe scales nCells with n (they use " +
         "~sqrt(n)) to hold occupancy, which this rung deliberately " +
         "does not do"),
+    "llm_dedup_corpus_cc" ->
+      ("on a QUIET host this rung is fixed-overhead-bound at bench " +
+        "scale (large-star/small-star driver rounds + per-round " +
+        "checkpoints ~4-5 s regardless of F; the data term is small " +
+        "because cross-replica pairs cannot exist) — exponents near 0 " +
+        "here measure the overhead floor; the pair-generation data " +
+        "term is what llm_neardup_jaccard's rung carries"),
     "llm_pagerank" ->
       ("10 fixed synchronous iterations, out-degree 3: cost is " +
         "iters*|E| so ~linear is the floor AND the ceiling — iteration " +
