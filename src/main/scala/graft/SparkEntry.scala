@@ -298,11 +298,11 @@ object SparkEntry {
        |         regexp_replace(u, '^(https?://)www\\.', '\\1') AS u FROM s3),
        |s5 AS (SELECT doc_id, n_chars, url,
        |         regexp_replace(regexp_replace(u,
-       |           '(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '', 'g'),
+       |           '([?&])((utm_[a-z]+|fbclid|gclid)=[^&#]*&)+', '\\1', 'g'),
        |           '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*$$', '') AS u FROM s4),
        |s6 AS (SELECT doc_id, n_chars, url,
        |         regexp_replace(regexp_replace(regexp_replace(u,
-       |           '\\?$$', ''), '/\\?', '?'), '/$$', '') AS u FROM s5),
+       |           '\\?$$', ''), '/+\\?', '?'), '/+$$', '') AS u FROM s5),
        |c AS (SELECT doc_id, n_chars, url, u AS url_canon,
        |        regexp_extract(u, '^[a-z]+://([^/:?#]+)', 1) AS host FROM s6),
        |d AS (SELECT *,

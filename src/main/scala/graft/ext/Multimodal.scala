@@ -424,9 +424,14 @@ object Multimodal {
     hash
   }
 
-  /** (id, blob) → (id, phash): decode map-side, hash the raster.
-    * Undecodable input → phash 0 (the all-dark image), never a failed
-    * stage. */
+  /** (id, blob) → (id, phash, decoded): decode map-side, hash the
+    * raster. Undecodable input → `decoded = false` (phash 0 as a
+    * placeholder), never a failed stage — and never a PAIRABLE hash:
+    * hashing failures to a real value would report any two corrupt
+    * blobs (or a corrupt blob vs a genuinely all-dark image) as
+    * Hamming-0 near-duplicates and silently drop valid documents at
+    * scale, so [[phashNearDups]] excludes undecoded rows from the
+    * join. */
   def imagePhash(spark: SparkSession, df: DataFrame, idCol: String,
                  blobCol: String): DataFrame = {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
@@ -435,10 +440,11 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val img = readImageOrNull(bytes)
-          (id, if (img == null) 0L else averageHash(img))
+          if (img == null) (id, 0L, false) else (id, averageHash(img), true)
         }
-      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-      .toDF(idCol, "phash")
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaBoolean))
+      .toDF(idCol, "phash", "decoded")
   }
 
   /** Near-duplicate image pairs by pHash Hamming distance ≤
@@ -454,7 +460,12 @@ object Multimodal {
       s"4-block pigeonhole is lossless only for radius <= 3, got $maxHamming")
     val blocks = (0 until 4).map(b =>
       shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL)))
-    val keyed = hashes.select(col(idCol).as("id"), col("phash"))
+    // failed decodes carry a placeholder hash, not an image signature —
+    // keep them out of the candidate join (see [[imagePhash]])
+    val decodedOnly =
+      if (hashes.columns.contains("decoded")) hashes.where(col("decoded"))
+      else hashes
+    val keyed = decodedOnly.select(col(idCol).as("id"), col("phash"))
       .select(col("id"), col("phash"),
         posexplode(array(blocks: _*)).as(Seq("blk", "bval")))
     keyed.as("a").join(keyed.as("b"),

@@ -75,15 +75,18 @@ object UrlOps {
       "^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
     // 4. www
     val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
-    // 5. tracking params: first "param=value&" runs anywhere (global,
-    //    left-to-right handles consecutive params), then one trailing
-    //    "?param=value" / "&param=value" with its separator
-    val noTrackMid = regexp_replace(noWww, TrackingParamRe + "=[^&#]*&", "")
+    // 5. tracking params: a RUN of "param=value&" anchored to a real
+    //    param boundary ([?&] — an unanchored pattern would also eat the
+    //    tail of e.g. "xutm_b=2&"), consumed as one match so consecutive
+    //    tracking params cannot hide behind a consumed separator; then
+    //    one trailing "?param=value" / "&param=value" with its separator
+    val noTrackMid = regexp_replace(noWww,
+      "([?&])(" + TrackingParamRe + "=[^&#]*&)+", "$1")
     val noTrack = regexp_replace(noTrackMid, "[?&]" + TrackingParamRe + "=[^&#]*$", "")
-    // 6. empty trailing '?', then the trailing path slash ("p/?q" → "p?q",
-    //    "p/" → "p")
+    // 6. empty trailing '?', then trailing path slashES ("p/?q" → "p?q",
+    //    "p//" → "p" — the + keeps the rule idempotent in one pass)
     val noEmptyQ = regexp_replace(noTrack, "\\?$", "")
-    regexp_replace(regexp_replace(noEmptyQ, "/\\?", "?"), "/$", "")
+    regexp_replace(regexp_replace(noEmptyQ, "/+\\?", "?"), "/+$", "")
   }
 
   /** Hostname of an already-[[canonicalize]]d URL (no port, no www). */

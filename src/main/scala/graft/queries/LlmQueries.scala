@@ -1728,6 +1728,7 @@ object LlmQueries {
     * recomputes every hash from the pixel formula; fully live. */
   def mmPhash(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.imagePhash(spark, imageBlobs(spark, sfDir), "doc_id", "blob")
+      .select("doc_id", "phash")
       .orderBy("doc_id")
 
   /** Image near-dup pairs over the dup-planted fixture (ids ≡ 5 mod 10
@@ -1759,11 +1760,15 @@ object LlmQueries {
       .select("doc_id", "format")
       .orderBy("doc_id")
 
-  /** Dup-fixture pHashes for an id subset (decode map-side). */
+  /** Dup-fixture pHashes for an id subset (decode map-side; failed
+    * decodes carry no image signature so they never reach the index or
+    * the probe — fixture blobs all decode, but the contract holds). */
   private def phashesOf(spark: SparkSession, ids: DataFrame): DataFrame =
     Multimodal.imagePhash(spark,
-      Multimodal.synthesizeImagesWithDups(spark, ids, "doc_id"),
-      "doc_id", "blob")
+        Multimodal.synthesizeImagesWithDups(spark, ids, "doc_id"),
+        "doc_id", "blob")
+      .where(col("decoded"))
+      .select("doc_id", "phash")
 
   /** Session-cached pHash block index over the non-batch images (the
     * fingerprint-level [[graft.ext.IncrementalSimHash]] — the index is

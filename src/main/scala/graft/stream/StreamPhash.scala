@@ -32,8 +32,13 @@ object StreamPhash {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // decode ONCE: probe and append both consume the fingerprints
+        // decode ONCE: probe and append both consume the fingerprints;
+        // failed decodes are excluded — a placeholder hash in the index
+        // would pair corrupt blobs with each other (and with genuinely
+        // all-dark images) as Hamming-0 dups
         val fps = Multimodal.imagePhash(spark, batch, idCol, blobCol)
+          .where(org.apache.spark.sql.functions.col("decoded"))
+          .select(idCol, "phash")
         fps.persist()
         try {
           IncrementalSimHash.nearDupPairsFingerprints(spark, indexPath,

@@ -57,4 +57,31 @@ class PhashSpec extends SparkSpecBase {
       Multimodal.phashNearDups(hashes(10), "doc_id", maxHamming = 4)
     }
   }
+
+  test("undecodable blobs are flagged and never pair as near-dups") {
+    // two corrupt blobs plus an all-dark (but VALID) image: before the
+    // decoded flag, all three hashed to 0 and reported each other as
+    // Hamming-0 duplicates — a false-positive dedup that would drop
+    // valid documents at scale
+    val dark = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, Array[Byte](1, 2, 3)),          // corrupt
+      (2L, "not an image".getBytes("UTF-8")), // corrupt
+      (3L, dark)                            // valid, hashes to 0
+    ).toDF("doc_id", "blob")
+    val hs = Multimodal.imagePhash(spark, df, "doc_id", "blob")
+    val flags = hs.select("doc_id", "decoded").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(flags === Map(1L -> false, 2L -> false, 3L -> true))
+    val pairs = Multimodal.phashNearDups(hs, "doc_id", maxHamming = 3)
+      .collect()
+    assert(pairs.isEmpty,
+      s"corrupt blobs must not join the near-dup candidates: ${pairs.toSeq}")
+  }
 }

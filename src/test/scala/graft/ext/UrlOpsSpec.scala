@@ -59,8 +59,26 @@ class UrlOpsSpec extends SparkSpecBase {
   test("canonicalize is idempotent") {
     val messy = Seq(
       "HTTPS://WWW.A.CO.UK:443/X/?utm_source=s&q=1#f",
-      "http://b.org:80/", "https://c.com/p?utm_a=1")
+      "http://b.org:80/", "https://c.com/p?utm_a=1",
+      // the r12-ADVICE non-idempotency case: trailing '//' must fall in
+      // ONE pass, and '//?q' likewise
+      "https://h.com/a//", "https://h.com/a//?q=1")
     for (u <- messy) { val once = canonOne(u); assert(canonOne(once) === once) }
+    assert(canonOne("https://h.com/a//") === "https://h.com/a")
+    assert(canonOne("https://h.com/a//?q=1") === "https://h.com/a?q=1")
+  }
+
+  test("tracking strip is anchored to a param boundary, not a substring") {
+    // 'xutm_b' merely CONTAINS 'utm_b' — an unanchored pattern ate its
+    // tail ('?a=1&xutm_b=2&c=3' lost part of xutm_b, r12 ADVICE)
+    assert(canonOne("https://h.com/p?a=1&xutm_b=2&c=3")
+      === "https://h.com/p?a=1&xutm_b=2&c=3")
+    // consecutive tracking params fall as one run (a consumed separator
+    // must not shield the next param from the boundary anchor)
+    assert(canonOne("https://h.com/p?utm_a=1&utm_b=2&c=3")
+      === "https://h.com/p?c=3")
+    assert(canonOne("https://h.com/p?utm_a=1&b=2&utm_c=3&d=4")
+      === "https://h.com/p?b=2&d=4")
   }
 
   test("registered domain: eTLD+1 under two-label suffixes, last-two otherwise") {
