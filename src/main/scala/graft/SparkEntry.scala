@@ -108,6 +108,7 @@ object SparkEntry {
     "llm_snapshot_diff_incremental" -> (LlmQueries.snapshotDiffIncremental _),
     "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
     "warc_gz_roundtrip"        -> (LlmQueries.warcGzRoundtrip _),
+    "warc_html_extract"        -> (LlmQueries.warcHtmlExtract _),
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
     "llm_jsonl_roundtrip"      -> (LlmQueries.jsonlRoundtripPlain _),
     "llm_jsonl_gz_roundtrip"   -> (LlmQueries.jsonlRoundtripGz _),
@@ -1443,6 +1444,21 @@ object SparkEntry {
     "warc_gz_roundtrip" ->
       """SELECT doc_id, text,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS content_length
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Raw-crawl HTML extraction: the engine wraps each doc in a fixture
+    // page with noise planted on every rule (raw-text drops, comments,
+    // attribute '>', inline tags, padding whitespace, entities), frames
+    // it as WARC `response` records (.warc.gz layout), and extracts the
+    // text back. The oracle rebuilds the EXPECTED extraction from the
+    // original table + the planted constants (title line, entity
+    // exemplar line with chr() for quote/apostrophe/NBSP) — a green
+    // hash proves HTTP split + all extraction rule families.
+    "warc_html_extract" ->
+      """SELECT doc_id,
+        |  'planted-title-' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  text || chr(10) ||
+        |  'amp=& lt=< gt=> quot=' || chr(34) || ' apos=' || chr(39) ||
+        |  ' dec=A hex=B' || chr(10) || 'nbsp=' || chr(160) || 'end' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
     // JSONL (Dolma/RedPajama layout) round-trip: serialize → line-frame
     // → explicit-schema FAILFAST parse; the oracle reads the ORIGINAL

@@ -221,4 +221,118 @@ object Warc {
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long")
           .as("doc_id"),
         col("text"), col("content_length"))
+
+  // ------------------------------------------------------------------
+  // Raw `response` records (.warc.gz) — HTML captures, not extracted
+  // text: the form Common Crawl's primary output actually takes. The
+  // block is an HTTP/1.1 message (status line + headers + CRLF CRLF +
+  // HTML body); extraction = split the HTTP head, then
+  // [[HtmlExtract.extract]] on the body. Same file-level parallelism
+  // and single-scan discipline as the WET path.
+  // ------------------------------------------------------------------
+
+  private val HttpHead =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      "Server: graft-fixture\r\n\r\n"
+
+  /** Minimal HTML escaping for planting corpus text inside the fixture
+    * markup (identity on the alphanumeric word-soup corpus — the
+    * planted-entity line is what proves the decoder; this keeps the
+    * synthesis correct for ANY text). */
+  def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** The entity exemplar tail every fixture page plants (one exemplar
+    * per decode rule family), and its decoded form — interpolated into
+    * the oracle so the hash gate proves named/decimal/hex entity
+    * decoding and the `<br/>` line-break rule. */
+  val HtmlEntityLineMarkup: String =
+    "amp=&amp; lt=&lt; gt=&gt; quot=&quot; apos=&#39; dec=&#65; " +
+      "hex=&#x42;<br/>nbsp=&nbsp;end"
+  val HtmlEntityLineText: String =
+    "amp=& lt=< gt=> quot=\" apos=' dec=A hex=B\nnbsp=\u00A0end"
+
+  /** Deterministic fixture page for (docId, text): real-world noise on
+    * every extraction rule — raw-text drops (title/style/script with
+    * planted fake tags inside), a comment, attribute values containing
+    * `>`, mixed-case tags, an inline `<b>` splitting the first word
+    * (must vanish without inserting whitespace), padding whitespace
+    * (must collapse), and the entity exemplar line. Extraction
+    * recovers exactly: `planted-title-{id}\n{text}\n{entity line}`. */
+  def synthesizeHtml(docId: Long, text: String): String = {
+    val esc = escapeHtml(text)
+    val sp = esc.indexOf(' ')
+    val (bold, rest) = if (sp < 0) (esc, "") else esc.splitAt(sp)
+    s"""<!DOCTYPE html>
+       |<HTML lang="en"><head>
+       |<title>t-$docId not body text</title>
+       |<meta charset="utf-8"/>
+       |<style type="text/css">p { color: red; } /* <p>style noise</p> */</style>
+       |<script>var s = "<p>script noise $docId</p>"; if (1 < 2) { }</script>
+       |</head>
+       |<body>
+       |<!-- comment <p>noise</p> $docId -->
+       |<h1 class="t" data-x="a>b">planted-title-$docId</h1>
+       |<div id="main"><p>  <b>$bold</b>$rest  </p></div>
+       |<p>$HtmlEntityLineMarkup</p>
+       |<script type="text/javascript">console.log("$docId");</script>
+       |</body></HTML>""".stripMargin
+  }
+
+  def responseRecord(docId: Long, html: String): Array[Byte] = record(Seq(
+    "WARC-Type" -> "response",
+    "WARC-Target-URI" -> targetUri(docId),
+    "WARC-Record-ID" -> s"<urn:graft:doc:$docId>",
+    "WARC-Date" -> FixtureDate,
+    "Content-Type" -> "application/http; msgtype=response"),
+    (HttpHead + html).getBytes(UTF_8))
+
+  /** Fixture synthesis for the raw-capture path: wrap `documents` into
+    * WARC files of `response` records (same docsPerFile grouping as
+    * [[synthesizeWet]]); `gzipped` = one gzip member per record (the
+    * Common Crawl `.warc.gz` layout). */
+  def synthesizeWarc(spark: SparkSession, docs: DataFrame, idCol: String,
+                     textCol: String, docsPerFile: Int,
+                     gzipped: Boolean = false): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .groupByKey(_._1 / docsPerFile)
+      .mapGroups { (fileId, it) =>
+        val recs = warcinfoRecord(fileId) +: it.toSeq.sortBy(_._1)
+          .map { case (id, t) => responseRecord(id, synthesizeHtml(id, t)) }
+        val blob = if (gzipped) gzipPerRecord(recs)
+        else {
+          val bos = new ByteArrayOutputStream(); recs.foreach(bos.write)
+          bos.toByteArray
+        }
+        (fileId, blob)
+      }
+      .toDF("file_id", "blob")
+  }
+
+  /** Body of an HTTP response message (the block of a WARC `response`
+    * record): everything past the first blank line. Fails loudly on a
+    * non-HTTP block ([[parseRecords]]' corrupt-segment discipline). */
+  def httpBody(block: String): String = {
+    require(block.startsWith("HTTP/"),
+      s"warc: response block is not HTTP (starts '${block.take(12)}')")
+    val cut = block.indexOf("\r\n\r\n")
+    require(cut >= 0, "warc: HTTP head never ends (no CRLFCRLF)")
+    block.substring(cut + 4)
+  }
+
+  /** The crawl-ingest extraction a 100 TB corpus build starts from:
+    * `response` records → HTTP body → [[HtmlExtract.extract]] →
+    * (doc_id parsed from the target URI, text). One typed map-side
+    * pass; the blob never shuffles. */
+  def htmlDocs(spark: SparkSession, files: DataFrame, fileIdCol: String,
+               blobCol: String): DataFrame = {
+    import spark.implicits._
+    records(spark, files, fileIdCol, blobCol)
+      .filter(col("warc_type") === "response")
+      .map(r => (
+        r.target_uri.replaceAll("^.*/doc/(\\d+)$", "$1").toLong,
+        HtmlExtract.extract(httpBody(r.text))))
+      .toDF("doc_id", "text")
+  }
 }

@@ -519,6 +519,22 @@ object LlmQueries {
   def warcGzRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
     wetRoundtrip(spark, sfDir, gzipped = true)
 
+  /** Raw-crawl ingest: corpus → fixture HTML pages → WARC `response`
+    * records in the Common Crawl `.warc.gz` layout (one gzip member per
+    * record) → parse → HTTP-head split → [[graft.ext.HtmlExtract]] →
+    * text. The fixture plants noise on every extraction rule
+    * (script/style/title drops, comments, attribute `>`, inline tags,
+    * padding whitespace, the entity exemplar line), and the oracle
+    * reconstructs the expected text from the ORIGINAL table plus the
+    * planted constants — a green hash proves the whole chain:
+    * container framing, gzip members, HTTP split, and all five
+    * extraction rule families. */
+  def warcHtmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = Warc.synthesizeWarc(spark, docs(spark, sfDir), "doc_id",
+      "text", WarcDocsPerFile, gzipped = true)
+    Warc.htmlDocs(spark, files, "file_id", "blob").orderBy("doc_id")
+  }
+
   /** Per-file record audit over ALL records (warcinfo + conversion):
     * counts and block byte totals — the numbers a crawl-ingest job
     * reconciles against the manifest before trusting a segment. */

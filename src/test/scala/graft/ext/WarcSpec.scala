@@ -75,6 +75,27 @@ class WarcSpec extends SparkSpecBase {
     }
   }
 
+  test("response records round-trip: HTML capture -> extract -> expected text") {
+    val d = df(0L -> "alpha beta gamma", 55L -> "delta", 120L -> "eps zeta")
+    for (gz <- Seq(false, true)) {
+      val files = Warc.synthesizeWarc(spark, d, "doc_id", "text", 50, gzipped = gz)
+      assert(files.count() === 3)
+      val back = Warc.htmlDocs(spark, files, "file_id", "blob")
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+      val want = Seq(0L -> "alpha beta gamma", 55L -> "delta", 120L -> "eps zeta")
+        .map { case (id, t) =>
+          (id, s"planted-title-$id\n$t\n${Warc.HtmlEntityLineText}")
+        }
+      assert(back.toSeq === want, s"gz=$gz")
+    }
+  }
+
+  test("a non-HTTP response block fails loudly (corrupt-segment discipline)") {
+    intercept[IllegalArgumentException] { Warc.httpBody("not http at all") }
+    intercept[IllegalArgumentException] { Warc.httpBody("HTTP/1.1 200 OK\r\nno blank line") }
+    assert(Warc.httpBody("HTTP/1.1 200 OK\r\nA: b\r\n\r\n<p>x</p>") === "<p>x</p>")
+  }
+
   test("parse is map-side: no shuffle, blob never crosses an exchange") {
     val d = df((0L until 20L).map(i => i -> s"doc $i text"): _*)
     val dir = java.nio.file.Files.createTempDirectory("warc_plan").toString
