@@ -167,6 +167,8 @@ object SparkEntry {
     "llm_quality_filter"       -> (LlmQueries.qualityFilter _),
     "llm_sample_strata"        -> (LlmQueries.sampleStrata _),
     "llm_pack_stats"           -> (LlmQueries.packStats _),
+    "llm_bpe_tokens"           -> (LlmQueries.bpeTokens _),
+    "llm_pack_stats_bpe"       -> (LlmQueries.packStatsBpe _),
     "llm_decontam"             -> (LlmQueries.decontam _),
     "llm_decontam_bloom"       -> (LlmQueries.decontamBloom _),
     "llm_dedup_incremental"    -> (LlmQueries.dedupIncremental _),
@@ -2020,6 +2022,46 @@ object SparkEntry {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM laid GROUP BY shard, pack_id
         |ORDER BY shard, pack_id""".stripMargin,
+    // BPE token counts: the oracle re-tokenizes with the SAME regex
+    // pre-tokenizer, then recomputes every BPE count through the
+    // rank-ordered replace() chain over marker-framed symbols (one
+    // replace per merge — the exact single-pass-per-rank semantics the
+    // engine encodes with; see Bpe.sqlTokenCount). Counts evaluated
+    // once per DISTINCT pre-token, joined back.
+    "llm_bpe_tokens" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok
+         |  FROM documents),
+         |v AS (SELECT DISTINCT tok FROM t),
+         |e AS (SELECT tok, ${graft.ext.Bpe.sqlTokenCount("tok")} AS n FROM v),
+         |b AS (SELECT t.doc_id, count(*) AS n_pre, CAST(sum(e.n) AS BIGINT) AS n_bpe
+         |      FROM t JOIN e USING (tok) GROUP BY t.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(b.n_pre, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(b.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN b USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Token-exact packing: the llm_pack_stats layout with n_tokens
+    // replaced by the BPE count above — shard scramble, running sum,
+    // and chunk division all integer-exact in both engines.
+    "llm_pack_stats_bpe" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok
+         |  FROM documents),
+         |v AS (SELECT DISTINCT tok FROM t),
+         |e AS (SELECT tok, ${graft.ext.Bpe.sqlTokenCount("tok")} AS n FROM v),
+         |b AS (SELECT t.doc_id, CAST(sum(e.n) AS BIGINT) AS n_bpe
+         |      FROM t JOIN e USING (tok) GROUP BY t.doc_id),
+         |d AS (SELECT doc_id,
+         |    ((doc_id * 2654435761) % 1000000007) % 1000000 % 8 AS shard,
+         |    CAST(coalesce(b.n_bpe, 0) AS BIGINT) AS n_tokens
+         |  FROM documents LEFT JOIN b USING (doc_id)),
+         |laid AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset
+         |         FROM d)
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(start_offset // 2048 AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM laid GROUP BY shard, pack_id
+         |ORDER BY shard, pack_id""".stripMargin,
     // tf·N/df with LINEAR idf (no ln): pure IEEE int-ratio math, so the
     // doubles are bit-identical across engines.
     "text_tfidf_top_terms" ->

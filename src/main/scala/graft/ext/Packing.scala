@@ -21,33 +21,52 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Per-document pack assignment: (shard, pack_id, start_offset,
-    * n_tokens). Token counts use [[TextStats.nTokens]] (the BPE-ish
-    * regex, identically restatable in DuckDB). */
-  def concatChunk(docs: DataFrame, idCol: String, textCol: String,
-                  nShards: Int, budgetTokens: Long): DataFrame = {
+  /** Pack assignment for documents that already carry a token count in
+    * `n_tokens` — the core all tokenizers share: any counting scheme
+    * (regex, BPE via [[Bpe.tokenCounts]], a served tokenizer) plugs in
+    * by supplying the column. */
+  def concatChunkCounts(docsWithTokens: DataFrame, idCol: String,
+                        nShards: Int, budgetTokens: Long): DataFrame = {
     require(nShards >= 1 && budgetTokens >= 1, "need positive shards/budget")
-    val tok = TextStats.nTokens(col(textCol)).cast("long")
     val w = Window.partitionBy("shard").orderBy(col(idCol).asc)
-    docs
+    docsWithTokens
       .select(col(idCol),
         pmod(Sampling.bucket(col(idCol)), lit(nShards)).as("shard"),
-        tok.as("n_tokens"))
+        col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("start_offset",
         sum(col("n_tokens")).over(w) - col("n_tokens"))
       // integer division: both engines chunk identically (offsets >= 0)
       .withColumn("pack_id", expr(s"start_offset DIV $budgetTokens"))
   }
 
+  /** Per-document pack assignment: (shard, pack_id, start_offset,
+    * n_tokens). Token counts use [[TextStats.nTokens]] (the BPE-ish
+    * regex, identically restatable in DuckDB). */
+  def concatChunk(docs: DataFrame, idCol: String, textCol: String,
+                  nShards: Int, budgetTokens: Long): DataFrame =
+    concatChunkCounts(
+      docs.select(col(idCol),
+        TextStats.nTokens(col(textCol)).cast("long").as("n_tokens")),
+      idCol, nShards, budgetTokens)
+
+  private def rollup(assigned: DataFrame, idCol: String): DataFrame =
+    assigned.groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+
   /** Pack-level rollup: documents and tokens per pack. The pack token
     * count may exceed the budget only via its LAST document spilling
     * over the cut — concat-then-chunk's defining property. */
   def packs(docs: DataFrame, idCol: String, textCol: String,
             nShards: Int, budgetTokens: Long): DataFrame =
-    concatChunk(docs, idCol, textCol, nShards, budgetTokens)
-      .groupBy("shard", "pack_id")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("pack_tokens"),
-        min(col(idCol)).as("first_doc"),
-        max(col(idCol)).as("last_doc"))
+    rollup(concatChunk(docs, idCol, textCol, nShards, budgetTokens), idCol)
+
+  /** [[packs]] over a precomputed `n_tokens` column (token-exact
+    * packing under a real tokenizer — see [[Bpe]]). */
+  def packsCounts(docsWithTokens: DataFrame, idCol: String,
+                  nShards: Int, budgetTokens: Long): DataFrame =
+    rollup(concatChunkCounts(docsWithTokens, idCol, nShards, budgetTokens),
+      idCol)
 }

@@ -1600,6 +1600,25 @@ object LlmQueries {
         nShards = 8, budgetTokens = 2048L)
       .orderBy("shard", "pack_id")
 
+  /** Per-document BPE token counts against the fixture-trained merge
+    * table (see [[graft.ext.Bpe]] — map-side encode, memoized per
+    * distinct word; the oracle recomputes every count through the
+    * rank-ordered `replace()` chain, so the encoder is hash-gated
+    * bit-for-bit). */
+  def bpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Bpe.tokenCounts(docs(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Token-exact packing twin: the same concat-then-chunk layout as
+    * [[packStats]], budgeted in BPE tokens (what a real pretraining
+    * data layout counts) instead of regex tokens. */
+  def packStatsBpe(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Packing.packsCounts(
+        graft.ext.Bpe.tokenCounts(docs(spark, sfDir), "doc_id", "text")
+          .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+        "doc_id", nShards = 8, budgetTokens = 2048L)
+      .orderBy("shard", "pack_id")
+
   /** Top-3 characteristic terms per doc (tf·N/df score, linear idf —
     * see [[TextStats.tfIdfTopTerms]]). */
   def tfIdfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
