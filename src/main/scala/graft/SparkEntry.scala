@@ -97,6 +97,7 @@ object SparkEntry {
     "llm_domain_stats"         -> (LlmQueries.domainStats _),
     "llm_domain_cap_incremental" -> (LlmQueries.domainCapIncremental _),
     "llm_pagerank"             -> (LlmQueries.pagerank _),
+    "llm_pagerank_dangling"    -> (LlmQueries.pagerankDangling _),
     "llm_shuffle_shards"       -> (LlmQueries.shuffleShards _),
     "llm_shuffle_stats"        -> (LlmQueries.shuffleStats _),
     "text_nfc_normalize"       -> (LlmQueries.nfcNormalize _),
@@ -474,25 +475,49 @@ object SparkEntry {
     * [[graft.queries.LlmQueries]] linkEdges). Integer sums are
     * shuffle-order-independent and `//` matches Spark's `DIV` on
     * non-negative operands, so the hash gate is exact. */
-  private def pagerankOracleSql(iters: Int): String = {
+  private def pagerankOracleSql(iters: Int, dangling: Boolean = false): String = {
+    // dangling variant: docs ≡ 0 mod 13 emit no out-edges (they keep
+    // their in-links, so they stay in the node set as rank sinks)
+    val srcFilter = if (dangling) " WHERE doc_id % 13 <> 0" else ""
     val head =
-      """cnt AS (SELECT count(*) AS n FROM documents),
-        |edges AS (
-        |  SELECT doc_id AS src, (doc_id*doc_id + 1) % n AS dst FROM documents, cnt
-        |  UNION ALL SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
-        |  UNION ALL SELECT doc_id AS src, (7*doc_id + 3) % n AS dst FROM documents, cnt),
-        |nodes AS (SELECT DISTINCT src AS node FROM edges
-        |          UNION SELECT DISTINCT dst FROM edges),
-        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micros FROM nodes)""".stripMargin
+      s"""cnt AS (SELECT count(*) AS n FROM documents),
+         |edges AS (
+         |  SELECT doc_id AS src, (doc_id*doc_id + 1) % n AS dst FROM documents, cnt$srcFilter
+         |  UNION ALL SELECT doc_id AS src, doc_id % 97 AS dst FROM documents$srcFilter
+         |  UNION ALL SELECT doc_id AS src, (7*doc_id + 3) % n AS dst FROM documents, cnt$srcFilter),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nN AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micros FROM nodes)""".stripMargin
     val steps = (1 to iters).map { k =>
-      s"""r$k AS (SELECT n.node,
-         |  CAST(150000 + (85 * coalesce(s.in_sum, 0)) // 100 AS BIGINT) AS rank_micros
-         |  FROM nodes n LEFT JOIN (
-         |    SELECT e.dst AS node, CAST(sum(r.rank_micros // d.deg) AS BIGINT) AS in_sum
-         |    FROM edges e JOIN r${k - 1} r ON e.src = r.node
-         |    JOIN deg d ON e.src = d.src
-         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+      if (!dangling)
+        s"""r$k AS (SELECT n.node,
+           |  CAST(150000 + (85 * coalesce(s.in_sum, 0)) // 100 AS BIGINT) AS rank_micros
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(r.rank_micros // d.deg) AS BIGINT) AS in_sum
+           |    FROM edges e JOIN r${k - 1} r ON e.src = r.node
+           |    JOIN deg d ON e.src = d.src
+           |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+      else
+        // the engine's redistribution restated: dangling mass D = rank
+        // held by nodes with no out-edges, each node's incoming sum
+        // gains D DIV |nodes| before damping (same integer ops).
+        // MATERIALIZED: each r_k is referenced TWICE here (d_{k+1} and
+        // the contribution join) — DuckDB inlines CTEs by default, so
+        // without it the chain expands 2^iters scans and exhausts file
+        // handles (observed at iters=10).
+        s"""d$k AS MATERIALIZED (SELECT CAST(coalesce(sum(r.rank_micros), 0) AS BIGINT) AS dsum
+           |  FROM r${k - 1} r LEFT JOIN deg dg ON r.node = dg.src
+           |  WHERE dg.src IS NULL),
+           |r$k AS MATERIALIZED (SELECT n.node,
+           |  CAST(150000 + (85 * (coalesce(s.in_sum, 0) +
+           |    (SELECT dsum FROM d$k) // (SELECT n FROM nN))) // 100 AS BIGINT) AS rank_micros
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(r.rank_micros // d.deg) AS BIGINT) AS in_sum
+           |    FROM edges e JOIN r${k - 1} r ON e.src = r.node
+           |    JOIN deg d ON e.src = d.src
+           |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
     }
     (head +: steps).mkString("WITH ", ",\n", "") +
       s"\nSELECT node AS doc_id, rank_micros FROM r$iters ORDER BY doc_id"
@@ -1344,6 +1369,10 @@ object SparkEntry {
     // (85*sum) DIV 100 damping) — see graft.ext.PageRank for why
     // fixed-point makes the result hash-gateable across engines.
     "llm_pagerank" -> pagerankOracleSql(iters = 10),
+    // Mass-conserving variant over a graph with real dangling nodes:
+    // the per-round redistribution (D DIV |nodes| added to every
+    // incoming sum) restated in the same chained CTEs, bit-for-bit.
+    "llm_pagerank_dangling" -> pagerankOracleSql(iters = 10, dangling = true),
     // Seeded-permutation training shuffle: the oracle runs the SAME
     // affine map (constants interpolated from ShardShuffle.affineConsts,
     // so the two engines cannot drift) and the same range-slice/rank.

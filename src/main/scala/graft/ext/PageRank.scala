@@ -31,9 +31,16 @@ import org.apache.spark.sql.functions._
   * round through the [[graft.util.Checkpoints]] seam (the CC loop's
   * discipline — executor-local by default, durable under
   * `spark.graft.checkpoint.mode=reliable`). Dangling nodes (out-degree
-  * 0) keep their base rank and leak their surplus, the common
-  * simplification (noted, not hidden); supply graphs with out-edges
-  * everywhere — or self-loops — when mass conservation matters.
+  * 0) keep their base rank and leak their surplus BY DEFAULT, the
+  * common simplification; `redistributeDangling = true` applies the
+  * standard correction — each round the dangling nodes' total rank is
+  * shared equally across ALL nodes (added to every node's incoming sum
+  * before damping), restoring mass conservation up to integer
+  * truncation (< 1 micro-unit per node/edge per round — the bound
+  * PageRankSpec asserts). Cost: ONE extra scalar aggregate per round
+  * (the rank vector anti-joined against the static out-node set,
+  * summed) riding into the update as a single-row scalar join — no
+  * per-node state, no extra shuffle of the big side.
   */
 object PageRank {
 
@@ -46,7 +53,8 @@ object PageRank {
     * `base = dampDen - dampNum`. */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
             scale: Long = 1000000L, dampNum: Long = 85L,
-            dampDen: Long = 100L, stageEvery: Int = 3): DataFrame = {
+            dampDen: Long = 100L, stageEvery: Int = 3,
+            redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1 && scale > 0 && dampNum > 0 && dampDen > dampNum &&
       stageEvery >= 1)
     val spark = edges.sparkSession
@@ -64,6 +72,14 @@ object PageRank {
         .repartition(nParts, col("src")))
     val nodesP = graft.util.Checkpoints.stage(
       nodes.repartition(nParts, col("node")))
+    // Static per-iteration inputs of the dangling correction: the
+    // out-node set (for the anti-join) and |nodes| (the share divisor)
+    // — both staged once, the count as a single-row DataFrame so it
+    // rides the scalar-join pattern, never a collect.
+    lazy val srcNodes = graft.util.Checkpoints.stage(
+      e.select(col("src").as("node")).distinct()
+        .repartition(nParts, col("node")))
+    lazy val nNodes = nodesP.agg(count(lit(1)).as("__n"))
     val base = (dampDen - dampNum) * scale / dampDen
     var rank = nodesP.withColumn("rank_micros", lit(scale))
     for (i <- 1 to iters) {
@@ -72,11 +88,26 @@ object PageRank {
         .select(col("dst").as("node"),
           expr("rank_micros DIV deg").as("c"))
         .groupBy("node").agg(sum("c").as("in_sum"))
-      val next = nodesP.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) +
-            expr(s"($dampNum * coalesce(in_sum, 0L)) DIV $dampDen"))
-            .as("rank_micros"))
+      val next =
+        if (!redistributeDangling)
+          nodesP.join(contribs, Seq("node"), "left")
+            .select(col("node"),
+              (lit(base) +
+                expr(s"($dampNum * coalesce(in_sum, 0L)) DIV $dampDen"))
+                .as("rank_micros"))
+        else {
+          // dangling mass this round: rank held by nodes with no
+          // out-edges — one scalar aggregate, shared equally (integer
+          // share D DIV N added to every node's incoming sum)
+          val dsum = rank.join(srcNodes, Seq("node"), "left_anti")
+            .agg(coalesce(sum("rank_micros"), lit(0L)).as("__dsum"))
+          nodesP.join(contribs, Seq("node"), "left")
+            .crossJoin(dsum).crossJoin(nNodes) // single-row scalar joins
+            .select(col("node"),
+              (lit(base) +
+                expr(s"($dampNum * (coalesce(in_sum, 0L) + __dsum DIV __n)) DIV $dampDen"))
+                .as("rank_micros"))
+        }
       // Truncate lineage every `stageEvery` rounds (and at the end):
       // per-round materialization dominates small-graph wall clock,
       // while a bounded 3-round join+agg lineage costs the planner

@@ -311,6 +311,18 @@ object LlmQueries {
       .select(col("node").as("doc_id"), col("rank_micros"))
       .orderBy("doc_id")
 
+  /** Mass-conserving PageRank over a graph with REAL dangling nodes
+    * (docs ≡ 0 mod 13 emit no out-edges but keep their in-links): the
+    * per-round dangling-mass redistribution, bit-exact against the
+    * oracle's chained-CTE restatement of the same integer arithmetic
+    * (see [[graft.ext.PageRank]] `redistributeDangling`). */
+  def pagerankDangling(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.PageRank.ranks(
+        linkEdges(spark, sfDir).where(col("src") % 13 =!= 0),
+        "src", "dst", iters = 10, redistributeDangling = true)
+      .select(col("node").as("doc_id"), col("rank_micros"))
+      .orderBy("doc_id")
+
   /** Training-shuffle shard count / seed (also interpolated into the
     * oracle SQL so both engines run the same affine permutation). */
   val ShuffleShards = 8

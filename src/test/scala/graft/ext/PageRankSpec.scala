@@ -73,4 +73,45 @@ class PageRankSpec extends SparkSpecBase {
     assert(total <= n * 1000000L)
     assert(total > n * 900000L, "every node has out-edges: truncation-only loss")
   }
+
+  test("dangling redistribution conserves total mass; the leak variant loses it") {
+    // star INTO a sink: every node 1..49 points only at node 0, node 0
+    // points nowhere — the harshest dangling case (the highest-rank
+    // node leaks every round without the correction)
+    val n = 50L
+    val iters = 8
+    val edges = spark.range(1, n).select(col("id").as("src"),
+      lit(0L).as("dst"))
+    def total(redistribute: Boolean): Long =
+      PageRank.ranks(edges, "src", "dst", iters = iters,
+          redistributeDangling = redistribute)
+        .agg(sum("rank_micros")).as[Long].head()
+    val leaked = total(redistribute = false)
+    val conserved = total(redistribute = true)
+    // Σrank invariant up to integer truncation: each round loses < 1
+    // micro-unit per node at the share division, per edge at the
+    // contribution division, and per node at the damping division
+    val bound = iters * (2 * n + (n - 1)) // micro-units
+    assert(conserved <= n * 1000000L)
+    assert(n * 1000000L - conserved <= bound,
+      s"conserved total ${conserved} drifted more than truncation allows " +
+        s"(${n * 1000000L - conserved} > $bound)")
+    // without the correction the sink's mass bleeds out measurably
+    assert(leaked < conserved - (n * 1000000L) / 10,
+      s"leak variant should lose >10% of total mass here: $leaked vs $conserved")
+  }
+
+  test("redistribution is deterministic across partitionings") {
+    val n = 120L
+    // every 7th node dangles; the rest scatter three ways
+    val base = spark.range(n).where(col("id") % 7 =!= 0)
+      .select(col("id").as("src"),
+        explode(array((col("id") * col("id") + 1) % n,
+          col("id") % 31, (col("id") * 7 + 3) % n)).as("dst"))
+    val a = rankMap(PageRank.ranks(base.repartition(3), "src", "dst",
+      iters = 5, redistributeDangling = true))
+    val b = rankMap(PageRank.ranks(base.repartition(17), "src", "dst",
+      iters = 5, redistributeDangling = true))
+    assert(a === b)
+  }
 }
