@@ -155,7 +155,6 @@ object ScaleLadder {
     // contaminate the 1x side.
     generate(spark, baseDir, d1, 1)
     generate(spark, baseDir, dF, factor)
-    def timed(body: => Long): Double = timedQuiet("rung")(body)
     // Untimed JIT warmup on the 1x copy (shingle/codegen + JSON parse
     // paths): without it C2 compilation lands inside the first 1x
     // timings and the fitted exponents go NEGATIVE (measured at small
@@ -168,16 +167,17 @@ object ScaleLadder {
     SparkEntry.queries("cdc_normalize_flink")(spark, d1).count()
     val rungs = LadderQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val t1 = timed(fn(spark, d1).count())
-      val tF = timed(fn(spark, dF).count())
+      val allow = !CacheConsuming(name)
+      val (t1, n1) = timedQuiet(s"$name@1x", allow)(fn(spark, d1).count())
+      val (tF, nF) = timedQuiet(s"$name@${factor}x", allow)(fn(spark, dF).count())
       Rung(name, t1, tF, math.log(tF / t1) / math.log(factor.toDouble),
-        Notes.getOrElse(name, ""))
+        Notes.getOrElse(name, "") + n1 + nF)
     }
     // Incremental dedup with |new| FIXED across rungs (the base
     // replica's %10 shard) while the indexed corpus grows F× — the
     // "scales with |new|, not |corpus|" claim, measured. Index build is
     // the one-time ingest cost and stays untimed.
-    def timedInc(dir: String): Double = {
+    def timedInc(dir: String, label: String): (Double, String) = {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val isNew = col("doc_id") < Stride && col("doc_id") % 10 === 0
       val idx = s"$dir/__inc_index"
@@ -185,17 +185,18 @@ object ScaleLadder {
         "doc_id", "text", idx, n = 3,
         maxDf = graft.queries.LlmQueries.JaccardMaxDf,
         shingleBuckets = 16)
-      timed(graft.ext.IncrementalDedup.nearDupPairs(spark, idx,
+      // the probe reads the PERSISTED index — no session cache, retime ok
+      timedQuiet(label)(graft.ext.IncrementalDedup.nearDupPairs(spark, idx,
         docs.where(isNew), "doc_id", "text", threshold = 0.12).count())
     }
     val inc = {
-      val t1 = timedInc(d1)
-      val tF = timedInc(dF)
+      val (t1, n1) = timedInc(d1, "llm_dedup_incremental_fixed_new@1x")
+      val (tF, nF) = timedInc(dF, s"llm_dedup_incremental_fixed_new@${factor}x")
       Rung("llm_dedup_incremental_fixed_new", t1, tF,
         math.log(tF / t1) / math.log(factor.toDouble),
         "|new| held constant while the indexed corpus grows Fx; the " +
           "residual slope is the index scan, which bucketing amortizes " +
-          "on a cluster")
+          "on a cluster" + n1 + nF)
     }
     // Stage-isolated clean-corpus rungs: the composed llm_clean_corpus
     // rung is fixed-overhead-bound at this scale (its exponent hovers
@@ -225,12 +226,47 @@ object ScaleLadder {
           "cost (plan analysis, checkpoints, CC driver rounds), and the " +
           "quality gate filters out rotated replicas so post-filter " +
           "stages see near-constant data (out-rows in the " +
-          "llm_clean_corpus_stage_* rungs)")
+          "llm_clean_corpus_stage_* rungs)" + r.note)
       case r => r
     }
     (annotated :+ inc) ++ threePointRungs(spark, baseDir, root, factor,
       rungs) ++ stageRungs ++ indexSizeRungs(spark, d1) :+
-      zorderRung(spark, d1, dF, factor)
+      zorderRung(spark, d1, dF, factor) :+
+      semdedupScaledKRung(spark, d1, dF, factor)
+  }
+
+  /** SemDeDup at the PAPER's production recipe — nCells ~ √n (Abbas et
+    * al. 2023 §3): the fixed-16-cell rung's note promises the
+    * within-cell pair term is controlled by scaling the cell count;
+    * this rung measures it. With k = √n the candidate-pair term is
+    * Σ|cell|² ≈ n²/k = n^1.5 — versus fixed-k's n² — so the fitted
+    * exponent must sit clearly below the quadratic trajectory.
+    * Quantizer training is untimed (the persisted-index ingest-cost
+    * discipline); the timed body is assign + within-cell join + prune,
+    * the per-query path. The kept-set invariant under scaled k is
+    * asserted in SemDedupSpec. */
+  private def semdedupScaledKRung(spark: SparkSession, d1: String,
+                                  dF: String, factor: Int): Rung = {
+    def at(dir: String, label: String): (Double, Long, Int, String) = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val k = math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
+      val model = graft.ext.Ivf.train(emb, "vec_id", "embedding", nCells = k)
+      val (t, note) = timedQuiet(label)(
+        graft.ext.SemDedup.prune(emb, "vec_id", "embedding", model,
+          tau = 0.35).count())
+      (t, n, k, note)
+    }
+    val (t1, n1, k1, note1) = at(d1, "llm_semdedup_scaledk@1x")
+    val (tF, nF, kF, noteF) = at(dF, s"llm_semdedup_scaledk@${factor}x")
+    Rung("llm_semdedup_scaledk", t1, tF,
+      math.log(tF / t1) / math.log(factor.toDouble),
+      s"the production recipe the fixed-16-cell note points at: " +
+        s"k=sqrt(n) cells ($k1 over $n1 vectors at 1x, $kF over $nF at " +
+        s"${factor}x) holds mean occupancy to sqrt(n), so candidate " +
+        "pairs scale n^1.5 instead of fixed-k's n^2; quantizer " +
+        "training is untimed ingest cost (persisted-index discipline)" +
+        note1 + noteF)
   }
 
   /** Host-steal seconds since boot (/proc/stat cpu field 8) — the same
@@ -242,14 +278,27 @@ object ScaleLadder {
       cpu(8).toDouble / 100.0
     } catch { case _: Throwable => -1.0 }
 
+  /** Rungs whose first execution populates session caches keyed on the
+    * data dir (cachedDF'd capped pairs, the shared-normalize cache, the
+    * session IVF model): a SECOND attempt of the same body would time a
+    * cache scan, not the query — the asymmetry the warmup comment
+    * guards against — so these are never retimed; a steal burst is
+    * annotated instead (r12 ADVICE). */
+  private val CacheConsuming = Set("llm_dedup_corpus_cc", "llm_clean_corpus",
+    "llm_semdedup", "cdc_materialize_debezium")
+
   /** Time once; if host steal inside the window exceeded 10% of the
-    * wall, re-time ONCE and keep the run from the QUIETER window (the
-    * smaller steal — never "the faster number", so a genuine slowdown
-    * on a quiet machine is kept). Ladder rungs are single-shot, so a
-    * steal burst otherwise lands directly in a fitted exponent
-    * (measured r12: the same 30x point swung 31 s ↔ 60 s between two
-    * contended windows). Both attempts go to stderr. */
-  private def timedQuiet(label: String)(body: => Long): Double = {
+    * wall AND the rung's plan is cache-free, re-time ONCE and keep the
+    * run from the QUIETER window (the smaller steal — never "the faster
+    * number", so a genuine slowdown on a quiet machine is kept). Ladder
+    * rungs are single-shot, so a steal burst otherwise lands directly
+    * in a fitted exponent (measured r12: the same 30x point swung
+    * 31 s ↔ 60 s between two contended windows). Returns the kept time
+    * plus a note fragment recording any retime / skipped retime, so the
+    * artifact itself discloses which numbers came from which window.
+    * Both attempts go to stderr. */
+  private def timedQuiet(label: String, retimeAllowed: Boolean = true)
+                        (body: => Long): (Double, String) = {
     def once(): (Double, Double) = {
       val s0 = stealSeconds()
       val t0 = System.nanoTime()
@@ -260,15 +309,29 @@ object ScaleLadder {
       (dt, if (s0 < 0 || s1 < 0) -1.0 else s1 - s0)
     }
     val (dt1, st1) = once()
-    if (st1 < 0 || st1 <= 0.1 * dt1) dt1
-    else {
+    if (st1 < 0 || st1 <= 0.1 * dt1) (dt1, "")
+    else if (!retimeAllowed) {
+      System.err.println(
+        s"[ladder] $label: ${fmtS(st1)} s steal inside a ${fmtS(dt1)} s " +
+          "window — NOT retiming (cache-consuming rung)")
+      (dt1, s" [$label: ${fmtS(st1)} s host steal inside this " +
+        s"${fmtS(dt1)} s window, not retimed — the rung populates " +
+        "session caches on first execution, so a retime would measure " +
+        "a cache scan]")
+    } else {
       System.err.println(
         s"[ladder] $label: ${fmtS(st1)} s steal inside a ${fmtS(dt1)} s " +
           "window — retiming once")
       val (dt2, st2) = once()
       System.err.println(
         s"[ladder] $label retime: ${fmtS(dt2)} s (steal ${fmtS(st2)} s)")
-      if (st2 < st1) dt2 else dt1
+      if (st2 < st1)
+        (dt2, s" [$label: retimed on ${fmtS(st1)} s steal; kept the " +
+          s"quieter window ${fmtS(dt2)} s @${fmtS(st2)} s steal over " +
+          s"${fmtS(dt1)} s @${fmtS(st1)} s]")
+      else
+        (dt1, s" [$label: retime stayed louder (${fmtS(st2)} s steal); " +
+          s"kept the first window ${fmtS(dt1)} s @${fmtS(st1)} s steal]")
     }
   }
 
@@ -300,7 +363,8 @@ object ScaleLadder {
       }
       DeepRungQueries.flatMap { name =>
         twoPoint.find(_.name == name).map { r =>
-          val t2 = timedQuiet(s"${name}@${factor2}x")(
+          val (t2, n2) = timedQuiet(s"${name}@${factor2}x",
+            retimeAllowed = !CacheConsuming(name))(
             SparkEntry.queries(name)(spark, d2).count())
           val e = lsSlope(Seq(1.0 -> r.t1, factor.toDouble -> r.tF,
             factor2.toDouble -> t2))
@@ -309,7 +373,8 @@ object ScaleLadder {
             s"3-point least-squares over 1x/${factor}x/${factor2}x " +
               s"(t = ${f(r.t1)} / ${f(r.tF)} / ${f(t2)} s); tF is the " +
               s"${factor2}x time, exponent is the fitted slope; a knee " +
-              "past the first decade would push it above the 2-point fit")
+              "past the first decade would push it above the 2-point fit" +
+              n2)
         }
       }
     }

@@ -57,6 +57,34 @@ class SemDedupSpec extends SparkSpecBase {
     assert(spurious.count() === 0L)
   }
 
+  test("kept-set invariants hold under the scaled-k recipe (nCells = sqrt(n))") {
+    // the llm_semdedup_scaledk ladder rung trains k = sqrt(n) cells;
+    // both SemDeDup guarantees must be k-independent: no kept pair at
+    // tau within a cell, and no spurious prune anywhere
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = real.count()
+    val k = math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
+    val model = Ivf.train(real, "vec_id", "embedding", nCells = k)
+    val verdicts = SemDedup.prune(real, "vec_id", "embedding", model, 0.35)
+    val kept = verdicts.where(col("kept"))
+      .join(real, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        Similarity.l2(col("embedding")).as("n2"))
+    val a = kept.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("n2").as("na"))
+    val b = kept.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("n2").as("nb"))
+    val offenders = a.join(b, "cell").where(col("id_a") < col("id_b"))
+      .where(Similarity.pairSim(col("va"), col("na"), col("vb"), col("nb"))
+        >= 0.35)
+    assert(offenders.count() === 0L, s"kept pair above tau at k=$k")
+    val pruned = verdicts.where(!col("kept")).select("vec_id")
+    val catchable = Similarity.exactCosinePairs(real, "vec_id", "embedding",
+      0.35).select(col("id_b").as("vec_id")).distinct()
+    assert(pruned.join(catchable, Seq("vec_id"), "left_anti").count() === 0L,
+      s"spurious prune at k=$k")
+  }
+
   test("the within-cell join never plans a cartesian product") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val model = Ivf.train(real, "vec_id", "embedding", nCells = 16)
