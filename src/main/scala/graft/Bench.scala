@@ -103,6 +103,65 @@ object Bench {
         None
       }
 
+    // Double.toString is locale-independent ('.' decimal always) — the
+    // JSON contract must not go through a default-locale formatter.
+    def num(d: Double): String = (math.rint(d * 1000) / 1000).toString
+    // Two estimators per forked query (defined up here because the
+    // canary phase below uses them too), BOTH recorded in the artifact
+    // — see the fork-phase comment for the full rationale.
+    def medianAll(rc: Seq[(Double, Double, Double, Double)]): Double = {
+      val v = rc.map(_._1).sorted; v(v.size / 2)
+    }
+    def medianQuiet(rc: Seq[(Double, Double, Double, Double)]): Double =
+      if (rc.exists(_._2 <= 0)) medianAll(rc) // probe unreadable → no filter
+      else {
+        val noBurst = rc.filter(_._3 <= 1.0)
+        val pool = if (noBurst.size >= 3) noBurst else rc
+        val quiet = pool.zipWithIndex
+          .sortBy { case (r, i) => (r._2, i) }.take(3).map(_._1._1)
+        quiet.sorted.apply(quiet.size / 2)
+      }
+
+    // CROSS-ROUND CANARY: a frozen 12-query subset (cdc/relational/llm
+    // mix) timed FIRST, each in a fresh forked JVM, before the in-JVM
+    // sweep touches any session state. The r11→r12 common-subset drift
+    // (+5.2% on identical queries) was unattributable because every
+    // recorded number shared a JVM with a suite that grew 116→158 rows;
+    // the canary isolates ENGINE drift from suite-growth/session
+    // pressure — judges compare canary-to-canary across rounds. The
+    // list is append-only frozen: changing it breaks the comparison it
+    // exists for.
+    val canaryQueries = Seq(
+      "q1_pricing", "q3_revenue", "events_sessions", "events_hourly",
+      "cdc_normalize_debezium", "cdc_latest_rownumber",
+      "cdc_materialize_debezium",
+      "llm_neardup_jaccard", "llm_line_dedup", "llm_lm_score",
+      "llm_pack_stats", "text_quality_score")
+    val canaryResults: Seq[(String, Option[Seq[(Double, Double, Double, Double)]])] =
+      canaryQueries.map { name =>
+        val r = forkedReps(name)
+        System.err.println(s"[bench] canary $name -> " +
+          r.map(rs => num(medianQuiet(rs)) + " s").getOrElse("FORK FAILED"))
+        (name, r)
+      }
+    def canaryJson(full: Boolean): String = {
+      val qs = canaryResults.map { case (k, r) =>
+        "\"" + k + "\":" + r.map(rs => num(medianQuiet(rs))).getOrElse("-1.0")
+      }.mkString("{", ",", "}")
+      if (!full) s"""{"queries":$qs}"""
+      else {
+        val reps = canaryResults.map { case (k, r) =>
+          "\"" + k + "\":" +
+            r.map(_.map(x => num(x._1)).mkString("[", ",", "]")).getOrElse("[]")
+        }.mkString("{", ",", "}")
+        val steals = canaryResults.map { case (k, r) =>
+          "\"" + k + "\":" +
+            r.map(_.map(x => num(x._3)).mkString("[", ",", "]")).getOrElse("[]")
+        }.mkString("{", ",", "}")
+        s"""{"queries":$qs,"reps":$reps,"steal":$steals}"""
+      }
+    }
+
     val first = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, timed(name, fn))
     }
@@ -192,22 +251,11 @@ object Bench {
     //    on the rep's own runtime (r11) made the estimator min-biased —
     //    a genuine regression surfacing as occasional slow reps would
     //    have been systematically discarded.
-    // The headline number is median_quiet, but it is only trusted when
-    // the two agree: if they diverge >1.5× the fork window itself was
-    // noisy, and the row is RE-FORKED once — both medians recomputed
-    // over the merged rep pool — instead of letting the filter decide.
-    def medianAll(rc: Seq[(Double, Double, Double, Double)]): Double = {
-      val v = rc.map(_._1).sorted; v(v.size / 2)
-    }
-    def medianQuiet(rc: Seq[(Double, Double, Double, Double)]): Double =
-      if (rc.exists(_._2 <= 0)) medianAll(rc) // probe unreadable → no filter
-      else {
-        val noBurst = rc.filter(_._3 <= 1.0)
-        val pool = if (noBurst.size >= 3) noBurst else rc
-        val quiet = pool.zipWithIndex
-          .sortBy { case (r, i) => (r._2, i) }.take(3).map(_._1._1)
-        quiet.sorted.apply(quiet.size / 2)
-      }
+    // The headline number is median_quiet (defined above the canary
+    // phase), but it is only trusted when the two agree: if they
+    // diverge >1.5× the fork window itself was noisy, and the row is
+    // RE-FORKED once — both medians recomputed over the merged rep
+    // pool — instead of letting the filter decide.
     val results = first.map { case (name, fn, t) =>
       if (t > 3.0 || (t >= 0 && alwaysFork(name))) {
         forkedReps(name) match {
@@ -278,11 +326,8 @@ object Bench {
       val evidence =
         if (full) s""","reps":$rs,"reps_env":$rsEnv,"medians":$medStr"""
         else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$evidence,"stream":$stream,"sink_small_batch":$sinkCmp,"zorder_layout":$layout,"ladder":$ladder,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$evidence,"canary":${canaryJson(full)},"stream":$stream,"sink_small_batch":$sinkCmp,"zorder_layout":$layout,"ladder":$ladder,"sf":"$sfDir"}"""
     }
-    // Double.toString is locale-independent ('.' decimal always) — the
-    // JSON contract must not go through a default-locale formatter.
-    def num(d: Double): String = (math.rint(d * 1000) / 1000).toString
     // Persist the query timings BEFORE the stream phase: a hung
     // streaming query must not forfeit the 90+ timings already earned.
     val noStream = """{"events":0,"batches":0,"sec":-1,"events_per_sec":-1}"""

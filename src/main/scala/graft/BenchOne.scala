@@ -16,7 +16,12 @@ package graft
   * within 1.25×, so C2-compilation drift is absorbed by the warmup phase
   * instead of contaminating rep1. All warmup times are printed for
   * transparency — the timed reps are every measurement taken after
-  * steady state, not a filtered selection. */
+  * steady state, not a filtered selection.
+  *
+  * Each timed rep additionally carries the steal-retime rule (see the
+  * rep loop): a rep window with heavy host steal is re-measured once
+  * and the quieter window kept, the discarded attempt printed as a
+  * `drop<i>` line the rep parser ignores. */
 object BenchOne {
   /** Locale-independent seconds formatting: Bench.forkedReps parses the
     * rep line with `([0-9.]+) s`, and a default-locale `%.3f` renders a
@@ -148,16 +153,43 @@ object BenchOne {
     val wantClean = math.min(3, minReps)
     def cleanReps = steals.count(s => s >= 0 && s <= 1.0)
     def stealKnown = steals.nonEmpty && steals.forall(_ >= 0)
-    while (i < minReps || (i < maxReps && spreadTol > 0 &&
-        ((times.nonEmpty && times.max / times.min > spreadTol) ||
-          (stealKnown && cleanReps < wantClean)))) {
+    // Per-rep steal retime (the ladder's timedQuiet rule, ported): a
+    // rep whose window carried host steal above max(10% of wall, 0.5 s)
+    // is re-measured ONCE and the QUIETER-window attempt is kept (the
+    // smaller steal — never the faster time, so genuine slowdowns on a
+    // quiet machine survive). Safe here, unlike single-shot ladder
+    // rungs with cache-populating bodies: reps are repeated executions
+    // in one JVM, so any session cache was already populated by warmup/
+    // rep1 and both attempts see identical state. The discarded attempt
+    // prints as a `drop` line (the Bench parser matches only `rep\\d`),
+    // so the evidence stays in the fork log without entering the rep
+    // pool. Disable with GRAFT_NO_STEAL_RETIME.
+    val retimeOnSteal = !sys.env.contains("GRAFT_NO_STEAL_RETIME")
+    def measure(): (Long, Double, Double, Double) = {
       val s0 = stealSeconds()
       val g0 = gcSeconds()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       val steal = { val s1 = stealSeconds(); if (s0 < 0 || s1 < 0) -1.0 else s1 - s0 }
-      val gc = gcSeconds() - g0
+      (n, dt, steal, gcSeconds() - g0)
+    }
+    while (i < minReps || (i < maxReps && spreadTol > 0 &&
+        ((times.nonEmpty && times.max / times.min > spreadTol) ||
+          (stealKnown && cleanReps < wantClean)))) {
+      var (n, dt, steal, gc) = measure()
+      if (retimeOnSteal && steal > math.max(0.1 * dt, 0.5)) {
+        println(s"[bench-one] $name drop${i + 1} rows=$n ${fmt(dt)} s " +
+          s"steal=${fmt(steal)} gc=${fmt(gc)} — retiming once")
+        if (gcBetweenReps) System.gc()
+        val (n2, dt2, steal2, gc2) = measure()
+        if (steal2 >= 0 && steal2 < steal) {
+          n = n2; dt = dt2; steal = steal2; gc = gc2
+        } else
+          println(s"[bench-one] $name drop${i + 1}b rows=$n2 ${fmt(dt2)} s " +
+            s"steal=${fmt(steal2)} gc=${fmt(gc2)} — retime stayed louder, " +
+            "keeping the first window")
+      }
       val cal = calibrate()
       println(s"[bench-one] $name rep${i + 1} rows=$n ${fmt(dt)} s " +
         s"cal=${fmt(cal)} steal=${fmt(steal)} gc=${fmt(gc)}")

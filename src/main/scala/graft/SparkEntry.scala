@@ -115,6 +115,7 @@ object SparkEntry {
     "llm_jsonl_gz_roundtrip"   -> (LlmQueries.jsonlRoundtripGz _),
     "llm_lm_incremental"       -> (LlmQueries.lmIncremental _),
     "llm_lm_score"             -> (LlmQueries.lmScore _),
+    "llm_lm_buckets"           -> (LlmQueries.lmBuckets _),
     "llm_neardup_minhash"      -> (LlmQueries.minhashNearDup _),
     "llm_simhash_fingerprints" -> (LlmQueries.simhashFingerprints _),
     "llm_simhash_neardup"      -> (LlmQueries.simhashNearDup _),
@@ -318,6 +319,33 @@ object SparkEntry {
        |             THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
        |             ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain
        |      FROM c)""".stripMargin
+
+  /** The CCNet trigram-LM scoring chain (NgramLm's integer-bit
+    * arithmetic restated), ending in
+    * `sc(doc_id, n_trigrams, total_bits, bits_per_trigram)` — shared by
+    * `llm_lm_score` and the `llm_lm_buckets` tertile split. */
+  private val LmScoreCteSql =
+    """WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
+      |tri AS (SELECT doc_id, substr(txt, i, 3) AS tri
+      |        FROM t, unnest(generate_series(1, len(txt) - 2)) AS s(i)
+      |        WHERE len(txt) >= 3),
+      |big AS (SELECT doc_id, substr(txt, i, 2) AS big
+      |        FROM t, unnest(generate_series(1, len(txt) - 1)) AS s(i)
+      |        WHERE len(txt) >= 2),
+      |v AS (SELECT count(DISTINCT substr(txt, i, 1)) AS nv
+      |      FROM t, unnest(generate_series(1, len(txt))) AS s(i)),
+      |m3 AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY tri),
+      |m2 AS (SELECT big, count(*) AS c2 FROM big GROUP BY big),
+      |scored AS (
+      |  SELECT tri.doc_id,
+      |    length(format('{:b}', m2.c2 + (SELECT nv FROM v)))
+      |      - length(format('{:b}', m3.c3 + 1)) AS bits
+      |  FROM tri JOIN m3 USING (tri)
+      |  JOIN m2 ON m2.big = substr(tri.tri, 1, 2)),
+      |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+      |         CAST(sum(bits) AS BIGINT) AS total_bits,
+      |         CAST(sum(bits) AS DOUBLE) / count(*) AS bits_per_trigram
+      |       FROM scored GROUP BY doc_id)""".stripMargin
 
   /** Shared by `llm_decontam` and `llm_decontam_bloom`: the bloom path
     * is an exact-equivalent plan variant, so it gates on the same SQL. */
@@ -1600,27 +1628,26 @@ object SparkEntry {
     // integer arithmetic, so no transcendental or sum-order divergence;
     // see NgramLm's scaladoc), one final BIGINT/BIGINT division.
     "llm_lm_score" ->
-      """WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
-        |tri AS (SELECT doc_id, substr(txt, i, 3) AS tri
-        |        FROM t, unnest(generate_series(1, len(txt) - 2)) AS s(i)
-        |        WHERE len(txt) >= 3),
-        |big AS (SELECT doc_id, substr(txt, i, 2) AS big
-        |        FROM t, unnest(generate_series(1, len(txt) - 1)) AS s(i)
-        |        WHERE len(txt) >= 2),
-        |v AS (SELECT count(DISTINCT substr(txt, i, 1)) AS nv
-        |      FROM t, unnest(generate_series(1, len(txt))) AS s(i)),
-        |m3 AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY tri),
-        |m2 AS (SELECT big, count(*) AS c2 FROM big GROUP BY big),
-        |scored AS (
-        |  SELECT tri.doc_id,
-        |    length(format('{:b}', m2.c2 + (SELECT nv FROM v)))
-        |      - length(format('{:b}', m3.c3 + 1)) AS bits
-        |  FROM tri JOIN m3 USING (tri)
-        |  JOIN m2 ON m2.big = substr(tri.tri, 1, 2))
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-        |  CAST(sum(bits) AS BIGINT) AS total_bits,
-        |  CAST(sum(bits) AS DOUBLE) / count(*) AS bits_per_trigram
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$LmScoreCteSql
+         |SELECT doc_id, n_trigrams, total_bits, bits_per_trigram
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    // CCNet's head/middle/tail selection: exact rank tertiles under the
+    // (bits_per_trigram ASC, doc_id) total order — the engine computes
+    // the rank DISTRIBUTED (range slices + offset prefix-sum, see
+    // GlobalRank), the oracle with a plain global row_number(); a green
+    // hash proves the distributed rank exactly equals the single-window
+    // form.
+    "llm_lm_buckets" ->
+      s"""$LmScoreCteSql,
+         |r AS (SELECT doc_id,
+         |        row_number() OVER (ORDER BY bits_per_trigram ASC, doc_id ASC) - 1 AS lm_rank,
+         |        count(*) OVER () AS n
+         |      FROM sc)
+         |SELECT doc_id, CAST(lm_rank AS BIGINT) AS lm_rank,
+         |  CASE WHEN (lm_rank + 1) * 3 <= n THEN 'head'
+         |       WHEN (lm_rank + 1) * 3 <= 2 * n THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin,
     // Incremental ≡ full-recompute-restricted: the SAME full-corpus
     // Jaccard CTE (combined-df cap included), restricted to pairs with
     // at least one side in the arriving shard (doc_id % 10 = 0). The

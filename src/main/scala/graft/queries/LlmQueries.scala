@@ -614,6 +614,23 @@ object LlmQueries {
     NgramLm.selfScore(docs(spark, sfDir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** CCNet's head/middle/tail selection over the LM scores: exact rank
+    * tertiles under (bits_per_trigram ASC, doc_id) — lower bits = more
+    * fluent = head. The rank is computed DISTRIBUTED (range slices +
+    * offset prefix-sum, never a single-partition window over the data —
+    * [[graft.ext.GlobalRank]]); the oracle's plain global row_number()
+    * must hash-match it exactly. */
+  def lmBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.GlobalRank.withRank(
+        NgramLm.selfScore(docs(spark, sfDir), "doc_id", "text"),
+        Seq(col("bits_per_trigram").asc, col("doc_id").asc),
+        rankCol = "lm_rank", totalCol = "__n")
+      .select(col("doc_id"), col("lm_rank"),
+        when((col("lm_rank") + 1) * 3 <= col("__n"), "head")
+          .when((col("lm_rank") + 1) * 3 <= col("__n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+
   /** MinHash-LSH near-dup (approximate candidates, exact verification).
     * No SQL oracle — LSH recall is probabilistic; correctness is covered
     * by the scalatest comparing it against [[nearDupJaccard]]. */
