@@ -148,7 +148,17 @@ object StreamBench {
       run(spark, 5000, 3)
       graft.util.StageProf.reset()
     }
-    val r = run(spark, epb, nb)
+    // GRAFT_STREAM_REPS > 1: repeat the full-size run and report the
+    // MEDIAN as the final line (the machine-parsed contract below) —
+    // Bench forks this main for the fresh-JVM standalone figure.
+    val reps = sys.env.getOrElse("GRAFT_STREAM_REPS", "1").toInt
+    val rs = (1 to reps).map { i =>
+      val r = run(spark, epb, nb)
+      if (reps > 1)
+        println(f"[stream-bench] run$i sec=${r.sec}%.3f eps=${r.eps}%.1f")
+      r
+    }
+    val r = rs.sortBy(_.eps).apply(rs.size / 2)
     println(f"[stream-bench] events=${r.events} batches=${r.batches} sec=${r.sec}%.3f eps=${r.eps}%.1f")
     if (graft.util.StageProf.enabled)
       println(s"[stream-bench] stage breakdown (cumulative wall, incl. warm batch):\n" +
