@@ -101,6 +101,7 @@ object ScaleLadder {
     * the production preset is what a scale claim is about. */
   private val LadderQueries = Seq(
     "llm_neardup_jaccard",
+    "llm_neardup_jaccard_prefix",
     "llm_span_dedup",
     "llm_semdedup",
     "llm_neardup_minhash",
@@ -116,6 +117,13 @@ object ScaleLadder {
     * count with log₂(n); the ladder pins the honest exponent and this
     * note explains it rather than hiding it. */
   private val Notes = Map(
+    "llm_neardup_jaccard_prefix" ->
+      ("AllPairs prefix filter at the production threshold 0.8, " +
+        "UNCAPPED: candidate pairs come from each doc's rarest ~20% " +
+        "of shingles (43.5k vs the full index's 1.27M at sf0.1), the " +
+        "lossless alternative to the maxDf recall cap; below ~t=0.5 " +
+        "the plain inverted index wins and is what llm_neardup_jaccard " +
+        "uses"),
     "llm_cosine_neardup_scale" ->
       ("fixed 12-plane LSH: candidates scale n^2/2^p; at 10x data a " +
         "production deployment raises nPlanes by ~log2(10) to hold the " +

@@ -80,6 +80,9 @@ object SparkEntry {
     "llm_dedup_cc"             -> (LlmQueries.dedupCc _),
     "llm_dedup_corpus_cc"      -> (LlmQueries.dedupCorpusCc _),
     "llm_neardup_jaccard"      -> (LlmQueries.nearDupJaccard _),
+    "llm_neardup_jaccard_prefix" -> (LlmQueries.nearDupJaccardPrefix _),
+    "llm_neardup_jaccard_hi"   -> (LlmQueries.nearDupJaccardHiFull _),
+    "llm_prefix_candidate_stats" -> (LlmQueries.prefixCandidateStats _),
     "llm_span_dedup"           -> (LlmQueries.spanDedup _),
     "llm_span_dedup_stats"     -> (LlmQueries.spanDedupStats _),
     "llm_span_dedup_cut"       -> (LlmQueries.spanDedupCut _),
@@ -180,6 +183,10 @@ object SparkEntry {
     "llm_simhash_incremental_parity" -> (LlmQueries.simhashIncrementalParity _),
     "llm_decontam_incremental" -> (LlmQueries.decontamIncremental _),
     "llm_clean_corpus"         -> (LlmQueries.cleanCorpus _),
+    "llm_c4_clean"             -> (LlmQueries.c4Clean _),
+    "llm_c4_stats"             -> (LlmQueries.c4Stats _),
+    "llm_blocklist_filter"     -> (LlmQueries.blocklistFilter _),
+    "llm_blocklist_stats"      -> (LlmQueries.blocklistStats _),
     "llm_mixture_stats"        -> (LlmQueries.mixtureStats _),
     "llm_dedup_cluster_sizes"  -> (LlmQueries.dedupClusterSizes _),
     // --- multimodal (real JDK image/audio codecs + AVI/MP4 container
@@ -258,6 +265,34 @@ object SparkEntry {
       |            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
       |       ELSE '' END AS text
       |FROM documents""".stripMargin
+
+  /** Byte-identical twin of LlmQueries.c4Docs: the word-soup corpus
+    * restructured into 10-word lines with deterministic (doc_id,
+    * line_idx)-keyed decorations — see the Scala side for the arms. */
+  private lazy val C4PlantedSql =
+    s"""SELECT doc_id,
+       |  array_to_string(
+       |    [array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') ||
+       |       CASE CAST((doc_id + i) % 4 AS INTEGER)
+       |         WHEN 0 THEN '.' WHEN 1 THEN '?' WHEN 2 THEN ''
+       |         ELSE ' javascript.' END
+       |     FOR i IN generate_series(1,
+       |       CAST(floor((len(ws) - 1) / 10) AS BIGINT) + 1)],
+       |    chr(10)) ||
+       |  CASE WHEN doc_id % 17 = 0
+       |       THEN chr(10) || 'lorem ipsum dolor sit.' ELSE '' END ||
+       |  CASE WHEN doc_id % 19 = 0
+       |       THEN chr(10) || 'config { block }.' ELSE '' END AS text
+       |FROM (SELECT doc_id, $WL AS ws FROM documents)
+       |WHERE len(ws) >= 1 AND NOT (len(ws) = 1 AND ws[1] = '')""".stripMargin
+
+  /** The C4 line-keep predicate as a DuckDB list_filter lambda body —
+    * shared by the clean and stats oracles. */
+  private val C4KeptListSql =
+    """list_filter(string_split(text, chr(10)),
+      |      l -> regexp_matches(trim(l), '[.!?"]$')
+      |           AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+      |           AND NOT contains(lower(trim(l)), 'javascript'))""".stripMargin
 
   /** Byte-identical twin of LlmQueries.urlDocs — the messy-URL fixture
     * behind the llm_url_* / llm_domain_* rows. */
@@ -423,6 +458,25 @@ object SparkEntry {
        |FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
        |           JOIN sizes sb ON inter.id_b = sb.doc_id
        |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.12""".stripMargin
+
+  /** Exact n-gram Jaccard pairs at the PRODUCTION near-dup threshold
+    * (0.8), uncapped — the shared oracle body of the prefix-filter
+    * losslessness gate (llm_neardup_jaccard_prefix and
+    * llm_neardup_jaccard_hi both hash against it). */
+  private lazy val JaccardPairsHiSql =
+    s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle
+       |       FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+       |       WHERE len(ws) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b,
+       |  round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+       |FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+       |           JOIN sizes sb ON inter.id_b = sb.doc_id
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8""".stripMargin
 
   /** Exact side of the incremental-minhash recall gate: the UNCAPPED
     * Jaccard pair set (the signature index drops the df cap by design —
@@ -1147,6 +1201,51 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin,
     "llm_neardup_jaccard" ->
       s"$JaccardPairsSql\nORDER BY id_a, id_b",
+    // The prefix-filtered variant and its full-inverted-index twin run
+    // at the PRODUCTION near-dup threshold (0.8, uncapped) and share
+    // one oracle body — both equal to DuckDB ground truth IS the
+    // prefix principle's losslessness proof.
+    "llm_neardup_jaccard_prefix" ->
+      s"$JaccardPairsHiSql\nORDER BY id_a, id_b",
+    "llm_neardup_jaccard_hi" ->
+      s"$JaccardPairsHiSql\nORDER BY id_a, id_b",
+    // Candidate-reduction evidence: the oracle recomputes the full
+    // inverted-index candidate count, the prefix-index candidate count
+    // (same rarest-first (df, shingle) order, same rank inequality with
+    // the same 1e-9 slack — IEEE-identical arithmetic in both engines),
+    // and the final qualifying pair count.
+    "llm_prefix_candidate_stats" ->
+      s"""WITH w AS (SELECT doc_id, $WL AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle
+         |       FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+         |       WHERE len(ws) >= 3),
+         |df AS (SELECT shingle, count(*) AS gdf FROM sh GROUP BY shingle),
+         |szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |rk AS (SELECT s.doc_id, s.shingle, z.n_sh,
+         |         row_number() OVER (PARTITION BY s.doc_id
+         |                            ORDER BY d.gdf, s.shingle) AS rnk
+         |       FROM sh s JOIN df d USING (shingle) JOIN szs z USING (doc_id)),
+         |pre AS (SELECT doc_id, shingle, n_sh FROM rk
+         |        WHERE CAST(n_sh - rnk + 1 AS DOUBLE) >=
+         |              0.8 * CAST(n_sh AS DOUBLE) - 1e-9),
+         |fullc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id),
+         |prec AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM pre a JOIN pre b USING (shingle)
+         |         WHERE a.doc_id < b.doc_id
+         |           AND CAST(least(a.n_sh, b.n_sh) AS DOUBLE) >=
+         |               0.8 * CAST(greatest(a.n_sh, b.n_sh) AS DOUBLE) - 1e-9),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |outp AS (SELECT id_a FROM inter
+         |         JOIN szs sa ON inter.id_a = sa.doc_id
+         |         JOIN szs sb ON inter.id_b = sb.doc_id
+         |         WHERE CAST(n_inter AS DOUBLE) /
+         |               CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8)
+         |SELECT (SELECT count(*) FROM fullc) AS full_cands,
+         |       (SELECT count(*) FROM prec) AS prefix_cands,
+         |       (SELECT count(*) FROM outp) AS pairs_out""".stripMargin,
     // Span-level exact substring dedup (Lee et al. 2022): the oracle
     // groups windows by their TEXT; the engine groups by a 128-bit
     // fingerprint — identical output short of a 2^-128-scale collision
@@ -1754,6 +1853,57 @@ object SparkEntry {
          |JOIN survivors s ON d.doc_id = s.doc_id
          |WHERE d.doc_id NOT IN (SELECT id FROM comps WHERE comp <> id)
          |ORDER BY d.doc_id""".stripMargin,
+    // C4 page cleaning over the decorated fixture: the oracle replays
+    // the identical (doc_id, line_idx)-keyed decoration, then the same
+    // three line rules + two page markers + min-line floor. clean_text
+    // is compared byte-for-byte.
+    "llm_c4_clean" ->
+      s"""WITH p AS ($C4PlantedSql),
+         |k AS (SELECT doc_id, $C4KeptListSql AS kl,
+         |        len(string_split(text, chr(10))) AS n_in
+         |      FROM p
+         |      WHERE NOT contains(lower(text), 'lorem ipsum')
+         |        AND NOT contains(text, '{'))
+         |SELECT doc_id, array_to_string(kl, chr(10)) AS clean_text,
+         |  CAST(len(kl) AS BIGINT) AS n_lines_kept,
+         |  CAST(n_in AS BIGINT) AS n_lines_in
+         |FROM k WHERE len(kl) >= 2 ORDER BY doc_id""".stripMargin,
+    "llm_c4_stats" ->
+      s"""WITH p AS ($C4PlantedSql),
+         |per AS (SELECT doc_id,
+         |          (contains(lower(text), 'lorem ipsum')
+         |           OR contains(text, '{')) AS marker,
+         |          len(string_split(text, chr(10))) AS n_in,
+         |          $C4KeptListSql AS kl
+         |        FROM p)
+         |SELECT CAST(count(*) AS BIGINT) AS docs_in,
+         |  CAST(sum(CASE WHEN marker THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_dropped_marker,
+         |  CAST(sum(CASE WHEN NOT marker AND len(kl) < 2 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS docs_dropped_minlines,
+         |  CAST(sum(CASE WHEN NOT marker AND len(kl) >= 2 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS docs_kept,
+         |  CAST(sum(CASE WHEN NOT marker AND len(kl) >= 2 THEN n_in ELSE 0 END)
+         |    AS BIGINT) AS lines_in_kept_docs,
+         |  CAST(sum(CASE WHEN NOT marker AND len(kl) >= 2 THEN len(kl)
+         |    ELSE 0 END) AS BIGINT) AS lines_kept
+         |FROM per""".stripMargin,
+    // Token-exact blocklist: whole-word equality after the same
+    // lower+whitespace split (never substring — "class" cannot match a
+    // blocklist "ass").
+    "llm_blocklist_filter" ->
+      """SELECT doc_id, lang, n_chars FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1
+        |  FROM unnest(regexp_split_to_array(trim(lower(d.text)), '\s+')) AS t(w)
+        |  WHERE w IN ('slow', 'vector', 'spam'))
+        |ORDER BY doc_id""".stripMargin,
+    "llm_blocklist_stats" ->
+      """SELECT w AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_flagged
+        |FROM documents d,
+        |     unnest(regexp_split_to_array(trim(lower(d.text)), '\s+')) AS t(w)
+        |WHERE w IN ('slow', 'vector', 'spam')
+        |GROUP BY w ORDER BY term""".stripMargin,
     // Benchmark-overlap decontamination: every 17th doc_id is the
     // benchmark suite; 8-word grams, Jaccard-family tokenization. The
     // corpus-side DISTINCT mirrors array_distinct in Dedup.shingles.

@@ -110,6 +110,115 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ------------------------------------- prefix-filtered exact Jaccard
+
+  /** Prefix rows of a (capped) shingle stream: each doc keeps only its
+    * `|d| - ceil(t*|d|) + 1` RAREST shingles under the global
+    * (document-frequency, shingle) total order, tagged with the doc's
+    * full shingle count `n_sh`.
+    *
+    * Why this loses nothing (the AllPairs / prefix-filtering principle,
+    * Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06): J(A,B) >= t
+    * implies |A∩B| >= t·|A| and >= t·|B| (substitute |B| >= |A∩B| into
+    * the Jaccard bound). The prefix principle says that if
+    * |A∩B| >= α then the (|A|-α+1)-prefix of A intersects the
+    * (|B|-α+1)-prefix of B under ANY shared total order; using the
+    * per-side α_x = ceil(t·|x|) <= α only LENGTHENS each prefix, so
+    * every qualifying pair still collides on at least one indexed
+    * shingle. Rarest-first ordering makes the kept shingles the most
+    * selective ones, which is where the candidate reduction comes from.
+    *
+    * The rank condition is expressed WITHOUT ceil():
+    * rank <= n - ceil(t·n) + 1  ⇔  n - rank + 1 >= ceil(t·n)  ⇔
+    * n - rank + 1 >= t·n (LHS integral); the 1e-9 slack guards the
+    * binary-representation drift of t·n (0.12·25 evaluates to
+    * 3.0000000000000004) from ever SHORTENING a prefix — slack can only
+    * lengthen it, which is recall-safe. */
+  def prefixShingles(sh: DataFrame, idCol: String,
+                     threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // The df window re-uses the shingle-hash partitioning the maxDf cap
+    // (and the downstream inverted-index join) already shuffle on; the
+    // two doc-keyed windows (count + row_number) share ONE id shuffle.
+    val byDoc = Window.partitionBy(idCol)
+    val ranked = sh
+      .withColumn("__gdf", count(lit(1)).over(Window.partitionBy("shingle")))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+      .withColumn("__rnk",
+        row_number().over(byDoc.orderBy(col("__gdf"), col("shingle"))))
+    ranked
+      .where((col("n_sh") - col("__rnk") + 1).cast("double") >=
+        lit(threshold) * col("n_sh").cast("double") - lit(1e-9))
+      .select(col(idCol), col("shingle"), col("n_sh"))
+  }
+
+  /** Candidate pairs from the prefix index: docs whose PREFIXES share a
+    * shingle, pruned by the length filter (J >= t forces
+    * min(|A|,|B|) >= |A∩B| >= t·max(|A|,|B|)). Strict superset of the
+    * qualifying pairs, usually far smaller than the full co-shingled
+    * candidate set. */
+  def prefixCandidates(pre: DataFrame, idCol: String,
+                       threshold: Double): DataFrame = {
+    val a = pre.select(col(idCol).as("id_a"), col("shingle"),
+      col("n_sh").as("n_a"))
+    val b = pre.select(col(idCol).as("id_b"), col("shingle"),
+      col("n_sh").as("n_b"))
+    a.join(b, "shingle")
+      .where(col("id_a") < col("id_b"))
+      .where(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")).cast("double") -
+          lit(1e-9))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** [[jaccardPairs]] with prefix filtering: IDENTICAL output (the
+    * driver gates `llm_neardup_jaccard_prefix` and the full-join twin
+    * `llm_neardup_jaccard_hi` on one shared oracle SQL), but candidate
+    * pairs come from the prefix index instead of the full inverted
+    * index, and only candidates are verified — the classic exact
+    * set-similarity-join upgrade for workloads whose cost floor is
+    * pair generation.
+    *
+    * 100 TB shape: the prefix keeps ~(1-t) of each doc's shingles, and
+    * because they are the globally RAREST ones, bucket occupancy in the
+    * candidate join collapses (a near-universal shingle is the LAST
+    * thing a prefix keeps — this filter replaces the `maxDf` cap's
+    * recall sacrifice at high t). Verification touches only candidate
+    * pairs via the same never-all-pairs inverted-index shape as
+    * [[minhashNearDups]].
+    *
+    * THRESHOLD DECIDES THE PLAN (measured, sf0.1 local[32]): at the
+    * production near-dup threshold t=0.8 uncapped, the candidate
+    * stream is 43.5k pairs vs the full join's 1.27M (29×) and
+    * wall-clock wins 2.0 s vs 3.1 s; at an exploratory t=0.12 the
+    * prefix keeps 88% of shingles and the two extra shuffles (df +
+    * rank windows) cost more than the 1.4× candidate reduction buys
+    * (8.9 s vs 2.1 s capped). Use [[jaccardPairs]] below ~t=0.5 and
+    * this above. */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5,
+                         maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = cappedShingles(shingles(docs, idCol, textCol, n), idCol, maxDf)
+    val cands = prefixCandidates(prefixShingles(sh, idCol, threshold),
+      idCol, threshold)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    // Same verify shape as minhashNearDups: expand candidates by side
+    // A's shingles, join side B on (id_b, shingle) — proportional to
+    // candidate count, never |A|×|B| per pair.
+    val inter = cands
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // ----------------------------------------------------------- MinHash-LSH
 
   /** MinHash signature columns: sig_i = min over shingles of a 64-bit hash

@@ -41,6 +41,134 @@ object LlmQueries {
         threshold = 0.12, maxDf = JaccardMaxDf)
       .orderBy("id_a", "id_b")
 
+  /** High-threshold ("these are the same document") near-dup setting
+    * for the prefix-filter family: 0.8 is the regime production
+    * near-dup dedup runs at, and the regime the AllPairs prefix filter
+    * is FOR — the prefix keeps only `|d|-ceil(0.8|d|)+1` ≈ 20% of each
+    * doc's shingles, so the candidate stream collapses ~(1-t)²
+    * (measured at sf0.1: 43.5k candidate pairs vs the full inverted
+    * index's 1.27M — 29×; wall-clock 2.0 s vs 3.1 s uncapped). At the
+    * low exploratory threshold 0.12 the same filter keeps 88% of
+    * shingles and its two extra shuffles cost more than the 1.4×
+    * candidate reduction buys (measured 8.9 s vs 2.1 s) — threshold
+    * decides the plan, which is why both operators exist. No df cap on
+    * this family: the prefix filter REPLACES the cap's recall sacrifice
+    * (a near-universal shingle is the globally most frequent, so it
+    * sorts to the END of every doc's rarity order and never enters a
+    * prefix at high t). */
+  val JaccardHiThreshold = 0.8
+
+  /** Prefix-filtered exact Jaccard (AllPairs, Bayardo et al. WWW'07) at
+    * the production threshold, uncapped (see
+    * [[Dedup.jaccardPairsPrefix]] and [[JaccardHiThreshold]]). Gated on
+    * the IDENTICAL oracle SQL as [[nearDupJaccardHiFull]] — the
+    * losslessness proof. */
+  def nearDupJaccardPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairsPrefix(docs(spark, sfDir), "doc_id", "text", n = 3,
+        threshold = JaccardHiThreshold)
+      .orderBy("id_a", "id_b")
+
+  /** The full-inverted-index twin of [[nearDupJaccardPrefix]] — same
+    * threshold, same (absent) cap, same oracle: both algorithms must
+    * equal the DuckDB ground truth byte-for-byte. */
+  def nearDupJaccardHiFull(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairs(docs(spark, sfDir), "doc_id", "text", n = 3,
+        threshold = JaccardHiThreshold)
+      .orderBy("id_a", "id_b")
+
+  /** The prefix filter's measured candidate reduction at the production
+    * threshold: distinct co-shingled pairs under the full inverted
+    * index vs under the prefix index (post length-filter) vs final
+    * qualifying pairs — a single row; the oracle recomputes all three
+    * from the same window definitions. */
+  def prefixCandidateStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingles(docs(spark, sfDir), "doc_id", "text", 3)
+    val full = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .agg(count(lit(1)).as("full_cands"))
+    val pre = Dedup.prefixCandidates(
+        Dedup.prefixShingles(sh, "doc_id", JaccardHiThreshold),
+        "doc_id", JaccardHiThreshold)
+      .agg(count(lit(1)).as("prefix_cands"))
+    val out = nearDupJaccardPrefix(spark, sfDir)
+      .agg(count(lit(1)).as("pairs_out"))
+    // Single-row scalar joins (the disclosed bounded-crossJoin pattern).
+    full.crossJoin(pre).crossJoin(out)
+  }
+
+  /** C4 fixture corpus: the single-line word-soup docs restructured
+    * into [[LineW]]-word lines with DETERMINISTIC decorations keyed on
+    * (doc_id, line_idx) — terminal punctuation on a (doc+line)%4 cycle,
+    * a planted "javascript" line on the %4==3 arm, and page-level
+    * "lorem ipsum" / curly-brace markers on doc_id%17 / %19 — so the
+    * C4 rules have real selectivity in BOTH directions (disclosed
+    * adapter; the oracle replays the identical decoration). Fully
+    * map-side: the line assembly is one transform over the word array,
+    * no explode/shuffle. */
+  private def c4Docs(spark: SparkSession, sfDir: String): DataFrame = {
+    val wsc = col("__w")
+    val arm = (i: org.apache.spark.sql.Column) => (col("doc_id") + i + 1) % 4
+    docs(spark, sfDir)
+      .select(col("doc_id"), TextStats.words(lower(col("text"))).as("__w"))
+      .where(size(wsc) >= 1 && !(size(wsc) === 1 && element_at(wsc, 1) === ""))
+      .select(col("doc_id"), concat(
+        array_join(
+          transform(sequence(lit(0), floor((size(wsc) - 1) / LineW).cast("int")),
+            i => concat(concat_ws(" ", slice(wsc, i * LineW + 1, lit(LineW))),
+              when(arm(i) === 0, lit("."))
+                .when(arm(i) === 1, lit("?"))
+                .when(arm(i) === 2, lit(""))
+                .otherwise(lit(" javascript.")))),
+          "\n"),
+        when(col("doc_id") % 17 === 0, lit("\nlorem ipsum dolor sit."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, lit("\nconfig { block }."))
+          .otherwise(lit(""))).as("text"))
+  }
+
+  /** C4 heuristic page cleaning over the decorated fixture (see
+    * [[graft.ext.C4Clean.clean]]; minLines=2 because the fixture's docs
+    * are 3-6 lines — the C4 paper's 5 is the production default). */
+  def c4Clean(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.C4Clean.clean(c4Docs(spark, sfDir), "doc_id", "text",
+        minWordsPerLine = 3, minLines = 2)
+      .orderBy("doc_id")
+
+  /** One-row corpus audit of the C4 rules (see
+    * [[graft.ext.C4Clean.stats]]). */
+  def c4Stats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.C4Clean.stats(c4Docs(spark, sfDir), "doc_id", "text",
+      minWordsPerLine = 3, minLines = 2)
+
+  /** Blocklist fixture: two vocabulary words (so the filter bites) and
+    * one absent term (so the no-hit arm is exercised — it must simply
+    * produce no stats row, not a zero). */
+  val BlocklistTerms = Seq("slow", "vector", "spam")
+
+  private def blocklistDf(spark: SparkSession): DataFrame = {
+    val s = spark; import s.implicits._
+    BlocklistTerms.toDF("term")
+  }
+
+  /** Token-exact blocklist page filter (see
+    * [[graft.ext.C4Clean.blocklistFilter]] — broadcast terms join, one
+    * anti-join). */
+  def blocklistFilter(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.C4Clean.blocklistFilter(docs(spark, sfDir), "doc_id", "text",
+        blocklistDf(spark))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Per-term flagged-doc counts (terms with zero hits yield no row —
+    * the oracle agrees). */
+  def blocklistStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.C4Clean.blocklistHits(docs(spark, sfDir), "doc_id", "text",
+        blocklistDf(spark))
+      .groupBy("term").agg(count(lit(1)).as("docs_flagged"))
+      .orderBy("term")
+
   /** Span window width for the registered span-dedup queries: 12 words
     * — long enough that the ~40-word fixture vocabulary cannot repeat a
     * window by chance (40^-12 per pair), short enough that mutated

@@ -45,7 +45,10 @@ class PlanShapeSpec extends SparkSpecBase {
     val real = spark.read.parquet(s"$sf/documents.parquet")
     val pj = plan(Dedup.jaccardPairs(real, "doc_id", "text", n = 3, threshold = 0.5))
     val pm = plan(Dedup.minhashNearDups(real, "doc_id", "text", n = 3))
-    for ((nm, p) <- Seq("jaccard" -> pj, "minhash" -> pm)) {
+    val pp = plan(Dedup.jaccardPairsPrefix(real, "doc_id", "text", n = 3,
+      threshold = 0.8))
+    for ((nm, p) <- Seq("jaccard" -> pj, "minhash" -> pm,
+      "jaccard-prefix" -> pp)) {
       assert(!p.contains("CartesianProduct"), s"$nm plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$nm plans a nested-loop join")
     }

@@ -127,6 +127,71 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"minhash recall $recall < 0.9 (${mh.size}/${exact.size})")
   }
 
+  test("prefix-filtered jaccard: identical pair set to the full join across thresholds") {
+    // Deterministic word-soup corpus with planted near-dups: doc i and
+    // i+100 share a long common run, so pairs exist at every threshold.
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def soup(k: Int) = Seq.fill(k)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (1L to 80L).map(i => i -> soup(30))
+    val mutated = base.take(30).map { case (i, t) =>
+      (i + 100L) -> (t.split(' ').take(25).mkString(" ") + " " + soup(5))
+    }
+    val d = docs((base ++ mutated): _*)
+    for (t <- Seq(0.12, 0.3, 0.5, 0.8)) {
+      def pairSet(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+      val full = pairSet(Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = t))
+      val pre = pairSet(Dedup.jaccardPairsPrefix(d, "doc_id", "text", n = 3, threshold = t))
+      assert(pre === full, s"threshold $t: prefix-filtered pair set diverged")
+      if (t <= 0.3) assert(full.nonEmpty, s"threshold $t: fixture produced no pairs")
+    }
+  }
+
+  test("prefix-filtered jaccard: equivalence holds under the maxDf cap too") {
+    val d = docs((1L, "x y z a b c d"), (2L, "x y z d e f g"), (3L, "x y z a b c h"),
+      (4L, "p q r s t u v"), (5L, "p q r s t u w"))
+    for (cap <- Seq(2L, 10L, Long.MaxValue)) {
+      val full = Dedup.jaccardPairs(d, "doc_id", "text", n = 3,
+        threshold = 0.2, maxDf = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+      val pre = Dedup.jaccardPairsPrefix(d, "doc_id", "text", n = 3,
+        threshold = 0.2, maxDf = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+      assert(pre === full, s"maxDf=$cap: prefix-filtered pair set diverged")
+    }
+  }
+
+  test("prefix index: keeps exactly |d| - ceil(t|d|) + 1 rarest shingles per doc") {
+    // 10 distinct words → 8 distinct 3-gram shingles; t=0.5 → prefix
+    // length 8 - 4 + 1 = 5.
+    val d = docs((1L, (0 until 10).map(i => s"u$i").mkString(" ")))
+    val sh = Dedup.shingles(d, "doc_id", "text", n = 3)
+    val pre = Dedup.prefixShingles(sh, "doc_id", threshold = 0.5)
+    assert(pre.count() === 5L)
+    // and at t→1.0 only a single shingle survives (n - n + 1)
+    assert(Dedup.prefixShingles(sh, "doc_id", threshold = 1.0).count() === 1L)
+  }
+
+  test("prefix filter: candidate count strictly shrinks on a shared-token corpus") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.shingles(real, "doc_id", "text", n = 3)
+    val fullCands = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().count()
+    val preCands = Dedup.prefixCandidates(
+      Dedup.prefixShingles(sh, "doc_id", 0.12), "doc_id", 0.12).count()
+    assert(preCands < fullCands,
+      s"prefix candidates $preCands not below full $fullCands")
+    // and the real-corpus pair set still matches the unfiltered join
+    val full = Dedup.jaccardPairs(real, "doc_id", "text", n = 3, threshold = 0.12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pre = Dedup.jaccardPairsPrefix(real, "doc_id", "text", n = 3, threshold = 0.12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pre === full)
+  }
+
   test("simhash: identical docs get identical fingerprints, disjoint docs differ") {
     val d = docs((1L, "spark scala window merge"), (2L, "spark scala window merge"),
       (3L, "entirely different content here"))
