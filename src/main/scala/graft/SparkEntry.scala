@@ -188,6 +188,8 @@ object SparkEntry {
     "llm_blocklist_filter"     -> (LlmQueries.blocklistFilter _),
     "llm_blocklist_stats"      -> (LlmQueries.blocklistStats _),
     "llm_mixture_stats"        -> (LlmQueries.mixtureStats _),
+    "llm_mixture_rates"        -> (LlmQueries.mixtureRates _),
+    "llm_mixture_sample"       -> (LlmQueries.mixtureSample _),
     "llm_dedup_cluster_sizes"  -> (LlmQueries.dedupClusterSizes _),
     // --- multimodal (real JDK image/audio codecs + AVI/MP4 container
     // parsers; only video frame DECODE is a disclosed stand-in — the
@@ -214,6 +216,10 @@ object SparkEntry {
   // Spark-side arithmetic — see TextStats / Dedup scaladoc).
   private val W = """regexp_split_to_array(trim(text), '\s+')"""
   private val WL = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+
+  /** TextStats.nTokens restated for DuckDB (TextStats.TokenRe). */
+  private val NTOKENS =
+    """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"""
 
   // PII fragments: regexes verbatim from PiiRedact (Java/RE2-identical
   // syntax only); the planted CTE is the byte-identical twin of
@@ -2134,6 +2140,44 @@ object SparkEntry {
          |  round(CAST(total_tokens AS DOUBLE) /
          |    CAST((SELECT sum(total_tokens) FROM g) AS DOUBLE), 6) AS token_share
          |FROM g ORDER BY source, lang""".stripMargin,
+    // Temperature mixture (alpha=0.5, budget 25k tokens): weights are
+    // floor(sqrt(tokens)) — sqrt is IEEE-correctly-rounded in BOTH
+    // engines (pow is not, which is why only the integer-exact alphas
+    // exist) — and rates are BIGINT truncating division, so every
+    // column reproduces bit-for-bit.
+    "llm_mixture_rates" ->
+      s"""WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum($NTOKENS) AS BIGINT) AS total_tokens
+         |  FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n_docs, total_tokens,
+         |        CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT)
+         |          AS weight
+         |      FROM g)
+         |SELECT lang, n_docs, total_tokens, weight,
+         |  CAST(least(1000000, (25000 * weight * 1000000) //
+         |    ((SELECT sum(weight) FROM w) * total_tokens)) AS BIGINT)
+         |    AS rate_ppm
+         |FROM w ORDER BY lang""".stripMargin,
+    // The sample itself: the Knuth-scramble key bucket is pure BIGINT
+    // arithmetic, so the oracle replays the exact kept set (id_checksum
+    // pins it, not just the counts).
+    "llm_mixture_sample" ->
+      s"""WITH g AS (SELECT lang, CAST(sum($NTOKENS) AS BIGINT) AS total_tokens
+         |  FROM documents GROUP BY lang),
+         |w AS (SELECT lang, total_tokens,
+         |        CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT)
+         |          AS weight FROM g),
+         |r AS (SELECT lang, least(1000000, (25000 * weight * 1000000) //
+         |        ((SELECT sum(weight) FROM w) * total_tokens)) AS rate_ppm
+         |      FROM w),
+         |kept AS (SELECT d.doc_id, d.lang, $NTOKENS AS toks
+         |         FROM documents d JOIN r USING (lang)
+         |         WHERE ((d.doc_id * 2654435761) % 1000000007) % 1000000
+         |               < r.rate_ppm)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept,
+         |  CAST(sum(toks) AS BIGINT) AS tokens_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  CAST($NWORDS AS BIGINT) AS n_words,

@@ -40,4 +40,57 @@ object Sampling {
       s"perMillion must be in [0, $Million]")
     df.where(bucket(col(keyCol)) < perMillion)
   }
+
+  // -------------------------------------------- temperature mixture
+
+  /** Temperature-based mixture reweighting — the T5/Gopher/Llama
+    * data-mixing step: per-group (source, language, domain…) keep
+    * rates so the expected sampled token count hits `budgetTokens`,
+    * with group weights total_tokens^alpha. alpha < 1 up-samples
+    * low-resource groups (the multilingual rebalancing everyone runs);
+    * groups whose quota exceeds their size clamp at keep-everything.
+    *
+    * `alpha` ∈ {0.0, 0.5, 1.0} only — each has an INTEGER-EXACT weight
+    * path (1, floor(sqrt(n)), n) so the rate table reproduces
+    * bit-for-bit in any engine: sqrt is IEEE-correctly-rounded
+    * everywhere (unlike pow, whose last-ulp rounding differs across
+    * libm implementations — the reason arbitrary alpha is not
+    * offered), and floor(sqrt(n)) equals the true integer sqrt for
+    * n < ~2^52. Rates are integral ppm via BIGINT arithmetic
+    * (truncating division; all operands positive, so Spark's `div`
+    * and floor-division agree); keep budgetTokens·max(weight)·1e6
+    * below 2^63 — pre-scale token counts to kilotokens beyond that.
+    *
+    * Input: one row per group with an integral `tokensCol`. Output:
+    * input columns + `weight` + `rate_ppm`. The aggregate and the
+    * scalar total are group-count-sized — broadcast territory. */
+  def temperatureRates(grouped: DataFrame, tokensCol: String,
+                       alpha: Double, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val weight = alpha match {
+      case 0.0 => lit(1L)
+      case 0.5 => floor(sqrt(col(tokensCol).cast("double"))).cast("long")
+      case 1.0 => col(tokensCol).cast("long")
+      case a => throw new IllegalArgumentException(
+        s"alpha must be 0.0, 0.5 or 1.0 (integer-exact paths); got $a")
+    }
+    val w = grouped.withColumn("weight", weight)
+    val tot = w.agg(sum(col("weight")).as("__wtot"))
+    w.crossJoin(broadcast(tot)) // single-row scalar join
+      .withColumn("rate_ppm",
+        least(lit(Million),
+          expr(s"(${budgetTokens}L * weight * ${Million}L) " +
+            s"div (__wtot * $tokensCol)")))
+      .drop("__wtot")
+  }
+
+  /** Apply a [[temperatureRates]] table: broadcast-join the per-group
+    * rates and keep rows whose key [[bucket]] falls under the group's
+    * rate — map-side besides the broadcast, deterministic per key. */
+  def temperatureSample(docs: DataFrame, keyCol: String, groupCol: String,
+                        rates: DataFrame): DataFrame =
+    docs.join(broadcast(rates.select(col(groupCol), col("rate_ppm"))),
+        Seq(groupCol))
+      .where(bucket(col(keyCol)) < col("rate_ppm"))
+      .drop("rate_ppm")
 }

@@ -1634,6 +1634,47 @@ object LlmQueries {
       .orderBy("source", "lang")
   }
 
+  /** Temperature-mixing knobs for the registered rows: alpha=0.5 (the
+    * common smoothing), budget 25k tokens — sized so the dominant
+    * language ('en', ~12k tokens at sf0.01) genuinely down-samples
+    * while every low-resource language clamps at keep-everything,
+    * exercising both arms of the rate formula. */
+  val MixtureAlpha = 0.5
+  val MixtureBudgetTokens = 25000L
+
+  private def langTokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextStats.nTokens(col("text")).cast("long")).as("total_tokens"))
+
+  /** Per-language temperature keep-rates (see
+    * [[Sampling.temperatureRates]]): the multilingual-rebalancing rate
+    * table, integer-exact so the oracle reproduces it bit-for-bit. */
+  def mixtureRates(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.temperatureRates(langTokens(spark, sfDir), "total_tokens",
+        MixtureAlpha, MixtureBudgetTokens)
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        col("weight"), col("rate_ppm"))
+      .orderBy("lang")
+
+  /** The resampled mixture itself, summarized per language (kept doc /
+    * token counts + id checksum — the sample is a deterministic
+    * key-hash filter, so the checksum pins the exact kept SET). */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rates = Sampling.temperatureRates(langTokens(spark, sfDir),
+      "total_tokens", MixtureAlpha, MixtureBudgetTokens)
+    Sampling.temperatureSample(
+        docs(spark, sfDir)
+          .select(col("doc_id"), col("lang"),
+            TextStats.nTokens(col("text")).cast("long").as("__toks")),
+        "doc_id", "lang", rates)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("__toks")).as("tokens_kept"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy("lang")
+  }
+
   /** The terminal training corpus: the whole cleaning pipeline composed
     * in ONE plan, cheap-to-expensive so each stage shrinks the next
     * one's input — (1) map-side quality filter (the [[qualityFilter]]

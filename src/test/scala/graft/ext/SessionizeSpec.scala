@@ -111,4 +111,52 @@ class SessionizeSpec extends SparkSpecBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(c.subsetOf(a))
   }
+
+  test("temperatureRates: weight arms, clamping, and budget proportionality") {
+    val s = spark; import s.implicits._
+    // skewed corpus: big source 90k tokens, small source 100
+    val g = Seq(("big", 90000L), ("small", 100L)).toDF("src", "toks")
+    def rates(alpha: Double, budget: Long): Map[String, (Long, Long)] =
+      Sampling.temperatureRates(g, "toks", alpha, budget).collect()
+        .map(r => r.getAs[String]("src") ->
+          (r.getAs[Long]("weight"), r.getAs[Long]("rate_ppm"))).toMap
+    // alpha=0.5: weights are integer sqrt
+    val r05 = rates(0.5, 10000L)
+    assert(r05("big")._1 === 300L && r05("small")._1 === 10L)
+    // small source clamps at keep-everything (its quota >> its size)
+    assert(r05("small")._2 === 1000000L)
+    // big source rate = 10000*300*1e6 div (310*90000) ppm
+    assert(r05("big")._2 === 10000L * 300 * 1000000 / (310L * 90000))
+    // alpha=1.0: proportional — every group gets budget/total
+    val r1 = rates(1.0, 9010L)
+    assert(r1("big")._2 === r1("small")._2)
+    // alpha=0.0: uniform weights — the small group clamps first
+    val r0 = rates(0.0, 2000L)
+    assert(r0("big")._1 === 1L && r0("small")._2 === 1000000L)
+    // unsupported alpha fails loudly, never a silent pow() divergence
+    intercept[IllegalArgumentException] { rates(0.7, 1000L) }
+  }
+
+  test("temperatureSample: deterministic kept set that tracks the budget") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // 900 docs in 'big' (10 tokens each), 100 in 'small' (2 each)
+    val docs = ((1L to 900L).map(i => (i, "big", 10L)) ++
+      (1001L to 1100L).map(i => (i, "small", 2L))).toDF("id", "src", "toks")
+    val g = docs.groupBy("src")
+      .agg(org.apache.spark.sql.functions.sum("toks").as("toks"))
+    val rates = Sampling.temperatureRates(g, "toks", 0.5, budgetTokens = 3000L)
+    val kept = Sampling.temperatureSample(docs, "id", "src", rates)
+    val a = kept.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(docs.repartition(17), "id", "src", rates)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "mixture sample must be stable under repartition")
+    // 'small' clamps to keep-everything; 'big' keeps ~its quota
+    assert((1001L to 1100L).forall(a.contains))
+    val bigTokens = a.count(_ <= 900L) * 10L
+    val quota = rates.where($"src" === "big").select("rate_ppm")
+      .head().getLong(0) * 9000L / 1000000L
+    assert(math.abs(bigTokens - quota) < 0.2 * quota,
+      s"kept big tokens $bigTokens vs quota $quota")
+  }
 }
