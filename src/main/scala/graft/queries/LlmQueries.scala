@@ -1675,6 +1675,31 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  /** k-means knobs for the registered rows: 8 cells, 3 Lloyd rounds —
+    * enough rounds that assignments move off the id-ordered seeds (the
+    * oracle replays every round bit-for-bit, so more adds only bench
+    * time). */
+  val KMeansK = 8
+  val KMeansIters = 3
+
+  private def kmeansAssignments(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.KMeans.train(emb(spark, sfDir), "vec_id", "embedding",
+      k = KMeansK, iters = KMeansIters)._2
+
+  /** Distributed fixed-point Lloyd k-means — final (vec_id, cell)
+    * assignment after [[KMeansIters]] full-corpus rounds (see
+    * [[graft.ext.KMeans]]; integer arithmetic end-to-end, so the
+    * DuckDB oracle reproduces every round). */
+  def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansAssignments(spark, sfDir).orderBy("vec_id")
+
+  /** Per-cell occupancy + membership checksum of [[kmeansAssign]]. */
+  def kmeansSizes(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansAssignments(spark, sfDir)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_checksum"))
+      .orderBy("cell")
+
   /** The terminal training corpus: the whole cleaning pipeline composed
     * in ONE plan, cheap-to-expensive so each stage shrinks the next
     * one's input — (1) map-side quality filter (the [[qualityFilter]]
