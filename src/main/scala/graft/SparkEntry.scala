@@ -192,6 +192,7 @@ object SparkEntry {
     "llm_mixture_sample"       -> (LlmQueries.mixtureSample _),
     "llm_kmeans"               -> (LlmQueries.kmeansAssign _),
     "llm_kmeans_sizes"         -> (LlmQueries.kmeansSizes _),
+    "llm_kmeans_incremental"   -> (LlmQueries.kmeansIncremental _),
     "llm_dedup_cluster_sizes"  -> (LlmQueries.dedupClusterSizes _),
     // --- multimodal (real JDK image/audio codecs + AVI/MP4 container
     // parsers; only video frame DECODE is a disclosed stand-in — the
@@ -493,44 +494,63 @@ object SparkEntry {
     * any integer is >= 1/count, far above ulp; empty cells inherit via
     * the LEFT JOIN's NULL arm). Fixed-point arithmetic makes the whole
     * iteration engine-independent; only the unroll depth is generated. */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, dim: Int,
+                         trainWhere: String = "TRUE",
+                         probeWhere: String = "TRUE"): String = {
     val head =
       s"""WITH q AS (SELECT vec_id,
          |  [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) FOR x IN embedding] AS qv
          |  FROM embeddings),
+         |qt AS (SELECT vec_id, qv FROM q WHERE $trainWhere),
          |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv
-         |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k) sub)""".stripMargin
-    val rounds = (0 to iters).map { i =>
-      val assign =
-        s"""d$i AS (SELECT q.vec_id, c.cell,
-           |    sum((q.qv[t.i]-c.qv[t.i])*(q.qv[t.i]-c.qv[t.i])) AS d
-           |  FROM q CROSS JOIN c$i c
-           |  CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)
-           |  GROUP BY q.vec_id, c.cell),
-           |a$i AS (SELECT vec_id, cell FROM
-           |    (SELECT vec_id, cell,
-           |       row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-           |     FROM d$i)
-           |  WHERE rn = 1)""".stripMargin
-      val update = if (i == iters) "" else
-        s""",
-           |s$i AS (SELECT a.cell, t.i AS pos, sum(q.qv[t.i]) AS sv, count(*) AS cnt
-           |  FROM a$i a JOIN q USING (vec_id)
-           |  CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)
-           |  GROUP BY a.cell, t.i),
-           |c${i + 1} AS (SELECT c.cell,
-           |    list(CASE WHEN s.sv IS NULL THEN c.qv[t.i]
-           |         ELSE CAST(floor(CAST(s.sv AS DOUBLE)/CAST(s.cnt AS DOUBLE)) AS BIGINT) END
-           |         ORDER BY t.i) AS qv
-           |  FROM c$i c CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)
-           |  LEFT JOIN s$i s ON s.cell = c.cell AND s.pos = t.i
-           |  GROUP BY c.cell)""".stripMargin
-      assign + update
+         |       FROM (SELECT vec_id, qv FROM qt ORDER BY vec_id LIMIT $k) sub)""".stripMargin
+    // Training rounds run over qt; the FINAL assignment (af) runs over
+    // the probe split under the last centroids.
+    val rounds = (0 until iters).map { i =>
+      s"""d$i AS (SELECT q.vec_id, c.cell,
+         |    sum((q.qv[t.i]-c.qv[t.i])*(q.qv[t.i]-c.qv[t.i])) AS d
+         |  FROM qt q CROSS JOIN c$i c
+         |  CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)
+         |  GROUP BY q.vec_id, c.cell),
+         |a$i AS (SELECT vec_id, cell FROM
+         |    (SELECT vec_id, cell,
+         |       row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |     FROM d$i)
+         |  WHERE rn = 1),
+         |s$i AS (SELECT a.cell, t.i AS pos, sum(q.qv[t.i]) AS sv, count(*) AS cnt
+         |  FROM a$i a JOIN qt q USING (vec_id)
+         |  CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)
+         |  GROUP BY a.cell, t.i),
+         |c${i + 1} AS (SELECT c.cell,
+         |    list(CASE WHEN s.sv IS NULL THEN c.qv[t.i]
+         |         ELSE CAST(floor(CAST(s.sv AS DOUBLE)/CAST(s.cnt AS DOUBLE)) AS BIGINT) END
+         |         ORDER BY t.i) AS qv
+         |  FROM c$i c CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)
+         |  LEFT JOIN s$i s ON s.cell = c.cell AND s.pos = t.i
+         |  GROUP BY c.cell)""".stripMargin
     }
-    head + ",\n" + rounds.mkString(",\n")
+    val fin =
+      s"""df AS (SELECT q.vec_id, c.cell,
+         |    sum((q.qv[t.i]-c.qv[t.i])*(q.qv[t.i]-c.qv[t.i])) AS d
+         |  FROM (SELECT vec_id, qv FROM q WHERE $probeWhere) q
+         |  CROSS JOIN c$iters c
+         |  CROSS JOIN unnest(generate_series(1, $dim)) AS t(i)
+         |  GROUP BY q.vec_id, c.cell),
+         |af AS (SELECT vec_id, cell FROM
+         |    (SELECT vec_id, cell,
+         |       row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |     FROM df)
+         |  WHERE rn = 1)""".stripMargin
+    (Seq(head) ++ rounds ++ Seq(fin)).mkString(",\n")
   }
 
   private lazy val KMeansCtes = kmeansCtes(8, 3, 64)
+
+  /** Incremental twin: train on the indexed split, assign the arriving
+    * shard under the persisted centroids. */
+  private lazy val KMeansIncCtes =
+    kmeansCtes(8, 3, 64, trainWhere = "vec_id % 10 <> 0",
+      probeWhere = "vec_id % 10 = 0")
 
   /** Exact side of the incremental-minhash recall gate: the UNCAPPED
     * Jaccard pair set (the signature index drops the df cap by design —
@@ -2193,12 +2213,17 @@ object SparkEntry {
     // floor-division means make every round bit-identical across
     // engines (see kmeansCtes).
     "llm_kmeans" ->
-      s"$KMeansCtes\nSELECT vec_id, cell FROM a3 ORDER BY vec_id",
+      s"$KMeansCtes\nSELECT vec_id, cell FROM af ORDER BY vec_id",
     "llm_kmeans_sizes" ->
       s"""$KMeansCtes
          |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
          |  CAST(sum(vec_id) AS BIGINT) AS id_checksum
-         |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin,
+         |FROM af GROUP BY cell ORDER BY cell""".stripMargin,
+    // Incremental: the oracle replays train-on-indexed-split (vec_id %
+    // 10 <> 0) and assigns only the arriving shard under the final
+    // centroids — exactly what the engine's persisted model does.
+    "llm_kmeans_incremental" ->
+      s"$KMeansIncCtes\nSELECT vec_id, cell FROM af ORDER BY vec_id",
     // Temperature mixture (alpha=0.5, budget 25k tokens): weights are
     // floor(sqrt(tokens)) — sqrt is IEEE-correctly-rounded in BOTH
     // engines (pow is not, which is why only the integer-exact alphas

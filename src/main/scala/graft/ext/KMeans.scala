@@ -45,7 +45,7 @@ object KMeans {
 
   /** (id, qv: array<bigint>) — coordinates in `scale` micro-units. */
   def quantize(vecs: DataFrame, idCol: String, vecCol: String,
-               scale: Double): DataFrame =
+               scale: Double = 1000000.0): DataFrame =
     vecs.select(col(idCol),
       transform(col(vecCol),
         x => floor(x.cast("double") * lit(scale)).cast("long")).as("qv"))
@@ -78,7 +78,12 @@ object KMeans {
     var cents: Array[Array[Long]] = q.orderBy(col(idCol)).limit(k).collect()
       .map(_.getAs[scala.collection.Seq[Long]]("qv").toArray)
     require(cents.length == k, s"corpus smaller than k=$k")
-    val dim = cents.head.length
+    runLloyd(q, idCol, iters, cents)
+  }
+
+  private def runLloyd(q: DataFrame, idCol: String, iters: Int,
+                       init: Array[Array[Long]]): (Model, DataFrame) = {
+    var cents = init
     for (_ <- 1 to iters) {
       // One shuffle: (cell, dim) integer partial sums + counts.
       val sums = assign(q, idCol, Model(cents))
@@ -98,5 +103,27 @@ object KMeans {
       cents = next // cells with no members kept their previous centroid
     }
     (Model(cents), assign(q, idCol, Model(cents)))
+  }
+
+  // -------------------------------------------------- model persistence
+
+  /** Persist a trained model as a (cell, qv) parquet table — the
+    * artifact the incremental/streaming assign paths load, so nightly
+    * re-trains and streaming assignment share one stored quantizer
+    * (the [[Ivf]] model/ layout discipline). All IO through the
+    * session's Hadoop FS via the DataFrame writer. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                 path: String): Unit = {
+    val s = spark; import s.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cell", "qv")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model = {
+    val rows = spark.read.parquet(path).orderBy("cell").collect()
+    Model(rows.map(_.getAs[scala.collection.Seq[Long]]("qv").toArray))
   }
 }

@@ -1693,6 +1693,31 @@ object LlmQueries {
   def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame =
     kmeansAssignments(spark, sfDir).orderBy("vec_id")
 
+  /** Session-cached persisted k-means model trained on the
+    * existing-corpus split (vec_id % 10 != 0) — the nightly-retrain
+    * artifact the incremental assign probes. */
+  private def kmeansModelDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"kmeans|$sfDir") { dir =>
+      val (model, _) = graft.ext.KMeans.train(
+        emb(spark, sfDir).where(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", k = KMeansK, iters = KMeansIters)
+      graft.ext.KMeans.writeModel(spark, model, dir)
+    }
+
+  /** Incremental k-means: the arriving shard (vec_id % 10 == 0)
+    * assigned under the PERSISTED model — pure map-side (the centroids
+    * load as k·dim longs and ride the plan as literals); the oracle
+    * replays the split-train + shard-assign end-to-end. */
+  def kmeansIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = graft.ext.KMeans.loadModel(spark, kmeansModelDir(spark, sfDir))
+    graft.ext.KMeans.assign(
+        graft.ext.KMeans.quantize(
+          emb(spark, sfDir).where(col("vec_id") % 10 === 0),
+          "vec_id", "embedding"),
+        "vec_id", model)
+      .orderBy("vec_id")
+  }
+
   /** Per-cell occupancy + membership checksum of [[kmeansAssign]]. */
   def kmeansSizes(spark: SparkSession, sfDir: String): DataFrame =
     kmeansAssignments(spark, sfDir)
