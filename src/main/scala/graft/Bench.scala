@@ -212,7 +212,7 @@ object Bench {
       // clustered-IVF); the fork rebuilds it in untimed warmup so the
       // timed reps measure the production probe path
       "llm_span_dedup_incremental", "llm_lm_incremental",
-      "llm_semdedup_incremental",
+      "llm_semdedup_incremental", "llm_kmeans_incremental",
       // split-leakage rows consume the session-cached capped pair set
       // (cachedDF persists the plan — in-JVM time would be a cache
       // scan); the incremental diff builds a session-cached index
