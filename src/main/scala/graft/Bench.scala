@@ -158,7 +158,16 @@ object Bench {
           "\"" + k + "\":" +
             r.map(_.map(x => num(x._3)).mkString("[", ",", "]")).getOrElse("[]")
         }.mkString("{", ",", "}")
-        s"""{"queries":$qs,"reps":$reps,"steal":$steals}"""
+        // per-rep calibration-probe seconds: the fixed pure-CPU loop
+        // that prices THIS host's single-thread speed — r13 showed
+        // cross-round canary deltas can be host variance (cal moved
+        // ~30% between rounds), so the judge compares cal-to-cal
+        // before reading any canary delta as engine drift
+        val cals = canaryResults.map { case (k, r) =>
+          "\"" + k + "\":" +
+            r.map(_.map(x => num(x._2)).mkString("[", ",", "]")).getOrElse("[]")
+        }.mkString("{", ",", "}")
+        s"""{"queries":$qs,"reps":$reps,"steal":$steals,"cal":$cals}"""
       }
     }
 
@@ -217,6 +226,7 @@ object Bench {
       // (cachedDF persists the plan — in-JVM time would be a cache
       // scan); the incremental diff builds a session-cached index
       "llm_split_leakage", "llm_split_stats",
+      "llm_split_safe", "llm_split_safe_stats",
       "llm_snapshot_diff_incremental", "mm_phash_incremental")
     // Heavy-tail re-time in a FRESH JVM, recording every rep so a judge
     // (or a regression diff) sees the spread, not just the median.

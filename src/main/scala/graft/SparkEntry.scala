@@ -107,6 +107,8 @@ object SparkEntry {
     "text_strip_accents"       -> (LlmQueries.stripAccents _),
     "llm_split_leakage"        -> (LlmQueries.splitLeakage _),
     "llm_split_stats"          -> (LlmQueries.splitStats _),
+    "llm_split_safe"           -> (LlmQueries.splitSafe _),
+    "llm_split_safe_stats"     -> (LlmQueries.splitSafeStats _),
     "llm_snapshot_diff"        -> (LlmQueries.snapshotDiff _),
     "llm_snapshot_diff_stats"  -> (LlmQueries.snapshotDiffStats _),
     "llm_snapshot_diff_incremental" -> (LlmQueries.snapshotDiffIncremental _),
@@ -776,6 +778,43 @@ object SparkEntry {
        |                 (id_a * $m) % $p % $mm < $ppm AS va,
        |                 (id_b * $m) % $p % $mm < $ppm AS vb
        |               FROM pairs) t WHERE va <> vb)""".stripMargin
+  }
+
+  /** Shared CTE for the leakage-FREE split oracles: the capped 0.5
+    * pair graph, its recursive-CTE connected components, and the
+    * component-keyed split — every near-dup cluster hashes to ONE side
+    * via its component min-id (isolated docs hash on their own id). */
+  private lazy val SplitSafeCteSql = {
+    val m = graft.ext.Sampling.Multiplier
+    val p = graft.ext.Sampling.Prime
+    val mm = graft.ext.Sampling.Million
+    val ppm = graft.queries.LlmQueries.ValPpm
+    s"""WITH RECURSIVE w AS (SELECT doc_id, $WL AS ws FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[g:g+2], ' ') AS shingle
+       |       FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(g)
+       |       WHERE len(ws) >= 3),
+       |sh AS (SELECT doc_id, shingle FROM sh0
+       |       WHERE shingle IN (SELECT shingle FROM sh0
+       |                         GROUP BY shingle HAVING count(*) <= 50)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (SELECT id_a, id_b FROM inter
+       |          JOIN sizes sa ON inter.id_a = sa.doc_id
+       |          JOIN sizes sb ON inter.id_b = sb.doc_id
+       |          WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |reach AS (SELECT id, id AS r FROM nodes
+       |          UNION
+       |          SELECT reach.id, e.v AS r FROM reach JOIN edges e ON reach.r = e.u),
+       |comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |sp AS (SELECT d.doc_id,
+       |         CASE WHEN (coalesce(c.comp, d.doc_id) * $m) % $p % $mm < $ppm
+       |              THEN 'val' ELSE 'train' END AS split
+       |       FROM documents d LEFT JOIN comps c ON d.doc_id = c.id)""".stripMargin
   }
 
   /** Shared CTE for the llm_shuffle_* oracles: the affine permutation,
@@ -1609,6 +1648,24 @@ object SparkEntry {
          |SELECT base.split, n_docs, chars_sum,
          |  CAST(coalesce(n_leak_docs, 0) AS BIGINT) AS n_leak_docs
          |FROM base LEFT JOIN lc USING (split) ORDER BY base.split""".stripMargin,
+    // Leakage-free split: the oracle independently re-derives the pair
+    // graph, its components (recursive CTE), the component-keyed
+    // split, and the crossing-pair count — a live 0 = 0 gate, not a
+    // pinned zero.
+    "llm_split_safe" ->
+      s"""$SplitSafeCteSql
+         |SELECT doc_id, split FROM sp ORDER BY doc_id""".stripMargin,
+    "llm_split_safe_stats" ->
+      s"""$SplitSafeCteSql
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sp WHERE split = 'train')
+         |    AS n_train,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sp WHERE split = 'val')
+         |    AS n_val,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+         |     JOIN sp a ON p.id_a = a.doc_id
+         |     JOIN sp b ON p.id_b = b.doc_id
+         |   WHERE a.split <> b.split) AS leak_pairs""".stripMargin,
     // Snapshot diff: the oracle rebuilds both fixture versions and
     // classifies by comparing TEXT directly — the engine's map-side
     // digest shortcut must land on identical statuses.

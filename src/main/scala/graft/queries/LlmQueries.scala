@@ -589,6 +589,48 @@ object LlmQueries {
       .orderBy("split")
   }
 
+  /** Leakage-FREE split constructor — the fix the [[splitLeakage]]
+    * audit motivates: split by near-dup CONNECTED COMPONENT instead of
+    * by document, so an entire near-dup cluster lands on one side and
+    * no qualifying pair can ever cross (Lee et al. 2022's
+    * memorized-eval-example failure is structurally impossible). Each
+    * doc hashes on `coalesce(component_min_id, doc_id)` with the same
+    * engine-reproducible Knuth bucket as the naive split.
+    *
+    * Scale shape: CC runs only over the pair GRAPH (bounded by near-dup
+    * pair count, not corpus size — isolated docs never enter the
+    * iteration); the split itself is one left join against the bounded
+    * comp table + a map-side hash. */
+  def splitSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = Dedup.connectedComponents(cappedPairs(spark, sfDir))
+      .withColumnRenamed("id", "doc_id")
+    docs(spark, sfDir)
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(graft.ext.Sampling.bucket(
+            coalesce(col("comp"), col("doc_id"))) < ValPpm, lit("val"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** One-row proof the constructed split is leak-free: per-split doc
+    * counts plus the number of qualifying pairs that cross — computed
+    * LIVE on both engines (the oracle re-derives components, split,
+    * and crossing count independently; 0 = 0 is the gate). */
+  def splitSafeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val sp = splitSafe(spark, sfDir)
+    val leak = cappedPairs(spark, sfDir)
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("__sa")), "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("__sb")), "id_b")
+      .where(col("__sa") =!= col("__sb"))
+      .agg(count(lit(1)).as("leak_pairs"))
+    val counts = sp.agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+    // single-row scalar join (the disclosed bounded-crossJoin pattern)
+    counts.crossJoin(leak)
+  }
+
   def nfcNormalize(spark: SparkSession, sfDir: String): DataFrame = {
     val norm = graft.functions.NfcExpressions.nfc(col("text"))
     nfcDocs(spark, sfDir).select(

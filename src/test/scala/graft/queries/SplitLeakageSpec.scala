@@ -40,4 +40,31 @@ class SplitLeakageSpec extends SparkSpecBase {
     // a 10% split must actually be minority-sized on the fixture
     assert(stats("val")._1 < stats("train")._1)
   }
+
+  test("component-keyed split is leak-free where the naive split leaks") {
+    // the naive per-doc split demonstrably leaks on this fixture…
+    assert(LlmQueries.splitLeakage(spark, dir).count() > 0)
+    // …the component-keyed split cannot: zero crossing pairs, proven
+    // by the same live pair set
+    val stats = LlmQueries.splitSafeStats(spark, dir).collect()(0)
+    assert(stats.getAs[Long]("leak_pairs") === 0L)
+    // still covers the whole corpus with a minority val side
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(stats.getAs[Long]("n_train") + stats.getAs[Long]("n_val") === total)
+    assert(stats.getAs[Long]("n_val") > 0 &&
+      stats.getAs[Long]("n_val") < stats.getAs[Long]("n_train"))
+    // and every near-dup cluster lands wholly on one side
+    val sp = LlmQueries.splitSafe(spark, dir)
+    val cc = graft.ext.Dedup.connectedComponents(
+        graft.ext.Dedup.jaccardPairs(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", n = 3, threshold = 0.5,
+          maxDf = LlmQueries.JaccardMaxDf))
+      .withColumnRenamed("id", "doc_id")
+    val splitPerComp = sp.join(cc, "doc_id")
+      .groupBy("comp").agg(count_distinct(col("split")).as("n_sides"))
+      .collect()
+    assert(splitPerComp.nonEmpty &&
+      splitPerComp.forall(_.getAs[Long]("n_sides") === 1L))
+  }
 }
