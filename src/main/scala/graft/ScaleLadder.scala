@@ -110,6 +110,7 @@ object ScaleLadder {
     "llm_clean_corpus",
     "llm_domain_cap",
     "llm_pagerank",
+    "llm_bm25_topk",
     "cdc_materialize_debezium")
 
   /** Fixed-plane LSH has candidate cost n²/2^planes — superlinear with
@@ -151,7 +152,13 @@ object ScaleLadder {
         "floor; what the two-phase form buys is a per-reducer bound " +
         "(cap x salts rows per domain in the exact window) regardless " +
         "of domain skew — asserted on a 1000:1-skewed fixture in " +
-        "UrlOpsSpec, not visible in this uniform-growth rung"))
+        "UrlOpsSpec, not visible in this uniform-growth rung"),
+    "llm_bm25_topk" ->
+      ("direct (index-free) retrieval: one pass over the token stream " +
+        "with the query-term filter applied before any shuffle, so " +
+        "~linear scan is the floor; a STANDING query takes the served " +
+        "path instead (llm_bm25_served rung), whose cost tracks the " +
+        "probed posting lists, not the corpus"))
 
   def run(spark: SparkSession, baseDir: String, factor: Int): Seq[Rung] = {
     val root = graft.queries.CdcQueries.tempSinkDir("graft-ladder").toString
@@ -240,7 +247,42 @@ object ScaleLadder {
     (annotated :+ inc) ++ threePointRungs(spark, baseDir, root, factor,
       rungs) ++ stageRungs ++ indexSizeRungs(spark, d1) :+
       zorderRung(spark, d1, dF, factor) :+
-      semdedupScaledKRung(spark, d1, dF, factor)
+      semdedupScaledKRung(spark, d1, dF, factor) :+
+      bm25ServedRung(spark, d1, dF, factor)
+  }
+
+  /** BM25 SERVED from the persisted postings index, with the bucket
+    * count scaled with the corpus (termBuckets ∝ n — the production
+    * recipe, the [[semdedupScaledKRung]] discipline): probed bytes then
+    * track the query's posting lists plus a constant bucket fraction,
+    * so the fixed-query serving cost should stay ~flat while the index
+    * grows F×. Index build is untimed (the persisted-index ingest-cost
+    * discipline); the timed body is the pruned probe + kernel + top-k,
+    * the per-query path. Generated replicas ROTATE the vocabulary, so
+    * the fixed query's posting lists are ~constant across rungs by
+    * construction — which is exactly this claim's regime (hit count
+    * fixed, corpus grown); a query whose hit count itself grows F× pays
+    * the posting-list term like the direct `llm_bm25_topk` rung. */
+  private def bm25ServedRung(spark: SparkSession, d1: String,
+                             dF: String, factor: Int): Rung = {
+    def at(dir: String, buckets: Int, label: String): (Double, String) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val idx = s"$dir/__bm25_index"
+      graft.ext.IncrementalBm25.writeIndex(docs, "doc_id", "text", idx,
+        termBuckets = buckets)
+      // the probe reads the PERSISTED index — no session cache, retime ok
+      timedQuiet(label)(graft.ext.IncrementalBm25.search(spark, idx,
+        graft.queries.LlmQueries.Bm25QueryTerms, k = 25).count())
+    }
+    val (t1, n1) = at(d1, 16, "llm_bm25_served@1x")
+    val (tF, nF) = at(dF, 16 * factor, s"llm_bm25_served@${factor}x")
+    Rung("llm_bm25_served", t1, tF,
+      math.log(tF / t1) / math.log(factor.toDouble),
+      "served from the persisted postings index with termBuckets " +
+        s"scaled with the corpus (16 -> ${16 * factor}): probed bytes " +
+        "track the posting lists, not the index; build untimed (ingest " +
+        "cost); replica vocab rotation holds the query's hit count " +
+        "fixed BY CONSTRUCTION — the standing-query regime" + n1 + nF)
   }
 
   /** SemDeDup at the PAPER's production recipe — nCells ~ √n (Abbas et

@@ -166,6 +166,10 @@ object SparkEntry {
     "text_langid_counts"       -> (LlmQueries.langIdCounts _),
     "text_langid_ngram_counts" -> (LlmQueries.langIdNgramCounts _),
     "text_tfidf_top_terms"     -> (LlmQueries.tfIdfTopTerms _),
+    "llm_bm25_scores"          -> (LlmQueries.bm25Scores _),
+    "llm_bm25_topk"            -> (LlmQueries.bm25TopK _),
+    "llm_bm25_incremental"     -> (LlmQueries.bm25Incremental _),
+    "llm_rrf_fusion"           -> (LlmQueries.rrfFusion _),
     "text_repetition_stats"    -> (LlmQueries.textRepetitionStats _),
     "docs_length_quantiles"    -> (LlmQueries.docsLengthQuantiles _),
     "docs_length_quantiles_approx" -> (LlmQueries.docsLengthQuantilesApprox _),
@@ -176,6 +180,9 @@ object SparkEntry {
     "llm_pack_stats"           -> (LlmQueries.packStats _),
     "llm_bpe_tokens"           -> (LlmQueries.bpeTokens _),
     "llm_pack_stats_bpe"       -> (LlmQueries.packStatsBpe _),
+    "llm_pack_greedy"          -> (LlmQueries.packGreedy _),
+    "llm_pack_bestfit"         -> (LlmQueries.packBestfit _),
+    "llm_pack_bestfit_check"   -> (LlmQueries.packBestfitCheck _),
     "llm_decontam"             -> (LlmQueries.decontam _),
     "llm_decontam_bloom"       -> (LlmQueries.decontamBloom _),
     "llm_dedup_incremental"    -> (LlmQueries.dedupIncremental _),
@@ -225,6 +232,44 @@ object SparkEntry {
   /** TextStats.nTokens restated for DuckDB (TextStats.TokenRe). */
   private val NTOKENS =
     """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"""
+
+  /** BM25 score CTE chain shared by llm_bm25_scores / llm_bm25_topk /
+    * llm_rrf_fusion — the Bm25.scores arithmetic verbatim: milli-scaled
+    * dl/avgdl, linear smoothed idf with the 10^7 clamp, tf clamped at
+    * 10^4, the 20000-scaled k1=1.2/b=0.75 saturation kernel, all BIGINT
+    * integer division (`//` here, `DIV` in Spark — both truncating,
+    * identical on the non-negative operands used). */
+  private lazy val Bm25TermsSql =
+    LlmQueries.Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+  private lazy val Bm25ScoreCteSql =
+    s"""WITH d AS (SELECT doc_id,
+       |    CASE WHEN trim(text) = '' THEN 0 ELSE len($W) END AS dl
+       |  FROM documents),
+       |s AS (SELECT count(*) AS n_docs,
+       |        CAST(sum(dl) AS BIGINT) AS total_tokens FROM d),
+       |t AS (SELECT doc_id, unnest($WL) AS term FROM documents),
+       |q AS (SELECT doc_id, term, count(*) AS tf FROM t
+       |      WHERE term IN ($Bm25TermsSql) GROUP BY 1, 2),
+       |f AS (SELECT term, count(*) AS df FROM q GROUP BY 1),
+       |p AS (SELECT q.doc_id,
+       |    (least((1000 * (s.n_docs + 1)) // (f.df + 1), 10000000)
+       |       * 44000 * least(q.tf, 10000))
+       |      // (20000 * least(q.tf, 10000) + 6000
+       |         + 18 * ((1000 * d.dl * s.n_docs) // s.total_tokens)) AS part
+       |  FROM q JOIN f USING (term) JOIN d USING (doc_id) CROSS JOIN s),
+       |bsc AS (SELECT doc_id, count(*) AS n_terms,
+       |          CAST(sum(part) AS BIGINT) AS score_u
+       |        FROM p GROUP BY doc_id)""".stripMargin
+
+  /** The top-25 ranking body — shared VERBATIM by `llm_bm25_topk` and
+    * `llm_bm25_incremental` (the decontam/bloom shared-SQL pattern):
+    * the index-served result must equal the full recompute exactly. */
+  private lazy val Bm25TopkSql =
+    s"""$Bm25ScoreCteSql,
+       |r AS (SELECT *, row_number() OVER (
+       |        ORDER BY score_u DESC, doc_id ASC) AS rank FROM bsc)
+       |SELECT doc_id, n_terms, score_u, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin
 
   // PII fragments: regexes verbatim from PiiRedact (Java/RE2-identical
   // syntax only); the planted CTE is the byte-identical twin of
@@ -2413,6 +2458,40 @@ object SparkEntry {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM laid GROUP BY shard, pack_id
         |ORDER BY shard, pack_id""".stripMargin,
+    // Document-boundary next-fit packing: the oracle replays the
+    // per-shard sequential fold as a recursive CTE — each step advances
+    // every shard's cursor one document, carrying (pack_id, fill); the
+    // rollup must then match the engine's mapPartitions fold exactly.
+    "llm_pack_greedy" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id,
+         |    ((doc_id * 2654435761) % 1000000007) % 1000000 % 8 AS shard,
+         |    CAST($NTOKENS AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT *, row_number() OVER (
+         |        PARTITION BY shard ORDER BY doc_id) AS i FROM d),
+         |nf AS (
+         |  SELECT doc_id, shard, n_tokens, i,
+         |    CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+         |  FROM b WHERE i = 1
+         |  UNION ALL
+         |  SELECT b.doc_id, b.shard, b.n_tokens, b.i,
+         |    CASE WHEN nf.fill + b.n_tokens > 2048
+         |         THEN nf.pack_id + 1 ELSE nf.pack_id END,
+         |    CASE WHEN nf.fill + b.n_tokens > 2048
+         |         THEN b.n_tokens ELSE nf.fill + b.n_tokens END
+         |  FROM nf JOIN b ON b.shard = nf.shard AND b.i = nf.i + 1)
+         |SELECT CAST(shard AS BIGINT) AS shard, pack_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM nf GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    // BFD gate: live doc/token totals + the structural facts that pin
+    // best-fit between its bounds (see LlmQueries.packBestfitCheck).
+    "llm_pack_bestfit_check" ->
+      s"""SELECT count(*) AS n_docs,
+         |  CAST(sum($NTOKENS) AS BIGINT) AS total_tokens,
+         |  true AS partition_exact, true AS within_budget_ok,
+         |  true AS le_nextfit_ok, true AS ge_lowerbound_ok
+         |FROM documents""".stripMargin,
     // BPE token counts: the oracle re-tokenizes with the SAME regex
     // pre-tokenizer, then recomputes every BPE count through the
     // rank-ordered replace() chain over marker-framed symbols (one
@@ -2470,6 +2549,40 @@ object SparkEntry {
          |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
          |  score, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // BM25 retrieval: every scoring quantity is BIGINT (see
+    // Bm25ScoreCteSql above) so the full ranking reproduces bit-for-bit.
+    "llm_bm25_scores" ->
+      s"""$Bm25ScoreCteSql
+         |SELECT doc_id, n_terms, score_u FROM bsc ORDER BY doc_id""".stripMargin,
+    "llm_bm25_topk" -> Bm25TopkSql,
+    // served from the persisted postings index after the shard fold —
+    // same SQL as llm_bm25_topk IS the gate (see LlmQueries scaladoc)
+    "llm_bm25_incremental" -> Bm25TopkSql,
+    // Reciprocal-rank fusion of the BM25 and linear-tf·idf rankings:
+    // top-100 pools, rrf = 10^9 // (60 + rank) summed — integer-exact,
+    // absent-from-pool ranks as 0 (1-based ranks, so unambiguous).
+    "llm_rrf_fusion" ->
+      s"""$Bm25ScoreCteSql,
+         |rb AS (SELECT doc_id, row_number() OVER (
+         |         ORDER BY score_u DESC, doc_id ASC) AS rank_bm25 FROM bsc
+         |       QUALIFY rank_bm25 <= 100),
+         |lsc AS (SELECT q.doc_id, CAST(sum(least(q.tf, 10000) *
+         |          least((1000 * (s.n_docs + 1)) // (f.df + 1), 10000000))
+         |          AS BIGINT) AS score_u
+         |        FROM q JOIN f USING (term) CROSS JOIN s GROUP BY q.doc_id),
+         |rl AS (SELECT doc_id, row_number() OVER (
+         |         ORDER BY score_u DESC, doc_id ASC) AS rank_lin FROM lsc
+         |       QUALIFY rank_lin <= 100),
+         |fused AS (SELECT coalesce(rb.doc_id, rl.doc_id) AS doc_id,
+         |    CAST(coalesce(rb.rank_bm25, 0) AS BIGINT) AS rank_bm25,
+         |    CAST(coalesce(rl.rank_lin, 0) AS BIGINT) AS rank_lin,
+         |    CAST(coalesce(1000000000 // (60 + rb.rank_bm25), 0)
+         |       + coalesce(1000000000 // (60 + rl.rank_lin), 0) AS BIGINT) AS rrf_u
+         |  FROM rb FULL OUTER JOIN rl ON rb.doc_id = rl.doc_id),
+         |rr AS (SELECT *, row_number() OVER (
+         |         ORDER BY rrf_u DESC, doc_id ASC) AS rank FROM fused)
+         |SELECT doc_id, rank_bm25, rank_lin, rrf_u, CAST(rank AS BIGINT) AS rank
+         |FROM rr WHERE rank <= 25 ORDER BY rank""".stripMargin,
     // mm_decode_meta: blobs are REAL ImageIO-encoded PNG/BMP bytes whose
     // format and dimensions are pure functions of doc_id; the oracle
     // restates the fixture formulas, so a green hash proves the real
@@ -2690,5 +2803,7 @@ object SparkEntry {
     "llm_simhash_neardup"          -> "llm_simhash_parity",
     "llm_winnow_fingerprints"      -> "llm_winnow_checksum",
     "llm_winnow_shared_pairs"      -> "llm_winnow_checksum",
+    // best-fit-decreasing packing → bounds + partition-exactness gate
+    "llm_pack_bestfit"             -> "llm_pack_bestfit_check",
   )
 }

@@ -1909,11 +1909,140 @@ object LlmQueries {
         "doc_id", nShards = 8, budgetTokens = 2048L)
       .orderBy("shard", "pack_id")
 
+  /** Document-boundary next-fit packing (no doc ever split across
+    * sequences — see [[graft.ext.Packing.nextFitCounts]]); same shard
+    * count and budget as `llm_pack_stats`, so the two layouts are
+    * directly comparable. Fully live oracle: DuckDB replays the
+    * sequential fold as a recursive CTE. */
+  def packGreedy(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Packing.nextFitPacks(docs(spark, sfDir), "doc_id", "text",
+        nShards = 8, budgetTokens = 2048L)
+      .orderBy("shard", "pack_id")
+
+  /** Best-fit-decreasing packing (Ding et al. 2024) — the bin table is
+    * not SQL-restatable, so this row is rows-only and
+    * [[packBestfitCheck]] carries its correctness. */
+  def packBestfit(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Packing.bestFitPacks(docs(spark, sfDir), "doc_id", "text",
+        nShards = 8, budgetTokens = 2048L)
+      .orderBy("shard", "pack_id")
+
+  /** The BFD gate row: live doc/token totals (the oracle recomputes
+    * both) plus the three structural facts that pin best-fit between
+    * its bounds — every multi-doc pack within budget, pack count ≤ the
+    * oracle-replayed next-fit count, pack count ≥ the per-shard
+    * ceil(tokens/budget) lower bound. A BFD bug that loses/duplicates a
+    * doc, overfills a pack, or packs worse than next-fit flips a
+    * column. */
+  def packBestfitCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 2048L
+    val counts = docs(spark, sfDir).select(col("doc_id"),
+      TextStats.nTokens(col("text")).cast("long").as("n_tokens"))
+    val bfd = graft.ext.Packing.bestFitCounts(counts, "doc_id",
+      nShards = 8, budgetTokens = budget)
+    val nf = graft.ext.Packing.nextFitCounts(counts, "doc_id",
+      nShards = 8, budgetTokens = budget)
+    val bfdPacks = bfd.groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+    val bfdAgg = bfdPacks.agg(
+      count(lit(1)).as("n_packs_bfd"),
+      sum("n_docs").as("n_docs_bfd"),
+      sum("pack_tokens").as("total_tokens"),
+      max(when(col("pack_tokens") > budget && col("n_docs") > 1, 1L)
+        .otherwise(0L)).as("overfull"))
+    val nfAgg = nf.groupBy("shard", "pack_id").count()
+      .agg(count(lit(1)).as("n_packs_nf"))
+    // oversize docs pack alone ABOVE budget, so the valid bound is
+    // n_oversize + ceil(rest / budget) per shard (no oversize docs
+    // exist at the fixture budget, but the bound must hold regardless)
+    val lb = counts
+      .select(pmod(Sampling.bucket(col("doc_id")), lit(8)).as("shard"),
+        col("n_tokens"))
+      .groupBy("shard").agg(
+        sum(when(col("n_tokens") > budget, 1L).otherwise(0L)).as("n_over"),
+        sum(when(col("n_tokens") > budget, 0L).otherwise(col("n_tokens")))
+          .as("t_rest"))
+      .agg(sum(col("n_over") + expr(s"(t_rest + ${budget - 1}) DIV $budget"))
+        .as("lower_bound"))
+    val inAgg = counts.agg(count(lit(1)).as("n_docs"))
+    bfdAgg.crossJoin(broadcast(nfAgg)).crossJoin(broadcast(lb))
+      .crossJoin(broadcast(inAgg)) // all single-row planning joins
+      .select(
+        col("n_docs"), col("total_tokens"),
+        (col("n_docs_bfd") === col("n_docs")).as("partition_exact"),
+        (col("overfull") === 0L).as("within_budget_ok"),
+        (col("n_packs_bfd") <= col("n_packs_nf")).as("le_nextfit_ok"),
+        (col("n_packs_bfd") >= col("lower_bound")).as("ge_lowerbound_ok"))
+  }
+
   /** Top-3 characteristic terms per doc (tf·N/df score, linear idf —
     * see [[TextStats.tfIdfTopTerms]]). */
   def tfIdfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
     TextStats.tfIdfTopTerms(docs(spark, sfDir), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
+
+  /** The registered retrieval query: one rare term ("dup", df≈5% of
+    * docs on the word-soup corpus) and three common ones, so the idf
+    * spread, the tf saturation, and the length normalization all have
+    * selectivity in the fixture. */
+  val Bm25QueryTerms: Seq[String] = Seq("dup", "hash", "window", "merge")
+
+  /** Per-doc BM25 scores for [[Bm25QueryTerms]] — integer-exact BIGINT
+    * scoring end to end (see [[graft.ext.Bm25]]'s scaladoc for the
+    * scaled kernel and the disclosed linear-idf trade). */
+  def bm25Scores(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Bm25.scores(docs(spark, sfDir), "doc_id", "text",
+        Bm25QueryTerms)
+      .orderBy("doc_id")
+
+  /** Top-25 BM25 retrieval (TakeOrdered selection, rank window over the
+    * 25 survivors only). */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Bm25.topK(docs(spark, sfDir), "doc_id", "text",
+        Bm25QueryTerms, k = 25)
+      .orderBy("rank")
+
+  /** Session-cached BM25 postings index over the existing-corpus split
+    * (doc_id % 10 != 0), term-bucketed so the gated query exercises the
+    * partition-pruned probe path. */
+  private def bm25IndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"bm25|$sfDir") { dir =>
+      graft.ext.IncrementalBm25.writeIndex(
+        docs(spark, sfDir).where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", dir, termBuckets = 16)
+    }
+
+  /** Incremental BM25: the arriving shard folded into the persisted
+    * postings index, then the registered query served FROM the index.
+    * Gated on the IDENTICAL oracle SQL as [[bm25TopK]] (the shared-SQL
+    * pattern): df/N/T folded across epochs must equal the full-corpus
+    * recompute bit-for-bit, so a green hash proves the postings/stats
+    * round-trip AND the pruned-probe arithmetic. */
+  def bm25Incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = bm25IndexDir(spark, sfDir)
+    graft.ext.IncrementalBm25.appendToIndex(
+      docs(spark, sfDir).where(col("doc_id") % 10 === 0),
+      "doc_id", "text", dir, epoch = "shard0")
+    graft.ext.IncrementalBm25.search(spark, dir, Bm25QueryTerms, k = 25)
+      .orderBy("rank")
+  }
+
+  /** Hybrid-retrieval fusion: reciprocal-rank fusion of the BM25 and
+    * linear-tf·idf rankings over the same query, top-100 pools, top-25
+    * fused (see [[graft.ext.Bm25.rrfFuse]]). */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    graft.ext.Bm25.rrfFuse("doc_id", poolK = 100, k = 25, lists = Seq(
+        "bm25" -> graft.ext.Bm25.scores(d, "doc_id", "text", Bm25QueryTerms),
+        "lin" -> graft.ext.Bm25.tfIdfScores(d, "doc_id", "text", Bm25QueryTerms)))
+      // absent-from-pool ranks surface as 0, not NULL — unambiguous
+      // (ranks are 1-based) and keeps the oracle compare null-free
+      .select(col("doc_id"),
+        coalesce(col("rank_bm25"), lit(0L)).as("rank_bm25"),
+        coalesce(col("rank_lin"), lit(0L)).as("rank_lin"),
+        col("rrf_u"), col("rank"))
+      .orderBy("rank")
+  }
 
   /** Shared capped pair set (Jaccard ≥ 0.5, df-capped): [[dedupCorpus]]
     * and [[dedupCc]] consume the IDENTICAL pair plan, so the first
