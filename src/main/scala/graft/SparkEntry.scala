@@ -169,7 +169,13 @@ object SparkEntry {
     "llm_bm25_scores"          -> (LlmQueries.bm25Scores _),
     "llm_bm25_topk"            -> (LlmQueries.bm25TopK _),
     "llm_bm25_incremental"     -> (LlmQueries.bm25Incremental _),
+    "llm_bm25_multi"           -> (LlmQueries.bm25Multi _),
+    "llm_bpe_train"            -> (LlmQueries.bpeTrain _),
+    "llm_bpe_selftok"          -> (LlmQueries.bpeSelfTok _),
+    "llm_phrase_counts"        -> (LlmQueries.phraseCounts _),
+    "llm_phrase_stats"         -> (LlmQueries.phraseStats _),
     "llm_rrf_fusion"           -> (LlmQueries.rrfFusion _),
+    "llm_hybrid_fusion"        -> (LlmQueries.hybridFusion _),
     "text_repetition_stats"    -> (LlmQueries.textRepetitionStats _),
     "docs_length_quantiles"    -> (LlmQueries.docsLengthQuantiles _),
     "docs_length_quantiles_approx" -> (LlmQueries.docsLengthQuantilesApprox _),
@@ -241,21 +247,120 @@ object SparkEntry {
     * identical on the non-negative operands used). */
   private lazy val Bm25TermsSql =
     LlmQueries.Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
-  private lazy val Bm25ScoreCteSql =
-    s"""WITH d AS (SELECT doc_id,
+  /** dl / corpus-stats / token-stream CTE bodies shared by every BM25
+    * oracle (single-query, index-served, and multi-query). */
+  private lazy val Bm25BaseCteSql =
+    s"""d AS (SELECT doc_id,
        |    CASE WHEN trim(text) = '' THEN 0 ELSE len($W) END AS dl
        |  FROM documents),
        |s AS (SELECT count(*) AS n_docs,
        |        CAST(sum(dl) AS BIGINT) AS total_tokens FROM d),
-       |t AS (SELECT doc_id, unnest($WL) AS term FROM documents),
+       |t AS (SELECT doc_id, unnest($WL) AS term FROM documents)""".stripMargin
+  /** The per-(doc, term) partial — Bm25.parts verbatim (aliases q/f/d/s
+    * fixed by the CTE chains below). */
+  private lazy val Bm25PartSql =
+    """(least((1000 * (s.n_docs + 1)) // (f.df + 1), 10000000)
+      |       * 44000 * least(q.tf, 10000))
+      |      // (20000 * least(q.tf, 10000) + 6000
+      |         + 18 * ((1000 * d.dl * s.n_docs) // s.total_tokens))""".stripMargin
+  /** llm_bpe_train oracle: the full training replay, one CTE trio per
+    * round (pair counts over the marked-symbol vocabulary → argmax
+    * under (cnt DESC, a, b) → one replace() rewrite — the
+    * Bpe.sqlTokenCount marker representation). MATERIALIZED is
+    * load-bearing: v_k is referenced twice (p_{k+1} and v_{k+1}), so
+    * inlining would expand 2^rounds (the llm_kmeans/llm_pagerank
+    * lesson). */
+  /** The training-replay CTE chain (WITH v0 … v_n), shared by
+    * llm_bpe_train (emits the merge table) and llm_bpe_selftok (drives
+    * the replace()-chain encoder with the learned pairs). */
+  private lazy val BpeTrainCteSql = {
+    val n = graft.ext.Bpe.FixtureNMerges
+    val rounds = (1 to n).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT substr(t.ws[i.g], 2) AS a,
+         |    substr(t.ws[i.g + 1], 2) AS b, CAST(sum(t.freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(rtrim(s, ' '), ' ') AS ws
+         |        FROM v${k - 1}) t,
+         |       unnest(generate_series(1, len(t.ws) - 1)) AS i(g)
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT a, b FROM p$k
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT t.freq,
+         |    replace(t.s, chr(1)||m.a||' '||chr(1)||m.b||' ',
+         |      chr(1)||m.a||m.b||' ') AS s
+         |  FROM v${k - 1} t, m$k m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS freq,
+       |    regexp_replace(tok, '(.)', chr(1)||'\\1 ', 'g') AS s
+       |  FROM (SELECT unnest(regexp_extract_all(text,
+       |          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |$rounds""".stripMargin
+  }
+
+  private lazy val BpeTrainSql = {
+    val n = graft.ext.Bpe.FixtureNMerges
+    val sel = (1 to n)
+      .map(k => s"SELECT $k AS rank, a AS lhs, b AS rhs FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""$BpeTrainCteSql
+       |SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs FROM ($sel)
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** llm_bpe_selftok oracle: encode every DISTINCT pre-token through
+    * the replace() chain driven by the LEARNED pairs (each e_k cross
+    * joins round k's 1-row argmax m_k), count markers, join back. */
+  private lazy val BpeSelfTokSql = {
+    val n = graft.ext.Bpe.FixtureNMerges
+    val chain = (1 to n).map { k =>
+      s"""e$k AS MATERIALIZED (SELECT e.tok,
+         |    replace(e.s, chr(1)||m.a||' '||chr(1)||m.b||' ',
+         |      chr(1)||m.a||m.b||' ') AS s
+         |  FROM e${k - 1} e, m$k m)""".stripMargin
+    }.mkString(",\n")
+    s"""$BpeTrainCteSql,
+       |t0 AS (SELECT doc_id, unnest(regexp_extract_all(text,
+       |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok FROM documents),
+       |e0 AS MATERIALIZED (SELECT tok,
+       |    regexp_replace(tok, '(.)', chr(1)||'\\1 ', 'g') AS s
+       |  FROM (SELECT DISTINCT tok FROM t0)),
+       |$chain,
+       |cnt AS (SELECT tok,
+       |    CAST(len(s) - len(replace(s, chr(1), '')) AS BIGINT) AS nb
+       |  FROM e$n),
+       |b AS (SELECT t0.doc_id, count(*) AS n_pre,
+       |        CAST(sum(cnt.nb) AS BIGINT) AS n_bpe
+       |      FROM t0 JOIN cnt USING (tok) GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(b.n_pre, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(b.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN b USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Phrase-match CTE chain shared by llm_phrase_counts/_stats: every
+    * start position where the normalized w-gram equals the normalized
+    * phrase (LlmQueries.PhraseFixture interpolated as a VALUES list). */
+  private lazy val PhraseCteSql = {
+    val vals = LlmQueries.PhraseFixture
+      .map { case (id, p) => s"($id, '$p')" }.mkString(", ")
+    s"""WITH p (phrase_id, phrase) AS (VALUES $vals),
+       |pn AS (SELECT phrase_id,
+       |    array_to_string(regexp_split_to_array(trim(lower(phrase)), '\\s+'), ' ') AS phrase_norm,
+       |    len(regexp_split_to_array(trim(lower(phrase)), '\\s+')) AS n_words
+       |  FROM p),
+       |w AS (SELECT doc_id, $WL AS ws FROM documents),
+       |m AS (SELECT pn.phrase_id, w.doc_id, t.g AS pos
+       |      FROM w, pn, unnest(generate_series(1, len(w.ws) - pn.n_words + 1)) AS t(g)
+       |      WHERE len(w.ws) >= pn.n_words
+       |        AND array_to_string(w.ws[t.g : t.g + pn.n_words - 1], ' ') = pn.phrase_norm)""".stripMargin
+  }
+
+  private lazy val Bm25ScoreCteSql =
+    s"""WITH $Bm25BaseCteSql,
        |q AS (SELECT doc_id, term, count(*) AS tf FROM t
        |      WHERE term IN ($Bm25TermsSql) GROUP BY 1, 2),
        |f AS (SELECT term, count(*) AS df FROM q GROUP BY 1),
-       |p AS (SELECT q.doc_id,
-       |    (least((1000 * (s.n_docs + 1)) // (f.df + 1), 10000000)
-       |       * 44000 * least(q.tf, 10000))
-       |      // (20000 * least(q.tf, 10000) + 6000
-       |         + 18 * ((1000 * d.dl * s.n_docs) // s.total_tokens)) AS part
+       |p AS (SELECT q.doc_id, $Bm25PartSql AS part
        |  FROM q JOIN f USING (term) JOIN d USING (doc_id) CROSS JOIN s),
        |bsc AS (SELECT doc_id, count(*) AS n_terms,
        |          CAST(sum(part) AS BIGINT) AS score_u
@@ -2558,6 +2663,54 @@ object SparkEntry {
     // served from the persisted postings index after the shard fold —
     // same SQL as llm_bm25_topk IS the gate (see LlmQueries scaladoc)
     "llm_bm25_incremental" -> Bm25TopkSql,
+    // Distributed BPE training: the oracle replays every round; a green
+    // hash proves the distributed pair counts, the deterministic
+    // argmax, and the fold-based merge rewrite all equal the classic
+    // sequential algorithm bit-for-bit.
+    "llm_bpe_train" -> BpeTrainSql,
+    // Self-trained tokenization: train → encode → count, one oracle.
+    "llm_bpe_selftok" -> BpeSelfTokSql,
+    // Exact phrase search: the oracle matches gram TEXT at every start
+    // position (the engine matches 128-bit fingerprints — text never
+    // crosses its shuffle — so a green hash also witnesses fp↔text
+    // agreement, the LineDedup discipline).
+    "llm_phrase_counts" ->
+      s"""$PhraseCteSql
+         |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+         |  count(*) AS n_occurrences, CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "llm_phrase_stats" ->
+      s"""$PhraseCteSql,
+         |c AS (SELECT phrase_id, count(DISTINCT doc_id) AS n_docs,
+         |        count(*) AS n_occ FROM m GROUP BY 1)
+         |SELECT CAST(pn.phrase_id AS BIGINT) AS phrase_id, pn.phrase_norm,
+         |  CAST(coalesce(c.n_docs, 0) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(c.n_occ, 0) AS BIGINT) AS n_occurrences
+         |FROM pn LEFT JOIN c USING (phrase_id)
+         |ORDER BY phrase_id""".stripMargin,
+    // Batch retrieval: per-(doc, term) partials computed once over the
+    // union term set, fanned out to queries by the qt join; df is the
+    // corpus document frequency (identical to the single-query rows).
+    "llm_bm25_multi" ->
+      s"""WITH $Bm25BaseCteSql,
+         |qt AS (SELECT DISTINCT * FROM (VALUES ${
+        LlmQueries.Bm25MultiQueries
+          .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      }) AS v(query_id, term)),
+         |terms AS (SELECT DISTINCT term FROM qt),
+         |q AS (SELECT doc_id, t.term, count(*) AS tf FROM t
+         |      JOIN terms USING (term) GROUP BY 1, 2),
+         |f AS (SELECT term, count(*) AS df FROM q GROUP BY 1),
+         |p AS (SELECT q.doc_id, q.term, $Bm25PartSql AS part
+         |  FROM q JOIN f USING (term) JOIN d USING (doc_id) CROSS JOIN s),
+         |ms AS (SELECT qt.query_id, p.doc_id, count(*) AS n_terms,
+         |         CAST(sum(part) AS BIGINT) AS score_u
+         |       FROM p JOIN qt USING (term) GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score_u DESC, doc_id ASC) AS rank FROM ms)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_terms,
+         |  score_u, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // Reciprocal-rank fusion of the BM25 and linear-tf·idf rankings:
     // top-100 pools, rrf = 10^9 // (60 + rank) summed — integer-exact,
     // absent-from-pool ranks as 0 (1-based ranks, so unambiguous).
@@ -2582,6 +2735,31 @@ object SparkEntry {
          |rr AS (SELECT *, row_number() OVER (
          |         ORDER BY rrf_u DESC, doc_id ASC) AS rank FROM fused)
          |SELECT doc_id, rank_bm25, rank_lin, rrf_u, CAST(rank AS BIGINT) AS rank
+         |FROM rr WHERE rank <= 25 ORDER BY rank""".stripMargin,
+    // Hybrid lexical+vector retrieval: BM25 ranking fused with the
+    // round-6 cosine ranking (query vector vec_id = 7, self excluded)
+    // by integer RRF over top-100 pools.
+    "llm_hybrid_fusion" ->
+      s"""$Bm25ScoreCteSql,
+         |rb AS (SELECT doc_id, row_number() OVER (
+         |         ORDER BY score_u DESC, doc_id ASC) AS rank_bm25 FROM bsc
+         |       QUALIFY rank_bm25 <= 100),
+         |cq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+         |cs AS (SELECT vec_id AS doc_id,
+         |         round(list_cosine_similarity(qv, embedding::DOUBLE[]), 6) AS sim
+         |       FROM embeddings, cq WHERE vec_id <> 7),
+         |rc AS (SELECT doc_id, row_number() OVER (
+         |         ORDER BY sim DESC, doc_id ASC) AS rank_cos FROM cs
+         |       QUALIFY rank_cos <= 100),
+         |fused AS (SELECT coalesce(rb.doc_id, rc.doc_id) AS doc_id,
+         |    CAST(coalesce(rb.rank_bm25, 0) AS BIGINT) AS rank_bm25,
+         |    CAST(coalesce(rc.rank_cos, 0) AS BIGINT) AS rank_cos,
+         |    CAST(coalesce(1000000000 // (60 + rb.rank_bm25), 0)
+         |       + coalesce(1000000000 // (60 + rc.rank_cos), 0) AS BIGINT) AS rrf_u
+         |  FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id),
+         |rr AS (SELECT *, row_number() OVER (
+         |         ORDER BY rrf_u DESC, doc_id ASC) AS rank FROM fused)
+         |SELECT doc_id, rank_bm25, rank_cos, rrf_u, CAST(rank AS BIGINT) AS rank
          |FROM rr WHERE rank <= 25 ORDER BY rank""".stripMargin,
     // mm_decode_meta: blobs are REAL ImageIO-encoded PNG/BMP bytes whose
     // format and dimensions are pure functions of doc_id; the oracle

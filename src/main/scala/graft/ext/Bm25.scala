@@ -50,13 +50,12 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** The integer scoring kernel over a (idCol, term, tf, dl) stream
+  /** Per-(doc, term) BM25 partials over a (idCol, term, tf, dl) stream
     * plus a broadcastable (term, df) frame and the 1-row (n_docs,
-    * total_tokens) corpus stats — shared verbatim by the direct path
-    * and the [[IncrementalBm25]] index probe, so the index round-trip
-    * cannot diverge arithmetically. */
-  private[ext] def kernel(tf: DataFrame, idCol: String,
-                          dfreq: DataFrame, stats: DataFrame): DataFrame =
+    * total_tokens) corpus stats — the arithmetic every serving path
+    * shares verbatim. */
+  private[ext] def parts(tf: DataFrame, dfreq: DataFrame,
+                         stats: DataFrame): DataFrame =
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats)) // single-row scalar join
       .withColumn("dl_ratio", expr("(1000 * dl * n_docs) DIV total_tokens"))
@@ -65,6 +64,13 @@ object Bm25 {
       .withColumn("tfc", least(col("tf"), lit(10000L)))
       .withColumn("part",
         expr("(idf * 44000 * tfc) DIV (20000 * tfc + 6000 + 18 * dl_ratio)"))
+
+  /** The integer scoring kernel (per-doc fold of [[parts]]) — shared
+    * verbatim by the direct path and the [[IncrementalBm25]] index
+    * probe, so the index round-trip cannot diverge arithmetically. */
+  private[ext] def kernel(tf: DataFrame, idCol: String,
+                          dfreq: DataFrame, stats: DataFrame): DataFrame =
+    parts(tf, dfreq, stats)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum("part").as("score_u"))
 
@@ -107,6 +113,48 @@ object Bm25 {
            queryTerms: Seq[String], k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     rankTopK(scores(docs, idCol, textCol, queryTerms), idCol, k)
+  }
+
+  /** BATCH retrieval: top-k per query for a whole standing-query table
+    * (query_id, term) in ONE corpus pass — the shape a benchmark-triage
+    * or decontamination job actually runs (hundreds of probe queries,
+    * one scan). Per-(doc, term) partials are computed ONCE over the
+    * UNION of all query terms and fanned out to queries by a broadcast
+    * join, so Q queries sharing terms cost one tf aggregate, not Q;
+    * per-query ranking is a query-partitioned window (parallel across
+    * queries, never SinglePartition). df is the corpus document
+    * frequency — identical to the single-query path, so a term scores
+    * the same in every query. Duplicate (query_id, term) rows are
+    * collapsed. Returns (query_id, idCol, n_terms, score_u, rank),
+    * rank ≤ k per query. */
+  def topKMany(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val qt = queries.select(col("query_id"), col("term"))
+      .dropDuplicates("query_id", "term")
+    val terms = qt.select("term").distinct()
+    val base = docs.select(col(idCol),
+      TextStats.nWords(col(textCol)).cast("long").as("dl"),
+      TextStats.words(lower(col(textCol))).as("__w"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("total_tokens"))
+    // filter BEFORE the shuffle, via the broadcast union-term set
+    val qtok = base
+      .select(col(idCol), col("dl"), explode(col("__w")).as("term"))
+      .join(broadcast(terms), Seq("term"), "left_semi")
+    val tf = qtok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val perQuery = parts(tf, dfreq, stats)
+      .join(broadcast(qt), "term") // fan out to queries sharing the term
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum("part").as("score_u"))
+    perQuery.withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score_u").desc, col(idCol).asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("n_terms"),
+        col("score_u"), col("rank"))
   }
 
   /** Linear tf·idf ranking over the same query terms — the second

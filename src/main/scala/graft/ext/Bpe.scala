@@ -147,6 +147,87 @@ object Bpe {
       .toDF(idCol, "n_tokens", "n_bpe_tokens")
   }
 
+  /** DISTRIBUTED BPE training over the corpus itself — the missing half
+    * of the tokenizer story ([[train]] runs driver-side over a frozen
+    * table; real vocabularies are trained on the corpus). The house
+    * fixed-point-loop shape ([[KMeans]]/[[PageRank]] discipline):
+    *
+    *  - the word-frequency VOCABULARY is built by one pre-token
+    *    aggregate and stays distributed for the whole run (a 100 TB
+    *    corpus has ~10^8 distinct pre-tokens — never collected);
+    *  - each round is ONE shuffle (adjacent-pair counts weighted by
+    *    word frequency, map-side partial) plus a 1-row bounded planning
+    *    collect (the argmax pair under the deterministic
+    *    (-count, a, b) order — same tie-break as [[train]]);
+    *  - the merge rewrite is a pure map-side array fold
+    *    ([[mergeFoldCol]] — provably the leftmost-non-overlapping pass:
+    *    the folded symbol a+b can equal `a` only if `b` is empty, so a
+    *    fresh merge can never immediately re-merge);
+    *  - lineage is staged every few rounds (iterate-then-checkpoint).
+    *
+    * Determinism: identical to [[train]] — proven by the equivalence
+    * spec and, end-to-end on the corpus, by the `llm_bpe_train` oracle
+    * which replays every round in SQL (pair counts from the vocabulary,
+    * argmax, one `replace()` rewrite — the [[sqlTokenCount]] marker
+    * representation). */
+  def trainDistributed(docs: DataFrame, idCol: String, textCol: String,
+                       nMerges: Int, stageEvery: Int = 4): DataFrame = {
+    require(nMerges >= 0 && stageEvery >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab0 = docs
+      .select(explode(TextStats.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        regexp_extract_all(col("w"), lit("."), lit(0)).as("syms"))
+    // stage the vocabulary up front: the corpus is scanned exactly ONCE
+    // for the whole training run — every round reads the (tiny,
+    // Zipf-bounded) staged vocab, never the corpus
+    var vocab = graft.util.Checkpoints.stage(vocab0)
+    val merges = Vector.newBuilder[(Int, String, String)]
+    var k = 1
+    var exhausted = false
+    while (k <= nMerges && !exhausted) {
+      val pairs = vocab
+        .select(col("freq"), explode(when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("a"),
+                element_at(col("syms"), i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>")))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+      // bounded planning collect: exactly the argmax row
+      val best = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((k, a, b))
+        val next = vocab.withColumn("syms", mergeFoldCol(col("syms"), a, b))
+        vocab = if (k % stageEvery == 0 || k == nMerges)
+          graft.util.Checkpoints.stage(next)
+        else next
+        k += 1
+      }
+    }
+    // lhs/rhs, not left/right (SQL keywords in both engines)
+    merges.result().toDF("rank", "lhs", "rhs")
+      .select(col("rank").cast("long").as("rank"), col("lhs"), col("rhs"))
+  }
+
+  /** [[mergePass]] as a Catalyst fold (no UDF): leftmost-non-
+    * overlapping because the freshly merged symbol `a+b` can equal the
+    * pattern head `a` only for an empty `b` (see [[trainDistributed]]). */
+  private[ext] def mergeFoldCol(syms: org.apache.spark.sql.Column,
+                                a: String, b: String)
+      : org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
   /** The DuckDB twin of [[encode]]+count for one pre-token column
     * expression `tokExpr`: symbols rendered as `chr(1)||sym||' '`, one
     * `replace()` per merge in rank order, count = remaining markers.

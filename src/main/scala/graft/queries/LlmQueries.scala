@@ -2002,6 +2002,107 @@ object LlmQueries {
         Bm25QueryTerms, k = 25)
       .orderBy("rank")
 
+  /** Distributed BPE training over the corpus (vocabulary never
+    * collected; one pair-count shuffle + a 1-row argmax collect per
+    * round — see [[graft.ext.Bpe.trainDistributed]]). Fully live
+    * oracle: DuckDB replays every round (pair counts → deterministic
+    * argmax → one replace() rewrite) as chained CTEs, so the learned
+    * merge table is bit-for-bit engine-reproducible. */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Bpe.trainDistributed(docs(spark, sfDir), "doc_id", "text",
+        nMerges = graft.ext.Bpe.FixtureNMerges)
+      .orderBy("rank")
+
+  /** Self-trained tokenization: per-doc token counts under the
+    * CORPUS-trained merge table — train → encode → count, every stage
+    * live-oracled in one query (the oracle replays training as round
+    * CTEs, then drives the replace()-chain encoder with the learned
+    * pairs). The merge table is a bounded model collect (nMerges rows —
+    * the centroid/codebook discipline). */
+  def bpeSelfTok(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val merges = graft.ext.Bpe
+      .trainDistributed(d, "doc_id", "text",
+        nMerges = graft.ext.Bpe.FixtureNMerges)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.ext.Bpe.tokenCounts(d, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
+  /** Standing phrase set for the verbatim-occurrence audit: a 3-gram,
+    * a repeated-word 2-gram (multiple occurrences per doc, incl.
+    * overlapping runs), a zero-match phrase, and a case+whitespace
+    * normalization arm ("Spark  WINDOW" must match "spark window").
+    * Measured present at the gated sfs (phrase 1 appears from sf0.01
+    * up; overlap counting itself is spec-pinned on a hand fixture). */
+  val PhraseFixture: Seq[(Long, String)] = Seq(
+    1L -> "slow hash batch",
+    2L -> "slow slow",
+    3L -> "window fast query",
+    4L -> "quantum flux capacitor",
+    5L -> "Spark  WINDOW")
+
+  /** Exact phrase occurrences per (phrase, doc) — every verbatim match
+    * with its first word offset (see [[graft.ext.PhraseSearch]]);
+    * fully live oracle matching gram TEXT (the engine matches
+    * fingerprints, so the hash also witnesses fp↔text agreement). */
+  def phraseCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ext.PhraseSearch.phraseCounts(docs(spark, sfDir), "doc_id",
+        "text", PhraseFixture.toDF("phrase_id", "phrase"))
+      .orderBy("phrase_id", "doc_id")
+  }
+
+  /** Per-phrase corpus rollup, zero-match phrases included. */
+  def phraseStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ext.PhraseSearch.phraseStats(docs(spark, sfDir), "doc_id",
+        "text", PhraseFixture.toDF("phrase_id", "phrase"))
+      .orderBy("phrase_id")
+  }
+
+  /** The registered standing-query table for batch retrieval: three
+    * queries sharing terms (so the fan-out join has selectivity) with
+    * a deliberate duplicate row (1, "hash") the dedup must collapse. */
+  val Bm25MultiQueries: Seq[(Long, String)] = Seq(
+    1L -> "dup", 1L -> "hash", 1L -> "hash",
+    2L -> "window", 2L -> "merge", 2L -> "scan",
+    3L -> "dup", 3L -> "query")
+
+  /** Batch retrieval: top-10 per standing query in one corpus pass
+    * (see [[graft.ext.Bm25.topKMany]]) — fully live oracle. */
+  def bm25Multi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ext.Bm25.topKMany(docs(spark, sfDir), "doc_id", "text",
+        Bm25MultiQueries.toDF("query_id", "term"), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Hybrid lexical+vector retrieval — THE modern retrieval shape: the
+    * BM25 keyword ranking fused with a reference embedding's cosine
+    * ranking (query vector = vec_id 7, its self-match excluded) by
+    * integer reciprocal-rank fusion over top-100 pools. Fully live
+    * oracle: the lexical side is the BM25 CTE chain, the vector side
+    * the round-6 `list_cosine_similarity` ranking the cosine family
+    * already gates. */
+  def hybridFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val e = emb(spark, sfDir)
+    val cos = Similarity
+      .bruteForceTopK(e, e.where(col("vec_id") === 7), "vec_id",
+        "embedding", k = 100)
+      .select(col("neighbor_id").as("doc_id"), col("sim").as("score_u"))
+    graft.ext.Bm25.rrfFuse("doc_id", poolK = 100, k = 25, lists = Seq(
+        "bm25" -> graft.ext.Bm25.scores(d, "doc_id", "text", Bm25QueryTerms),
+        "cos" -> cos))
+      .select(col("doc_id"),
+        coalesce(col("rank_bm25"), lit(0L)).as("rank_bm25"),
+        coalesce(col("rank_cos"), lit(0L)).as("rank_cos"),
+        col("rrf_u"), col("rank"))
+      .orderBy("rank")
+  }
+
   /** Session-cached BM25 postings index over the existing-corpus split
     * (doc_id % 10 != 0), term-bucketed so the gated query exercises the
     * partition-pruned probe path. */

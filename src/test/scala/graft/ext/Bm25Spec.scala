@@ -85,6 +85,45 @@ class Bm25Spec extends SparkSpecBase {
     assert(got === Set(1L, 2L)) // doc 3 fell outside the pool
   }
 
+  test("topKMany: each query's ranking equals its single-query topK") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qt = graft.queries.LlmQueries.Bm25MultiQueries.toDF("query_id", "term")
+    val multi = Bm25.topKMany(d, "doc_id", "text", qt, k = 10)
+    val byQuery = graft.queries.LlmQueries.Bm25MultiQueries
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    byQuery.foreach { case (qid, terms) =>
+      val got = multi.where(col("query_id") === qid)
+        .select("doc_id", "n_terms", "score_u", "rank")
+        .orderBy("rank").collect().map(_.toString).toSeq
+      val single = Bm25.topK(d, "doc_id", "text", terms, k = 10)
+        .select("doc_id", "n_terms", "score_u", "rank")
+        .orderBy("rank").collect().map(_.toString).toSeq
+      assert(got === single, s"query $qid diverges from the single path")
+    }
+  }
+
+  test("topKMany: duplicate (query_id, term) rows collapse; " +
+    "ranking window is query-partitioned, not SinglePartition") {
+    import spark.implicits._
+    val d = docs(1L -> "a a b", 2L -> "a c", 3L -> "b b b c")
+    // query 1 lists 'a' twice — must score as one term
+    val qt = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("query_id", "term")
+    val out = Bm25.topKMany(d, "doc_id", "text", qt, k = 5)
+    val d1 = out.where(col("query_id") === 1L && col("doc_id") === 1L)
+      .select("n_terms").as[Long].head
+    assert(d1 === 2L) // a + b, not a + a + b
+    // the 1-row corpus-stats fold legitimately plans a SinglePartition
+    // exchange, so assert on the WINDOW itself: its spec must carry the
+    // query_id partition key (and the rank limit pushes down)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(query_id"),
+      s"per-query ranking must partition by query_id:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must push down as a group limit:\n$plan")
+  }
+
   test("scores: sf0.001 smoke — registered query terms hit the corpus") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = Bm25.scores(d, "doc_id", "text",
