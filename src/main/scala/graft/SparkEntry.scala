@@ -172,6 +172,8 @@ object SparkEntry {
     "llm_bm25_multi"           -> (LlmQueries.bm25Multi _),
     "llm_bpe_train"            -> (LlmQueries.bpeTrain _),
     "llm_bpe_selftok"          -> (LlmQueries.bpeSelfTok _),
+    "llm_unigram_tokens"       -> (LlmQueries.unigramTokens _),
+    "llm_pack_stats_unigram"   -> (LlmQueries.packStatsUnigram _),
     "llm_phrase_counts"        -> (LlmQueries.phraseCounts _),
     "llm_phrase_stats"         -> (LlmQueries.phraseStats _),
     "llm_rrf_fusion"           -> (LlmQueries.rrfFusion _),
@@ -335,6 +337,47 @@ object SparkEntry {
        |  CAST(coalesce(b.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
        |FROM documents d LEFT JOIN b USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** llm_unigram_tokens oracle: the Viterbi DP unrolled by POSITION —
+    * level p's best cost' is the min over pieces ending at p of level
+    * (p − len) plus 1024·cost + 1, with the `<unk>` single-char branch
+    * always present; one generated MATERIALIZED CTE per level (each
+    * level is read by up to maxPieceLen later levels). Pre-tokens
+    * longer than [[UnigramOracleLevels]] would drop from the final
+    * union and hash-fail loudly — the corpus max is 8. */
+  private val UnigramOracleLevels = 16
+  private lazy val UnigramCteSql = {
+    val pieces = graft.ext.Unigram.FixturePieces
+    val lMax = pieces.map(_._1.length).max
+    val vals = pieces.map { case (p, c) => s"('$p', $c)" }.mkString(", ")
+    val levels = (1 to UnigramOracleLevels).map { p =>
+      val unk =
+        s"""SELECT c.tok, c.cp + 1024 * ${graft.ext.Unigram.UnkCost} + 1 AS cand
+           |      FROM u${p - 1} c WHERE len(c.tok) >= $p""".stripMargin
+      val branches = unk +: (1 to math.min(p, lMax)).map { l =>
+        s"""SELECT c.tok, c.cp + 1024 * pc.cost + 1 AS cand
+           |      FROM u${p - l} c JOIN pc ON len(pc.piece) = $l
+           |        AND substr(c.tok, ${p - l + 1}, $l) = pc.piece
+           |      WHERE len(c.tok) >= $p""".stripMargin
+      }
+      s"""u$p AS MATERIALIZED (SELECT tok, min(cand) AS cp FROM (
+         |    ${branches.mkString("\n    UNION ALL ")}) GROUP BY tok)""".stripMargin
+    }.mkString(",\n")
+    val fin = (1 to UnigramOracleLevels)
+      .map(p => s"SELECT tok, cp FROM u$p WHERE len(tok) = $p")
+      .mkString(" UNION ALL ")
+    s"""WITH t0 AS (SELECT doc_id, unnest(regexp_extract_all(text,
+       |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok FROM documents),
+       |vd AS (SELECT DISTINCT tok FROM t0),
+       |pc (piece, cost) AS (VALUES $vals),
+       |u0 AS MATERIALIZED (SELECT tok, CAST(0 AS BIGINT) AS cp FROM vd),
+       |$levels,
+       |f AS ($fin),
+       |b AS (SELECT t0.doc_id, count(*) AS n_pre,
+       |        CAST(sum(f.cp % 1024) AS BIGINT) AS np,
+       |        CAST(sum(f.cp // 1024) AS BIGINT) AS tc
+       |      FROM t0 JOIN f USING (tok) GROUP BY 1)""".stripMargin
   }
 
   /** Phrase-match CTE chain shared by llm_phrase_counts/_stats: every
@@ -2670,6 +2713,34 @@ object SparkEntry {
     "llm_bpe_train" -> BpeTrainSql,
     // Self-trained tokenization: train → encode → count, one oracle.
     "llm_bpe_selftok" -> BpeSelfTokSql,
+    // Unigram-LM tokenization: the Viterbi DP replayed position-by-
+    // position; the integer epsilon objective makes the minimum (and
+    // the decoded piece count / raw cost) engine-unambiguous.
+    "llm_unigram_tokens" ->
+      s"""$UnigramCteSql
+         |SELECT d.doc_id, CAST(coalesce(b.n_pre, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(b.np, 0) AS BIGINT) AS n_pieces,
+         |  CAST(coalesce(b.tc, 0) AS BIGINT) AS total_cost
+         |FROM documents d LEFT JOIN b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // Piece-exact packing under the unigram tokenizer: the shared
+    // concat-then-chunk layout with n_tokens = the Viterbi piece count.
+    "llm_pack_stats_unigram" ->
+      s"""$UnigramCteSql,
+         |dn AS (SELECT d.doc_id,
+         |    ((d.doc_id * 2654435761) % 1000000007) % 1000000 % 8 AS shard,
+         |    CAST(coalesce(b.np, 0) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN b USING (doc_id)),
+         |laid AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |           CURRENT ROW) - n_tokens AS BIGINT) AS start_offset
+         |         FROM dn)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(start_offset // 2048 AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM laid GROUP BY shard, pack_id
+         |ORDER BY shard, pack_id""".stripMargin,
     // Exact phrase search: the oracle matches gram TEXT at every start
     // position (the engine matches 128-bit fingerprints — text never
     // crosses its shuffle — so a green hash also witnesses fp↔text

@@ -2030,6 +2030,24 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenization under the frozen
+    * fixture piece vocabulary — per-doc pre-token/piece counts and the
+    * total integer Viterbi cost (see [[graft.ext.Unigram]]); the
+    * oracle unrolls the DP by position, so the row is fully live. */
+  def unigramTokens(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Unigram.tokenCounts(docs(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Piece-exact packing under the unigram tokenizer — the third
+    * tokenizer through the same generalized [[graft.ext.Packing]]
+    * layout (regex, BPE, unigram), same shards/budget as the others. */
+  def packStatsUnigram(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Packing.packsCounts(
+        graft.ext.Unigram.tokenCounts(docs(spark, sfDir), "doc_id", "text")
+          .select(col("doc_id"), col("n_pieces").as("n_tokens")),
+        "doc_id", nShards = 8, budgetTokens = 2048L)
+      .orderBy("shard", "pack_id")
+
   /** Standing phrase set for the verbatim-occurrence audit: a 3-gram,
     * a repeated-word 2-gram (multiple occurrences per doc, incl.
     * overlapping runs), a zero-match phrase, and a case+whitespace
