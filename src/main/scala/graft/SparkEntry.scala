@@ -121,6 +121,9 @@ object SparkEntry {
     "llm_lm_incremental"       -> (LlmQueries.lmIncremental _),
     "llm_lm_score"             -> (LlmQueries.lmScore _),
     "llm_lm_buckets"           -> (LlmQueries.lmBuckets _),
+    "llm_nb_score"             -> (LlmQueries.nbScore _),
+    "llm_nb_confusion"         -> (LlmQueries.nbConfusion _),
+    "llm_nb_incremental"       -> (LlmQueries.nbIncremental _),
     "llm_neardup_minhash"      -> (LlmQueries.minhashNearDup _),
     "llm_simhash_fingerprints" -> (LlmQueries.simhashFingerprints _),
     "llm_simhash_neardup"      -> (LlmQueries.simhashNearDup _),
@@ -585,6 +588,39 @@ object SparkEntry {
       |         CAST(sum(bits) AS BIGINT) AS total_bits,
       |         CAST(sum(bits) AS DOUBLE) / count(*) AS bits_per_trigram
       |       FROM scored GROUP BY doc_id)""".stripMargin
+
+  /** Shared by the `llm_nb_*` rows: the full Naive-Bayes train→score
+    * loop (NaiveBayes.scala) as one CTE chain — heuristic-gate labels
+    * (the llm_quality_filter predicate verbatim), per-(token, class)
+    * counts with totals/vocab derived from the count table, and the
+    * integer-bit log-likelihood-ratio via the same bitlen quantization
+    * as LmScoreCteSql. */
+  private lazy val NbScoreCteSql =
+    s"""WITH lab AS (SELECT doc_id,
+       |               (CAST($NWORDS AS BIGINT) >= 20 AND n_chars <= 450
+       |                AND $STOPW >= 0.02) AS label
+       |             FROM documents),
+       |tk AS (SELECT doc_id, w AS tok
+       |       FROM documents,
+       |         unnest(list_filter($WL, w -> w <> '')) AS t(w)),
+       |m AS (SELECT tok,
+       |        count(*) FILTER (WHERE label) AS c_pos,
+       |        count(*) FILTER (WHERE NOT label) AS c_neg
+       |      FROM tk JOIN lab USING (doc_id) GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos,
+       |          CAST(sum(c_neg) AS BIGINT) AS t_neg,
+       |          count(*) AS v
+       |        FROM m),
+       |sc AS (SELECT tk.doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(
+       |           (length(format('{:b}', tot.t_neg + tot.v))
+       |              - length(format('{:b}', m.c_neg + 1)))
+       |           - (length(format('{:b}', tot.t_pos + tot.v))
+       |              - length(format('{:b}', m.c_pos + 1)))
+       |         ) AS BIGINT) AS score_bits
+       |       FROM tk JOIN m USING (tok) CROSS JOIN tot
+       |       GROUP BY tk.doc_id)""".stripMargin
 
   /** Shared by `llm_decontam` and `llm_decontam_bloom`: the bloom path
     * is an exact-equivalent plan variant, so it gates on the same SQL. */
@@ -2071,6 +2107,32 @@ object SparkEntry {
          |       WHEN (lm_rank + 1) * 3 <= 2 * n THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM r ORDER BY doc_id""".stripMargin,
+    // Model-based quality classification (NaiveBayes.scala): the full
+    // train→score loop restated live — heuristic-gate labels, one
+    // (token, class) count table, integer-bit log-likelihood-ratio
+    // (same bitlen quantization as llm_lm_score, see NaiveBayes's
+    // scaladoc for the exactness argument).
+    "llm_nb_score" ->
+      s"""$NbScoreCteSql
+         |SELECT doc_id, n_tokens, score_bits, score_bits > 0 AS predicted
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    // The classifier's self-predictions against its own training
+    // labels: 4 integer-count rows (the production sanity check before
+    // trusting off-gate generalization).
+    "llm_nb_confusion" ->
+      s"""$NbScoreCteSql
+         |SELECT lab.label, sc.score_bits > 0 AS predicted,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM sc JOIN lab USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Incremental ≡ full retrain: the engine scores the shard under the
+    // SUMMED per-epoch count model (base + shard1 epochs); the oracle
+    // retrains on the FULL corpus and restricts to shard docs — a green
+    // hash proves the count-monoid equivalence.
+    "llm_nb_incremental" ->
+      s"""$NbScoreCteSql
+         |SELECT doc_id, n_tokens, score_bits, score_bits > 0 AS predicted
+         |FROM sc WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
     // Incremental ≡ full-recompute-restricted: the SAME full-corpus
     // Jaccard CTE (combined-df cap included), restricted to pairs with
     // at least one side in the arriving shard (doc_id % 10 = 0). The

@@ -1408,6 +1408,68 @@ object LlmQueries {
       .withColumn("keep", col("reason") === "ok")
       .orderBy("doc_id")
 
+  /** The boolean training label for the Naive-Bayes quality classifier:
+    * the [[qualityFilter]] keep-predicate. This is the FineWeb/DCLM
+    * bootstrap — distill a cheap heuristic gate into a token-level
+    * model that then generalizes beyond the gate's three rules. Kept
+    * identical to the `llm_quality_filter` row's (oracle-green) logic
+    * so the oracle can restate the labels verbatim. */
+  private def nbLabel: org.apache.spark.sql.Column =
+    (TextStats.nWords(col("text")) >= 20) &&
+      (col("n_chars") <= 450) &&
+      (TextStats.stopwordRatio(col("text")) >= 0.02)
+
+  private def nbLabeled(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).withColumn("__graft_quality", nbLabel)
+
+  /** Model-based quality scoring (see [[graft.ext.NaiveBayes]]):
+    * self-trained on the corpus with heuristic-gate labels, every doc
+    * scored under the learned token model. Integer-bit arithmetic —
+    * fully live oracle. */
+  def nbScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = nbLabeled(spark, sfDir)
+    graft.ext.NaiveBayes.score(d, "doc_id", "text",
+        graft.ext.NaiveBayes.train(d, "text", "__graft_quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Confusion matrix of the classifier's self-predictions against the
+    * heuristic labels — the training-signal sanity check a production
+    * pipeline runs before trusting the model's off-gate generalization
+    * (up to 4 integer-count rows; on this corpus the matrix is exactly
+    * diagonal — the token model fully separates the gate's classes —
+    * so disagreement rows would flag training drift). */
+  def nbConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = nbLabeled(spark, sfDir)
+    graft.ext.NaiveBayes.score(d, "doc_id", "text",
+        graft.ext.NaiveBayes.train(d, "text", "__graft_quality"))
+      .join(d.select(col("doc_id"), col("__graft_quality").as("label")),
+        Seq("doc_id"))
+      .groupBy("label", "predicted").agg(count(lit(1)).as("n_docs"))
+      .orderBy("label", "predicted")
+  }
+
+  private def nbIncIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"nb|$sfDir") { dir =>
+      graft.ext.IncrementalNaiveBayes.writeIndex(
+        nbLabeled(spark, sfDir).where(col("doc_id") % 10 =!= 0),
+        "text", "__graft_quality", dir)
+      graft.ext.IncrementalNaiveBayes.appendToIndex(
+        nbLabeled(spark, sfDir).where(col("doc_id") % 10 === 0),
+        "text", "__graft_quality", dir, epoch = "shard1")
+    }
+
+  /** Incremental classifier scoring: the shard scored under the SUMMED
+    * per-epoch model — live-oracled as the full-corpus retrain
+    * restricted to shard docs, proving count-monoid equivalence (see
+    * [[graft.ext.IncrementalNaiveBayes]]). */
+  def nbIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.IncrementalNaiveBayes.score(spark,
+        nbIncIndexDir(spark, sfDir),
+        docs(spark, sfDir).where(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Benchmark-overlap decontamination (see
     * [[graft.ext.Decontamination]]): every 17th doc_id plays the
     * held-out benchmark suite, the rest the training corpus; 8-word
