@@ -118,6 +118,10 @@ object SparkEntry {
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
     "llm_jsonl_roundtrip"      -> (LlmQueries.jsonlRoundtripPlain _),
     "llm_jsonl_gz_roundtrip"   -> (LlmQueries.jsonlRoundtripGz _),
+    "llm_orc_roundtrip"        -> (LlmQueries.orcRoundtrip _),
+    "llm_csv_roundtrip"        -> (LlmQueries.csvRoundtrip _),
+    "text_compress_stats"      -> (LlmQueries.textCompressStats _),
+    "text_compress_checksum"   -> (LlmQueries.textCompressChecksum _),
     "llm_lm_incremental"       -> (LlmQueries.lmIncremental _),
     "llm_lm_score"             -> (LlmQueries.lmScore _),
     "llm_lm_buckets"           -> (LlmQueries.lmBuckets _),
@@ -1988,6 +1992,36 @@ object SparkEntry {
     "llm_jsonl_gz_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Format round-trips through Spark's built-in ORC / CSV
+    // datasources: the oracle reads the ORIGINAL parquet table, so a
+    // green hash proves type-exact round-tripping (the jsonl pattern).
+    "llm_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Compression-ratio gate (CompressStats.scala): n_docs and the raw
+    // UTF-8 byte total are LIVE; the deflate aggregates are pinned per
+    // sf — zlib exists in neither SQL engine (the xxhash64/minhash
+    // pinned-oracle discipline; determinism + monotonicity properties
+    // carried by CompressStatsSpec).
+    "text_compress_checksum" ->
+      s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |  (SELECT CAST(sum(octet_length(encode(text))) AS BIGINT)
+         |   FROM documents) AS sum_raw,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN 75598
+         |    WHEN 60000 THEN 74349
+         |    WHEN 600000 THEN 740682 END AS BIGINT) AS sum_deflate,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN 48
+         |    WHEN 60000 THEN 44
+         |    WHEN 600000 THEN 44 END AS BIGINT) AS min_deflate,
+         |  CAST(CASE ($SfDiscriminatorSql)
+         |    WHEN 6000 THEN 231
+         |    WHEN 60000 THEN 232
+         |    WHEN 600000 THEN 235 END AS BIGINT) AS max_deflate""".stripMargin,
     // Per-file record/byte audit: file = 50 consecutive ids, plus the
     // warcinfo record whose fixed block length is interpolated from the
     // same constant the writer uses.
@@ -3116,5 +3150,7 @@ object SparkEntry {
     "llm_winnow_shared_pairs"      -> "llm_winnow_checksum",
     // best-fit-decreasing packing → bounds + partition-exactness gate
     "llm_pack_bestfit"             -> "llm_pack_bestfit_check",
+    // deflate signal → live-raw + pinned-deflate aggregate checksum
+    "text_compress_stats"          -> "text_compress_checksum",
   )
 }

@@ -1408,6 +1408,55 @@ object LlmQueries {
       .withColumn("keep", col("reason") === "ok")
       .orderBy("doc_id")
 
+  /** Compression-ratio quality signal (see [[graft.ext.CompressStats]]):
+    * per-doc DEFLATE length + ratio over the UTF-8 bytes. zlib is not
+    * SQL-restatable, so this row is rows-only, gated by
+    * [[textCompressChecksum]] (SparkEntry.gates). */
+  def textCompressStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.CompressStats
+      .deflateStats(docs(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** The compression gate: n_docs and sum_raw are LIVE in the oracle
+    * (UTF-8 byte length is `octet_length(encode(text))` in DuckDB);
+    * the deflate aggregates are pinned per sf (the xxhash64/minhash
+    * discipline — zlib exists in neither SQL engine). */
+  def textCompressChecksum(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.CompressStats
+      .deflateStats(docs(spark, sfDir), "doc_id", "text")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("raw_len").as("sum_raw"),
+        sum("deflate_len").as("sum_deflate"),
+        min("deflate_len").as("min_deflate"),
+        max("deflate_len").as("max_deflate"))
+
+  /** ORC round-trip: corpus → Spark's built-in ORC writer → vectorized
+    * read back → hash-gate against the ORIGINAL parquet table (the
+    * jsonl/WET oracle pattern). Proves type-exact round-tripping
+    * through the other columnar production format. */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CdcQueries.tempSinkDir("graft-orc").toString
+    docs(spark, sfDir).write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** CSV round-trip with an explicit read schema and quote/escape
+    * discipline (`escape='"'` = RFC 4180 doubled quotes, multiLine on
+    * the read side so quoted newlines can never shear a row). The
+    * row-interchange format metadata actually ships in. */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CdcQueries.tempSinkDir("graft-csv").toString
+    val d = docs(spark, sfDir)
+    d.write.mode("overwrite").option("header", "true")
+      .option("escape", "\"").csv(dir)
+    spark.read.schema(d.schema).option("header", "true")
+      .option("escape", "\"").option("multiLine", "true").csv(dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** The boolean training label for the Naive-Bayes quality classifier:
     * the [[qualityFilter]] keep-predicate. This is the FineWeb/DCLM
     * bootstrap — distill a cheap heuristic gate into a token-level
