@@ -101,6 +101,7 @@ object SparkEntry {
     "llm_domain_cap_incremental" -> (LlmQueries.domainCapIncremental _),
     "llm_pagerank"             -> (LlmQueries.pagerank _),
     "llm_pagerank_dangling"    -> (LlmQueries.pagerankDangling _),
+    "llm_pagerank_warm"        -> (LlmQueries.pagerankWarm _),
     "llm_shuffle_shards"       -> (LlmQueries.shuffleShards _),
     "llm_shuffle_stats"        -> (LlmQueries.shuffleStats _),
     "text_nfc_normalize"       -> (LlmQueries.nfcNormalize _),
@@ -120,6 +121,10 @@ object SparkEntry {
     "llm_jsonl_gz_roundtrip"   -> (LlmQueries.jsonlRoundtripGz _),
     "llm_orc_roundtrip"        -> (LlmQueries.orcRoundtrip _),
     "llm_csv_roundtrip"        -> (LlmQueries.csvRoundtrip _),
+    "llm_avro_roundtrip"       -> (LlmQueries.avroRoundtrip _),
+    "llm_chunk_chars"          -> (LlmQueries.chunkChars _),
+    "llm_chunk_tokens"         -> (LlmQueries.chunkTokens _),
+    "llm_chunk_stats"          -> (LlmQueries.chunkStats _),
     "text_compress_stats"      -> (LlmQueries.textCompressStats _),
     "text_compress_checksum"   -> (LlmQueries.textCompressChecksum _),
     "llm_lm_incremental"       -> (LlmQueries.lmIncremental _),
@@ -237,6 +242,9 @@ object SparkEntry {
     "mm_mp4_meta"              -> (LlmQueries.mmMp4Meta _),
     "mm_mp4_samples"           -> (LlmQueries.mmMp4Samples _),
     "mm_frame_sample"          -> (LlmQueries.mmFrameSample _),
+    "mm_cdc_roundtrip"         -> (LlmQueries.cdcRoundtrip _),
+    "mm_cdc_chunks"            -> (LlmQueries.cdcChunks _),
+    "mm_cdc_dedup"             -> (LlmQueries.cdcDedupStats _),
   )
 
   // Shared SQL fragments for the DuckDB oracles (kept identical to the
@@ -912,6 +920,64 @@ object SparkEntry {
     }
     (head +: steps).mkString("WITH ", ",\n", "") +
       s"\nSELECT node AS doc_id, rank_micros FROM r$iters ORDER BY doc_id"
+  }
+
+  /** Warm-start PageRank oracle: the 10-round MASS-CONSERVING cold
+    * chain over the already-crawled subgraph (sources with
+    * doc_id % 10 <> 0; the not-yet-crawled docs dangle there, so each
+    * cold round redistributes their mass — same integer form as the
+    * `llm_pagerank_dangling` oracle), then a 4-round plain warm chain
+    * over the FULL edge set seeded from r10 (new nodes start at scale
+    * — the `coalesce` in w0; the full graph has no dangling nodes).
+    * Same integer arithmetic as [[pagerankOracleSql]]; everything
+    * live. MATERIALIZED on the cold chain for the same 2^iters
+    * CTE-inlining reason documented there. */
+  private def pagerankWarmOracleSql(coldIters: Int, warmIters: Int): String = {
+    val head =
+      s"""cnt AS (SELECT count(*) AS n FROM documents),
+         |edges AS (
+         |  SELECT doc_id AS src, (doc_id*doc_id + 1) % n AS dst FROM documents, cnt
+         |  UNION ALL SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+         |  UNION ALL SELECT doc_id AS src, (7*doc_id + 3) % n AS dst FROM documents, cnt),
+         |edges_o AS (SELECT * FROM edges WHERE src % 10 <> 0),
+         |nodes_o AS (SELECT DISTINCT src AS node FROM edges_o
+         |            UNION SELECT DISTINCT dst FROM edges_o),
+         |deg_o AS (SELECT src, count(*) AS deg FROM edges_o GROUP BY src),
+         |nN_o AS (SELECT count(*) AS n FROM nodes_o),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micros FROM nodes_o)""".stripMargin
+    def step(out: String, prev: String, nodesN: String, edgesN: String,
+        degN: String) =
+      s"""$out AS (SELECT n.node,
+         |  CAST(150000 + (85 * coalesce(s.in_sum, 0)) // 100 AS BIGINT) AS rank_micros
+         |  FROM $nodesN n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.rank_micros // d.deg) AS BIGINT) AS in_sum
+         |    FROM $edgesN e JOIN $prev r ON e.src = r.node
+         |    JOIN $degN d ON e.src = d.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    val cold = (1 to coldIters).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT CAST(coalesce(sum(r.rank_micros), 0) AS BIGINT) AS dsum
+         |  FROM r${k - 1} r LEFT JOIN deg_o dg ON r.node = dg.src
+         |  WHERE dg.src IS NULL),
+         |r$k AS MATERIALIZED (SELECT n.node,
+         |  CAST(150000 + (85 * (coalesce(s.in_sum, 0) +
+         |    (SELECT dsum FROM d$k) // (SELECT n FROM nN_o))) // 100 AS BIGINT) AS rank_micros
+         |  FROM nodes_o n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.rank_micros // d.deg) AS BIGINT) AS in_sum
+         |    FROM edges_o e JOIN r${k - 1} r ON e.src = r.node
+         |    JOIN deg_o d ON e.src = d.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }
+    val seed =
+      s"""w0 AS (SELECT n.node,
+         |  CAST(coalesce(r.rank_micros, 1000000) AS BIGINT) AS rank_micros
+         |  FROM nodes n LEFT JOIN r$coldIters r ON n.node = r.node)""".stripMargin
+    val warm = (1 to warmIters).map(k =>
+      step(s"w$k", s"w${k - 1}", "nodes", "edges", "deg"))
+    ((head +: cold) ++ (seed +: warm)).mkString("WITH ", ",\n", "") +
+      s"\nSELECT node AS doc_id, rank_micros FROM w$warmIters ORDER BY doc_id"
   }
 
   /** The perceptual-hash oracle kernel: the integer aHash restated from
@@ -1846,6 +1912,7 @@ object SparkEntry {
     // the per-round redistribution (D DIV |nodes| added to every
     // incoming sum) restated in the same chained CTEs, bit-for-bit.
     "llm_pagerank_dangling" -> pagerankOracleSql(iters = 10, dangling = true),
+    "llm_pagerank_warm" -> pagerankWarmOracleSql(coldIters = 10, warmIters = 4),
     // Seeded-permutation training shuffle: the oracle runs the SAME
     // affine map (constants interpolated from ShardShuffle.affineConsts,
     // so the two engines cannot drift) and the same range-slice/rank.
@@ -2001,6 +2068,51 @@ object SparkEntry {
     "llm_csv_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Avro object-container round-trip (ext/AvroIo.scala): same
+    // original-table oracle as jsonl/ORC/CSV — green hash proves the
+    // container encode/decode is type- and byte-exact.
+    "llm_avro_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Sliding-window chunking (ext/Chunker.scala): generate_series of
+    // 1-based start offsets, substr/list_slice windows — the chunk
+    // TEXT itself is hash-gated byte-for-byte, not just the counts.
+    "llm_chunk_chars" ->
+      s"""WITH g AS (SELECT doc_id, text,
+         |    unnest(generate_series(1, length(text), ${graft.queries.LlmQueries.ChunkCharS})) AS gs
+         |  FROM documents WHERE length(text) > 0)
+         |SELECT doc_id, CAST((gs - 1) // ${graft.queries.LlmQueries.ChunkCharS} AS BIGINT) AS chunk_id,
+         |  CAST(gs AS BIGINT) AS start_pos,
+         |  substr(text, CAST(gs AS BIGINT), ${graft.queries.LlmQueries.ChunkCharW}) AS chunk,
+         |  CAST(least(${graft.queries.LlmQueries.ChunkCharW}, length(text) - gs + 1) AS BIGINT) AS n_chunk_chars
+         |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
+    "llm_chunk_tokens" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |tn AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+         |g AS (SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks), ${graft.queries.LlmQueries.ChunkTokS})) AS gs
+         |  FROM tn)
+         |SELECT doc_id, CAST((gs - 1) // ${graft.queries.LlmQueries.ChunkTokS} AS BIGINT) AS chunk_id,
+         |  CAST(gs AS BIGINT) AS start_token,
+         |  array_to_string(list_slice(toks, gs, gs + ${graft.queries.LlmQueries.ChunkTokW} - 1), ' ') AS chunk,
+         |  CAST(least(${graft.queries.LlmQueries.ChunkTokW}, len(toks) - gs + 1) AS BIGINT) AS n_chunk_tokens
+         |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
+    "llm_chunk_stats" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |tn AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+         |g AS (SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks), ${graft.queries.LlmQueries.ChunkTokS})) AS gs
+         |  FROM tn),
+         |c AS (SELECT doc_id,
+         |    CAST(least(${graft.queries.LlmQueries.ChunkTokW}, len(toks) - gs + 1) AS BIGINT) AS n
+         |  FROM g)
+         |SELECT doc_id, count(*) AS n_chunks, CAST(sum(n) AS BIGINT) AS sum_units,
+         |  min(n) AS min_units, max(n) AS max_units
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Compression-ratio gate (CompressStats.scala): n_docs and the raw
     // UTF-8 byte total are LIVE; the deflate aggregates are pinned per
     // sf — zlib exists in neither SQL engine (the xxhash64/minhash
@@ -3099,6 +3211,17 @@ object SparkEntry {
         |  CAST((SELECT sum((doc_id * 31 + frame_idx * 7 + j * 13) % 256)
         |        FROM unnest(generate_series(0, 15)) AS u(j)) AS BIGINT) AS frame_sum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // Gear-CDC reassembly gate (ext/GearChunk.scala): every column
+    // lives off the blob length alone — green hash proves the
+    // content-defined chunk lens partition each blob exactly and the
+    // ordered chunk concatenation is byte-identical (sha256 compare
+    // executed engine-side in the same pass).
+    "mm_cdc_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS blob_bytes,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS sum_chunk_bytes,
+        |  true AS contiguous_ok, true AS reassembled_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // mm_frame_sample: mirror the slicing arithmetic (floor, not round —
     // Spark's cast-to-int truncates; DuckDB's rounds).
     "mm_frame_sample" ->
@@ -3152,5 +3275,9 @@ object SparkEntry {
     "llm_pack_bestfit"             -> "llm_pack_bestfit_check",
     // deflate signal → live-raw + pinned-deflate aggregate checksum
     "text_compress_stats"          -> "text_compress_checksum",
+    // gear CDC → single-pass reassembly-integrity row (lens contiguous
+    // + sum to blob length + sha256(concat chunks) == sha256(blob))
+    "mm_cdc_chunks"                -> "mm_cdc_roundtrip",
+    "mm_cdc_dedup"                 -> "mm_cdc_roundtrip",
   )
 }

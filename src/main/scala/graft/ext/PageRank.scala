@@ -54,7 +54,36 @@ object PageRank {
   def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
             scale: Long = 1000000L, dampNum: Long = 85L,
             dampDen: Long = 100L, stageEvery: Int = 3,
-            redistributeDangling: Boolean = false): DataFrame = {
+            redistributeDangling: Boolean = false): DataFrame =
+    run(edges, srcCol, dstCol, iters, scale, dampNum, dampDen, stageEvery,
+      redistributeDangling, init = None)
+
+  /** Warm-start continuation — the INCREMENTAL twin: resume the same
+    * integer iteration from a previously computed rank vector after
+    * the edge set changed, instead of paying the full cold-start
+    * iteration count on every crawl refresh. Nodes present in `init`
+    * keep their rank; nodes new to the graph start at `scale`; nodes
+    * that left the graph are dropped. PageRank's contraction (rate
+    * `dampNum/dampDen` per round) makes the result converge to the
+    * same fixed point — warm-starting near it needs a fraction of the
+    * rounds, and at 100 TB the rank vector is tiny next to the edge
+    * table, so persisting it between refreshes is the cheap side of
+    * the trade. Same scale shape as [[ranks]]: the only addition is
+    * ONE left join of the node set against `init` before round 1. */
+  def ranksFrom(edges: DataFrame, srcCol: String, dstCol: String,
+                init: DataFrame, initNodeCol: String, initRankCol: String,
+                iters: Int, scale: Long = 1000000L, dampNum: Long = 85L,
+                dampDen: Long = 100L, stageEvery: Int = 3,
+                redistributeDangling: Boolean = false): DataFrame =
+    run(edges, srcCol, dstCol, iters, scale, dampNum, dampDen, stageEvery,
+      redistributeDangling,
+      init = Some(init.select(col(initNodeCol).cast("long").as("node"),
+        col(initRankCol).cast("long").as("__init_rank"))))
+
+  private def run(edges: DataFrame, srcCol: String, dstCol: String,
+                  iters: Int, scale: Long, dampNum: Long, dampDen: Long,
+                  stageEvery: Int, redistributeDangling: Boolean,
+                  init: Option[DataFrame]): DataFrame = {
     require(iters >= 1 && scale > 0 && dampNum > 0 && dampDen > dampNum &&
       stageEvery >= 1)
     val spark = edges.sparkSession
@@ -81,7 +110,13 @@ object PageRank {
         .repartition(nParts, col("node")))
     lazy val nNodes = nodesP.agg(count(lit(1)).as("__n"))
     val base = (dampDen - dampNum) * scale / dampDen
-    var rank = nodesP.withColumn("rank_micros", lit(scale))
+    var rank = init match {
+      case None => nodesP.withColumn("rank_micros", lit(scale))
+      case Some(iv) =>
+        nodesP.join(iv, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__init_rank"), lit(scale)).as("rank_micros"))
+    }
     for (i <- 1 to iters) {
       val contribs = eWithDeg
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))

@@ -451,6 +451,29 @@ object LlmQueries {
       .select(col("node").as("doc_id"), col("rank_micros"))
       .orderBy("doc_id")
 
+  /** Warm-start (incremental) PageRank: ranks converged on the
+    * already-crawled subgraph (docs with `doc_id % 10 != 0` as
+    * sources, 10 cold rounds), then a crawl refresh adds the remaining
+    * docs' out-edges and the iteration RESUMES from the stored vector
+    * for 4 rounds instead of restarting cold — the incremental twin of
+    * `llm_pagerank` (see [[graft.ext.PageRank.ranksFrom]]). The cold
+    * phase is mass-conserving (`redistributeDangling`): the
+    * not-yet-crawled docs dangle in the old graph, and letting them
+    * leak depresses the whole stored vector — PageRankSpec shows a
+    * low-mass warm start can be FARTHER from the fixed point than
+    * uniform init. Bit-exact live oracle: the same 10-then-4 integer
+    * chain as CTEs, dangling correction included. */
+  def pagerankWarm(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = linkEdges(spark, sfDir)
+    val old = all.where(col("src") % 10 =!= 0)
+    val init = graft.ext.PageRank.ranks(old, "src", "dst", iters = 10,
+      redistributeDangling = true)
+    graft.ext.PageRank.ranksFrom(all, "src", "dst",
+        init, "node", "rank_micros", iters = 4)
+      .select(col("node").as("doc_id"), col("rank_micros"))
+      .orderBy("doc_id")
+  }
+
   /** Training-shuffle shard count / seed (also interpolated into the
     * oracle SQL so both engines run the same affine permutation). */
   val ShuffleShards = 8
@@ -2666,6 +2689,86 @@ object LlmQueries {
     Multimodal.mp4SampleStats(spark, mp4s, "doc_id", "blob")
       .orderBy("doc_id", "sample_idx")
   }
+
+  /** Avro object-container round-trip (see [[graft.ext.AvroIo]]): corpus
+    * → per-partition `.avro` container files on the Hadoop FS seam →
+    * `binaryFile` + `DataFileStream` read back → hash-gate against the
+    * ORIGINAL parquet table (the jsonl/ORC/CSV oracle pattern). Proves
+    * type-exact round-tripping through the row-interchange container
+    * format, including null handling via union schemas. */
+  def avroRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CdcQueries.tempSinkDir("graft-avro").toString
+    val d = docs(spark, sfDir)
+    graft.ext.AvroIo.write(d.repartition(4), dir)
+    graft.ext.AvroIo.read(spark, dir, d.schema)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  // --- sliding-window chunking (ext/Chunker.scala) ------------------
+
+  /** Char-window chunking parameters for the registered rows: 200-char
+    * windows every 150 chars (25% overlap — the common RAG default
+    * shape). Interpolated into the oracle so both engines share them. */
+  val ChunkCharW = 200
+  val ChunkCharS = 150
+
+  /** Token-window parameters: 32 whitespace tokens every 24. */
+  val ChunkTokW = 32
+  val ChunkTokS = 24
+
+  /** RAG char-window chunking — every (doc, window) chunk row with its
+    * byte-exact text, fully restated by the oracle via
+    * generate_series + substr. */
+  def chunkChars(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Chunker.charChunks(docs(spark, sfDir), "doc_id", "text",
+        ChunkCharW, ChunkCharS)
+      .orderBy("doc_id", "chunk_id")
+
+  /** RAG token-window chunking (whitespace tokens, single-space
+    * rejoin) — chunk text byte-exact in both engines. */
+  def chunkTokens(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Chunker.tokenChunks(docs(spark, sfDir), "doc_id", "text",
+        ChunkTokW, ChunkTokS)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Per-document chunk roll-up over the token-window table. */
+  def chunkStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Chunker.stats(
+        graft.ext.Chunker.tokenChunks(docs(spark, sfDir), "doc_id", "text",
+          ChunkTokW, ChunkTokS),
+        "doc_id", "n_chunk_tokens")
+      .orderBy("doc_id")
+
+  // --- content-defined chunking (ext/GearChunk.scala) ---------------
+
+  /** Blob source for the CDC family: the corpus text as binary (the
+    * [[mmFrameSample]] convention — blob length restatable live as
+    * `octet_length(encode(text))`, and the fixture's planted exact
+    * duplicates give the dedup row genuine shared chunks). */
+  private def cdcBlobs(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+      col("text").cast("binary").as("blob"))
+
+  /** Reassembly-integrity gate for gear CDC, computed in the same
+    * single pass as the chunking itself: chunk lens contiguous + sum
+    * to blob length + sha256(concat chunks) == sha256(blob). Fully
+    * live oracle (it only needs the blob lengths). */
+  def cdcRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.GearChunk.roundtrip(cdcBlobs(spark, sfDir), "doc_id", "blob")
+      .orderBy("doc_id")
+
+  /** The content-defined chunk table (gear-dependent offsets/digests —
+    * rows-only, gated by `mm_cdc_roundtrip`). */
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.GearChunk.chunks(cdcBlobs(spark, sfDir), "doc_id", "blob")
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Corpus dedup accounting over the chunk table: logical vs stored
+    * bytes after digest-level dedup (gated by `mm_cdc_roundtrip`). */
+  def cdcDedupStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.GearChunk.dedupStats(
+      graft.ext.GearChunk.chunks(cdcBlobs(spark, sfDir), "doc_id", "blob"))
 
   /** Multimodal frame sampling: 4 evenly-spaced 16-byte windows per blob
     * (rows-only; the slicing shape is what a real frame sampler uses). */

@@ -1,0 +1,76 @@
+package graft.ext
+
+import graft.SparkSpecBase
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+class AvroIoSpec extends SparkSpecBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("score", DoubleType, nullable = true),
+    StructField("flag", BooleanType, nullable = true),
+    StructField("payload", BinaryType, nullable = true)))
+
+  private def fixture() = {
+    val rows = Seq(
+      Row(1L, "alpha", 1.5, true, Array[Byte](1, 2, 3)),
+      Row(2L, null, null, null, null),
+      Row(3L, "gamma é世", -0.25, false, Array[Byte]()))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("round trip: values, nulls, unicode strings, and binary survive byte-exact") {
+    val dir = Files.createTempDirectory("graft-avro-spec").toString
+    val d = fixture()
+    AvroIo.write(d, dir)
+    val back = AvroIo.read(spark, dir, schema).collect().sortBy(_.getLong(0))
+    assert(back.length === 3)
+    assert(back(0).getString(1) === "alpha" &&
+      back(0).getAs[Array[Byte]](4).toSeq === Seq[Byte](1, 2, 3))
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2) &&
+      back(1).isNullAt(3) && back(1).isNullAt(4))
+    assert(back(2).getString(1) === "gamma é世" &&
+      back(2).getDouble(2) === -0.25 &&
+      back(2).getAs[Array[Byte]](4).isEmpty)
+  }
+
+  test("one container file per non-empty partition") {
+    val dir = Files.createTempDirectory("graft-avro-parts").toString
+    AvroIo.write(fixture().repartition(5), dir)
+    val parts = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".avro"))
+    // 3 rows over 5 partitions: at most 3 non-empty, at least 1
+    assert(parts.nonEmpty && parts.length <= 3)
+    val back = AvroIo.read(spark, dir, schema)
+    assert(back.count() === 3)
+  }
+
+  test("reader tolerates writer-side field reorder, fails fast on missing field") {
+    val dir = Files.createTempDirectory("graft-avro-names").toString
+    AvroIo.write(fixture(), dir)
+    // reordered read schema: lookup is by name
+    val reordered = StructType(schema.fields.reverse)
+    val got = AvroIo.read(spark, dir, reordered)
+      .collect().sortBy(_.getAs[Long]("id"))
+    assert(got.head.getAs[String]("name") === "alpha")
+    // a field the writer never produced must fail, not null-fill
+    val bad = schema.add(StructField("ghost", LongType, nullable = true))
+    val ex = intercept[org.apache.spark.SparkException] {
+      AvroIo.read(spark, dir, bad).collect()
+    }
+    assert(ex.getMessage.contains("ghost") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ghost")))
+  }
+
+  test("unsupported nested type is rejected at schema build time") {
+    val nested = StructType(Seq(StructField("m",
+      MapType(StringType, LongType), nullable = true)))
+    intercept[IllegalArgumentException] { AvroIo.avroSchema(nested) }
+  }
+}

@@ -101,6 +101,60 @@ class PageRankSpec extends SparkSpecBase {
       s"leak variant should lose >10% of total mass here: $leaked vs $conserved")
   }
 
+  test("warm start from a uniform vector reproduces the cold start exactly") {
+    val n = 60L
+    val edges = spark.range(n).select(col("id").as("src"),
+      explode(array((col("id") * col("id") + 1) % n,
+        col("id") % 13, (col("id") * 7 + 3) % n)).as("dst"))
+    val uniform = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .withColumn("rank_micros", lit(1000000L))
+    val cold = rankMap(PageRank.ranks(edges, "src", "dst", iters = 4))
+    val warm = rankMap(PageRank.ranksFrom(edges, "src", "dst",
+      uniform, "node", "rank_micros", iters = 4))
+    assert(cold === warm)
+  }
+
+  test("warm start: carried nodes resume from init, new nodes start at scale") {
+    val s = spark; import s.implicits._
+    // old graph: 1→2→1 cycle; refresh adds node 3 with 3→1
+    val oldEdges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val init = PageRank.ranks(oldEdges, "src", "dst", iters = 6)
+    val allEdges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val warm = rankMap(PageRank.ranksFrom(allEdges, "src", "dst",
+      init, "node", "rank_micros", iters = 1))
+    val initMap = rankMap(init)
+    // one warm round, hand-computed: node 3 dangles into 1
+    val exp1 = 150000L + 85L * (initMap(2L) / 1 + 1000000L / 1) / 100L
+    val exp2 = 150000L + 85L * (initMap(1L) / 1) / 100L
+    val exp3 = 150000L // no in-links
+    assert(warm === Map(1L -> exp1, 2L -> exp2, 3L -> exp3))
+  }
+
+  test("warm start converges to the cold fixed point in fewer rounds") {
+    val n = 120L
+    val all = spark.range(n).select(col("id").as("src"),
+      explode(array((col("id") * col("id") + 1) % n,
+        col("id") % 31, (col("id") * 7 + 3) % n)).as("dst"))
+    // a SMALL refresh (3 of 120 sources new) — warm start pays off when
+    // the stored vector is near the new fixed point; a bulk rewrite of
+    // the graph (say 10% of sources) can put uniform init closer
+    val old = all.where(col("src") % 50 =!= 0)
+    // mass-conserving cold phase: the removed sources dangle in the old
+    // graph, and letting them LEAK depresses the whole stored vector —
+    // a warm start from a low-mass vector can lose to uniform init
+    val init = PageRank.ranks(old, "src", "dst", iters = 10,
+      redistributeDangling = true)
+    val target = rankMap(PageRank.ranks(all, "src", "dst", iters = 20))
+    def dist(m: Map[Long, Long]) =
+      target.map { case (k, v) => math.abs(m.getOrElse(k, 1000000L) - v) }.sum
+    val warm4 = rankMap(PageRank.ranksFrom(all, "src", "dst",
+      init, "node", "rank_micros", iters = 4))
+    val cold4 = rankMap(PageRank.ranks(all, "src", "dst", iters = 4))
+    assert(dist(warm4) < dist(cold4),
+      s"warm start should be closer to the fixed point: ${dist(warm4)} vs ${dist(cold4)}")
+  }
+
   test("redistribution is deterministic across partitionings") {
     val n = 120L
     // every 7th node dangles; the rest scatter three ways
