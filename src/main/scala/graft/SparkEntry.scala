@@ -125,6 +125,8 @@ object SparkEntry {
     "llm_chunk_chars"          -> (LlmQueries.chunkChars _),
     "llm_chunk_tokens"         -> (LlmQueries.chunkTokens _),
     "llm_chunk_stats"          -> (LlmQueries.chunkStats _),
+    "llm_stratified_sample"    -> (LlmQueries.stratifiedSample _),
+    "text_vocab_coverage"      -> (LlmQueries.vocabCoverage _),
     "text_compress_stats"      -> (LlmQueries.textCompressStats _),
     "text_compress_checksum"   -> (LlmQueries.textCompressChecksum _),
     "llm_lm_incremental"       -> (LlmQueries.lmIncremental _),
@@ -245,6 +247,8 @@ object SparkEntry {
     "mm_cdc_roundtrip"         -> (LlmQueries.cdcRoundtrip _),
     "mm_cdc_chunks"            -> (LlmQueries.cdcChunks _),
     "mm_cdc_dedup"             -> (LlmQueries.cdcDedupStats _),
+    "mm_cdc_incremental"       -> (LlmQueries.cdcIncremental _),
+    "mm_cdc_incremental_check" -> (LlmQueries.cdcIncrementalCheck _),
   )
 
   // Shared SQL fragments for the DuckDB oracles (kept identical to the
@@ -2113,6 +2117,35 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_chunks, CAST(sum(n) AS BIGINT) AS sum_units,
          |  min(n) AS min_units, max(n) AS max_units
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Exact-k stratified sample (ext/Sampling.stratifiedK): the
+    // two-phase salted ranking restated as the plain per-group
+    // row_number window over the same (hash-bucket, key) total order.
+    "llm_stratified_sample" ->
+      s"""WITH r AS (SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ((doc_id * ${graft.ext.Sampling.Multiplier}) % ${graft.ext.Sampling.Prime}) % ${graft.ext.Sampling.Million},
+         |        doc_id) AS rk
+         |  FROM documents)
+         |SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank
+         |FROM r WHERE rk <= ${graft.queries.LlmQueries.StratifiedK}
+         |ORDER BY lang, sample_rank""".stripMargin,
+    // Vocabulary coverage curve (ext/TextStats.vocabCoverage):
+    // cumulative ppm is BIGINT-exact ((cum * 1e6) // total).
+    "text_vocab_coverage" ->
+      s"""WITH w AS (SELECT unnest(list_filter(
+         |    regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')) AS term
+         |  FROM documents),
+         |f AS (SELECT term, count(*) AS freq FROM w GROUP BY term),
+         |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM f),
+         |r AS (SELECT term, freq,
+         |    row_number() OVER (ORDER BY freq DESC, term) AS rank,
+         |    sum(freq) OVER (ORDER BY freq DESC, term) AS cum
+         |  FROM f)
+         |SELECT CAST(rank AS BIGINT) AS rank, term,
+         |  CAST(freq AS BIGINT) AS freq,
+         |  CAST((cum * 1000000) // (SELECT n FROM tot) AS BIGINT) AS cum_ppm
+         |FROM r WHERE rank <= ${graft.queries.LlmQueries.VocabTopN}
+         |ORDER BY rank""".stripMargin,
     // Compression-ratio gate (CompressStats.scala): n_docs and the raw
     // UTF-8 byte total are LIVE; the deflate aggregates are pinned per
     // sf — zlib exists in neither SQL engine (the xxhash64/minhash
@@ -3222,6 +3255,16 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS sum_chunk_bytes,
         |  true AS contiguous_ok, true AS reassembled_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Incremental gear-CDC parity gate: n_docs / sum_blob_bytes live
+    // from the batch split's text lengths; n_mismatch 0 = the
+    // bucket-pruned store probe equals the from-scratch recompute on
+    // every column for every doc.
+    "mm_cdc_incremental_check" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_mismatch,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_blob_bytes
+        |FROM documents
+        |WHERE doc_id % 10 = 0 AND octet_length(encode(text)) > 0""".stripMargin,
     // mm_frame_sample: mirror the slicing arithmetic (floor, not round —
     // Spark's cast-to-int truncates; DuckDB's rounds).
     "mm_frame_sample" ->
@@ -3279,5 +3322,8 @@ object SparkEntry {
     // + sum to blob length + sha256(concat chunks) == sha256(blob))
     "mm_cdc_chunks"                -> "mm_cdc_roundtrip",
     "mm_cdc_dedup"                 -> "mm_cdc_roundtrip",
+    // incremental CDC → store-probe ≡ from-scratch parity row (live
+    // sum_blob_bytes pins the byte accounting)
+    "mm_cdc_incremental"           -> "mm_cdc_incremental_check",
   )
 }

@@ -84,6 +84,37 @@ object Sampling {
       .drop("__wtot")
   }
 
+  /** Exact-k stratified sample: the k rows of each group whose key
+    * [[bucket]] ranks smallest (ties broken by the key itself) — "give
+    * me exactly 20 docs per language/source for eval", deterministic
+    * and engine-reproducible (a plain `row_number() <= k` window in
+    * SQL). Skew-safe two-phase form (the [[UrlOps.capPerDomain]]
+    * discipline — strata like language are FEW and HUGE, so a naive
+    * per-group window would serialize each stratum into one task):
+    * phase 1 ranks within (group, salt) and keeps each salt's top k,
+    * bounding every group to k×salts survivors; phase 2 ranks those
+    * exactly. Equivalent to the single window for any total order
+    * because each true top-k element is within its own salt's top k.
+    * Output: input columns + `sample_rank` (1-based within group). */
+  def stratifiedK(df: DataFrame, keyCol: String, groupCol: String,
+                  k: Int, salts: Int = 16): DataFrame = {
+    require(k >= 1 && salts >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(bucket(col(keyCol)).asc, col(keyCol).asc)
+    val salted = df.withColumn("__salt",
+      (spark_partition_id() % salts).cast("int"))
+    val local = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(ord: _*)
+    val bounded = salted
+      .withColumn("__lrk", row_number().over(local))
+      .where(col("__lrk") <= k)
+      .drop("__lrk", "__salt")
+    val global = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+    bounded
+      .withColumn("sample_rank", row_number().over(global).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Apply a [[temperatureRates]] table: broadcast-join the per-group
     * rates and keep rows whose key [[bucket]] falls under the group's
     * rate — map-side besides the broadcast, deterministic per key. */

@@ -237,4 +237,34 @@ object TextStats {
       sum(col("n_chars")).as("total_chars"),
       sum(nWords(col("text")).cast("long")).as("total_words"),
     ).orderBy("lang")
+
+  /** Vocabulary coverage curve — the tokenizer-design question "how
+    * much of the corpus do the top-N word types cover?" (Zipf
+    * accounting): the `topN` most frequent lowercased whitespace words
+    * with rank, frequency, and CUMULATIVE coverage in integer ppm
+    * (`cum·10^6 div total` — exact in any engine).
+    *
+    * Scale shape: one word-count aggregation (vocabulary-sized, hash
+    * partial), then `orderBy(...).limit(topN)` — Spark's distributed
+    * take-ordered, NEVER a full-vocabulary sort to one partition — and
+    * the running sum windows over only the topN survivors (bounded
+    * rows). The grand total rides a single-row scalar join. */
+  def vocabCoverage(documents: DataFrame, textCol: String,
+      topN: Int): DataFrame = {
+    require(topN >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val freqs = documents
+      .select(explode(filter(words(lower(col(textCol))), t => t =!= ""))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val total = freqs.agg(sum("freq").as("__tot"))
+    val top = freqs.orderBy(col("freq").desc, col("term")).limit(topN)
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum("freq").over(w))
+      .crossJoin(broadcast(total)) // single-row scalar join
+      .select(col("rank"), col("term"), col("freq").cast("long").as("freq"),
+        expr("(__cum * 1000000L) div __tot").as("cum_ppm"))
+  }
 }

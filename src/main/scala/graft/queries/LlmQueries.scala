@@ -2770,6 +2770,89 @@ object LlmQueries {
     graft.ext.GearChunk.dedupStats(
       graft.ext.GearChunk.chunks(cdcBlobs(spark, sfDir), "doc_id", "blob"))
 
+  /** Per-stratum exact-k sample size for the registered row. */
+  val StratifiedK = 20
+
+  /** Exact-k stratified sample: 20 docs per language, selected by the
+    * deterministic key hash (see [[graft.ext.Sampling.stratifiedK]]) —
+    * skew-safe two-phase ranking, provably the plain
+    * `row_number() <= k` window the oracle runs. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Sampling.stratifiedK(docs(spark, sfDir), "doc_id", "lang",
+        k = StratifiedK)
+      .select(col("lang"), col("doc_id"), col("sample_rank"))
+      .orderBy("lang", "sample_rank")
+
+  /** Top-N size for the vocabulary coverage curve row. */
+  val VocabTopN = 50
+
+  /** Vocabulary coverage curve (see [[graft.ext.TextStats
+    * .vocabCoverage]]): top-50 word types with cumulative corpus
+    * coverage in integer ppm — fully live oracle. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.TextStats.vocabCoverage(docs(spark, sfDir), "text", VocabTopN)
+      .orderBy("rank")
+
+  /** Session-cached gear-chunk store over the existing-corpus split
+    * (doc_id % 10 != 0) — the persisted side of the incremental CDC
+    * rows (see [[graft.ext.IncrementalGearChunk]]). */
+  private def cdcIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"gearchunk|$sfDir") { dir =>
+      graft.ext.IncrementalGearChunk.writeIndex(
+        cdcBlobs(spark, sfDir).where(col("doc_id") % 10 =!= 0),
+        "doc_id", "blob", dir)
+    }
+
+  /** Incremental CDC dedup accounting: the arriving blobs
+    * (doc_id % 10 == 0) chunked once map-side and judged against the
+    * persisted chunk store — bytes already stored vs bytes this batch
+    * adds (rows-only: digests are gear-dependent; gated by
+    * `mm_cdc_incremental_check`). */
+  def cdcIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.IncrementalGearChunk.newBytes(spark,
+        cdcIndexDir(spark, sfDir),
+        cdcBlobs(spark, sfDir).where(col("doc_id") % 10 === 0),
+        "doc_id", "blob")
+      .orderBy("doc_id")
+
+  /** Parity gate for [[cdcIncremental]]: the store-probe path must
+    * equal a from-scratch recompute (chunk BOTH splits live, dup iff
+    * the digest appears in the existing split) — full-outer compare,
+    * zero mismatches; `sum_blob_bytes` is live-restatable from the
+    * text lengths, pinning the chunker's byte accounting too. */
+  def cdcIncrementalCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val inc = cdcIncremental(spark, sfDir)
+    val indexedDigests = graft.ext.GearChunk.chunks(
+        cdcBlobs(spark, sfDir).where(col("doc_id") % 10 =!= 0),
+        "doc_id", "blob")
+      .select("chunk_sha256").distinct().withColumn("__dup", lit(true))
+    val brute = graft.ext.GearChunk.chunks(
+        cdcBlobs(spark, sfDir).where(col("doc_id") % 10 === 0),
+        "doc_id", "blob")
+      .join(indexedDigests, Seq("chunk_sha256"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("b_n_chunks"),
+        count(when(col("__dup"), 1)).as("b_n_dup_chunks"),
+        sum("chunk_bytes").as("b_blob_bytes"),
+        coalesce(sum(when(col("__dup"), col("chunk_bytes"))), lit(0L))
+          .as("b_dup_bytes"),
+        coalesce(sum(when(col("__dup").isNull, col("chunk_bytes"))), lit(0L))
+          .as("b_new_bytes"))
+    inc.join(brute, Seq("doc_id"), "full_outer")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        count(when(
+          col("n_chunks").isNull || col("b_n_chunks").isNull ||
+            col("n_chunks") =!= col("b_n_chunks") ||
+            col("n_dup_chunks") =!= col("b_n_dup_chunks") ||
+            col("blob_bytes") =!= col("b_blob_bytes") ||
+            col("dup_bytes") =!= col("b_dup_bytes") ||
+            col("new_bytes") =!= col("b_new_bytes"), 1))
+          .cast("long").as("n_mismatch"),
+        sum("blob_bytes").cast("long").as("sum_blob_bytes"))
+  }
+
   /** Multimodal frame sampling: 4 evenly-spaced 16-byte windows per blob
     * (rows-only; the slicing shape is what a real frame sampler uses). */
   def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame =

@@ -237,6 +237,39 @@ class PlanShapeSpec extends SparkSpecBase {
       s"nfc kernel not visible in plan:\n$p")
   }
 
+  test("gear CDC: chunk kernel is map-side; only digests reach the dedup shuffle") {
+    import graft.ext.GearChunk
+    val blobs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    // chunking itself: no exchange — blobs never leave their partition
+    val pc = plan(GearChunk.chunks(blobs, "doc_id", "blob"))
+    assert(!pc.contains("Exchange"), s"chunk kernel shuffles the blob:\n$pc")
+    // dedup accounting: partial map-side agg on the digest, blob absent
+    val pd = plan(GearChunk.dedupStats(GearChunk.chunks(blobs, "doc_id", "blob")))
+    assert(pd.contains("partial_count") || pd.contains("partial_"),
+      s"digest agg not partial:\n$pd")
+    // the blob may appear in the scan-side projection feeding the
+    // kernel; it must never ride an Exchange
+    assert(pd.contains("Exchange hashpartitioning(chunk_sha256"),
+      s"dedup shuffle not keyed on the digest:\n$pd")
+    assert(!pd.linesIterator.exists(l => l.contains("Exchange") && l.contains("blob")),
+      s"blob column crosses an exchange:\n$pd")
+  }
+
+  test("stratified sample: windows keyed on (group,salt) then group — never SinglePartition") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.Sampling.stratifiedK(d, "doc_id", "lang", k = 20))
+    assert(!p.contains("SinglePartition"), s"global window in plan:\n$p")
+    assert(p.contains("hashpartitioning(lang"), s"window not keyed on group:\n$p")
+  }
+
+  test("vocab coverage: top-N is TakeOrdered, never a full-vocabulary global sort") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.TextStats.vocabCoverage(d, "text", 50))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N not a distributed take-ordered:\n$p")
+  }
+
   test("multimodal decode/feature extraction never shuffles the blob") {
     import graft.ext.Multimodal
     val ids = spark.range(0, 50).withColumnRenamed("id", "doc_id")

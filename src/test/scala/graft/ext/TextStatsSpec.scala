@@ -182,4 +182,25 @@ class TextStatsSpec extends SparkSpecBase {
       .select(TextStats.qualityScore(col("text")).as("q")).collect().map(_.getDouble(0))
     assert(scores.forall(q => q >= 0.0 && q <= 1.0))
   }
+
+  test("vocabCoverage: hand-computed Zipf curve, ties broken by term") {
+    val s = spark; import s.implicits._
+    // 10 words total: "a"×5, "b"×3, "c"×1, "d"×1 (c before d on ties)
+    val d = Seq("a a A b", "a b B c", "a d").toDF("text")
+    val got = TextStats.vocabCoverage(d, "text", topN = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "a", 5L, 500000L),
+      (2L, "b", 3L, 800000L),
+      (3L, "c", 1L, 900000L)))
+  }
+
+  test("vocabCoverage: last cumulative point of a full curve hits 1e6 exactly") {
+    val s = spark; import s.implicits._
+    val d = Seq("x y z", "x y", "x").toDF("text")
+    val all = TextStats.vocabCoverage(d, "text", topN = 10)
+      .orderBy("rank").collect()
+    assert(all.last.getAs[Long]("cum_ppm") === 1000000L)
+  }
 }
