@@ -213,6 +213,32 @@ object ScaleLadder {
           "residual slope is the index scan, which bucketing amortizes " +
           "on a cluster" + n1 + nF)
     }
+    // Gear-CDC store probe with |new| fixed while the chunk store grows
+    // F× — the same "scales with |new|, not |corpus|" claim as the
+    // dedup rung above, for the content-defined-chunk path. Store build
+    // is the one-time ingest cost and stays untimed.
+    def timedCdcInc(dir: String, label: String): (Double, String) = {
+      val blobs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      val isNew = col("doc_id") < Stride && col("doc_id") % 10 === 0
+      val idx = s"$dir/__cdc_index"
+      graft.ext.IncrementalGearChunk.writeIndex(blobs.where(!isNew),
+        "doc_id", "blob", idx)
+      timedQuiet(label)(graft.ext.IncrementalGearChunk.newBytes(spark, idx,
+        blobs.where(isNew), "doc_id", "blob").count())
+    }
+    val cdcInc = {
+      val (t1, n1) = timedCdcInc(d1, "mm_cdc_incremental_fixed_new@1x")
+      val (tF, nF) = timedCdcInc(dF, s"mm_cdc_incremental_fixed_new@${factor}x")
+      Rung("mm_cdc_incremental_fixed_new", t1, tF,
+        math.log(tF / t1) / math.log(factor.toDouble),
+        "|new| held constant while the chunk store grows Fx; the " +
+          "residual slope is the touched-bucket store scan behind the " +
+          "broadcast digest semi-join — production scales the bucket " +
+          "count with the store so the probed fraction per batch stays " +
+          "constant (this rung's 16 fixture buckets deliberately do " +
+          "not)" + n1 + nF)
+    }
     // Stage-isolated clean-corpus rungs: the composed llm_clean_corpus
     // rung is fixed-overhead-bound at this scale (its exponent hovers
     // near 0 and constrains nothing), so the data-dependent terms are
@@ -244,7 +270,7 @@ object ScaleLadder {
           "llm_clean_corpus_stage_* rungs)" + r.note)
       case r => r
     }
-    (annotated :+ inc) ++ threePointRungs(spark, baseDir, root, factor,
+    (annotated :+ inc :+ cdcInc) ++ threePointRungs(spark, baseDir, root, factor,
       rungs) ++ stageRungs ++ indexSizeRungs(spark, d1) :+
       zorderRung(spark, d1, dF, factor) :+
       semdedupScaledKRung(spark, d1, dF, factor) :+

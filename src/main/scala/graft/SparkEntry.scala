@@ -127,6 +127,8 @@ object SparkEntry {
     "llm_chunk_stats"          -> (LlmQueries.chunkStats _),
     "llm_stratified_sample"    -> (LlmQueries.stratifiedSample _),
     "text_vocab_coverage"      -> (LlmQueries.vocabCoverage _),
+    "events_distinct_incremental" -> (LlmQueries.eventsDistinctIncremental _),
+    "events_distinct_incremental_check" -> (LlmQueries.eventsDistinctIncrementalCheck _),
     "text_compress_stats"      -> (LlmQueries.textCompressStats _),
     "text_compress_checksum"   -> (LlmQueries.textCompressChecksum _),
     "llm_lm_incremental"       -> (LlmQueries.lmIncremental _),
@@ -3255,6 +3257,20 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS sum_chunk_bytes,
         |  true AS contiguous_ok, true AS reassembled_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Persisted-HLL incremental distinct gate
+    // (ext/IncrementalDistinct.scala): n_types and the exact distinct
+    // sum are live; zero merge mismatches = epoch-sketch union ≡
+    // single-pass sketch; zero outside-envelope = estimates within 5%
+    // of exact.
+    "events_distinct_incremental_check" ->
+      """WITH e AS (SELECT event_type,
+        |    count(DISTINCT user_id) AS d
+        |  FROM events GROUP BY event_type)
+        |SELECT CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(0 AS BIGINT) AS n_merge_mismatch,
+        |  CAST(0 AS BIGINT) AS n_outside_5pct,
+        |  CAST(sum(d) AS BIGINT) AS sum_exact
+        |FROM e""".stripMargin,
     // Incremental gear-CDC parity gate: n_docs / sum_blob_bytes live
     // from the batch split's text lengths; n_mismatch 0 = the
     // bucket-pruned store probe equals the from-scratch recompute on
@@ -3325,5 +3341,8 @@ object SparkEntry {
     // incremental CDC → store-probe ≡ from-scratch parity row (live
     // sum_blob_bytes pins the byte accounting)
     "mm_cdc_incremental"           -> "mm_cdc_incremental_check",
+    // persisted-HLL incremental distinct → merge-lossless + 5% envelope
+    // row with live exact sums
+    "events_distinct_incremental"  -> "events_distinct_incremental_check",
   )
 }

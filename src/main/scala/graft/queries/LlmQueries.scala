@@ -2770,6 +2770,57 @@ object LlmQueries {
     graft.ext.GearChunk.dedupStats(
       graft.ext.GearChunk.chunks(cdcBlobs(spark, sfDir), "doc_id", "blob"))
 
+  /** HLL precision for the persisted-sketch rows (must match between
+    * the store and any single-pass comparison sketch). */
+  val HllLgK = 12
+
+  /** Session-cached HLL sketch store over the existing-events split
+    * (event_id % 10 != 0): distinct user_id per event_type (see
+    * [[graft.ext.IncrementalDistinct]]). */
+  private def hllIndexDir(spark: SparkSession, sfDir: String): String =
+    incIndexDir(spark, s"hll|$sfDir") { dir =>
+      graft.ext.IncrementalDistinct.writeIndex(
+        CdcQueries.events(spark, sfDir).where(col("event_id") % 10 =!= 0),
+        "event_type", "user_id", dir, lgK = HllLgK)
+    }
+
+  /** Incremental distinct users per event type: the arriving batch
+    * (event_id % 10 == 0) sketched once and unioned with the persisted
+    * epoch sketches — O(batch) work for an all-time distinct (rows-only:
+    * sketch estimates; gated by `events_distinct_incremental_check`). */
+  def eventsDistinctIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.IncrementalDistinct.estimate(spark,
+        hllIndexDir(spark, sfDir),
+        CdcQueries.events(spark, sfDir).where(col("event_id") % 10 === 0),
+        "event_type", "user_id")
+      .orderBy("event_type")
+
+  /** Gate for [[eventsDistinctIncremental]]: (a) the union of the
+    * stored split sketch and the batch sketch must equal a single-pass
+    * sketch over ALL events group-for-group (HLL merge is register-wise
+    * max — lossless for same-lgK sketches), and (b) every estimate
+    * sits within the 5% envelope of the exact distinct. n_types and
+    * the exact sum are live in the oracle. */
+  def eventsDistinctIncrementalCheck(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val inc = eventsDistinctIncremental(spark, sfDir)
+      .withColumnRenamed("distinct_est", "__inc")
+    val all = CdcQueries.events(spark, sfDir)
+    val full = all.groupBy("event_type")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(HllLgK))).as("__full"))
+    val exact = all.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("__exact"))
+    inc.join(full, "event_type").join(exact, "event_type")
+      .agg(
+        count(lit(1)).cast("long").as("n_types"),
+        count(when(col("__inc") =!= col("__full"), 1))
+          .cast("long").as("n_merge_mismatch"),
+        count(when(abs(col("__inc") - col("__exact")) >
+          col("__exact") * 0.05, 1)).cast("long").as("n_outside_5pct"),
+        sum("__exact").cast("long").as("sum_exact"))
+  }
+
   /** Per-stratum exact-k sample size for the registered row. */
   val StratifiedK = 20
 
