@@ -82,21 +82,39 @@ object AvroIo {
     case other         => other
   }
 
-  /** Write `df` as `part-<pid>.avro` container files under `dir`
-    * (created if absent; existing part files overwritten). Empty
-    * partitions produce no file, so file count == non-empty partition
-    * count — repartition upstream to size the files. */
+  /** Write `df` as `part-<pid>.avro` container files under `dir`.
+    * The target directory is prepared on the driver first: created if
+    * absent and cleared of stale `*.avro` part files, so a re-write
+    * with fewer partitions cannot leave phantom parts from a previous
+    * wider write behind (the `mode("overwrite")` semantics of Spark's
+    * own sinks), and an all-empty write still leaves a readable empty
+    * dir. Each task streams into an attempt-unique `.tmp` file and
+    * COMMITS via rename — rename-won't-replace on every production FS,
+    * so with speculative execution or a zombie attempt the first
+    * committer wins and the loser deletes its tmp; a torn half-written
+    * container can never sit at the final path. Empty partitions
+    * produce no file — repartition upstream to size the files. */
   def write(df: DataFrame, dir: String): Unit = {
     val st = df.schema
     val schemaJson = avroSchema(st).toString
+    val spark = df.sparkSession
     val conf = new SerializableHadoopConf(
-      df.sparkSession.sparkContext.hadoopConfiguration)
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new Path(dir)
+    val dfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dfs.mkdirs(dirPath)
+    val stale = dfs.globStatus(new Path(dirPath, "*.avro*"))
+    if (stale != null) stale.foreach(s => dfs.delete(s.getPath, false))
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
+        val tc = TaskContext.get()
         val schema = new Schema.Parser().parse(schemaJson)
-        val path = new Path(dir, f"part-${TaskContext.getPartitionId()}%05d.avro")
-        val fs = path.getFileSystem(conf.value)
-        val out = fs.create(path, true)
+        val finalPath =
+          new Path(dir, f"part-${tc.partitionId()}%05d.avro")
+        val tmpPath = new Path(dir,
+          f"part-${tc.partitionId()}%05d.avro.${tc.taskAttemptId()}%d.tmp")
+        val fs = finalPath.getFileSystem(conf.value)
+        val out = fs.create(tmpPath, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         try {
           w.create(schema, out) // DataFileWriter closes `out` on close()
@@ -107,6 +125,13 @@ object AvroIo {
             w.append(rec)
           }
         } finally w.close()
+        // commit: first attempt to rename wins; a losing duplicate
+        // attempt finds the destination taken and discards its tmp
+        if (!fs.rename(tmpPath, finalPath)) {
+          fs.delete(tmpPath, false)
+          if (!fs.exists(finalPath)) throw new java.io.IOException(
+            s"avro commit failed: could not rename $tmpPath to $finalPath")
+        }
       }
     }
   }

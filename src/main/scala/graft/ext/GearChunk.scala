@@ -66,6 +66,15 @@ object GearChunk {
     ends.result()
   }
 
+  /** Ids feed a primitive-Long encoder below; a null would surface as
+    * an opaque deserializer NPE at executor time. Fail loudly in-plan
+    * instead (blobs, by contrast, are legitimately nullable and map to
+    * zero chunks). */
+  private def requiredId(idCol: String): org.apache.spark.sql.Column =
+    when(col(idCol).isNull, raise_error(
+      lit(s"GearChunk: null $idCol — blob ids must be non-null")).cast("long"))
+      .otherwise(col(idCol).cast("long"))
+
   private def sha256Hex(bytes: Array[Byte], from: Int, len: Int): String = {
     val md = MessageDigest.getInstance("SHA-256")
     md.update(bytes, from, len)
@@ -79,7 +88,7 @@ object GearChunk {
       maskBits: Int = 6, minSize: Int = 16, maxSize: Int = 256): DataFrame = {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
       Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)
-    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+    df.select(requiredId(idCol), col(blobCol).cast("binary"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.flatMap { case (id, blob) =>
@@ -106,7 +115,7 @@ object GearChunk {
       maskBits: Int = 6, minSize: Int = 16, maxSize: Int = 256): DataFrame = {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
       Encoders.scalaLong, Encoders.scalaBoolean, Encoders.scalaBoolean)
-    df.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+    df.select(requiredId(idCol), col(blobCol).cast("binary"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, blob) =>

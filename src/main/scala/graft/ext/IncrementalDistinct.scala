@@ -82,13 +82,19 @@ object IncrementalDistinct {
   /** Per-group distinct estimate over `indexed ∪ batch`: the batch is
     * sketched in one pass (its only scan), then unioned with the
     * stored epoch sketches — work is O(|batch|) + kilobytes per
-    * (epoch, group). Output: (group, distinct_est). */
+    * (epoch, group). `excludeEpochs` is the streaming replay seam
+    * (a replayed batch must read the pre-batch store even if its own
+    * append already landed). Output: (group, distinct_est). */
   def estimate(spark: SparkSession, path: String, batch: DataFrame,
-               groupCol: String, valueCol: String): DataFrame = {
+               groupCol: String, valueCol: String,
+               excludeEpochs: Seq[String] = Nil): DataFrame = {
     swapFor(spark, path).recover()
     val lgK = spark.read.parquet(s"$path/meta").head().getAs[Int]("lg_k")
-    val stored = spark.read.parquet(s"$path/sketches")
-      .select(col("group"), col("sketch"))
+    val stored0 = spark.read.parquet(s"$path/sketches")
+    val stored =
+      (if (excludeEpochs.isEmpty) stored0
+       else stored0.where(!col("__epoch").isin(excludeEpochs: _*)))
+        .select(col("group"), col("sketch"))
     val fresh = batch.groupBy(col(groupCol).as("group"))
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
     stored.unionByName(fresh)

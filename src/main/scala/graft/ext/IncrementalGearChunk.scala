@@ -102,7 +102,14 @@ object IncrementalGearChunk {
 
   /** Per-blob dedup accounting for the arriving batch against the
     * store: (id, n_chunks, n_dup_chunks, blob_bytes, dup_bytes,
-    * new_bytes). `excludeEpochs` is the streaming replay seam. */
+    * new_bytes). `excludeEpochs` is the streaming replay seam.
+    *
+    * The gear+SHA-256 kernel — the dominant CPU cost — runs ONCE: the
+    * chunk table is cached for the duration of the call (its three
+    * consumers: bucket collect, broadcast digest build, final probe)
+    * and the small per-blob result is staged through the
+    * [[graft.util.Checkpoints]] seam before the cache drops, so the
+    * returned frame never replays the kernel. */
   def newBytes(spark: SparkSession, path: String, newBlobs: DataFrame,
                idCol: String, blobCol: String,
                excludeEpochs: Seq[String] = Nil): DataFrame = {
@@ -111,32 +118,37 @@ object IncrementalGearChunk {
     val buckets = m.getAs[Int]("buckets")
 
     val batch = GearChunk.chunks(newBlobs, idCol, blobCol,
-      m.getAs[Int]("mask_bits"), m.getAs[Int]("min_size"),
-      m.getAs[Int]("max_size"))
-    val batchDigests = batch.select("chunk_sha256").distinct()
+        m.getAs[Int]("mask_bits"), m.getAs[Int]("min_size"),
+        m.getAs[Int]("max_size"))
+      .persist()
+    try {
+      val batchDigests = batch.select("chunk_sha256").distinct()
 
-    val idx0 = spark.read.parquet(s"$path/chunks")
-    val idx1 =
-      if (excludeEpochs.isEmpty) idx0
-      else idx0.where(!col("__epoch").isin(excludeEpochs: _*))
-    // bounded planning collect: ≤ `buckets` ints prune the store scan
-    val bs = batchDigests
-      .select(bucket(col("chunk_sha256"), buckets).as(BucketCol))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val stored = idx1.where(col(BucketCol).isin(bs: _*))
-      .join(broadcast(batchDigests), Seq("chunk_sha256"), "left_semi")
-      .select(col("chunk_sha256")).distinct()
-      .withColumn("__dup", lit(true))
+      val idx0 = spark.read.parquet(s"$path/chunks")
+      val idx1 =
+        if (excludeEpochs.isEmpty) idx0
+        else idx0.where(!col("__epoch").isin(excludeEpochs: _*))
+      // bounded planning collect: ≤ `buckets` ints prune the store scan
+      // (also materializes the chunk cache for the two reads below)
+      val bs = batchDigests
+        .select(bucket(col("chunk_sha256"), buckets).as(BucketCol))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val stored = idx1.where(col(BucketCol).isin(bs: _*))
+        .join(broadcast(batchDigests), Seq("chunk_sha256"), "left_semi")
+        .select(col("chunk_sha256")).distinct()
+        .withColumn("__dup", lit(true))
 
-    batch.join(broadcast(stored), Seq("chunk_sha256"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_chunks"),
-        count(when(col("__dup"), 1)).as("n_dup_chunks"),
-        sum("chunk_bytes").as("blob_bytes"),
-        coalesce(sum(when(col("__dup"), col("chunk_bytes"))), lit(0L))
-          .as("dup_bytes"),
-        coalesce(sum(when(col("__dup").isNull, col("chunk_bytes"))), lit(0L))
-          .as("new_bytes"))
+      graft.util.Checkpoints.stage(
+        batch.join(broadcast(stored), Seq("chunk_sha256"), "left")
+          .groupBy(col(idCol))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            count(when(col("__dup"), 1)).as("n_dup_chunks"),
+            sum("chunk_bytes").as("blob_bytes"),
+            coalesce(sum(when(col("__dup"), col("chunk_bytes"))), lit(0L))
+              .as("dup_bytes"),
+            coalesce(sum(when(col("__dup").isNull, col("chunk_bytes"))), lit(0L))
+              .as("new_bytes")))
+    } finally { batch.unpersist(); () }
   }
 }

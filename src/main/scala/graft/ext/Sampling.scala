@@ -95,6 +95,10 @@ object Sampling {
     * bounding every group to k×salts survivors; phase 2 ranks those
     * exactly. Equivalent to the single window for any total order
     * because each true top-k element is within its own salt's top k.
+    * The salt is a KEY hash (not `spark_partition_id` — a coalesced or
+    * single-partition input would put every row in salt 0 and quietly
+    * degrade phase 1 back to the naive one-task-per-stratum window),
+    * so the spread holds regardless of input partitioning.
     * Output: input columns + `sample_rank` (1-based within group). */
   def stratifiedK(df: DataFrame, keyCol: String, groupCol: String,
                   k: Int, salts: Int = 16): DataFrame = {
@@ -102,7 +106,7 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val ord = Seq(bucket(col(keyCol)).asc, col(keyCol).asc)
     val salted = df.withColumn("__salt",
-      (spark_partition_id() % salts).cast("int"))
+      pmod(xxhash64(col(keyCol)), lit(salts.toLong)).cast("int"))
     val local = Window.partitionBy(col(groupCol), col("__salt"))
       .orderBy(ord: _*)
     val bounded = salted

@@ -260,11 +260,22 @@ object TextStats {
     val total = freqs.agg(sum("freq").as("__tot"))
     val top = freqs.orderBy(col("freq").desc, col("term")).limit(topN)
     val w = Window.orderBy(col("freq").desc, col("term"))
+    // cum·10^6 in Long wraps SILENTLY once the cumulative count passes
+    // ~9.2e12 words — inside this module's 100 TB design point, and
+    // worse than DuckDB (whose BIGINT overflow ERRORS). The in-plan
+    // guard (the exactCosinePairs raise_error discipline) makes both
+    // engines fail loudly at the same line; past it, pre-scale counts
+    // to kilotokens (the temperatureRates rule).
+    val cumCap = 9000000000000L // 9e12: cum*1e6 stays under 2^63
     top
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("__cum", sum("freq").over(w))
       .crossJoin(broadcast(total)) // single-row scalar join
       .select(col("rank"), col("term"), col("freq").cast("long").as("freq"),
-        expr("(__cum * 1000000L) div __tot").as("cum_ppm"))
+        when(col("__cum") > cumCap, raise_error(format_string(
+          "vocabCoverage: cumulative count %d exceeds the exact-ppm " +
+            "Long bound %d — pre-scale counts to kilotokens",
+          col("__cum"), lit(cumCap))).cast("long"))
+          .otherwise(expr("(__cum * 1000000L) div __tot")).as("cum_ppm"))
   }
 }

@@ -31,33 +31,12 @@ object StreamDistinct {
         val spark = batch.sparkSession
         val b = batch.persist()
         try {
-          estimateExcluding(spark, indexPath, b, groupCol, valueCol,
-              Seq(s"b$batchId"))
+          IncrementalDistinct.estimate(spark, indexPath, b, groupCol,
+              valueCol, excludeEpochs = Seq(s"b$batchId"))
             .write.mode("overwrite").parquet(s"$outDir/__epoch=b$batchId")
           IncrementalDistinct.appendToIndex(b, groupCol, valueCol,
             indexPath, epoch = s"b$batchId")
         } finally { b.unpersist(); () }
       }
       .start()
-
-  /** [[IncrementalDistinct.estimate]] with the replay seam: stored
-    * epochs in `exclude` are ignored so a replayed batch reads the
-    * pre-batch store. */
-  def estimateExcluding(spark: org.apache.spark.sql.SparkSession,
-      path: String, batch: DataFrame, groupCol: String, valueCol: String,
-      exclude: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val lgK = spark.read.parquet(s"$path/meta").head().getAs[Int]("lg_k")
-    val stored0 = spark.read.parquet(s"$path/sketches")
-    val stored =
-      (if (exclude.isEmpty) stored0
-       else stored0.where(!col("__epoch").isin(exclude: _*)))
-        .select(col("group"), col("sketch"))
-    val fresh = batch.groupBy(col(groupCol).as("group"))
-      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
-    stored.unionByName(fresh)
-      .groupBy("group")
-      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_est"))
-      .withColumnRenamed("group", groupCol)
-  }
 }

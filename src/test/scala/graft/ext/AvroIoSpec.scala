@@ -51,6 +51,22 @@ class AvroIoSpec extends SparkSpecBase {
     assert(back.count() === 3)
   }
 
+  test("re-write with fewer partitions clears stale parts; empty write leaves a readable dir") {
+    val dir = Files.createTempDirectory("graft-avro-over").toString
+    AvroIo.write(fixture().repartition(3), dir)
+    // narrower re-write of a 1-row subset: stale part files must vanish
+    val one = fixture().where(org.apache.spark.sql.functions.col("id") === 1L)
+    AvroIo.write(one.repartition(1), dir)
+    assert(AvroIo.read(spark, dir, schema).count() === 1)
+    // all-empty write: no parts, but the dir reads as empty, not an error
+    AvroIo.write(fixture().where(org.apache.spark.sql.functions.lit(false)), dir)
+    assert(AvroIo.read(spark, dir, schema).count() === 0)
+    // no tmp litter from the commit protocol
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.contains(".tmp"))
+    assert(leftovers.isEmpty, s"uncommitted tmp files: ${leftovers.toSeq}")
+  }
+
   test("reader tolerates writer-side field reorder, fails fast on missing field") {
     val dir = Files.createTempDirectory("graft-avro-names").toString
     AvroIo.write(fixture(), dir)

@@ -50,10 +50,10 @@ class StreamDistinctSpec extends SparkSpecBase {
 
     // replayed b0 excludes its own epoch — but b1's sketches exist, so
     // the exclusion-does-work probe is on the LAST epoch:
-    val replay = StreamDistinct.estimateExcluding(spark, idx,
+    val replay = IncrementalDistinct.estimate(spark, idx,
         spark.range(1).select(lit("a").as("event_type"),
           lit(999L).as("user_id")),
-        "event_type", "user_id", Seq("b0", "b1"))
+        "event_type", "user_id", excludeEpochs = Seq("b0", "b1"))
       .collect().head.getAs[Long]("distinct_est")
     // pre-stream store (50 users) + the probe value 999 = 51
     assert(replay === 51L,
