@@ -224,6 +224,13 @@ object ScaleLadder {
       val idx = s"$dir/__cdc_index"
       graft.ext.IncrementalGearChunk.writeIndex(blobs.where(!isNew),
         "doc_id", "blob", idx)
+      // untimed warmup probe: the gear+SHA kernel and the probe's join
+      // codegen JIT on first touch, and at ~1 s of timed work that
+      // first-touch cost lands asymmetrically on whichever rung runs
+      // first (measured as a NEGATIVE exponent in r13's committed
+      // artifact) — same discipline as the ladder-wide warmup above
+      graft.ext.IncrementalGearChunk.newBytes(spark, idx,
+        blobs.where(isNew), "doc_id", "blob").count()
       timedQuiet(label)(graft.ext.IncrementalGearChunk.newBytes(spark, idx,
         blobs.where(isNew), "doc_id", "blob").count())
     }

@@ -203,6 +203,7 @@ object SparkEntry {
     "llm_sample_strata"        -> (LlmQueries.sampleStrata _),
     "llm_pack_stats"           -> (LlmQueries.packStats _),
     "llm_bpe_tokens"           -> (LlmQueries.bpeTokens _),
+    "llm_wordpiece_tokens"     -> (LlmQueries.wordpieceTokens _),
     "llm_pack_stats_bpe"       -> (LlmQueries.packStatsBpe _),
     "llm_pack_greedy"          -> (LlmQueries.packGreedy _),
     "llm_pack_bestfit"         -> (LlmQueries.packBestfit _),
@@ -2883,6 +2884,43 @@ object SparkEntry {
          |  true AS partition_exact, true AS within_budget_ok,
          |  true AS le_nextfit_ok, true AS ge_lowerbound_ok
          |FROM documents""".stripMargin,
+    // WordPiece token counts: the oracle replays greedy
+    // longest-match-first EXACTLY as a recursive CTE — a position
+    // chain where each step consumes the longest piece allowed at that
+    // position (the NOT EXISTS guard kills shorter matches; the `cont`
+    // flag switches the start vs ## piece class), and a word whose
+    // chain dies before len+1 collapses to [UNK] = 1 (the BERT rule).
+    // Piece table interpolated from WordPiece.sqlPiecesValues; counts
+    // evaluated once per DISTINCT pre-token, joined back.
+    "llm_wordpiece_tokens" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok
+         |  FROM documents),
+         |v AS (SELECT DISTINCT tok FROM t),
+         |pieces(piece, len, cont) AS (SELECT * FROM (VALUES
+         |   ${graft.ext.WordPiece.sqlPiecesValues})),
+         |seg AS (
+         |  SELECT tok, 1 AS pos, 0 AS n FROM v
+         |  UNION ALL
+         |  SELECT s.tok, s.pos + p.len, s.n + 1
+         |  FROM seg s JOIN pieces p
+         |    ON p.cont = (s.pos > 1)
+         |   AND substr(s.tok, s.pos, p.len) = p.piece
+         |   AND NOT EXISTS (SELECT 1 FROM pieces p2
+         |                   WHERE p2.cont = (s.pos > 1)
+         |                     AND p2.len > p.len
+         |                     AND substr(s.tok, s.pos, p2.len) = p2.piece)
+         |  WHERE s.pos <= len(s.tok)),
+         |done AS (SELECT tok, arg_max(n, pos) AS n, max(pos) AS pos
+         |         FROM seg GROUP BY tok),
+         |e AS (SELECT tok,
+         |    CAST(CASE WHEN pos = len(tok) + 1 THEN n ELSE 1 END AS BIGINT) AS n
+         |  FROM done),
+         |b AS (SELECT t.doc_id, count(*) AS n_pre, CAST(sum(e.n) AS BIGINT) AS n_wp
+         |      FROM t JOIN e USING (tok) GROUP BY t.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(b.n_pre, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(b.n_wp, 0) AS BIGINT) AS n_wp_tokens
+         |FROM documents d LEFT JOIN b USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // BPE token counts: the oracle re-tokenizes with the SAME regex
     // pre-tokenizer, then recomputes every BPE count through the
     // rank-ordered replace() chain over marker-framed symbols (one

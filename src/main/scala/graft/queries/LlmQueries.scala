@@ -2033,6 +2033,14 @@ object LlmQueries {
     graft.ext.Bpe.tokenCounts(docs(spark, sfDir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** WordPiece (BERT) token counts under the fixture vocabulary —
+    * greedy longest-match with position-aware pieces and the [UNK]
+    * collapse rule, hash-exact against the oracle's recursive-CTE
+    * replay (see [[graft.ext.WordPiece]]). */
+  def wordpieceTokens(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.WordPiece.tokenCounts(docs(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Token-exact packing twin: the same concat-then-chunk layout as
     * [[packStats]], budgeted in BPE tokens (what a real pretraining
     * data layout counts) instead of regex tokens. */
