@@ -35,6 +35,7 @@ object SparkEntry {
     "distinct_parts"           -> (RelationalQueries.distinctParts _),
     "events_json_extract"      -> (RelationalQueries.eventsJsonExtract _),
     "events_hourly"            -> (RelationalQueries.eventsHourly _),
+    "events_hourly_gapfill"    -> (RelationalQueries.eventsHourlyGapfill _),
     "events_sessions"          -> (RelationalQueries.eventsSessions _),
     "events_asof_attrib"       -> (RelationalQueries.eventsAsofAttrib _),
     "events_asof_next"         -> (RelationalQueries.eventsAsofNext _),
@@ -190,6 +191,7 @@ object SparkEntry {
     "llm_bpe_selftok"          -> (LlmQueries.bpeSelfTok _),
     "llm_unigram_tokens"       -> (LlmQueries.unigramTokens _),
     "llm_pack_stats_unigram"   -> (LlmQueries.packStatsUnigram _),
+    "llm_pack_stats_wordpiece" -> (LlmQueries.packStatsWordpiece _),
     "llm_phrase_counts"        -> (LlmQueries.phraseCounts _),
     "llm_phrase_stats"         -> (LlmQueries.phraseStats _),
     "llm_rrf_fusion"           -> (LlmQueries.rrfFusion _),
@@ -1217,6 +1219,24 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // Dense hourly gap-fill: the axis is generated from the corpus's
+    // own hour bounds (scalar subqueries into the list-form
+    // generate_series), crossed with the distinct type set, zero-filled
+    // by the left join — a missing hour reads 0, not absent.
+    "events_hourly_gapfill" ->
+      """WITH b AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
+        |            max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hi FROM events),
+        |h AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+        |              INTERVAL 1 HOUR)) AS hour_start),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |        event_type, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT h.hour_start, ty.event_type,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        |FROM h CROSS JOIN ty
+        |LEFT JOIN c ON c.hour_start = h.hour_start AND c.event_type = ty.event_type
+        |ORDER BY h.hour_start, ty.event_type""".stripMargin,
     // 6h-gap sessionization: lag flag → running sum → per-session rollup,
     // all integer epoch-millis arithmetic.
     "events_sessions" ->
@@ -2952,6 +2972,48 @@ object SparkEntry {
          |d AS (SELECT doc_id,
          |    ((doc_id * 2654435761) % 1000000007) % 1000000 % 8 AS shard,
          |    CAST(coalesce(b.n_bpe, 0) AS BIGINT) AS n_tokens
+         |  FROM documents LEFT JOIN b USING (doc_id)),
+         |laid AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset
+         |         FROM d)
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(start_offset // 2048 AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM laid GROUP BY shard, pack_id
+         |ORDER BY shard, pack_id""".stripMargin,
+    // WordPiece-budgeted packing twin: the llm_pack_stats layout with
+    // n_tokens from the greedy WordPiece chain (the recursive-CTE
+    // kernel of llm_wordpiece_tokens), then the same shard scramble /
+    // running sum / chunk division — all integer-exact.
+    "llm_pack_stats_wordpiece" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok
+         |  FROM documents),
+         |v AS (SELECT DISTINCT tok FROM t),
+         |pieces(piece, len, cont) AS (SELECT * FROM (VALUES
+         |   ${graft.ext.WordPiece.sqlPiecesValues})),
+         |seg AS (
+         |  SELECT tok, 1 AS pos, 0 AS n FROM v
+         |  UNION ALL
+         |  SELECT s.tok, s.pos + p.len, s.n + 1
+         |  FROM seg s JOIN pieces p
+         |    ON p.cont = (s.pos > 1)
+         |   AND substr(s.tok, s.pos, p.len) = p.piece
+         |   AND NOT EXISTS (SELECT 1 FROM pieces p2
+         |                   WHERE p2.cont = (s.pos > 1)
+         |                     AND p2.len > p.len
+         |                     AND substr(s.tok, s.pos, p2.len) = p2.piece)
+         |  WHERE s.pos <= len(s.tok)),
+         |done AS (SELECT tok, arg_max(n, pos) AS n, max(pos) AS pos
+         |         FROM seg GROUP BY tok),
+         |e AS (SELECT tok,
+         |    CAST(CASE WHEN pos = len(tok) + 1 THEN n ELSE 1 END AS BIGINT) AS n
+         |  FROM done),
+         |b AS (SELECT t.doc_id, CAST(sum(e.n) AS BIGINT) AS n_wp
+         |      FROM t JOIN e USING (tok) GROUP BY t.doc_id),
+         |d AS (SELECT doc_id,
+         |    ((doc_id * 2654435761) % 1000000007) % 1000000 % 8 AS shard,
+         |    CAST(coalesce(b.n_wp, 0) AS BIGINT) AS n_tokens
          |  FROM documents LEFT JOIN b USING (doc_id)),
          |laid AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset

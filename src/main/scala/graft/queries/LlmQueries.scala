@@ -2051,6 +2051,17 @@ object LlmQueries {
         "doc_id", nShards = 8, budgetTokens = 2048L)
       .orderBy("shard", "pack_id")
 
+  /** WordPiece-budgeted packing twin — the `llm_pack_stats` layout
+    * with token counts from the greedy WordPiece encoder, completing
+    * the tokenizer-budget family (regex / BPE / Unigram / WordPiece).
+    * Same shards and budget, so the four layouts are comparable. */
+  def packStatsWordpiece(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Packing.packsCounts(
+        graft.ext.WordPiece.tokenCounts(docs(spark, sfDir), "doc_id", "text")
+          .select(col("doc_id"), col("n_wp_tokens").as("n_tokens")),
+        "doc_id", nShards = 8, budgetTokens = 2048L)
+      .orderBy("shard", "pack_id")
+
   /** Document-boundary next-fit packing (no doc ever split across
     * sequences — see [[graft.ext.Packing.nextFitCounts]]); same shard
     * count and budget as `llm_pack_stats`, so the two layouts are

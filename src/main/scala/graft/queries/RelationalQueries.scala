@@ -164,6 +164,33 @@ object RelationalQueries {
         col("n_events"), col("sum_value"))
       .orderBy("hour_start", "event_type")
 
+  /** Dense hourly time axis with zero-filled gaps — the resample /
+    * gap-fill step every time-series dashboard needs before windowed
+    * math (a missing hour must read 0, not vanish): the (hour × type)
+    * axis is generated from the corpus's own min/max hour via
+    * `sequence(lo, hi, interval 1 hour)` riding the single-row bounds
+    * aggregate, crossed with the distinct type set — BOTH axis sides
+    * are dimension-sized (hours in the retention window × event
+    * types), never event-sized, so the cross join is broadcast
+    * territory and the only event-scale work is the one hourly count
+    * aggregate it left-joins. Fully live oracle. */
+  def eventsHourlyGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = CdcQueries.events(spark, sfDir)
+      .select(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+    val counts = e.groupBy("hour_start", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val hours = e.agg(min("hour_start").as("lo"), max("hour_start").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("hour_start"))
+    val types = e.select("event_type").distinct()
+    hours.crossJoin(types)
+      .join(counts, Seq("hour_start", "event_type"), "left")
+      .select(col("hour_start"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("hour_start", "event_type")
+  }
+
   /** Gap-based sessionization over the events stream (6-hour inactivity
     * gap): per-user sessions with event counts and integer-exact epoch
     * spans. One shuffle on user_id shared by both window passes and the
