@@ -36,6 +36,8 @@ object SparkEntry {
     "events_json_extract"      -> (RelationalQueries.eventsJsonExtract _),
     "events_hourly"            -> (RelationalQueries.eventsHourly _),
     "events_hourly_gapfill"    -> (RelationalQueries.eventsHourlyGapfill _),
+    "events_hourly_locf"       -> (RelationalQueries.eventsHourlyLocf _),
+    "events_hourly_interp"     -> (RelationalQueries.eventsHourlyInterp _),
     "events_sessions"          -> (RelationalQueries.eventsSessions _),
     "events_asof_attrib"       -> (RelationalQueries.eventsAsofAttrib _),
     "events_asof_next"         -> (RelationalQueries.eventsAsofNext _),
@@ -1237,6 +1239,60 @@ object SparkEntry {
         |FROM h CROSS JOIN ty
         |LEFT JOIN c ON c.hour_start = h.hour_start AND c.event_type = ty.event_type
         |ORDER BY h.hour_start, ty.event_type""".stripMargin,
+    // LOCF fill over the same dense axis: each missing hour repeats the
+    // most recent observed count for its type; pre-first-observation
+    // hours read 0.
+    "events_hourly_locf" ->
+      """WITH b AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
+        |            max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hi FROM events),
+        |h AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+        |              INTERVAL 1 HOUR)) AS hour_start),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |        event_type, count(*) AS n
+        |      FROM events GROUP BY 1, 2),
+        |ax AS (SELECT h.hour_start, ty.event_type, c.n
+        |       FROM h CROSS JOIN ty
+        |       LEFT JOIN c ON c.hour_start = h.hour_start AND c.event_type = ty.event_type)
+        |SELECT hour_start, event_type,
+        |  CAST(coalesce(last_value(n IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY hour_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS n_locf
+        |FROM ax ORDER BY hour_start, event_type""".stripMargin,
+    // Linear-interpolation fill, integer-exact: positions are the dense
+    // axis row index per type; interp = (prev*(nextH-h)+next*(h-prevH))
+    // * 1e6 // (nextH-prevH), all BIGINT with a non-negative numerator
+    // so truncating division agrees across engines. Single-neighbor
+    // edges stay NULL.
+    "events_hourly_interp" ->
+      """WITH b AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
+        |            max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hi FROM events),
+        |h AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+        |              INTERVAL 1 HOUR)) AS hour_start),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |        event_type, count(*) AS n
+        |      FROM events GROUP BY 1, 2),
+        |ax AS (SELECT h.hour_start, ty.event_type, c.n,
+        |         CAST(row_number() OVER (PARTITION BY ty.event_type
+        |           ORDER BY h.hour_start) AS BIGINT) AS hh
+        |       FROM h CROSS JOIN ty
+        |       LEFT JOIN c ON c.hour_start = h.hour_start AND c.event_type = ty.event_type),
+        |nb AS (SELECT hour_start, event_type, n, hh,
+        |         last_value(n IGNORE NULLS) OVER wp AS prev_v,
+        |         last_value(CASE WHEN n IS NOT NULL THEN hh END IGNORE NULLS) OVER wp AS prev_h,
+        |         first_value(n IGNORE NULLS) OVER wf AS next_v,
+        |         first_value(CASE WHEN n IS NOT NULL THEN hh END IGNORE NULLS) OVER wf AS next_h
+        |       FROM ax
+        |       WINDOW wp AS (PARTITION BY event_type ORDER BY hour_start
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |              wf AS (PARTITION BY event_type ORDER BY hour_start
+        |                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT hour_start, event_type,
+        |  CAST(CASE WHEN n IS NOT NULL THEN n * 1000000
+        |       ELSE (prev_v * (next_h - hh) + next_v * (hh - prev_h)) * 1000000
+        |            // (next_h - prev_h) END AS BIGINT) AS n_interp_ppm
+        |FROM nb ORDER BY hour_start, event_type""".stripMargin,
     // 6h-gap sessionization: lag flag → running sum → per-session rollup,
     // all integer epoch-millis arithmetic.
     "events_sessions" ->

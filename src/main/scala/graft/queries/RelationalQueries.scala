@@ -174,10 +174,24 @@ object RelationalQueries {
     * types), never event-sized, so the cross join is broadcast
     * territory and the only event-scale work is the one hourly count
     * aggregate it left-joins. Fully live oracle. */
-  def eventsHourlyGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsHourlyGapfill(spark: SparkSession, sfDir: String): DataFrame =
+    hourlyAxis(spark, sfDir)
+      .select(col("hour_start"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("hour_start", "event_type")
+
+  /** Shared dense (hour × type) axis with the observed per-hour count
+    * attached (`n`, null where no events landed) — the substrate for
+    * the zero-fill / LOCF / interpolation resamples. Hours with zero
+    * events are indistinguishable from "missing" in an event stream,
+    * which is exactly the gap these fills exist to repair. */
+  private def hourlyAxis(spark: SparkSession, sfDir: String): DataFrame = {
     val e = CdcQueries.events(spark, sfDir)
-      .select(date_trunc("hour", col("ts")).as("hour_start"),
-        col("event_type"))
+      // the corpus ts is parquet-naive (TIMESTAMP_NTZ); date_trunc
+      // returns tz-aware TimestampType, so cast back to NTZ or the
+      // dtype (not the values) diverges from the oracle axis
+      .select(date_trunc("hour", col("ts")).cast("timestamp_ntz")
+        .as("hour_start"), col("event_type"))
     val counts = e.groupBy("hour_start", "event_type")
       .agg(count(lit(1)).as("n"))
     val hours = e.agg(min("hour_start").as("lo"), max("hour_start").as("hi"))
@@ -186,8 +200,48 @@ object RelationalQueries {
     val types = e.select("event_type").distinct()
     hours.crossJoin(types)
       .join(counts, Seq("hour_start", "event_type"), "left")
+  }
+
+  /** Last-observation-carried-forward fill over the dense hourly axis:
+    * each missing hour repeats the most recent observed count for its
+    * type; hours before the first observation read 0. One window pass
+    * per type partition over the dimension-sized axis — the event-scale
+    * work is still just the hourly count aggregate inside the axis. */
+  def eventsHourlyLocf(spark: SparkSession, sfDir: String): DataFrame = {
+    val wP = Window.partitionBy("event_type").orderBy("hour_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourlyAxis(spark, sfDir)
       .select(col("hour_start"), col("event_type"),
-        coalesce(col("n"), lit(0L)).as("n_events"))
+        coalesce(last(col("n"), ignoreNulls = true).over(wP), lit(0L))
+          .as("n_locf"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** Linear-interpolation fill over the dense hourly axis, integer-exact:
+    * positions are the axis row index per type (the axis is dense, so
+    * index arithmetic ≡ hour arithmetic with no timestamp math), the
+    * interpolated value is the ppm-scaled convex combination
+    * (prev·(nextH−h) + next·(h−prevH))·1e6 div (nextH−prevH) — all
+    * BIGINT, truncating division agrees across engines because the
+    * numerator is non-negative. Edges with only one neighbor stay null.
+    * Bounded: counts × gap × 1e6 ≲ 1e14 at sf0.1, far from overflow. */
+  def eventsHourlyInterp(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Window.partitionBy("event_type").orderBy("hour_start")
+    val wP = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    hourlyAxis(spark, sfDir)
+      .withColumn("h", row_number().over(ord).cast("long"))
+      .withColumn("obs_h", when(col("n").isNotNull, col("h")))
+      .withColumn("prev_v", last(col("n"), ignoreNulls = true).over(wP))
+      .withColumn("prev_h", last(col("obs_h"), ignoreNulls = true).over(wP))
+      .withColumn("next_v", first(col("n"), ignoreNulls = true).over(wF))
+      .withColumn("next_h", first(col("obs_h"), ignoreNulls = true).over(wF))
+      .select(col("hour_start"), col("event_type"),
+        when(col("n").isNotNull, col("n") * lit(1000000L))
+          .otherwise(expr(
+            """(prev_v * (next_h - h) + next_v * (h - prev_h)) * 1000000L
+              | div (next_h - prev_h)""".stripMargin))
+          .as("n_interp_ppm"))
       .orderBy("hour_start", "event_type")
   }
 
