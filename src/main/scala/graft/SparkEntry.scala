@@ -119,6 +119,7 @@ object SparkEntry {
     "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
     "warc_gz_roundtrip"        -> (LlmQueries.warcGzRoundtrip _),
     "warc_html_extract"        -> (LlmQueries.warcHtmlExtract _),
+    "warc_charset_extract"     -> (LlmQueries.warcCharsetExtract _),
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
     "llm_jsonl_roundtrip"      -> (LlmQueries.jsonlRoundtripPlain _),
     "llm_jsonl_gz_roundtrip"   -> (LlmQueries.jsonlRoundtripGz _),
@@ -2132,6 +2133,24 @@ object SparkEntry {
         |  'amp=& lt=< gt=> quot=' || chr(34) || ' apos=' || chr(39) ||
         |  ' dec=A hex=B' || chr(10) || 'nbsp=' || chr(160) || 'end' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Charset-resolution chain (ext/CharsetDetect.scala): the engine
+    // plants each page's HTTP body under doc_id%7 of {ctype utf-8,
+    // utf-16le BOM over a wrong ctype, utf-16be BOM, <meta> latin-1,
+    // ctype GBK, http-equiv cp1252, undeclared latin-1 fallback}, each
+    // with a per-charset non-ASCII exemplar line; the oracle
+    // reconstructs the exemplar from the same constants — a green hash
+    // proves BOM > Content-Type > meta > probe precedence end-to-end.
+    "warc_charset_extract" ->
+      s"""SELECT doc_id,
+         |  'planted-title-' || CAST(doc_id AS VARCHAR) || chr(10) ||
+         |  text || chr(10) ||
+         |  'amp=& lt=< gt=> quot=' || chr(34) || ' apos=' || chr(39) ||
+         |  ' dec=A hex=B' || chr(10) || 'nbsp=' || chr(160) || 'end' || chr(10) ||
+         |  'charset-exemplar: ' || CASE CAST(doc_id % 7 AS INTEGER)
+         |    ${graft.ext.Warc.CharsetExemplars.zipWithIndex
+              .map { case (e, i) => s"WHEN $i THEN '$e'" }.mkString("\n|    ")}
+         |  END AS text
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // JSONL (Dolma/RedPajama layout) round-trip: serialize → line-frame
     // → explicit-schema FAILFAST parse; the oracle reads the ORIGINAL
     // table, so a green hash proves escaping + framing byte-exactly.

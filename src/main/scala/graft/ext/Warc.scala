@@ -168,8 +168,16 @@ object Warc {
       require(clen >= 0, "warc: record without Content-Length")
       require(p + clen + 4 <= bytes.length,
         s"warc: truncated block (need ${clen + 4} at $p of ${bytes.length})")
-      val text = if (typ == "conversion" || typ == "response" || typ == "warcinfo")
-        new String(bytes, p, clen.toInt, UTF_8) else ""
+      // conversion/warcinfo blocks are UTF-8 by the WET convention;
+      // response blocks are HTTP messages whose BODY charset must be
+      // resolved (BOM -> Content-Type -> <meta> -> UTF-8/latin-1), so
+      // the head/body split happens at the BYTE level before any decode
+      // (decoding first would already have mojibaked legacy payloads).
+      val text =
+        if (typ == "response") decodeHttpResponse(bytes, p, clen.toInt)
+        else if (typ == "conversion" || typ == "warcinfo")
+          new String(bytes, p, clen.toInt, UTF_8)
+        else ""
       require(bytes(p + clen.toInt) == '\r' && bytes(p + clen.toInt + 1) == '\n' &&
         bytes(p + clen.toInt + 2) == '\r' && bytes(p + clen.toInt + 3) == '\n',
         s"warc: missing record terminator at ${p + clen}")
@@ -178,6 +186,28 @@ object Warc {
       pos = p + clen.toInt + 4
     }
     out.result()
+  }
+
+  /** Charset-aware decode of an HTTP response block: the head is
+    * latin-1 by RFC 9112 (octets are ASCII-compatible), the body
+    * charset resolves via [[CharsetDetect.decode]] against the head's
+    * own `Content-Type`. A head-only block (no CRLFCRLF) decodes as
+    * latin-1 and fails loudly downstream in [[httpBody]] — the same
+    * corrupt-segment discipline as the framing requires. */
+  private def decodeHttpResponse(bytes: Array[Byte], off: Int, len: Int): String = {
+    var i = off
+    val end = off + len
+    while (i + 3 < end && !(bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+      bytes(i + 2) == '\r' && bytes(i + 3) == '\n')) i += 1
+    if (i + 3 >= end)
+      return new String(bytes, off, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val head = new String(bytes, off, i - off,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val ctype = head.split("\r\n").iterator
+      .find(_.toLowerCase.startsWith("content-type:"))
+      .map(_.substring("content-type:".length).trim).getOrElse("")
+    val bodyOff = i + 4
+    head + "\r\n\r\n" + CharsetDetect.decode(bytes, bodyOff, end - bodyOff, ctype)
   }
 
   /** Fixture synthesis: wrap `documents` into WET files of
@@ -259,14 +289,24 @@ object Warc {
     * (must vanish without inserting whitespace), padding whitespace
     * (must collapse), and the entity exemplar line. Extraction
     * recovers exactly: `planted-title-{id}\n{text}\n{entity line}`. */
-  def synthesizeHtml(docId: Long, text: String): String = {
+  def synthesizeHtml(docId: Long, text: String): String =
+    synthesizeHtmlPage(docId, text, """<meta charset="utf-8"/>""", None)
+
+  /** The general page builder: `metaLine` is the (possibly empty) meta
+    * tag planted in the head, `exemplar` an optional extra paragraph —
+    * the charset fixture plants a per-encoding non-ASCII exemplar
+    * there, so extraction gains one `charset-exemplar: ...` line. */
+  private def synthesizeHtmlPage(docId: Long, text: String,
+      metaLine: String, exemplar: Option[String]): String = {
     val esc = escapeHtml(text)
     val sp = esc.indexOf(' ')
     val (bold, rest) = if (sp < 0) (esc, "") else esc.splitAt(sp)
+    val exLine = exemplar
+      .map(e => s"<p>charset-exemplar: ${escapeHtml(e)}</p>\n").getOrElse("")
     s"""<!DOCTYPE html>
        |<HTML lang="en"><head>
        |<title>t-$docId not body text</title>
-       |<meta charset="utf-8"/>
+       |$metaLine
        |<style type="text/css">p { color: red; } /* <p>style noise</p> */</style>
        |<script>var s = "<p>script noise $docId</p>"; if (1 < 2) { }</script>
        |</head>
@@ -275,7 +315,7 @@ object Warc {
        |<h1 class="t" data-x="a>b">planted-title-$docId</h1>
        |<div id="main"><p>  <b>$bold</b>$rest  </p></div>
        |<p>$HtmlEntityLineMarkup</p>
-       |<script type="text/javascript">console.log("$docId");</script>
+       |$exLine<script type="text/javascript">console.log("$docId");</script>
        |</body></HTML>""".stripMargin
   }
 
@@ -300,6 +340,99 @@ object Warc {
       .mapGroups { (fileId, it) =>
         val recs = warcinfoRecord(fileId) +: it.toSeq.sortBy(_._1)
           .map { case (id, t) => responseRecord(id, synthesizeHtml(id, t)) }
+        val blob = if (gzipped) gzipPerRecord(recs)
+        else {
+          val bos = new ByteArrayOutputStream(); recs.foreach(bos.write)
+          bos.toByteArray
+        }
+        (fileId, blob)
+      }
+      .toDF("file_id", "blob")
+  }
+
+  // ------------------------------------------------------------------
+  // Charset fixture: the same page planted under 7 encodings, one per
+  // resolution rule of [[CharsetDetect]] — doc_id % 7 picks the case.
+  // Each case appends a charset-specific non-ASCII exemplar line (the
+  // corpus soup is ASCII, where every ASCII-compatible charset is
+  // byte-identical and would prove nothing).
+  // ------------------------------------------------------------------
+
+  /** (http Content-Type, meta line, encoder charset name, BOM) per
+    * case; exemplars in [[CharsetExemplars]] (index-aligned). Cases:
+    * 0 charset in Content-Type; 1 UTF-16LE BOM *overriding* a wrong
+    * Content-Type; 2 UTF-16BE BOM, nothing declared; 3 `<meta charset>`
+    * only; 4 Content-Type GBK (legacy CJK); 5 http-equiv meta
+    * windows-1252 (the euro exemplar separates it from latin-1);
+    * 6 nothing declared, non-UTF-8 bytes -> latin-1 fallback. */
+  private val CharsetCases: IndexedSeq[(String, String, String, Array[Byte])] =
+    IndexedSeq(
+      ("text/html; charset=utf-8", """<meta charset="utf-8"/>""",
+        "UTF-8", Array.emptyByteArray),
+      ("text/html; charset=iso-8859-1", "",
+        "UTF-16LE", Array(0xff.toByte, 0xfe.toByte)),
+      ("text/html", "",
+        "UTF-16BE", Array(0xfe.toByte, 0xff.toByte)),
+      ("text/html", """<meta charset="iso-8859-1"/>""",
+        "ISO-8859-1", Array.emptyByteArray),
+      ("text/html; charset=gbk", """<meta charset="gbk"/>""",
+        "GBK", Array.emptyByteArray),
+      ("text/html",
+        """<meta http-equiv="Content-Type" content="text/html; charset=windows-1252"/>""",
+        "windows-1252", Array.emptyByteArray),
+      ("text/html", "", "ISO-8859-1", Array.emptyByteArray))
+
+  /** Per-case exemplar text, each encodable in its case's charset and
+    * non-ASCII enough to prove the decode (e-acute/CJK/euro/...).
+    * Interpolated into the `warc_charset_extract` oracle. Unicode
+    * escapes keep the source file encoding-independent (the build runs
+    * under a POSIX locale where scalac reads platform charset). */
+  val CharsetExemplars: IndexedSeq[String] = IndexedSeq(
+    "caf\u00e9 \u4e2d\u6587 \u00df\u20ac\u00b5 utf-8",
+    "\u4e2d\u6587 caf\u00e9 \u2603 utf-16le-bom",
+    "\u00e9\u00e8\u00ea \u4e16\u754c utf-16be-bom",
+    "caf\u00e9 \u00b1\u00b5\u00bd latin-1-meta",
+    "\u4e2d\u6587\u7f16\u7801\u6d4b\u8bd5 gbk",
+    "caf\u00e9 \u20ac\u2122\u201cquoted\u201d cp1252",
+    "na\u00efve caf\u00e9 \u00bc\u00bd\u00be fallback")
+
+  val CharsetNumCases: Int = CharsetCases.length
+
+  /** A `response` record whose HTTP body is the fixture page encoded
+    * per the doc's charset case (BOM prepended where the case has one).
+    * The HTTP head stays ASCII — only the body re-encodes, exactly how
+    * real captures frame legacy payloads. */
+  def responseRecordCharset(docId: Long, text: String): Array[Byte] = {
+    val i = (docId % CharsetNumCases).toInt
+    val (ctype, metaLine, csName, bom) = CharsetCases(i)
+    val html = synthesizeHtmlPage(docId, text, metaLine,
+      Some(CharsetExemplars(i)))
+    val head = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+      "Server: graft-fixture\r\n\r\n").getBytes(UTF_8)
+    val body = html.getBytes(java.nio.charset.Charset.forName(csName))
+    val block = new Array[Byte](head.length + bom.length + body.length)
+    System.arraycopy(head, 0, block, 0, head.length)
+    System.arraycopy(bom, 0, block, head.length, bom.length)
+    System.arraycopy(body, 0, block, head.length + bom.length, body.length)
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> targetUri(docId),
+      "WARC-Record-ID" -> s"<urn:graft:doc:$docId>",
+      "WARC-Date" -> FixtureDate,
+      "Content-Type" -> "application/http; msgtype=response"), block)
+  }
+
+  /** [[synthesizeWarc]] with per-doc charset cases — the fixture behind
+    * `warc_charset_extract`. */
+  def synthesizeWarcCharset(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, docsPerFile: Int,
+      gzipped: Boolean = false): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .groupByKey(_._1 / docsPerFile)
+      .mapGroups { (fileId, it) =>
+        val recs = warcinfoRecord(fileId) +: it.toSeq.sortBy(_._1)
+          .map { case (id, t) => responseRecordCharset(id, t) }
         val blob = if (gzipped) gzipPerRecord(recs)
         else {
           val bos = new ByteArrayOutputStream(); recs.foreach(bos.write)

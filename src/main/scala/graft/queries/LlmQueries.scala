@@ -740,6 +740,21 @@ object LlmQueries {
     Warc.htmlDocs(spark, files, "file_id", "blob").orderBy("doc_id")
   }
 
+  /** The same raw-crawl chain with each page's HTTP body planted under
+    * one of 7 encodings (doc_id % 7): UTF-8 via Content-Type, UTF-16LE
+    * BOM overriding a WRONG Content-Type, UTF-16BE BOM undeclared,
+    * `<meta charset>` latin-1, Content-Type GBK, http-equiv
+    * windows-1252, and undeclared latin-1 (the strict-UTF-8-probe
+    * fallback). Every page plants a per-charset non-ASCII exemplar
+    * line; the oracle reconstructs it from [[graft.ext.Warc.CharsetExemplars]]
+    * — a green hash proves the full resolution precedence of
+    * [[graft.ext.CharsetDetect]] on real container framing. */
+  def warcCharsetExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = Warc.synthesizeWarcCharset(spark, docs(spark, sfDir),
+      "doc_id", "text", WarcDocsPerFile, gzipped = true)
+    Warc.htmlDocs(spark, files, "file_id", "blob").orderBy("doc_id")
+  }
+
   /** Per-file record audit over ALL records (warcinfo + conversion):
     * counts and block byte totals — the numbers a crawl-ingest job
     * reconciles against the manifest before trusting a segment. */
