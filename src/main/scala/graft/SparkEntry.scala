@@ -193,6 +193,8 @@ object SparkEntry {
     "llm_bpe_train"            -> (LlmQueries.bpeTrain _),
     "llm_bpe_selftok"          -> (LlmQueries.bpeSelfTok _),
     "llm_unigram_tokens"       -> (LlmQueries.unigramTokens _),
+    "llm_unigram_train"        -> (LlmQueries.unigramTrain _),
+    "llm_unigram_selftok"      -> (LlmQueries.unigramSelftok _),
     "llm_pack_stats_unigram"   -> (LlmQueries.packStatsUnigram _),
     "llm_pack_stats_wordpiece" -> (LlmQueries.packStatsWordpiece _),
     "llm_phrase_counts"        -> (LlmQueries.phraseCounts _),
@@ -406,6 +408,187 @@ object SparkEntry {
        |        CAST(sum(f.cp // 1024) AS BIGINT) AS tc
        |      FROM t0 JOIN f USING (tok) GROUP BY 1)""".stripMargin
   }
+
+  // --------------------------------------------------------------
+  // llm_unigram_train / llm_unigram_selftok: the FULL hard-EM
+  // training replay (Unigram.trainDistributed), round for round —
+  // seed substring counts → 3 E/M rounds → true-loss prune →
+  // post-prune refit. Each E-step = DP levels by position (the
+  // llm_unigram_tokens pattern) + the chosen piece per (word, pos)
+  // under the shortest-last-piece tie-break + a recursive-CTE
+  // backtrace + the freq-weighted usage aggregate; each M-step is the
+  // integer bitlen refit (`length(bin(n))` = Unigram.bitlen). Words
+  // longer than the unrolled level count would drop from the final
+  // union and hash-fail loudly (corpus max pre-token is 8).
+  // --------------------------------------------------------------
+  private val UnigramTrainLevels = 12
+
+  /** One Viterbi DP over `wordsCte`(w) under `costCte`(piece, cost):
+    * emits `{tag}_0..{tag}_L` and `{tag}b` (w, cp at len(w)). */
+  private def unigramDpSql(tag: String, wordsCte: String,
+                           costCte: String, maxPieceLen: Int): String = {
+    val L = UnigramTrainLevels
+    val levels = (1 to L).map { p =>
+      val unk =
+        s"""SELECT c.w, c.cp + 1024 * ${graft.ext.Unigram.UnkCost} + 1 AS cand
+           |      FROM ${tag}_${p - 1} c WHERE len(c.w) >= $p""".stripMargin
+      val branches = unk +: (1 to math.min(p, maxPieceLen)).map { l =>
+        s"""SELECT c.w, c.cp + 1024 * pc.cost + 1 AS cand
+           |      FROM ${tag}_${p - l} c JOIN $costCte pc ON len(pc.piece) = $l
+           |        AND substr(c.w, ${p - l + 1}, $l) = pc.piece
+           |      WHERE len(c.w) >= $p""".stripMargin
+      }
+      s"""${tag}_$p AS MATERIALIZED (SELECT w, min(cand) AS cp FROM (
+         |    ${branches.mkString("\n    UNION ALL ")}) GROUP BY w)""".stripMargin
+    }.mkString(",\n")
+    val fin = (1 to L)
+      .map(p => s"SELECT w, cp FROM ${tag}_$p WHERE len(w) = $p")
+      .mkString(" UNION ALL ")
+    s"""${tag}_0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS cp FROM $wordsCte),
+       |$levels,
+       |${tag}b AS MATERIALIZED ($fin)""".stripMargin
+  }
+
+  /** One E-step: DP + chosen piece per (w, pos) + recursive backtrace
+    * + usage. Emits `{tag}u/{tag}c/{tag}p/{tag}s/{tag}g` on top of the
+    * DP CTEs; usage = `{tag}g`(piece, cnt). */
+  private def unigramSegSql(tag: String, wordsCte: String,
+                            costCte: String, maxPieceLen: Int): String = {
+    val L = UnigramTrainLevels
+    val ucp = (0 to L)
+      .map(p => s"SELECT w, $p AS pos, cp FROM ${tag}_$p")
+      .mkString(" UNION ALL ")
+    val cands = (1 to maxPieceLen).map { l =>
+      s"""SELECT cur.w, cur.pos, pc.piece, $l AS plen
+         |      FROM ${tag}u cur JOIN ${tag}u prev
+         |        ON prev.w = cur.w AND prev.pos = cur.pos - $l
+         |      JOIN $costCte pc ON len(pc.piece) = $l
+         |        AND substr(cur.w, cur.pos - $l + 1, $l) = pc.piece
+         |      WHERE cur.pos >= $l
+         |        AND prev.cp + 1024 * pc.cost + 1 = cur.cp""".stripMargin
+    }.mkString("\n    UNION ALL ")
+    s"""${unigramDpSql(tag, wordsCte, costCte, maxPieceLen)},
+       |${tag}u AS MATERIALIZED ($ucp),
+       |${tag}c AS MATERIALIZED (SELECT w, pos, piece FROM (
+       |    SELECT w, pos, piece, row_number() OVER (
+       |        PARTITION BY w, pos ORDER BY plen) AS rn
+       |    FROM ($cands)) WHERE rn = 1),
+       |${tag}p AS (SELECT w, len(w) AS pos FROM $wordsCte WHERE len(w) >= 1
+       |  UNION ALL SELECT p.w, p.pos - len(c.piece)
+       |    FROM ${tag}p p JOIN ${tag}c c ON c.w = p.w AND c.pos = p.pos
+       |    WHERE p.pos > 0),
+       |${tag}s AS MATERIALIZED (SELECT p.w, c.piece
+       |  FROM ${tag}p p JOIN ${tag}c c ON c.w = p.w AND c.pos = p.pos
+       |  WHERE p.pos > 0),
+       |${tag}g AS MATERIALIZED (SELECT s.piece,
+       |    CAST(sum(v.freq) AS BIGINT) AS cnt
+       |  FROM ${tag}s s JOIN vd v USING (w) GROUP BY 1)""".stripMargin
+  }
+
+  /** One M-step: `costTag`(piece, cost) = bitlen refit of `usageCte`
+    * over alphabet ∪ used multi-char pieces (Unigram.refit). */
+  private def unigramRefitSql(costTag: String, usageCte: String): String =
+    s"""$costTag AS MATERIALIZED (SELECT piece,
+       |    CAST(length(bin(CAST((SELECT sum(cnt) FROM $usageCte) AS BIGINT)))
+       |      - length(bin(greatest(cnt, 1))) + 1 AS BIGINT) AS cost
+       |  FROM (SELECT a.piece, coalesce(u.cnt, CAST(0 AS BIGINT)) AS cnt
+       |        FROM (SELECT piece FROM alpha) a
+       |        LEFT JOIN $usageCte u USING (piece)
+       |        UNION ALL
+       |        SELECT piece, cnt FROM $usageCte WHERE len(piece) >= 2))""".stripMargin
+
+  /** Exclusion DPs for the prune loss: one DP per (word, on-path
+    * multi-char piece) pair, candidates forbidding that piece. Emits
+    * `wx/ex_0..ex_L/exb`(w, x, cp). */
+  private def unigramExDpSql(costCte: String, segCte: String,
+                             maxPieceLen: Int): String = {
+    val L = UnigramTrainLevels
+    val levels = (1 to L).map { p =>
+      val unk =
+        s"""SELECT c.w, c.x, c.cp + 1024 * ${graft.ext.Unigram.UnkCost} + 1 AS cand
+           |      FROM ex_${p - 1} c WHERE len(c.w) >= $p""".stripMargin
+      val branches = unk +: (1 to math.min(p, maxPieceLen)).map { l =>
+        s"""SELECT c.w, c.x, c.cp + 1024 * pc.cost + 1 AS cand
+           |      FROM ex_${p - l} c JOIN $costCte pc ON len(pc.piece) = $l
+           |        AND substr(c.w, ${p - l + 1}, $l) = pc.piece
+           |        AND pc.piece <> c.x
+           |      WHERE len(c.w) >= $p""".stripMargin
+      }
+      s"""ex_$p AS MATERIALIZED (SELECT w, x, min(cand) AS cp FROM (
+         |    ${branches.mkString("\n    UNION ALL ")}) GROUP BY w, x)""".stripMargin
+    }.mkString(",\n")
+    val fin = (1 to L)
+      .map(p => s"SELECT w, x, cp FROM ex_$p WHERE len(w) = $p")
+      .mkString(" UNION ALL ")
+    s"""wx AS MATERIALIZED (SELECT DISTINCT w, piece AS x FROM $segCte
+       |  WHERE len(piece) >= 2),
+       |ex_0 AS MATERIALIZED (SELECT w, x, CAST(0 AS BIGINT) AS cp FROM wx),
+       |$levels,
+       |exb AS MATERIALIZED ($fin)""".stripMargin
+  }
+
+  /** The full training chain: t0/vd → seed (sd/alpha/sk/c0) → EM
+    * rounds r1..rN (cost tables c1..cN) → prune-base segmentation
+    * `pb*` under cN → exclusion DPs → loss → kept multis → pruned
+    * costs `cpr` → final refit round `fr*` → `cf`. */
+  private lazy val UnigramTrainCteSql = {
+    val sm = graft.ext.Unigram.TrainSeedMaxLen
+    val topK = graft.ext.Unigram.TrainSeedTopK
+    val rounds = graft.ext.Unigram.TrainEmRounds
+    val keepK = graft.ext.Unigram.TrainKeepK
+    val em = (1 to rounds).map { r =>
+      unigramSegSql(s"r$r", "vd", s"c${r - 1}", sm) + ",\n" +
+        unigramRefitSql(s"c$r", s"r${r}g")
+    }.mkString(",\n")
+    s"""WITH RECURSIVE t0 AS (SELECT doc_id, unnest(regexp_extract_all(text,
+       |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok FROM documents),
+       |vd AS MATERIALIZED (SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM t0 GROUP BY tok),
+       |sd AS MATERIALIZED (SELECT substr(w, s.g, l.g) AS piece,
+       |    CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM vd, unnest(generate_series(1, $sm)) AS l(g),
+       |       unnest(generate_series(1, $UnigramTrainLevels)) AS s(g)
+       |  WHERE l.g <= len(w) AND s.g + l.g - 1 <= len(w)
+       |  GROUP BY 1),
+       |alpha AS MATERIALIZED (SELECT piece, cnt FROM sd WHERE len(piece) = 1),
+       |sk AS MATERIALIZED (SELECT piece, cnt FROM alpha
+       |  UNION ALL SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM sd WHERE len(piece) >= 2
+       |    ORDER BY cnt DESC, piece LIMIT $topK)),
+       |c0 AS MATERIALIZED (SELECT piece,
+       |    CAST(length(bin(CAST((SELECT sum(cnt) FROM sk) AS BIGINT)))
+       |      - length(bin(cnt)) + 1 AS BIGINT) AS cost FROM sk),
+       |$em,
+       |${unigramSegSql("pb", "vd", s"c$rounds", sm)},
+       |${unigramExDpSql(s"c$rounds", "pbs", sm)},
+       |lossx AS MATERIALIZED (SELECT e.x AS piece,
+       |    CAST(sum(v.freq * (e.cp - b.cp)) AS BIGINT) AS loss
+       |  FROM exb e JOIN pbb b USING (w) JOIN vd v USING (w) GROUP BY 1),
+       |kmult AS MATERIALIZED (SELECT piece FROM lossx
+       |  ORDER BY loss DESC, piece LIMIT $keepK),
+       |cpr AS MATERIALIZED (SELECT piece, cost FROM c$rounds
+       |  WHERE len(piece) = 1 OR piece IN (SELECT piece FROM kmult)),
+       |${unigramSegSql("fr", "vd", "cpr", sm)},
+       |${unigramRefitSql("cf", "frg")}""".stripMargin
+  }
+
+  private lazy val UnigramTrainSql =
+    s"""$UnigramTrainCteSql
+       |SELECT piece, CAST(cost AS BIGINT) AS cost FROM cf
+       |ORDER BY piece""".stripMargin
+
+  private lazy val UnigramSelfTokSql =
+    s"""$UnigramTrainCteSql,
+       |${unigramDpSql("sf", "vd", "cf", graft.ext.Unigram.TrainSeedMaxLen)},
+       |bb AS (SELECT t0.doc_id, count(*) AS n_pre,
+       |        CAST(sum(f.cp % 1024) AS BIGINT) AS np,
+       |        CAST(sum(f.cp // 1024) AS BIGINT) AS tc
+       |      FROM t0 JOIN sfb f ON f.w = t0.tok GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(bb.n_pre, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(bb.np, 0) AS BIGINT) AS n_pieces,
+       |  CAST(coalesce(bb.tc, 0) AS BIGINT) AS total_cost
+       |FROM documents d LEFT JOIN bb USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Phrase-match CTE chain shared by llm_phrase_counts/_stats: every
     * start position where the normalized w-gram equals the normalized
@@ -3141,6 +3324,14 @@ object SparkEntry {
          |  CAST(coalesce(b.tc, 0) AS BIGINT) AS total_cost
          |FROM documents d LEFT JOIN b USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // Distributed Unigram-LM training: the COMPLETE hard-EM run
+    // replayed as chained CTEs (seed → 3 E/M rounds → true-loss prune
+    // → post-prune refit) — the llm_bpe_train discipline for the
+    // second tokenizer family.
+    "llm_unigram_train" -> UnigramTrainSql,
+    // Train → Viterbi-encode with the learned vocabulary → per-doc
+    // counts, one oracle statement (the llm_bpe_selftok closure).
+    "llm_unigram_selftok" -> UnigramSelfTokSql,
     // Piece-exact packing under the unigram tokenizer: the shared
     // concat-then-chunk layout with n_tokens = the Viterbi piece count.
     "llm_pack_stats_unigram" ->

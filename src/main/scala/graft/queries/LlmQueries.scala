@@ -2206,6 +2206,28 @@ object LlmQueries {
     graft.ext.Unigram.tokenCounts(docs(spark, sfDir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Distributed Unigram-LM training on the corpus itself (hard-EM +
+    * true-loss prune + post-prune refit — [[graft.ext.Unigram]]
+    * section doc): the learned (piece, cost) table. The oracle replays
+    * EVERY round as chained CTEs (DP levels per position, the chosen
+    * piece per (word, pos), backtrace as a recursive CTE, bitlen
+    * refit), so the row is fully live and bit-exact. */
+  def unigramTrain(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Unigram.trainDistributed(docs(spark, sfDir), "doc_id", "text")
+      .orderBy("piece")
+
+  /** Train → Viterbi-encode the corpus with its OWN learned vocabulary
+    * → per-doc counts, in one chain (the llm_bpe_selftok closure): the
+    * end-to-end proof the learned model actually tokenizes. */
+  def unigramSelftok(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = graft.ext.Unigram
+      .trainDistributed(docs(spark, sfDir), "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // bounded model
+    graft.ext.Unigram.tokenCounts(docs(spark, sfDir), "doc_id", "text",
+        pieces = model)
+      .orderBy("doc_id")
+  }
+
   /** Piece-exact packing under the unigram tokenizer — the third
     * tokenizer through the same generalized [[graft.ext.Packing]]
     * layout (regex, BPE, unigram), same shards/budget as the others. */
