@@ -197,6 +197,7 @@ object SparkEntry {
     "llm_unigram_selftok"      -> (LlmQueries.unigramSelftok _),
     "llm_pack_stats_unigram"   -> (LlmQueries.packStatsUnigram _),
     "llm_pack_stats_wordpiece" -> (LlmQueries.packStatsWordpiece _),
+    "llm_pack_reconcile"       -> (LlmQueries.packReconcile _),
     "llm_phrase_counts"        -> (LlmQueries.phraseCounts _),
     "llm_phrase_stats"         -> (LlmQueries.phraseStats _),
     "llm_rrf_fusion"           -> (LlmQueries.rrfFusion _),
@@ -1341,7 +1342,36 @@ object SparkEntry {
     * the same parquet tables. Omitted for the probabilistic ops → driver
     * records a weaker rows-only check (their correctness lives in the
     * scalatest recall/property suites). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    OracleSqlBase + ("llm_pack_reconcile" -> PackReconcileSql)
+
+  /** Cross-tokenizer packing reconciliation (`llm_pack_reconcile`):
+    * the four budget layouts aggregated side by side — n_docs must
+    * agree (every layout packs every document exactly once; the spec
+    * asserts it), the token budgets differ by tokenizer. Each arm
+    * re-aggregates that twin's own full oracle body as a nested-WITH
+    * subquery, so the reconciliation inherits the four chains'
+    * exactness without CTE-name collisions. */
+  private lazy val PackReconcileSql = {
+    def arm(tok: String, name: String) =
+      s"""SELECT '$tok' AS tokenizer, count(*) AS n_packs,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(pack_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens
+         |FROM (
+         |${OracleSqlBase(name)})""".stripMargin
+    s"""SELECT * FROM (
+       |${arm("bpe", "llm_pack_stats_bpe")}
+       |UNION ALL
+       |${arm("regex", "llm_pack_stats")}
+       |UNION ALL
+       |${arm("unigram", "llm_pack_stats_unigram")}
+       |UNION ALL
+       |${arm("wordpiece", "llm_pack_stats_wordpiece")})
+       |ORDER BY tokenizer""".stripMargin
+  }
+
+  private lazy val OracleSqlBase: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

@@ -2077,6 +2077,28 @@ object LlmQueries {
         "doc_id", nShards = 8, budgetTokens = 2048L)
       .orderBy("shard", "pack_id")
 
+  /** Cross-tokenizer packing reconciliation: the four budget layouts
+    * (regex / BPE / Unigram / WordPiece — same shards, same 2048
+    * budget) aggregated side by side. Every layout must pack every
+    * document exactly once, so `n_docs` agrees across the four rows
+    * (spec-asserted); the budgets differ only in what a "token" is —
+    * the cheap audit a pretraining data layout runs before shipping
+    * shards. Rides the four existing pack queries unchanged. */
+  def packReconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    def arm(tok: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_packs"),
+          sum("n_docs").as("n_docs"),
+          sum("pack_tokens").as("sum_tokens"),
+          max("pack_tokens").as("max_pack_tokens"))
+        .select(lit(tok).as("tokenizer"), col("n_packs"), col("n_docs"),
+          col("sum_tokens"), col("max_pack_tokens"))
+    arm("bpe", packStatsBpe(spark, sfDir))
+      .unionByName(arm("regex", packStats(spark, sfDir)))
+      .unionByName(arm("unigram", packStatsUnigram(spark, sfDir)))
+      .unionByName(arm("wordpiece", packStatsWordpiece(spark, sfDir)))
+      .orderBy("tokenizer")
+  }
+
   /** Document-boundary next-fit packing (no doc ever split across
     * sequences — see [[graft.ext.Packing.nextFitCounts]]); same shard
     * count and budget as `llm_pack_stats`, so the two layouts are

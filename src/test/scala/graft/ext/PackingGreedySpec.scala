@@ -114,3 +114,22 @@ class PackingGreedySpec extends SparkSpecBase {
     assert(row.getAs[Long]("n_docs") === 500L)
   }
 }
+
+/** The cross-tokenizer reconciliation row: every layout packs every
+  * document exactly once, so n_docs agrees across the four arms. */
+class PackReconcileSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("four packing twins agree on doc counts, differ in budgets") {
+    val rows = graft.queries.LlmQueries
+      .packReconcile(spark, "/root/testdata/sf0.001")
+      .select("tokenizer", "n_docs", "sum_tokens")
+      .as[(String, Long, Long)].collect()
+    assert(rows.length === 4)
+    assert(rows.map(_._2).distinct.length === 1, "n_docs must agree")
+    // budgets genuinely diverge (two arms may coincide on a corpus
+    // where every word is in both vocabularies — that's fine)
+    assert(rows.map(_._3).distinct.length >= 2,
+      "token budgets should differ across tokenizers on this corpus")
+  }
+}
