@@ -427,7 +427,16 @@ object ScaleLadder {
     * over log t vs log F across {1, F, F2}. Documents-only generation —
     * both queries read nothing else. `GRAFT_LADDER_FACTOR2=0`
     * disables. */
-  private val DeepRungQueries = Seq("llm_neardup_jaccard", "llm_dedup_corpus_cc")
+  private val DeepRungQueries = Seq("llm_neardup_jaccard",
+    // the scale path at the production threshold t=0.8: the AllPairs
+    // prefix filter's candidate stream shrinks ~(1-t)² per doc, so its
+    // fitted exponent is the one a high-threshold dedup deploys on —
+    // the base rung above carries the exploratory-t pair-generation
+    // linear floor (emitting EVERY qualifying pair at t=0.12 is ~linear
+    // in this corpus by construction: replicas are decorrelated, each
+    // contributes its own pair set)
+    "llm_neardup_jaccard_prefix",
+    "llm_dedup_corpus_cc")
 
   private def threePointRungs(spark: SparkSession, baseDir: String,
                               root: String, factor: Int,
