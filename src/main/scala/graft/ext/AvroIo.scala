@@ -153,6 +153,14 @@ object AvroIo {
         val r = new DataFileStream[GenericRecord](
           new ByteArrayInputStream(bytes),
           new GenericDatumReader[GenericRecord]())
+        // hasNext-driven close only fires when the iterator drains; a
+        // downstream limit/take or task failure would otherwise leak
+        // the stream (and pin the blob) — close on task completion too
+        // (idempotent; DataFileStream.close tolerates a second call)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          try r.close() catch { case _: java.io.IOException => }
+        }
         val writerSchema = r.getSchema
         val pos = names.map { n =>
           val f = writerSchema.getField(n)

@@ -99,12 +99,23 @@ object Sampling {
     * single-partition input would put every row in salt 0 and quietly
     * degrade phase 1 back to the naive one-task-per-stratum window),
     * so the spread holds regardless of input partitioning.
+    *
+    * `keyCol` must be UNIQUE per row (true for doc_id), or a
+    * deterministic tiebreaker must be supplied via `tieCols`: with
+    * duplicate keys the (bucket, key) order has ties, the two window
+    * evaluations may order tied rows differently, and phase-1 pruning
+    * can then drop a row the single-window form would keep —
+    * nondeterministically. `tieCols` columns are appended ascending to
+    * BOTH windows' ordering, restoring the total order the equivalence
+    * proof needs.
     * Output: input columns + `sample_rank` (1-based within group). */
   def stratifiedK(df: DataFrame, keyCol: String, groupCol: String,
-                  k: Int, salts: Int = 16): DataFrame = {
+                  k: Int, salts: Int = 16,
+                  tieCols: Seq[String] = Nil): DataFrame = {
     require(k >= 1 && salts >= 1)
     import org.apache.spark.sql.expressions.Window
-    val ord = Seq(bucket(col(keyCol)).asc, col(keyCol).asc)
+    val ord = Seq(bucket(col(keyCol)).asc, col(keyCol).asc) ++
+      tieCols.map(col(_).asc)
     val salted = df.withColumn("__salt",
       pmod(xxhash64(col(keyCol)), lit(salts.toLong)).cast("int"))
     val local = Window.partitionBy(col(groupCol), col("__salt"))

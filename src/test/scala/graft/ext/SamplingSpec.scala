@@ -37,6 +37,25 @@ class SamplingSpec extends SparkSpecBase {
     assert(twoPhase === plain)
   }
 
+  test("duplicate keys with tieCols equal the plain window; total order restored") {
+    // 4 copies of every key: (bucket, key) alone is no longer a total
+    // order — tieCols supplies the uid tiebreaker both windows share
+    val d = docs(120).crossJoin(spark.range(4).select(col("id").as("copy")))
+      .withColumn("uid", col("doc_id") * 4 + col("copy"))
+    val twoPhase = Sampling.stratifiedK(d, "doc_id", "grp", k = 9,
+        salts = 4, tieCols = Seq("uid"))
+      .select("grp", "uid", "sample_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(Sampling.bucket(col("doc_id")).asc, col("doc_id").asc,
+        col("uid").asc)
+    val plain = d.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= 9)
+      .select("grp", "uid", "sample_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twoPhase === plain)
+  }
+
   test("stratifiedK is deterministic across partitionings") {
     def run(parts: Int) =
       Sampling.stratifiedK(docs(300).repartition(parts), "doc_id", "grp",
