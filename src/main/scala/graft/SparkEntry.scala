@@ -126,6 +126,7 @@ object SparkEntry {
     "llm_orc_roundtrip"        -> (LlmQueries.orcRoundtrip _),
     "llm_csv_roundtrip"        -> (LlmQueries.csvRoundtrip _),
     "llm_avro_roundtrip"       -> (LlmQueries.avroRoundtrip _),
+    "llm_tfrecord_roundtrip"   -> (LlmQueries.tfrecordRoundtrip _),
     "llm_chunk_chars"          -> (LlmQueries.chunkChars _),
     "llm_chunk_tokens"         -> (LlmQueries.chunkTokens _),
     "llm_chunk_stats"          -> (LlmQueries.chunkStats _),
@@ -2387,6 +2388,12 @@ object SparkEntry {
     // original-table oracle as jsonl/ORC/CSV — green hash proves the
     // container encode/decode is type- and byte-exact.
     "llm_avro_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // TFRecord round-trip (ext/TfRecordIo.scala): hand-rolled
+    // tf.train.Example protobuf + CRC32C framing; same original-table
+    // oracle — green hash proves varint/proto/framing byte-exactly.
+    "llm_tfrecord_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Sliding-window chunking (ext/Chunker.scala): generate_series of

@@ -2783,6 +2783,21 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** TFRecord round-trip — the accelerator-feed container (tf.train
+    * .Example protobuf in CRC32C-framed records, see
+    * [[graft.ext.TfRecordIo]]): corpus → shard files → binaryFile
+    * parse (CRCs verified) → corpus. Original-table oracle, the
+    * avro/jsonl/ORC/CSV pattern: a green hash proves the varint,
+    * protobuf and framing layers byte-exactly. */
+  def tfrecordRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CdcQueries.tempSinkDir("graft-tfrecord").toString
+    val d = docs(spark, sfDir)
+    graft.ext.TfRecordIo.write(d.repartition(4), dir)
+    graft.ext.TfRecordIo.read(spark, dir, d.schema)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   // --- sliding-window chunking (ext/Chunker.scala) ------------------
 
   /** Char-window chunking parameters for the registered rows: 200-char
