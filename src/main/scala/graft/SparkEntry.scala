@@ -196,6 +196,7 @@ object SparkEntry {
     "llm_unigram_tokens"       -> (LlmQueries.unigramTokens _),
     "llm_unigram_train"        -> (LlmQueries.unigramTrain _),
     "llm_unigram_selftok"      -> (LlmQueries.unigramSelftok _),
+    "llm_unigram_incremental"  -> (LlmQueries.unigramIncremental _),
     "llm_pack_stats_unigram"   -> (LlmQueries.packStatsUnigram _),
     "llm_pack_stats_wordpiece" -> (LlmQueries.packStatsWordpiece _),
     "llm_pack_reconcile"       -> (LlmQueries.packReconcile _),
@@ -577,6 +578,16 @@ object SparkEntry {
   private lazy val UnigramTrainSql =
     s"""$UnigramTrainCteSql
        |SELECT piece, CAST(cost AS BIGINT) AS cost FROM cf
+       |ORDER BY piece""".stripMargin
+
+  /** One EM round past `cf`, the batch twin of the monoid-merged
+    * incremental refresh: the Spark side computes per-half usages and
+    * merges; this replay computes the identical round whole-corpus. */
+  private lazy val UnigramIncrementalSql =
+    s"""$UnigramTrainCteSql,
+       |${unigramSegSql("ic", "vd", "cf", graft.ext.Unigram.TrainSeedMaxLen)},
+       |${unigramRefitSql("cif", "icg")}
+       |SELECT piece, CAST(cost AS BIGINT) AS cost FROM cif
        |ORDER BY piece""".stripMargin
 
   private lazy val UnigramSelfTokSql =
@@ -3369,6 +3380,9 @@ object SparkEntry {
     // Train → Viterbi-encode with the learned vocabulary → per-doc
     // counts, one oracle statement (the llm_bpe_selftok closure).
     "llm_unigram_selftok" -> UnigramSelfTokSql,
+    // Incremental vocabulary refresh: per-half usage slices merged
+    // monoidally then refit must equal the batch next round exactly.
+    "llm_unigram_incremental" -> UnigramIncrementalSql,
     // Piece-exact packing under the unigram tokenizer: the shared
     // concat-then-chunk layout with n_tokens = the Viterbi piece count.
     "llm_pack_stats_unigram" ->

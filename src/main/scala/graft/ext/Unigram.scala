@@ -199,9 +199,10 @@ object Unigram {
   val TrainKeepK = 24
 
   /** One M-step: cost(x) = bitlen(T) − bitlen(max(cnt,1)) + 1 over
-    * alphabet ∪ used multi-char pieces. */
-  private def refit(usage: Map[String, Long],
-                    alphabet: Set[String]): Map[String, Long] = {
+    * alphabet ∪ used multi-char pieces. Public because the incremental
+    * twin refits from monoid-merged usage slices. */
+  def refit(usage: Map[String, Long],
+            alphabet: Set[String]): Map[String, Long] = {
     val t = usage.valuesIterator.sum
     val tb = bitlen(t).toLong
     val multis = usage.collect {
@@ -250,13 +251,9 @@ object Unigram {
 
     // ---- E/M rounds: segment (map-side) → usage (one shuffle) →
     // bounded model collect → refit (driver, model-sized)
-    def usageOf(cs: Map[String, Long]): Map[String, Long] = {
-      val lMax = cs.keysIterator.map(_.length).max
-      vocab.flatMap { case (word, freq) =>
-        viterbiSeg(word, cs, lMax)._2.map(p => (p, freq))
-      }.toDF("piece", "f").groupBy("piece").agg(sum("f").as("cnt"))
+    def usageOf(cs: Map[String, Long]): Map[String, Long] =
+      usageAgg(vocab.toDF("w", "freq"), cs)
         .as[(String, Long)].collect().toMap // bounded: ≤ model size
-    }
     for (_ <- 1 to emRounds) costs = refit(usageOf(costs), alphabet.keySet)
 
     // ---- prune by TRUE hard-EM loss: re-segment each word without
@@ -281,6 +278,33 @@ object Unigram {
 
     costs.toSeq.sortBy(_._1).toDF("piece", "cost")
       .select(col("piece"), col("cost").cast("long").as("cost"))
+  }
+
+  /** Freq-weighted piece-usage aggregate of a (w, freq) vocabulary
+    * under a fixed cost table — the E-step kernel: map-side Viterbi,
+    * ONE shuffle. Stays a DataFrame so usage is a persistable,
+    * monoid-mergeable slice (union + re-sum ≡ whole-corpus usage —
+    * counts are a monoid, the NaiveBayes incremental discipline). */
+  def usageAgg(vocabDf: DataFrame, costs: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import vocabDf.sparkSession.implicits._
+    val lMax = costs.keysIterator.map(_.length).max
+    vocabDf.select(col("w"), col("freq").cast("long"))
+      .as[(String, Long)]
+      .flatMap { case (word, freq) =>
+        viterbiSeg(word, costs, lMax)._2.map(p => (p, freq))
+      }
+      .toDF("piece", "f").groupBy("piece").agg(sum("f").as("cnt"))
+  }
+
+  /** Per-corpus-slice usage of raw documents under a fixed cost table
+    * (pre-token vocab aggregate of the SLICE, then [[usageAgg]]). */
+  def usageCounts(docs: DataFrame, idCol: String, textCol: String,
+                  costs: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    usageAgg(docs
+      .select(explode(TextStats.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq")), costs)
   }
 
   /** The sequential reference: identical arithmetic over an in-memory

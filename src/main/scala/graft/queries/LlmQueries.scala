@@ -2250,6 +2250,34 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental unigram vocabulary refresh: the NEXT EM round's cost
+    * table computed from per-slice usage counts merged monoidally —
+    * two disjoint corpus halves segmented separately under the trained
+    * model, usages unioned and re-summed, one bitlen refit. Counts are
+    * a monoid under a FIXED cost table (the [[graft.ext.NaiveBayes]]
+    * incremental discipline), so this equals the batch round exactly;
+    * the oracle replays the full training chain plus that one extra
+    * round in a single pass. */
+  def unigramIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir)
+    val model = graft.ext.Unigram
+      .trainDistributed(d, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // bounded model
+    val alphabet = model.keySet.filter(_.length == 1)
+    val u1 = graft.ext.Unigram.usageCounts(
+      d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", model)
+    val u2 = graft.ext.Unigram.usageCounts(
+      d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", model)
+    val merged = u1.unionByName(u2)
+      .groupBy("piece").agg(sum("cnt").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // bounded
+    graft.ext.Unigram.refit(merged, alphabet)
+      .toSeq.sortBy(_._1).toDF("piece", "cost")
+      .select(col("piece"), col("cost").cast("long").as("cost"))
+      .orderBy("piece")
+  }
+
   /** Piece-exact packing under the unigram tokenizer — the third
     * tokenizer through the same generalized [[graft.ext.Packing]]
     * layout (regex, BPE, unigram), same shards/budget as the others. */

@@ -69,6 +69,23 @@ class UnigramTrainSpec extends SparkSpecBase {
     assert(chars.subsetOf(model.keySet))
   }
 
+  test("usage slices are a monoid: per-half merge equals whole-corpus usage") {
+    import org.apache.spark.sql.functions._
+    val d = docsOf(words)
+    val model = Unigram.trainSequential(words,
+      seedTopK = 16, emRounds = 2, keepK = 6).toMap
+    val whole = Unigram.usageCounts(d, "doc_id", "text", model)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val h1 = Unigram.usageCounts(d.where(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", model)
+    val h2 = Unigram.usageCounts(d.where(pmod(col("doc_id"), lit(2)) === 1),
+      "doc_id", "text", model)
+    val merged = h1.unionByName(h2).groupBy("piece")
+      .agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(merged === whole)
+  }
+
   test("selftok counts are consistent with the learned model") {
     val d = docsOf(words)
     val modelDf = Unigram.trainDistributed(d, "doc_id", "text",
