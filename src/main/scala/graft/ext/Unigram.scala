@@ -192,8 +192,11 @@ object Unigram {
     (best(n), pieces)
   }
 
-  /** Training hyper-parameters (shared with the oracle generator). */
-  val TrainSeedMaxLen = 5
+  /** Training hyper-parameters (shared with the oracle generator).
+    * Seed pieces up to 8 chars — long enough that whole frequent words
+    * become candidate pieces (SentencePiece learns whole words; a
+    * short cap would force every word subword-only). */
+  val TrainSeedMaxLen = 8
   val TrainSeedTopK = 64
   val TrainEmRounds = 3
   val TrainKeepK = 24
