@@ -270,6 +270,42 @@ class PlanShapeSpec extends SparkSpecBase {
       s"top-N not a distributed take-ordered:\n$p")
   }
 
+  test("hourly gap-fill family: the axis cross join is broadcast, never cartesian") {
+    // both axis sides are dimension-sized (hours × event types); the
+    // only event-scale work is the hourly count aggregate
+    for ((nm, df) <- Seq(
+        "gapfill" -> RelationalQueries.eventsHourlyGapfill(spark, sf),
+        "locf" -> RelationalQueries.eventsHourlyLocf(spark, sf),
+        "interp" -> RelationalQueries.eventsHourlyInterp(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$nm plans a cartesian:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"),
+        s"$nm axis join should broadcast a dimension side:\n$p")
+    }
+  }
+
+  test("unigram usage aggregate is one shuffle with map-side partials") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val model = graft.ext.Unigram.FixturePieces.toMap
+    val p = plan(graft.ext.Unigram.usageCounts(real, "doc_id", "text", model))
+    // vocab aggregate + usage aggregate: partial_count / partial_sum
+    // must appear (map-side combine before each exchange)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"usage aggregate lost its map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tfrecord read stays a map-side binaryFile scan (no shuffle)") {
+    import org.apache.spark.sql.types._
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-tfrec").toString
+    val df = Seq((1L, "a")).toDF("id", "txt")
+    graft.ext.TfRecordIo.write(df, dir)
+    val p = plan(graft.ext.TfRecordIo.read(spark, dir, df.schema))
+    assert(!p.contains("Exchange"), s"tfrecord read shuffles blobs:\n$p")
+  }
+
   test("multimodal decode/feature extraction never shuffles the blob") {
     import graft.ext.Multimodal
     val ids = spark.range(0, 50).withColumnRenamed("id", "doc_id")
