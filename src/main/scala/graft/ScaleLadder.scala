@@ -111,6 +111,7 @@ object ScaleLadder {
     "llm_domain_cap",
     "llm_pagerank",
     "llm_bm25_topk",
+    "llm_unigram_train",
     "cdc_materialize_debezium")
 
   /** Fixed-plane LSH has candidate cost n²/2^planes — superlinear with
@@ -158,7 +159,16 @@ object ScaleLadder {
         "with the query-term filter applied before any shuffle, so " +
         "~linear scan is the floor; a STANDING query takes the served " +
         "path instead (llm_bm25_served rung), whose cost tracks the " +
-        "probed posting lists, not the corpus"))
+        "probed posting lists, not the corpus"),
+    "llm_unigram_train" ->
+      ("hard-EM tokenizer training: the corpus is scanned ONCE (the " +
+        "staged pre-token vocabulary aggregate); every EM/prune round " +
+        "then iterates the DISTINCT vocabulary with a bounded-model " +
+        "collect, so past the scan the cost tracks distinct words, " +
+        "not rows. NOTE the ladder's rotation bijection grows distinct " +
+        "words ~F x (each replica rotates the alphabet), so this rung " +
+        "deliberately measures the WORST case; a real web corpus is " +
+        "Zipf-capped far below row growth"))
 
   def run(spark: SparkSession, baseDir: String, factor: Int): Seq[Rung] = {
     val root = graft.queries.CdcQueries.tempSinkDir("graft-ladder").toString
