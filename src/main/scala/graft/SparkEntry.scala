@@ -127,6 +127,7 @@ object SparkEntry {
     "llm_csv_roundtrip"        -> (LlmQueries.csvRoundtrip _),
     "llm_avro_roundtrip"       -> (LlmQueries.avroRoundtrip _),
     "llm_tfrecord_roundtrip"   -> (LlmQueries.tfrecordRoundtrip _),
+    "llm_tfrecord_gz_roundtrip" -> (LlmQueries.tfrecordGzRoundtrip _),
     "llm_chunk_chars"          -> (LlmQueries.chunkChars _),
     "llm_chunk_tokens"         -> (LlmQueries.chunkTokens _),
     "llm_chunk_stats"          -> (LlmQueries.chunkStats _),
@@ -2405,6 +2406,9 @@ object SparkEntry {
     // tf.train.Example protobuf + CRC32C framing; same original-table
     // oracle — green hash proves varint/proto/framing byte-exactly.
     "llm_tfrecord_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_tfrecord_gz_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Sliding-window chunking (ext/Chunker.scala): generate_series of

@@ -275,8 +275,14 @@ object TfRecordIo {
     ByteBuffer.wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
 
   /** Parse every framed record of one file, VERIFYING both CRCs —
-    * corrupt or truncated segments fail the task loudly. */
-  def parseFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    * corrupt or truncated segments fail the task loudly. Whole-file
+    * gzip (TFRecordOptions GZIP — magic-sniffed, the [[Warc]]
+    * discipline) is inflated first. */
+  def parseFrames(bytesIn: Array[Byte]): Seq[Array[Byte]] = {
+    val bytes =
+      if (bytesIn.length >= 2 && (bytesIn(0) & 0xff) == 0x1f &&
+        (bytesIn(1) & 0xff) == 0x8b) Warc.gunzipAll(bytesIn)
+      else bytesIn
     val out = Vector.newBuilder[Array[Byte]]
     var pos = 0
     while (pos < bytes.length) {
@@ -302,7 +308,7 @@ object TfRecordIo {
   /** Write `df` as `part-<pid>.tfrecord` files under `dir` — one file
     * per non-empty partition, tmp-rename commit, stale parts cleared
     * first (the [[AvroIo.write]] semantics verbatim). */
-  def write(df: DataFrame, dir: String): Unit = {
+  def write(df: DataFrame, dir: String, gzipped: Boolean = false): Unit = {
     val st = df.schema
     val spark = df.sparkSession
     val conf = new SerializableHadoopConf(
@@ -319,7 +325,11 @@ object TfRecordIo {
         val tmpPath = new Path(dir,
           f"part-${tc.partitionId()}%05d.tfrecord.${tc.taskAttemptId()}%d.tmp")
         val fs = finalPath.getFileSystem(conf.value)
-        val out = fs.create(tmpPath, true)
+        val raw = fs.create(tmpPath, true)
+        // TFRecordOptions GZIP = whole-file gzip around the framing
+        val out: java.io.OutputStream =
+          if (gzipped) new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+          else raw
         try {
           val buf = new ByteArrayOutputStream(1 << 16)
           it.foreach { row =>

@@ -2826,6 +2826,18 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Same through TFRecordOptions-GZIP whole-file compression
+    * (magic-sniffed on read) — shares the original-table oracle, the
+    * `warc_gz_roundtrip` gating pattern. */
+  def tfrecordGzRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CdcQueries.tempSinkDir("graft-tfrecord-gz").toString
+    val d = docs(spark, sfDir)
+    graft.ext.TfRecordIo.write(d.repartition(4), dir, gzipped = true)
+    graft.ext.TfRecordIo.read(spark, dir, d.schema)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   // --- sliding-window chunking (ext/Chunker.scala) ------------------
 
   /** Char-window chunking parameters for the registered rows: 200-char

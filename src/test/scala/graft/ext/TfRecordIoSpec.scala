@@ -102,4 +102,19 @@ class TfRecordIoSpec extends SparkSpecBase {
     assert(back.toSeq === Seq((1L, "a", Some(1.5f)), (2L, "b", None),
       (3L, "", Some(0f))))
   }
+
+  test("gzipped files round-trip; magic is sniffed on read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfrec-gz").toString
+    val df = Seq((1L, "a"), (2L, "bb")).toDF("id", "txt")
+    TfRecordIo.write(df.repartition(1), dir, gzipped = true)
+    // the on-disk file really is gzip (magic bytes)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).head
+    val head = java.nio.file.Files.readAllBytes(f.toPath).take(2)
+    assert((head(0) & 0xff) === 0x1f && (head(1) & 0xff) === 0x8b)
+    val back = TfRecordIo.read(spark, dir, df.schema)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq === Seq((1L, "a"), (2L, "bb")))
+  }
 }
