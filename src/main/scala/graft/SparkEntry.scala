@@ -123,11 +123,14 @@ object SparkEntry {
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
     "llm_jsonl_roundtrip"      -> (LlmQueries.jsonlRoundtripPlain _),
     "llm_jsonl_gz_roundtrip"   -> (LlmQueries.jsonlRoundtripGz _),
+    "llm_jsonl_zst_roundtrip"  -> (LlmQueries.jsonlRoundtripZst _),
     "llm_orc_roundtrip"        -> (LlmQueries.orcRoundtrip _),
     "llm_csv_roundtrip"        -> (LlmQueries.csvRoundtrip _),
     "llm_avro_roundtrip"       -> (LlmQueries.avroRoundtrip _),
     "llm_tfrecord_roundtrip"   -> (LlmQueries.tfrecordRoundtrip _),
     "llm_tfrecord_gz_roundtrip" -> (LlmQueries.tfrecordGzRoundtrip _),
+    "llm_tfrecord_zst_roundtrip" -> (LlmQueries.tfrecordZstRoundtrip _),
+    "llm_tfrecord_tokens_roundtrip" -> (LlmQueries.tfrecordTokensRoundtrip _),
     "llm_chunk_chars"          -> (LlmQueries.chunkChars _),
     "llm_chunk_tokens"         -> (LlmQueries.chunkTokens _),
     "llm_chunk_stats"          -> (LlmQueries.chunkStats _),
@@ -2387,6 +2390,9 @@ object SparkEntry {
     "llm_jsonl_gz_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_jsonl_zst_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Format round-trips through Spark's built-in ORC / CSV
     // datasources: the oracle reads the ORIGINAL parquet table, so a
     // green hash proves type-exact round-tripping (the jsonl pattern).
@@ -2411,6 +2417,24 @@ object SparkEntry {
     "llm_tfrecord_gz_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_tfrecord_zst_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // TFRecord LIST features — the packed token-id sequence plus
+    // parallel bytes/float lists, one Example per doc, every element
+    // exploded back out: the oracle restates each (doc, pos, tok, id,
+    // weight) tuple from the ORIGINAL table (lateral generate_series
+    // index, 1-based list subscript), so a green hash proves
+    // multi-value encode/decode element-exactly.
+    "llm_tfrecord_tokens_roundtrip" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks FROM documents),
+        |e AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, toks[u.i] AS tok
+        |      FROM t, unnest(generate_series(1, len(toks))) AS u(i))
+        |SELECT doc_id, pos, tok,
+        |       CAST(length(tok) AS BIGINT) * 1000003 + pos AS tok_id,
+        |       CAST(length(tok) AS FLOAT4) AS tf
+        |FROM e ORDER BY doc_id, pos""".stripMargin,
     // Sliding-window chunking (ext/Chunker.scala): generate_series of
     // 1-based start offsets, substr/list_slice windows — the chunk
     // TEXT itself is hash-gated byte-for-byte, not just the counts.

@@ -54,10 +54,13 @@ object Jsonl {
 
   /** Fixture synthesis: wrap `documents` into JSONL files of
     * `docsPerFile` consecutive ids (file_id = doc_id / docsPerFile),
-    * newline-terminated lines in ascending id order, optionally
-    * gzipped. Output: (file_id, blob). */
+    * newline-terminated lines in ascending id order, compressed per
+    * `codec` ("none" | "gzip" | "zstd" — the `.jsonl` / `.jsonl.gz` /
+    * `.jsonl.zst` vendor layouts). Output: (file_id, blob). */
   def synthesize(spark: SparkSession, docs: DataFrame, idCol: String,
-                 docsPerFile: Int, gzipped: Boolean = false): DataFrame = {
+                 docsPerFile: Int, codec: String = "none"): DataFrame = {
+    require(Set("none", "gzip", "zstd")(codec),
+      s"jsonl: unknown codec '$codec' (none|gzip|zstd)")
     import spark.implicits._
     docs.select((col(idCol).cast("long") / docsPerFile).cast("long").as("file_id"),
         col(idCol).cast("long").as("doc_id"), jsonLine.as("line"))
@@ -67,7 +70,11 @@ object Jsonl {
         val sb = new StringBuilder
         for ((_, _, line) <- it.toSeq.sortBy(_._2)) sb.append(line).append('\n')
         val bytes = sb.toString.getBytes(UTF_8)
-        (fileId, if (gzipped) Warc.gzip(bytes) else bytes)
+        (fileId, codec match {
+          case "gzip" => Warc.gzip(bytes)
+          case "zstd" => Warc.zstd(bytes)
+          case _ => bytes
+        })
       }
       .toDF("file_id", "blob")
   }
@@ -78,10 +85,14 @@ object Jsonl {
   /** Split one file's bytes into lines: single forward scan over the
     * byte array, one String copy per line, no regex. A final line
     * without a trailing newline is still a record (vendors disagree on
-    * the last byte). Gzipped input is magic-sniffed and inflated
-    * first. */
+    * the last byte). Gzip/zstd input is magic-sniffed and inflated
+    * first — sound for JSONL, whose raw prelude is printable ASCII and
+    * cannot collide with either magic (unlike TFRecord framing). */
   private[ext] def splitLines(bytesIn: Array[Byte]): Seq[String] = {
-    val bytes = if (isGzip(bytesIn)) Warc.gunzipAll(bytesIn) else bytesIn
+    val bytes =
+      if (isGzip(bytesIn)) Warc.gunzipAll(bytesIn)
+      else if (Warc.isZstd(bytesIn)) Warc.unzstdAll(bytesIn)
+      else bytesIn
     val out = Vector.newBuilder[String]
     var from = 0
     var i = 0

@@ -2,16 +2,18 @@ package graft.ext
 
 import graft.util.SerializableHadoopConf
 
+import com.github.luben.zstd.{ZstdInputStream, ZstdOutputStream}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.types._
 
-import java.io.ByteArrayOutputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.zip.CRC32C
+import java.util.zip.{CRC32C, GZIPInputStream, GZIPOutputStream}
+import scala.collection.mutable.ArrayBuffer
 
 /** TFRecord source/sink — THE container LLM training pipelines feed
   * accelerators from (TensorFlow/TFDS/SeqIO shard layout; T5, PaLM and
@@ -20,22 +22,46 @@ import java.util.zip.CRC32C
   * · data · masked crc32c(data)`, with `data` a `tf.train.Example`
   * protobuf. Both layers are hand-rolled here on the JDK alone
   * (`java.util.zip.CRC32C` + varint arithmetic — no protobuf runtime in
-  * the sandbox), covering the flat interchange subset the Example
-  * schema actually has: int64 / float / bytes feature lists.
+  * the sandbox), covering the interchange subset the Example schema
+  * actually has: int64 / float / bytes feature LISTS — including the
+  * payload an LLM pipeline actually ships, the packed token-id sequence
+  * (`int64_list` of thousands of ids per example), mapped to Spark
+  * `ArrayType` columns.
   *
   * Scale shape (the [[AvroIo]] discipline): the writer streams one
   * container per non-empty partition onto the Hadoop FS seam with
   * tmp-rename commit (first attempt wins); the reader is a `binaryFile`
   * file-per-task scan decoded map-side, framing CRCs VERIFIED on every
   * record — a flipped bit in a 100 TB corpus must surface as a loud
-  * task failure, not silent token garbage. No shuffle on either path.
+  * task failure, not silent token garbage. Records are STREAMED off the
+  * (possibly decompressing) input one at a time ([[frameIterator]]), so
+  * peak residency per task is the compressed blob plus one record —
+  * never a second inflated copy of the whole shard. No shuffle on
+  * either path.
+  *
+  * Compression is EXTENSION-KEYED, never sniffed on the primary path:
+  * the framing is byte-ambiguous with the gzip magic (a raw file whose
+  * first record length ≡ 35615 mod 2^16 also starts `1f 8b`), which is
+  * why real TFRecord readers never sniff. The writer names compressed
+  * shards `.tfrecord.gz` / `.tfrecord.zst` (TFRecordOptions GZIP, plus
+  * the zstd twin Dolma/RedPajama-era corpora ship) and the reader keys
+  * decompression off the extension; a legacy bare `.tfrecord` that
+  * starts with the gzip magic is TRIED as gzip and falls back to raw
+  * framing when the gzip layer itself rejects the bytes.
   *
   * Type mapping: Long/Int → Int64List, Float → FloatList,
-  * String/Binary → BytesList. DoubleType is rejected loudly —
-  * `tf.train.Feature` has no double list; a silent float32 downcast
-  * would corrupt values, so the caller must cast intentionally. NULL
-  * columns are written as an ABSENT feature (the Example convention)
-  * and read back as null (nullable field) or a loud failure.
+  * String/Binary → BytesList; `ArrayType` of each maps to the same
+  * list with ALL elements (written packed for int64/float — the
+  * protobuf encoding TensorFlow emits — with unpacked accepted on
+  * read). DoubleType is rejected loudly — `tf.train.Feature` has no
+  * double list; a silent float32 downcast would corrupt values, so the
+  * caller must cast intentionally. Int64 values outside Int range fail
+  * loudly on an IntegerType read (`Math.toIntExact`), never truncate.
+  * NULL columns are written as an ABSENT feature (the Example
+  * convention) and read back as null (nullable field) or a loud
+  * failure; null ELEMENTS inside an array are rejected — Example lists
+  * cannot hold them. An EMPTY array round-trips as a present feature
+  * whose list is empty (distinct from absent = null).
   */
 object TfRecordIo {
 
@@ -55,12 +81,6 @@ object TfRecordIo {
     out.write(v.toInt)
   }
 
-  private def varintLen(vIn: Long): Int = {
-    var v = vIn; var n = 1
-    while ((v & ~0x7fL) != 0L) { n += 1; v >>>= 7 }
-    n
-  }
-
   // ------------------------------------------------- proto wire writer
   private def writeTag(out: ByteArrayOutputStream, field: Int, wire: Int): Unit =
     writeVarint(out, ((field << 3) | wire).toLong)
@@ -72,54 +92,86 @@ object TfRecordIo {
     out.write(payload)
   }
 
-  /** Encode one Feature: the oneof branch picked by the value kind. */
-  private def encodeFeature(v: Any): Array[Byte] = {
-    val out = new ByteArrayOutputStream(32)
-    v match {
-      case l: Long =>
-        val lst = new ByteArrayOutputStream(12) // Int64List, packed value
-        val body = new ByteArrayOutputStream(10)
-        writeVarint(body, l)
-        writeLenDelim(lst, 1, body.toByteArray)
-        writeLenDelim(out, 3, lst.toByteArray)
-      case f: Float =>
-        val lst = new ByteArrayOutputStream(8) // FloatList, packed value
-        val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-        bb.putFloat(f)
-        writeLenDelim(lst, 1, bb.array())
-        writeLenDelim(out, 2, lst.toByteArray)
-      case b: Array[Byte] =>
-        val lst = new ByteArrayOutputStream(b.length + 4) // BytesList
-        writeLenDelim(lst, 1, b)
-        writeLenDelim(out, 1, lst.toByteArray)
-      case other => throw new IllegalArgumentException(
-        s"tfrecord: unsupported feature value $other")
-    }
+  // Feature encoders, one per oneof branch. Numeric lists are written
+  // PACKED (field 1, wire 2 — what TensorFlow emits); an empty list
+  // writes the branch with no values, so presence survives the trip.
+  private def featureInt64(vs: Iterator[Long], sizeHint: Int): Array[Byte] = {
+    val body = new ByteArrayOutputStream(sizeHint * 2 + 8)
+    vs.foreach(writeVarint(body, _))
+    val lst = new ByteArrayOutputStream(body.size() + 6)
+    if (body.size() > 0) writeLenDelim(lst, 1, body.toByteArray)
+    val out = new ByteArrayOutputStream(lst.size() + 6)
+    writeLenDelim(out, 3, lst.toByteArray) // Feature.int64_list
     out.toByteArray
   }
 
+  private def featureFloat(vs: Iterator[Float], sizeHint: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(math.max(sizeHint, 1) * 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var n = 0
+    vs.foreach { f => bb.putFloat(f); n += 1 }
+    val lst = new ByteArrayOutputStream(n * 4 + 6)
+    if (n > 0) writeLenDelim(lst, 1,
+      java.util.Arrays.copyOf(bb.array(), n * 4))
+    val out = new ByteArrayOutputStream(lst.size() + 6)
+    writeLenDelim(out, 2, lst.toByteArray) // Feature.float_list
+    out.toByteArray
+  }
+
+  private def featureBytes(vs: Iterator[Array[Byte]]): Array[Byte] = {
+    val lst = new ByteArrayOutputStream(64)
+    vs.foreach(writeLenDelim(lst, 1, _)) // BytesList.value, repeated
+    val out = new ByteArrayOutputStream(lst.size() + 6)
+    writeLenDelim(out, 1, lst.toByteArray) // Feature.bytes_list
+    out.toByteArray
+  }
+
+  private def noDoubles(what: String): Nothing =
+    throw new IllegalArgumentException(
+      s"tfrecord: tf.train.Feature has no double list ($what) — cast to " +
+        "float or int64 intentionally upstream")
+
   /** Encode one row as a tf.train.Example (features map, one entry per
-    * NON-NULL column). */
+    * NON-NULL column; array columns become multi-value lists). */
   def encodeExample(row: Row, st: StructType): Array[Byte] = {
     val feats = new ByteArrayOutputStream(256) // Features message
     var i = 0
     while (i < st.length) {
       if (!row.isNullAt(i)) {
-        val v: Any = st.fields(i).dataType match {
-          case LongType    => row.getLong(i)
-          case IntegerType => row.getInt(i).toLong
-          case FloatType   => row.getFloat(i)
-          case StringType  => row.getString(i).getBytes(UTF_8)
-          case BinaryType  => row.getAs[Array[Byte]](i)
-          case DoubleType => throw new IllegalArgumentException(
-            "tfrecord: tf.train.Feature has no double list — cast to " +
-              "float or int64 intentionally upstream")
+        val name = st.fields(i).name
+        val fb: Array[Byte] = st.fields(i).dataType match {
+          case LongType    => featureInt64(Iterator.single(row.getLong(i)), 1)
+          case IntegerType => featureInt64(Iterator.single(row.getInt(i).toLong), 1)
+          case FloatType   => featureFloat(Iterator.single(row.getFloat(i)), 1)
+          case StringType  => featureBytes(Iterator.single(row.getString(i).getBytes(UTF_8)))
+          case BinaryType  => featureBytes(Iterator.single(row.getAs[Array[Byte]](i)))
+          case ArrayType(et, _) =>
+            val xs = row.getSeq[Any](i)
+            if (xs.exists(_ == null)) throw new IllegalArgumentException(
+              s"tfrecord: null element in array feature '$name' — " +
+                "tf.train.Example lists cannot hold null")
+            et match {
+              case LongType =>
+                featureInt64(xs.iterator.map(_.asInstanceOf[Long]), xs.size)
+              case IntegerType =>
+                featureInt64(xs.iterator.map(_.asInstanceOf[Int].toLong), xs.size)
+              case FloatType =>
+                featureFloat(xs.iterator.map(_.asInstanceOf[Float]), xs.size)
+              case StringType =>
+                featureBytes(xs.iterator.map(_.asInstanceOf[String].getBytes(UTF_8)))
+              case BinaryType =>
+                featureBytes(xs.iterator.map(_.asInstanceOf[Array[Byte]]))
+              case DoubleType => noDoubles(s"array column '$name'")
+              case other => throw new IllegalArgumentException(
+                s"tfrecord: unsupported array element type $other in '$name'")
+            }
+          case DoubleType => noDoubles(s"column '$name'")
           case other => throw new IllegalArgumentException(
-            s"tfrecord: unsupported column type $other")
+            s"tfrecord: unsupported column type $other in '$name'")
         }
-        val entry = new ByteArrayOutputStream(64) // map entry
-        writeLenDelim(entry, 1, st.fields(i).name.getBytes(UTF_8)) // key
-        writeLenDelim(entry, 2, encodeFeature(v)) // value
+        val entry = new ByteArrayOutputStream(fb.length + 32) // map entry
+        writeLenDelim(entry, 1, name.getBytes(UTF_8)) // key
+        writeLenDelim(entry, 2, fb) // value
         writeLenDelim(feats, 1, entry.toByteArray)
       }
       i += 1
@@ -172,57 +224,53 @@ object TfRecordIo {
       floats: Seq[Float] = Nil, bytess: Seq[Array[Byte]] = Nil)
 
   /** Decode a tf.train.Example into its (name → Feature) map. Accepts
-    * both packed and unpacked numeric list encodings. */
+    * both packed and unpacked numeric list encodings; list values are
+    * accumulated in builders (O(k) for a k-element token-id list). */
   def decodeExample(data: Array[Byte]): Map[String, Feat] = {
-    def readBytesList(pr: PR): Feat = {
-      var f = Feat()
-      while (pr.hasMore) {
-        val tag = pr.varint().toInt
-        (tag >> 3, tag & 7) match {
-          case (1, 2) => f = f.copy(bytess = f.bytess :+ pr.lenDelim().bytes())
-          case (_, w) => pr.skip(w)
-        }
-      }
-      f
-    }
     def readFeature(pr: PR): Feat = {
-      var f = Feat()
+      val longs = new ArrayBuffer[Long]
+      val floats = new ArrayBuffer[Float]
+      val bytess = new ArrayBuffer[Array[Byte]]
       while (pr.hasMore) {
         val tag = pr.varint().toInt
         (tag >> 3, tag & 7) match {
-          case (1, 2) => f = readBytesList(pr.lenDelim()) // bytes_list
+          case (1, 2) => // bytes_list
+            val lst = pr.lenDelim()
+            while (lst.hasMore) {
+              val t = lst.varint().toInt
+              (t >> 3, t & 7) match {
+                case (1, 2) => bytess += lst.lenDelim().bytes()
+                case (_, w) => lst.skip(w)
+              }
+            }
           case (2, 2) => // float_list: packed floats or per-element
             val lst = pr.lenDelim()
-            var fl = f.floats
             while (lst.hasMore) {
               val t = lst.varint().toInt
               (t >> 3, t & 7) match {
                 case (1, 2) => // packed
                   val p = lst.lenDelim()
-                  while (p.hasMore) fl = fl :+ p.float32()
-                case (1, 5) => fl = fl :+ lst.float32() // unpacked
+                  while (p.hasMore) floats += p.float32()
+                case (1, 5) => floats += lst.float32() // unpacked
                 case (_, w) => lst.skip(w)
               }
             }
-            f = f.copy(floats = fl)
           case (3, 2) => // int64_list: packed varints or per-element
             val lst = pr.lenDelim()
-            var ll = f.longs
             while (lst.hasMore) {
               val t = lst.varint().toInt
               (t >> 3, t & 7) match {
                 case (1, 2) => // packed
                   val p = lst.lenDelim()
-                  while (p.hasMore) ll = ll :+ p.varint()
-                case (1, 0) => ll = ll :+ lst.varint() // unpacked
+                  while (p.hasMore) longs += p.varint()
+                case (1, 0) => longs += lst.varint() // unpacked
                 case (_, w) => lst.skip(w)
               }
             }
-            f = f.copy(longs = ll)
           case (_, w) => pr.skip(w)
         }
       }
-      f
+      Feat(longs.toSeq, floats.toSeq, bytess.toSeq)
     }
     val out = Map.newBuilder[String, Feat]
     val ex = new PR(data, 0, data.length)
@@ -274,41 +322,102 @@ object TfRecordIo {
   private def readLe32(b: Array[Byte], off: Int): Int =
     ByteBuffer.wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
 
-  /** Parse every framed record of one file, VERIFYING both CRCs —
-    * corrupt or truncated segments fail the task loudly. Whole-file
-    * gzip (TFRecordOptions GZIP — magic-sniffed, the [[Warc]]
-    * discipline) is inflated first. */
-  def parseFrames(bytesIn: Array[Byte]): Seq[Array[Byte]] = {
-    val bytes =
-      if (bytesIn.length >= 2 && (bytesIn(0) & 0xff) == 0x1f &&
-        (bytesIn(1) & 0xff) == 0x8b) Warc.gunzipAll(bytesIn)
-      else bytesIn
-    val out = Vector.newBuilder[Array[Byte]]
-    var pos = 0
-    while (pos < bytes.length) {
-      require(pos + 12 <= bytes.length, s"tfrecord: truncated header at $pos")
-      require(readLe32(bytes, pos + 8) == maskedCrc(bytes, pos, 8),
-        s"tfrecord: length crc mismatch at $pos")
-      val len = ByteBuffer.wrap(bytes, pos, 8)
-        .order(ByteOrder.LITTLE_ENDIAN).getLong
-      require(len >= 0 && pos + 12 + len + 4 <= bytes.length,
-        s"tfrecord: truncated record (len $len at $pos of ${bytes.length})")
-      val data = java.util.Arrays.copyOfRange(bytes, pos + 12,
-        pos + 12 + len.toInt)
-      require(readLe32(bytes, pos + 12 + len.toInt) ==
-        maskedCrc(data, 0, data.length),
-        s"tfrecord: data crc mismatch at $pos")
-      out += data
-      pos += 12 + len.toInt + 4
+  /** Read exactly `n` bytes into `buf`. Throws on EOF mid-read; a clean
+    * EOF before the FIRST byte returns false only when `optional`. */
+  private def readFully(in: InputStream, buf: Array[Byte], n: Int,
+                        what: String, off: Long, optional: Boolean): Boolean = {
+    var got = 0
+    while (got < n) {
+      val r = in.read(buf, got, n - got)
+      if (r < 0) {
+        if (got == 0 && optional) return false
+        throw new IllegalArgumentException(
+          s"tfrecord: truncated $what at offset $off (eof after $got of $n bytes)")
+      }
+      got += r
     }
-    out.result()
+    true
   }
 
+  /** Stream framed records off `in`, VERIFYING both CRCs per record —
+    * corrupt or truncated segments fail the task loudly. One record is
+    * resident at a time, so a gzip/zstd-wrapped stream never
+    * materializes a second inflated copy of the whole shard. */
+  def frameIterator(in: InputStream): Iterator[Array[Byte]] =
+    new scala.collection.AbstractIterator[Array[Byte]] {
+      private val head = new Array[Byte](12)
+      private val crcBuf = new Array[Byte](4)
+      private var off = 0L // decompressed offset, for loud messages
+      private var nextRec: Array[Byte] = _
+      private def advance(): Unit = {
+        if (!readFully(in, head, 12, "header", off, optional = true)) {
+          nextRec = null; return
+        }
+        require(readLe32(head, 8) == maskedCrc(head, 0, 8),
+          s"tfrecord: length crc mismatch at offset $off")
+        val len = ByteBuffer.wrap(head, 0, 8)
+          .order(ByteOrder.LITTLE_ENDIAN).getLong
+        require(len >= 0 && len <= Int.MaxValue - 16,
+          s"tfrecord: implausible record length $len at offset $off")
+        val data = new Array[Byte](len.toInt)
+        readFully(in, data, len.toInt, "record", off, optional = false)
+        readFully(in, crcBuf, 4, "record crc", off, optional = false)
+        require(readLe32(crcBuf, 0) == maskedCrc(data, 0, data.length),
+          s"tfrecord: data crc mismatch at offset $off")
+        off += 12 + len + 4
+        nextRec = data
+      }
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): Array[Byte] = {
+        if (nextRec == null) throw new NoSuchElementException
+        val r = nextRec; advance(); r
+      }
+    }
+
+  /** Parse every framed record of a byte buffer. A LEGACY bare
+    * `.tfrecord` that starts with the gzip magic is tried as
+    * whole-file gzip first (the r14 writer named gzipped shards
+    * `.tfrecord`); because raw framing is byte-ambiguous with the
+    * magic (a first record of 35615+2^16·k bytes also starts `1f 8b`),
+    * a failure OF THE GZIP LAYER falls back to raw framing — a frame
+    * CRC failure inside a stream that inflated cleanly stays loud. */
+  def parseFrames(bytesIn: Array[Byte]): Seq[Array[Byte]] = {
+    def raw = frameIterator(new ByteArrayInputStream(bytesIn)).toVector
+    if (bytesIn.length >= 2 && (bytesIn(0) & 0xff) == 0x1f &&
+      (bytesIn(1) & 0xff) == 0x8b) {
+      try frameIterator(new GZIPInputStream(
+        new ByteArrayInputStream(bytesIn), 64 * 1024)).toVector
+      catch { case _: java.io.IOException => raw }
+    } else raw
+  }
+
+  /** Extension-keyed frame stream for one file (see object doc):
+    * `.tfrecord.gz` / `.tfrecord.zst` decompress STREAMING; a bare
+    * `.tfrecord` goes through [[parseFrames]]' sniff-with-fallback. */
+  private[ext] def framesOf(path: String, bytes: Array[Byte]): Iterator[Array[Byte]] =
+    if (path.endsWith(".tfrecord.gz"))
+      frameIterator(new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024))
+    else if (path.endsWith(".tfrecord.zst"))
+      frameIterator(new ZstdInputStream(new ByteArrayInputStream(bytes)))
+    else parseFrames(bytes).iterator
+
   // --------------------------------------------------------- write/read
-  /** Write `df` as `part-<pid>.tfrecord` files under `dir` — one file
-    * per non-empty partition, tmp-rename commit, stale parts cleared
-    * first (the [[AvroIo.write]] semantics verbatim). */
-  def write(df: DataFrame, dir: String, gzipped: Boolean = false): Unit = {
+  /** File extension for a codec name — the reader keys decompression
+    * off this, never a magic sniff (framing is gzip-magic-ambiguous). */
+  private def extOf(codec: String): String = codec match {
+    case "none" => ".tfrecord"
+    case "gzip" => ".tfrecord.gz"
+    case "zstd" => ".tfrecord.zst"
+    case other => throw new IllegalArgumentException(
+      s"tfrecord: unknown codec '$other' (none|gzip|zstd)")
+  }
+
+  /** Write `df` as `part-<pid>.tfrecord[.gz|.zst]` files under `dir` —
+    * one file per non-empty partition, tmp-rename commit, stale parts
+    * cleared first (the [[AvroIo.write]] semantics verbatim). */
+  def write(df: DataFrame, dir: String, codec: String = "none"): Unit = {
+    val ext = extOf(codec)
     val st = df.schema
     val spark = df.sparkSession
     val conf = new SerializableHadoopConf(
@@ -321,15 +430,16 @@ object TfRecordIo {
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val tc = TaskContext.get()
-        val finalPath = new Path(dir, f"part-${tc.partitionId()}%05d.tfrecord")
+        val finalPath = new Path(dir, f"part-${tc.partitionId()}%05d$ext")
         val tmpPath = new Path(dir,
-          f"part-${tc.partitionId()}%05d.tfrecord.${tc.taskAttemptId()}%d.tmp")
+          f"part-${tc.partitionId()}%05d$ext.${tc.taskAttemptId()}%d.tmp")
         val fs = finalPath.getFileSystem(conf.value)
         val raw = fs.create(tmpPath, true)
-        // TFRecordOptions GZIP = whole-file gzip around the framing
-        val out: java.io.OutputStream =
-          if (gzipped) new java.util.zip.GZIPOutputStream(raw, 1 << 16)
-          else raw
+        val out: java.io.OutputStream = codec match {
+          case "gzip" => new GZIPOutputStream(raw, 1 << 16)
+          case "zstd" => new ZstdOutputStream(raw)
+          case _ => raw
+        }
         try {
           val buf = new ByteArrayOutputStream(1 << 16)
           it.foreach { row =>
@@ -347,51 +457,75 @@ object TfRecordIo {
     }
   }
 
-  /** Read every `*.tfrecord` under `dir` with the given read schema:
-    * file-per-task `binaryFile` scan, map-side frame parse + Example
-    * decode, field lookup BY NAME. A missing feature reads as null for
-    * a nullable field and fails fast otherwise; a feature of the wrong
-    * kind always fails fast. */
+  /** Read every `*.tfrecord[.gz|.zst]` under `dir` with the given read
+    * schema: file-per-task `binaryFile` scan, map-side STREAMING frame
+    * parse + Example decode, field lookup BY NAME. A missing feature
+    * reads as null for a nullable field and fails fast otherwise; a
+    * feature of the wrong kind, or an int64 outside Int range read as
+    * IntegerType, always fails fast. Array fields return the FULL
+    * list; an empty list reads as an empty array (kind is ambiguous
+    * only when every list is empty, which is harmless — all empty
+    * lists are the same value). */
   def read(spark: SparkSession, dir: String, st: StructType): DataFrame = {
     val fields = st.fields
     val blobs = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tfrecord").load(dir)
-      .select("content")
+      .option("pathGlobFilter", "*.{tfrecord,tfrecord.gz,tfrecord.zst}")
+      .load(dir)
+      .select("path", "content")
     val enc = Encoders.row(st)
-    blobs.as(Encoders.BINARY).mapPartitions { it =>
-      it.flatMap { bytes =>
-        parseFrames(bytes).iterator.map { data =>
-          val feats = decodeExample(data)
-          val vals = new Array[Any](fields.length)
-          var i = 0
-          while (i < fields.length) {
-            val f = fields(i)
-            vals(i) = feats.get(f.name) match {
-              case None =>
-                if (f.nullable) null
-                else throw new IllegalArgumentException(
-                  s"tfrecord: missing required feature '${f.name}'")
-              case Some(ft) => f.dataType match {
-                case LongType    => one(ft.longs, f.name)
-                case IntegerType => one(ft.longs, f.name).toInt
-                case FloatType   => one(ft.floats, f.name)
-                case StringType  => new String(one(ft.bytess, f.name), UTF_8)
-                case BinaryType  => one(ft.bytess, f.name)
-                case other => throw new IllegalArgumentException(
-                  s"tfrecord: unsupported read type $other")
+    blobs.as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (path, bytes) =>
+          framesOf(path, bytes).map { data =>
+            val feats = decodeExample(data)
+            val vals = new Array[Any](fields.length)
+            var i = 0
+            while (i < fields.length) {
+              val f = fields(i)
+              vals(i) = feats.get(f.name) match {
+                case None =>
+                  if (f.nullable) null
+                  else throw new IllegalArgumentException(
+                    s"tfrecord: missing required feature '${f.name}'")
+                case Some(ft) => f.dataType match {
+                  case LongType    => one(ft.longs, f.name)
+                  case IntegerType => Math.toIntExact(one(ft.longs, f.name))
+                  case FloatType   => one(ft.floats, f.name)
+                  case StringType  => new String(one(ft.bytess, f.name), UTF_8)
+                  case BinaryType  => one(ft.bytess, f.name)
+                  case ArrayType(LongType, _) => list(ft.longs, ft, f.name)
+                  case ArrayType(IntegerType, _) =>
+                    list(ft.longs, ft, f.name).map(Math.toIntExact)
+                  case ArrayType(FloatType, _) => list(ft.floats, ft, f.name)
+                  case ArrayType(StringType, _) =>
+                    list(ft.bytess, ft, f.name).map(new String(_, UTF_8))
+                  case ArrayType(BinaryType, _) => list(ft.bytess, ft, f.name)
+                  case other => throw new IllegalArgumentException(
+                    s"tfrecord: unsupported read type $other")
+                }
               }
+              i += 1
             }
-            i += 1
+            new GenericRowWithSchema(vals, st): Row
           }
-          new GenericRowWithSchema(vals, st): Row
         }
-      }
-    }(enc)
+      }(enc)
   }
 
   private def one[T](xs: Seq[T], name: String): T = {
     require(xs.length == 1,
       s"tfrecord: feature '$name' has ${xs.length} values, expected 1")
     xs.head
+  }
+
+  /** Full list of the asked kind; loud when the feature holds values
+    * of a DIFFERENT kind (all-empty is genuinely kindless: fine). */
+  private def list[T](xs: Seq[T], ft: Feat, name: String): Seq[T] = {
+    if (xs.isEmpty)
+      require(ft.longs.isEmpty && ft.floats.isEmpty && ft.bytess.isEmpty,
+        s"tfrecord: feature '$name' holds values of a different kind " +
+          s"(${ft.longs.length} int64 / ${ft.floats.length} float / " +
+          s"${ft.bytess.length} bytes)")
+    xs
   }
 }

@@ -126,6 +126,33 @@ object Warc {
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
+  /** Zstandard twins of the gzip helpers — the `.zst` form the
+    * Dolma/RedPajama-era corpora ship. Spark bundles zstd-jni, so this
+    * is offline-safe; the read loop drains concatenated frames the way
+    * [[gunzipAll]] drains concatenated gzip members. */
+  def zstd(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+    z.write(bytes); z.close(); bos.toByteArray
+  }
+
+  def unzstdAll(bytes: Array[Byte]): Array[Byte] = {
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Zstd frame magic `28 b5 2f fd` — unlike the TFRecord/gzip pair,
+    * no JSONL or WARC prelude can collide with it (a JSON line starts
+    * with printable ASCII), so magic-sniffing is sound here. */
+  private[ext] def isZstd(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd
+
   /** Parse every record of one WARC file: single forward scan, one
     * payload copy per record, malformed framing fails loudly (a corrupt
     * crawl segment should surface, not silently truncate). Gzipped

@@ -684,19 +684,25 @@ object LlmQueries {
     * proves serialization + escaping + line framing byte-exactly (see
     * [[graft.ext.Jsonl]]). */
   private def jsonlRoundtrip(spark: SparkSession, sfDir: String,
-                             gzipped: Boolean): DataFrame = {
+                             codec: String): DataFrame = {
     val files = graft.ext.Jsonl.synthesize(spark, docs(spark, sfDir),
-      "doc_id", WarcDocsPerFile, gzipped = gzipped)
+      "doc_id", WarcDocsPerFile, codec = codec)
     graft.ext.Jsonl.docs(spark, files, "file_id", "blob").orderBy("doc_id")
   }
 
   def jsonlRoundtripPlain(spark: SparkSession, sfDir: String): DataFrame =
-    jsonlRoundtrip(spark, sfDir, gzipped = false)
+    jsonlRoundtrip(spark, sfDir, codec = "none")
 
   /** Same through the vendor `.jsonl.gz` layout — shares the plain
     * variant's oracle SQL (the decontam/bloom pattern). */
   def jsonlRoundtripGz(spark: SparkSession, sfDir: String): DataFrame =
-    jsonlRoundtrip(spark, sfDir, gzipped = true)
+    jsonlRoundtrip(spark, sfDir, codec = "gzip")
+
+  /** Same through the `.jsonl.zst` layout Dolma/RedPajama actually ship
+    * (zstd-jni comes with Spark, offline-safe) — shares the plain
+    * variant's oracle SQL. */
+  def jsonlRoundtripZst(spark: SparkSession, sfDir: String): DataFrame =
+    jsonlRoundtrip(spark, sfDir, codec = "zstd")
 
   /** Docs per synthesized WET file: 50 consecutive ids per file — 10
     * files at the 500-doc fixture, enough that record-boundary scanning
@@ -2826,16 +2832,60 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  /** Same through TFRecordOptions-GZIP whole-file compression
-    * (magic-sniffed on read) — shares the original-table oracle, the
-    * `warc_gz_roundtrip` gating pattern. */
+  /** Same through TFRecordOptions-GZIP whole-file compression (the
+    * writer names the shard `.tfrecord.gz` and the reader keys
+    * decompression off the extension — framing is byte-ambiguous with
+    * the gzip magic, so sniffing is only a legacy fallback) — shares
+    * the original-table oracle, the `warc_gz_roundtrip` pattern. */
   def tfrecordGzRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = CdcQueries.tempSinkDir("graft-tfrecord-gz").toString
     val d = docs(spark, sfDir)
-    graft.ext.TfRecordIo.write(d.repartition(4), dir, gzipped = true)
+    graft.ext.TfRecordIo.write(d.repartition(4), dir, codec = "gzip")
     graft.ext.TfRecordIo.read(spark, dir, d.schema)
       .select("doc_id", "text", "lang", "source", "n_chars")
       .orderBy("doc_id")
+  }
+
+  /** Same through zstd whole-file compression (`.tfrecord.zst`,
+    * extension-keyed like the gz twin; zstd-jni ships with Spark) —
+    * shares the original-table oracle. */
+  def tfrecordZstRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CdcQueries.tempSinkDir("graft-tfrecord-zst").toString
+    val d = docs(spark, sfDir)
+    graft.ext.TfRecordIo.write(d.repartition(4), dir, codec = "zstd")
+    graft.ext.TfRecordIo.read(spark, dir, d.schema)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** TFRecord round-trip of the REAL LLM payload — LIST features: a
+    * token-id sequence (`int64_list` of many ids per example, the
+    * packed-batch column every TPU-era corpus ships), the token
+    * strings (`bytes_list`) and a parallel float list, one Example per
+    * document. Every list element is exploded back out after the trip
+    * so the oracle restates each (doc, pos, token, id, weight) tuple
+    * from the ORIGINAL table — a green hash proves multi-value
+    * encode/decode element-exactly, including empty lists (docs whose
+    * text yields no tokens round-trip as present-but-empty arrays and
+    * contribute no exploded rows on either side). Token ids are a
+    * shared-arithmetic fingerprint (`len(tok)·1000003 + pos`) both
+    * engines compute identically. */
+  def tfrecordTokensRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CdcQueries.tempSinkDir("graft-tfrecord-tokens").toString
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"), graft.ext.TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        expr("transform(toks, (t, i) -> CAST(length(t) AS BIGINT) * 1000003 + i)")
+          .as("ids"),
+        expr("transform(toks, t -> CAST(length(t) AS FLOAT))").as("tfs"))
+    graft.ext.TfRecordIo.write(base.repartition(4), dir)
+    val back = graft.ext.TfRecordIo.read(spark, dir, base.schema)
+    back.select(col("doc_id"),
+        posexplode(arrays_zip(col("toks"), col("ids"), col("tfs"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.toks").as("tok"), col("col.ids").as("tok_id"),
+        col("col.tfs").as("tf"))
+      .orderBy("doc_id", "pos")
   }
 
   // --- sliding-window chunking (ext/Chunker.scala) ------------------

@@ -103,18 +103,218 @@ class TfRecordIoSpec extends SparkSpecBase {
       (3L, "", Some(0f))))
   }
 
-  test("gzipped files round-trip; magic is sniffed on read") {
+  test("gzipped files are named .tfrecord.gz and round-trip (extension-keyed)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tfrec-gz").toString
     val df = Seq((1L, "a"), (2L, "bb")).toDF("id", "txt")
-    TfRecordIo.write(df.repartition(1), dir, gzipped = true)
-    // the on-disk file really is gzip (magic bytes)
+    TfRecordIo.write(df.repartition(1), dir, codec = "gzip")
+    // the on-disk file carries the extension AND really is gzip
     val f = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".tfrecord")).head
+      .filter(_.getName.endsWith(".tfrecord.gz")).head
     val head = java.nio.file.Files.readAllBytes(f.toPath).take(2)
     assert((head(0) & 0xff) === 0x1f && (head(1) & 0xff) === 0x8b)
     val back = TfRecordIo.read(spark, dir, df.schema)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(back.toSeq === Seq((1L, "a"), (2L, "bb")))
+  }
+
+  test("zstd files are named .tfrecord.zst and round-trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfrec-zst").toString
+    val df = Seq((1L, "a"), (2L, "bb")).toDF("id", "txt")
+    TfRecordIo.write(df.repartition(1), dir, codec = "zstd")
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfrecord.zst")).head
+    val head = java.nio.file.Files.readAllBytes(f.toPath).take(4)
+    assert((head(0) & 0xff) === 0x28 && (head(1) & 0xff) === 0xb5 &&
+      (head(2) & 0xff) === 0x2f && (head(3) & 0xff) === 0xfd)
+    val back = TfRecordIo.read(spark, dir, df.schema)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq === Seq((1L, "a"), (2L, "bb")))
+  }
+
+  test("a raw file whose first record length collides with the gzip magic " +
+    "still parses (sniff falls back to raw framing)") {
+    // len = 35615 = 0x8b1f -> little-endian length bytes start 1f 8b,
+    // the byte-ambiguity ADVICE flagged; the gzip layer rejects it
+    // (CM byte = 0) and the reader must fall back to raw framing.
+    val data = new Array[Byte](35615)
+    java.util.Arrays.fill(data, 'x'.toByte)
+    val out = new ByteArrayOutputStream()
+    TfRecordIo.frame(out, data)
+    val bytes = out.toByteArray
+    assert((bytes(0) & 0xff) === 0x1f && (bytes(1) & 0xff) === 0x8b)
+    val back = TfRecordIo.parseFrames(bytes)
+    assert(back.size === 1 && back.head.length === 35615)
+  }
+
+  test("a frame CRC failure inside a genuinely gzipped file stays loud " +
+    "(no silent raw-framing fallback)") {
+    val rec = new ByteArrayOutputStream()
+    TfRecordIo.frame(rec, ex(1L, "abc", null))
+    val framed = rec.toByteArray
+    framed(14) = (framed(14) ^ 0x01).toByte // corrupt the data section
+    val gz = Warc.gzip(framed) // inflates cleanly; frames are corrupt
+    val e = intercept[IllegalArgumentException] {
+      TfRecordIo.parseFrames(gz)
+    }
+    assert(e.getMessage.contains("crc mismatch"))
+  }
+
+  // ---- list features (the token-id-sequence payload) -----------------
+
+  private val lst = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("ids", ArrayType(LongType), nullable = true),
+    StructField("ws", ArrayType(FloatType), nullable = true),
+    StructField("ss", ArrayType(StringType), nullable = true)))
+
+  test("array columns round-trip as multi-value lists, incl. empty vs absent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfrec-arr").toString
+    val df = Seq(
+      (1L, Seq(5L, 6L, 7L), Seq(1.5f, -2f), Seq("a", "", "c")),
+      (2L, Seq.empty[Long], Seq.empty[Float], Seq.empty[String]),
+      (3L, Seq(Long.MaxValue, Long.MinValue, -1L), Seq(0f), Seq("z")))
+      .toDF("id", "ids", "ws", "ss")
+    TfRecordIo.write(df.repartition(2), dir)
+    val back = TfRecordIo.read(spark, dir, df.schema)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Float](2),
+        r.getSeq[String](3)))
+    assert(back.toSeq === Seq(
+      (1L, Seq(5L, 6L, 7L), Seq(1.5f, -2f), Seq("a", "", "c")),
+      (2L, Seq(), Seq(), Seq()),
+      (3L, Seq(Long.MaxValue, Long.MinValue, -1L), Seq(0f), Seq("z"))))
+    // a NULL array is an absent feature, distinct from present-empty
+    val df2 = Seq((9L, Option.empty[Seq[Long]])).toDF("id", "ids")
+    val dir2 = java.nio.file.Files.createTempDirectory("tfrec-arr2").toString
+    TfRecordIo.write(df2, dir2)
+    val r2 = TfRecordIo.read(spark, dir2,
+      StructType(lst.fields.take(2))).collect()
+    assert(r2.length === 1 && r2(0).isNullAt(1))
+  }
+
+  test("packed and unpacked int64 list encodings decode identically on long lists") {
+    val n = 5000
+    val vals = (0 until n).map(i => (i % 250).toLong)
+    // packed: one length-delimited blob of varints (what the writer emits)
+    val packedBody = new ByteArrayOutputStream()
+    vals.foreach(v => writeVar(packedBody, v.toInt))
+    val packed = {
+      val lst = new ByteArrayOutputStream()
+      lst.write(0x0a); writeVar(lst, packedBody.size()); packedBody.writeTo(lst)
+      lst.toByteArray
+    }
+    // unpacked: tag 0x08 before every value
+    val unpackedLst = new ByteArrayOutputStream()
+    vals.foreach { v => unpackedLst.write(0x08); writeVar(unpackedLst, v.toInt) }
+    def example(int64List: Array[Byte]): Array[Byte] = {
+      val feature = new ByteArrayOutputStream()
+      feature.write(0x1a); writeVar(feature, int64List.length)
+      feature.write(int64List)
+      val key = "n".getBytes(UTF_8)
+      val entry = new ByteArrayOutputStream()
+      entry.write(0x0a); writeVar(entry, key.length); entry.write(key)
+      entry.write(0x12); writeVar(entry, feature.size())
+      feature.writeTo(entry)
+      val features = new ByteArrayOutputStream()
+      features.write(0x0a); writeVar(features, entry.size())
+      entry.writeTo(features)
+      val exb = new ByteArrayOutputStream()
+      exb.write(0x0a); writeVar(exb, features.size())
+      features.writeTo(exb)
+      exb.toByteArray
+    }
+    val fromPacked = TfRecordIo.decodeExample(example(packed))("n").longs
+    val fromUnpacked = TfRecordIo.decodeExample(example(unpackedLst.toByteArray))("n").longs
+    assert(fromPacked === vals)
+    assert(fromUnpacked === vals)
+    // and the writer's own packed encoding decodes to the same list
+    val st2 = StructType(Seq(StructField("n", ArrayType(LongType))))
+    val own = TfRecordIo.decodeExample(
+      TfRecordIo.encodeExample(Row(vals), st2))("n").longs
+    assert(own === vals)
+  }
+
+  private def writeVar(out: ByteArrayOutputStream, vIn: Int): Unit = {
+    var v = vIn.toLong
+    while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  test("null elements inside an array are rejected loudly") {
+    val st2 = StructType(Seq(StructField("n", ArrayType(LongType))))
+    val e = intercept[IllegalArgumentException] {
+      TfRecordIo.encodeExample(Row(Seq[Any](1L, null, 3L)), st2)
+    }
+    assert(e.getMessage.contains("null element"))
+  }
+
+  test("array-of-double is rejected loudly like scalar double") {
+    val st2 = StructType(Seq(StructField("d", ArrayType(DoubleType))))
+    val e = intercept[IllegalArgumentException] {
+      TfRecordIo.encodeExample(Row(Seq(1.5d)), st2)
+    }
+    assert(e.getMessage.contains("double"))
+  }
+
+  test("int64 outside Int range read as IntegerType fails loudly, never truncates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfrec-int").toString
+    val df = Seq((1L, 5000000000L)).toDF("id", "big")
+    TfRecordIo.write(df, dir)
+    val st2 = StructType(Seq(
+      StructField("id", LongType), StructField("big", IntegerType)))
+    val e = intercept[Exception] {
+      TfRecordIo.read(spark, dir, st2).collect()
+    }
+    assert(e.getMessage != null) // ArithmeticException("integer overflow") wrapped by Spark
+  }
+
+  test("reading a list of the wrong kind fails loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfrec-kind").toString
+    val df = Seq((1L, Seq(1L, 2L))).toDF("id", "n")
+    TfRecordIo.write(df, dir)
+    val e = intercept[Exception] {
+      TfRecordIo.read(spark, dir, StructType(Seq(
+        StructField("id", LongType), StructField("n", ArrayType(FloatType))))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("frame iterator streams lazily: earlier records are served before " +
+    "a later corrupt record is reached") {
+    val out = new ByteArrayOutputStream()
+    TfRecordIo.frame(out, ex(1L, "good", null))
+    TfRecordIo.frame(out, ex(2L, "also-good", null))
+    TfRecordIo.frame(out, ex(3L, "bad", null))
+    val bytes = out.toByteArray
+    bytes(bytes.length - 6) = (bytes(bytes.length - 6) ^ 0x01).toByte
+    val it = TfRecordIo.frameIterator(new java.io.ByteArrayInputStream(bytes))
+    // record 1 decodes fine (advance() prefetches ONE record, record 2)
+    val first = TfRecordIo.decodeExample(it.next())
+    assert(first("id").longs === Seq(1L))
+    // serving record 2 prefetches the corrupt record 3 -> loud failure
+    val e = intercept[IllegalArgumentException] { it.next() }
+    assert(e.getMessage.contains("crc mismatch"))
+  }
+
+  test("a multi-megabyte gzipped shard streams through record-at-a-time") {
+    // ~8 MB inflated across 2k records: exercises the streaming path on
+    // a shard where a whole-file inflated copy would dominate residency.
+    val payload = new Array[Byte](4096)
+    java.util.Arrays.fill(payload, 'y'.toByte)
+    val raw = new ByteArrayOutputStream(1 << 23)
+    val st2 = StructType(Seq(StructField("b", BinaryType)))
+    val rec = TfRecordIo.encodeExample(Row(payload), st2)
+    (1 to 2000).foreach(_ => TfRecordIo.frame(raw, rec))
+    val gz = Warc.gzip(raw.toByteArray)
+    var n = 0
+    val it = TfRecordIo.frameIterator(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz), 64 * 1024))
+    while (it.hasNext) { assert(it.next().length === rec.length); n += 1 }
+    assert(n === 2000)
   }
 }
