@@ -377,7 +377,8 @@ object SparkEntry {
 
   /** llm_unigram_tokens oracle: the Viterbi DP unrolled by POSITION —
     * level p's best cost' is the min over pieces ending at p of level
-    * (p − len) plus 1024·cost + 1, with the `<unk>` single-char branch
+    * (p − len) plus Scale·cost + 1 (Unigram.Scale, interpolated so a
+    * Scale change cannot desync the oracle), with the `<unk>` branch
     * always present; one generated MATERIALIZED CTE per level (each
     * level is read by up to maxPieceLen later levels). Pre-tokens
     * longer than [[UnigramOracleLevels]] would drop from the final
@@ -389,10 +390,10 @@ object SparkEntry {
     val vals = pieces.map { case (p, c) => s"('$p', $c)" }.mkString(", ")
     val levels = (1 to UnigramOracleLevels).map { p =>
       val unk =
-        s"""SELECT c.tok, c.cp + 1024 * ${graft.ext.Unigram.UnkCost} + 1 AS cand
+        s"""SELECT c.tok, c.cp + ${graft.ext.Unigram.Scale} * ${graft.ext.Unigram.UnkCost} + 1 AS cand
            |      FROM u${p - 1} c WHERE len(c.tok) >= $p""".stripMargin
       val branches = unk +: (1 to math.min(p, lMax)).map { l =>
-        s"""SELECT c.tok, c.cp + 1024 * pc.cost + 1 AS cand
+        s"""SELECT c.tok, c.cp + ${graft.ext.Unigram.Scale} * pc.cost + 1 AS cand
            |      FROM u${p - l} c JOIN pc ON len(pc.piece) = $l
            |        AND substr(c.tok, ${p - l + 1}, $l) = pc.piece
            |      WHERE len(c.tok) >= $p""".stripMargin
@@ -411,8 +412,8 @@ object SparkEntry {
        |$levels,
        |f AS ($fin),
        |b AS (SELECT t0.doc_id, count(*) AS n_pre,
-       |        CAST(sum(f.cp % 1024) AS BIGINT) AS np,
-       |        CAST(sum(f.cp // 1024) AS BIGINT) AS tc
+       |        CAST(sum(f.cp % ${graft.ext.Unigram.Scale}) AS BIGINT) AS np,
+       |        CAST(sum(f.cp // ${graft.ext.Unigram.Scale}) AS BIGINT) AS tc
        |      FROM t0 JOIN f USING (tok) GROUP BY 1)""".stripMargin
   }
 
@@ -428,7 +429,7 @@ object SparkEntry {
   // longer than the unrolled level count would drop from the final
   // union and hash-fail loudly (corpus max pre-token is 8).
   // --------------------------------------------------------------
-  private val UnigramTrainLevels = 12
+  private val UnigramTrainLevels = graft.ext.Unigram.OracleDpLevels
 
   /** One Viterbi DP over `wordsCte`(w) under `costCte`(piece, cost):
     * emits `{tag}_0..{tag}_L` and `{tag}b` (w, cp at len(w)). */
@@ -437,10 +438,10 @@ object SparkEntry {
     val L = UnigramTrainLevels
     val levels = (1 to L).map { p =>
       val unk =
-        s"""SELECT c.w, c.cp + 1024 * ${graft.ext.Unigram.UnkCost} + 1 AS cand
+        s"""SELECT c.w, c.cp + ${graft.ext.Unigram.Scale} * ${graft.ext.Unigram.UnkCost} + 1 AS cand
            |      FROM ${tag}_${p - 1} c WHERE len(c.w) >= $p""".stripMargin
       val branches = unk +: (1 to math.min(p, maxPieceLen)).map { l =>
-        s"""SELECT c.w, c.cp + 1024 * pc.cost + 1 AS cand
+        s"""SELECT c.w, c.cp + ${graft.ext.Unigram.Scale} * pc.cost + 1 AS cand
            |      FROM ${tag}_${p - l} c JOIN $costCte pc ON len(pc.piece) = $l
            |        AND substr(c.w, ${p - l + 1}, $l) = pc.piece
            |      WHERE len(c.w) >= $p""".stripMargin
@@ -472,7 +473,7 @@ object SparkEntry {
          |      JOIN $costCte pc ON len(pc.piece) = $l
          |        AND substr(cur.w, cur.pos - $l + 1, $l) = pc.piece
          |      WHERE cur.pos >= $l
-         |        AND prev.cp + 1024 * pc.cost + 1 = cur.cp""".stripMargin
+         |        AND prev.cp + ${graft.ext.Unigram.Scale} * pc.cost + 1 = cur.cp""".stripMargin
     }.mkString("\n    UNION ALL ")
     s"""${unigramDpSql(tag, wordsCte, costCte, maxPieceLen)},
        |${tag}u AS MATERIALIZED ($ucp),
@@ -512,10 +513,10 @@ object SparkEntry {
     val L = UnigramTrainLevels
     val levels = (1 to L).map { p =>
       val unk =
-        s"""SELECT c.w, c.x, c.cp + 1024 * ${graft.ext.Unigram.UnkCost} + 1 AS cand
+        s"""SELECT c.w, c.x, c.cp + ${graft.ext.Unigram.Scale} * ${graft.ext.Unigram.UnkCost} + 1 AS cand
            |      FROM ex_${p - 1} c WHERE len(c.w) >= $p""".stripMargin
       val branches = unk +: (1 to math.min(p, maxPieceLen)).map { l =>
-        s"""SELECT c.w, c.x, c.cp + 1024 * pc.cost + 1 AS cand
+        s"""SELECT c.w, c.x, c.cp + ${graft.ext.Unigram.Scale} * pc.cost + 1 AS cand
            |      FROM ex_${p - l} c JOIN $costCte pc ON len(pc.piece) = $l
            |        AND substr(c.w, ${p - l + 1}, $l) = pc.piece
            |        AND pc.piece <> c.x
@@ -598,8 +599,8 @@ object SparkEntry {
     s"""$UnigramTrainCteSql,
        |${unigramDpSql("sf", "vd", "cf", graft.ext.Unigram.TrainSeedMaxLen)},
        |bb AS (SELECT t0.doc_id, count(*) AS n_pre,
-       |        CAST(sum(f.cp % 1024) AS BIGINT) AS np,
-       |        CAST(sum(f.cp // 1024) AS BIGINT) AS tc
+       |        CAST(sum(f.cp % ${graft.ext.Unigram.Scale}) AS BIGINT) AS np,
+       |        CAST(sum(f.cp // ${graft.ext.Unigram.Scale}) AS BIGINT) AS tc
        |      FROM t0 JOIN sfb f ON f.w = t0.tok GROUP BY 1)
        |SELECT d.doc_id, CAST(coalesce(bb.n_pre, 0) AS BIGINT) AS n_tokens,
        |  CAST(coalesce(bb.np, 0) AS BIGINT) AS n_pieces,

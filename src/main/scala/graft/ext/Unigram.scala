@@ -61,6 +61,15 @@ object Unigram {
     * cost bits. Pre-tokens must have < Scale pieces (fail-loud). */
   val Scale = 1024L
 
+  /** DP levels the registered ORACLE unrolls per word (SparkEntry's
+    * unigram CTE chains are generated to exactly this depth): a
+    * pre-token longer than this would silently drop from the oracle's
+    * final union while the engine still counts it, surfacing only as
+    * an opaque hash mismatch. Oracle-gated callers pass this as
+    * [[trainDistributed]]'s `maxWordLen` so the divergence is
+    * diagnosed fail-loud AT THE SOURCE instead. */
+  val OracleDpLevels = 12
+
   private lazy val FixtureMap: Map[String, Long] = FixturePieces.toMap
   private lazy val MaxPieceLen: Int = FixturePieces.map(_._1.length).max
 
@@ -223,7 +232,8 @@ object Unigram {
     * reference the spec pins it against. */
   def trainDistributed(docs: DataFrame, idCol: String, textCol: String,
       seedMaxLen: Int = TrainSeedMaxLen, seedTopK: Int = TrainSeedTopK,
-      emRounds: Int = TrainEmRounds, keepK: Int = TrainKeepK): DataFrame = {
+      emRounds: Int = TrainEmRounds, keepK: Int = TrainKeepK,
+      maxWordLen: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
     import spark.implicits._
@@ -233,6 +243,19 @@ object Unigram {
       docs.select(explode(TextStats.tokens(col(textCol))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("freq")))
       .as[(String, Long)]
+    // Fail-loud pre-token length bound (mirrors the `< Scale pieces`
+    // guard in viterbiSeg): an oracle-gated caller unrolls its DP to a
+    // fixed depth ([[OracleDpLevels]]), and a longer word would drop
+    // from the oracle while the engine counts it — an opaque hash
+    // mismatch far from the cause. One bounded probe over the staged
+    // vocabulary, only when a bound was asked for.
+    if (maxWordLen != Int.MaxValue) {
+      val bad = vocab.toDF("w", "freq").where(length(col("w")) > maxWordLen)
+        .select("w").as[String].take(1)
+      require(bad.isEmpty, s"unigram: pre-token '${bad.headOption.getOrElse("")}' " +
+        s"of ${bad.headOption.map(_.length).getOrElse(0)} chars exceeds " +
+        s"maxWordLen=$maxWordLen (the oracle DP unroll bound)")
+    }
 
     // ---- seed: substring counts, one aggregate over the vocabulary
     val w = col("w")

@@ -2241,7 +2241,8 @@ object LlmQueries {
     * piece per (word, pos), backtrace as a recursive CTE, bitlen
     * refit), so the row is fully live and bit-exact. */
   def unigramTrain(spark: SparkSession, sfDir: String): DataFrame =
-    graft.ext.Unigram.trainDistributed(docs(spark, sfDir), "doc_id", "text")
+    graft.ext.Unigram.trainDistributed(docs(spark, sfDir), "doc_id", "text",
+      maxWordLen = graft.ext.Unigram.OracleDpLevels)
       .orderBy("piece")
 
   /** Train → Viterbi-encode the corpus with its OWN learned vocabulary
@@ -2249,7 +2250,8 @@ object LlmQueries {
     * end-to-end proof the learned model actually tokenizes. */
   def unigramSelftok(spark: SparkSession, sfDir: String): DataFrame = {
     val model = graft.ext.Unigram
-      .trainDistributed(docs(spark, sfDir), "doc_id", "text")
+      .trainDistributed(docs(spark, sfDir), "doc_id", "text",
+        maxWordLen = graft.ext.Unigram.OracleDpLevels)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // bounded model
     graft.ext.Unigram.tokenCounts(docs(spark, sfDir), "doc_id", "text",
         pieces = model)
@@ -2268,7 +2270,8 @@ object LlmQueries {
     import spark.implicits._
     val d = docs(spark, sfDir)
     val model = graft.ext.Unigram
-      .trainDistributed(d, "doc_id", "text")
+      .trainDistributed(d, "doc_id", "text",
+        maxWordLen = graft.ext.Unigram.OracleDpLevels)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // bounded model
     val alphabet = model.keySet.filter(_.length == 1)
     val u1 = graft.ext.Unigram.usageCounts(

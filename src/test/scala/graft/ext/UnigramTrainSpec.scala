@@ -104,4 +104,20 @@ class UnigramTrainSpec extends SparkSpecBase {
       assert(r.getLong(3) === f * (cp / Unigram.Scale))
     }
   }
+
+  test("maxWordLen bound fails loudly at the source, naming the pre-token") {
+    // "streams" (7 chars) exceeds a bound of 6: with an oracle whose DP
+    // unrolls only 6 levels the word would silently drop from the
+    // oracle's final union — the trainer must refuse instead.
+    val e = intercept[IllegalArgumentException] {
+      Unigram.trainDistributed(docsOf(words), "doc_id", "text",
+        seedTopK = 16, emRounds = 1, keepK = 6, maxWordLen = 6)
+    }
+    assert(e.getMessage.contains("exceeds maxWordLen=6"))
+    assert(e.getMessage.contains("streams") || e.getMessage.contains("7 chars"))
+    // at the true corpus bound the guard passes and training proceeds
+    val ok = Unigram.trainDistributed(docsOf(words), "doc_id", "text",
+      seedTopK = 16, emRounds = 1, keepK = 6, maxWordLen = 7)
+    assert(ok.count() > 0)
+  }
 }
