@@ -16,7 +16,10 @@ import scala.util.Try
   *   3. an HTML `<meta charset=…>` or
   *      `<meta http-equiv="Content-Type" content="…charset=…">` in the
   *      first 1024 bytes (scanned as latin-1 — the prelude of any
-  *      ASCII-compatible encoding reads correctly that way);
+  *      ASCII-compatible encoding reads correctly that way; a meta
+  *      naming utf-16 on this path remaps to UTF-8, the WHATWG rule),
+  *      then the BOM-less UTF-16 prescan ([[sniffUtf16Meta]]) for
+  *      pages whose declaration hides behind NUL interleaving;
   *   4. strict UTF-8 probe — if the whole body decodes cleanly it IS
   *      UTF-8; otherwise ISO-8859-1, which maps every byte and so can
   *      never throw (the classic crawl fallback).
@@ -54,11 +57,66 @@ object CharsetDetect {
 
   /** `<meta charset=…>` / http-equiv declaration in the first 1024
     * bytes (one pattern covers both forms — the attribute that matters
-    * is the `charset=` token inside a meta tag). */
+    * is the `charset=` token inside a meta tag). WHATWG prescan rule:
+    * a meta readable through an ASCII-compatible scan PROVES the page
+    * is not UTF-16, so a declaration naming utf-16(le/be) here is
+    * remapped to UTF-8 (the spec's "change UTF-16 to UTF-8" step) —
+    * honoring it would mojibake the ASCII-compatible bytes we just
+    * read the declaration from. */
   def fromMeta(bytes: Array[Byte], off: Int, len: Int): Option[Charset] = {
     val prelude = new String(bytes, off, math.min(len, 1024), ISO_8859_1)
     MetaCharset.findFirstMatchIn(prelude)
       .flatMap(m => Try(Charset.forName(m.group(1))).toOption)
+      .map(cs => if (cs == UTF_16LE || cs == UTF_16BE ||
+        cs.name.equalsIgnoreCase("UTF-16")) UTF_8 else cs)
+  }
+
+  /** WHATWG-style prescan for BOM-less UTF-16 (the gap the latin-1
+    * scan cannot cover): a page ENCODED UTF-16 without a BOM reads as
+    * NUL-interleaved ASCII, so `<meta charset=…>` never matches the
+    * latin-1 prelude and the page used to fall through to the latin-1
+    * fallback (UTF-16LE ASCII is even valid UTF-8, so the strict probe
+    * does not save it). Detection is two independent signals, both
+    * required: the prelude's first `<` carries the UTF-16 byte pattern
+    * (`3C 00` = LE, `00 3C` = BE) with ≥35% NUL bytes overall (ASCII
+    * UTF-16 is ~50% NUL), AND the NUL-stripped prelude contains a meta
+    * charset declaration — this prescan exists for pages that declare
+    * themselves ONLY in meta, and requiring the declaration keeps
+    * binary payloads from matching. The detected BYTE PATTERN decides
+    * endianness — the NUL-parity majority (LE text zeroes the ODD
+    * bytes of each code unit, BE the EVEN ones; a `<`-neighbor test
+    * cannot tell them apart because `3C` is followed by `00` in both);
+    * the declared NAME only confirms a declaration exists (a page
+    * cannot meaningfully name its own endianness — WHATWG maps a
+    * prescanned "utf-16" to the detected form). */
+  def sniffUtf16Meta(bytes: Array[Byte], off: Int, len: Int): Option[Charset] = {
+    val n = math.min(len, 1024)
+    var nulsEven = 0
+    var nulsOdd = 0
+    var i = 0
+    while (i < n) {
+      if (bytes(off + i) == 0) { if (i % 2 == 0) nulsEven += 1 else nulsOdd += 1 }
+      i += 1
+    }
+    if (nulsEven + nulsOdd < (n * 35) / 100) return None
+    val stripped = new ByteArrayLike(bytes, off, n)
+    MetaCharset.findFirstMatchIn(stripped.asciiNoNul)
+      .map(_ => if (nulsOdd > nulsEven) UTF_16LE else UTF_16BE)
+  }
+
+  /** NUL-stripped latin-1 view of a prelude slice (the prescan's
+    * "ASCII with the UTF-16 zero bytes removed" reading). */
+  private final class ByteArrayLike(bytes: Array[Byte], off: Int, n: Int) {
+    def asciiNoNul: String = {
+      val sb = new java.lang.StringBuilder(n)
+      var i = 0
+      while (i < n) {
+        val b = bytes(off + i)
+        if (b != 0) sb.append((b & 0xff).toChar)
+        i += 1
+      }
+      sb.toString
+    }
   }
 
   private def decodeReplace(bytes: Array[Byte], off: Int, len: Int,
@@ -84,7 +142,9 @@ object CharsetDetect {
       case Some((cs, bomLen)) =>
         decodeReplace(bytes, off + bomLen, len - bomLen, cs)
       case None =>
-        fromContentType(contentType).orElse(fromMeta(bytes, off, len)) match {
+        fromContentType(contentType)
+          .orElse(fromMeta(bytes, off, len))
+          .orElse(sniffUtf16Meta(bytes, off, len)) match {
           case Some(cs) => decodeReplace(bytes, off, len, cs)
           case None => utf8Strict(bytes, off, len)
             .getOrElse(decodeReplace(bytes, off, len, ISO_8859_1))

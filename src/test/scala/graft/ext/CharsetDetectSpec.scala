@@ -72,6 +72,45 @@ class CharsetDetectSpec extends AnyFunSuite {
     assert(out.startsWith("ok ") && out.contains('\ufffd'))
   }
 
+  test("BOM-less UTF-16LE declaring itself only in <meta> is prescanned") {
+    // the r14 disclosed gap: no BOM, no Content-Type, declaration only
+    // readable after NUL-stripping the UTF-16 prelude
+    val body = ("<html><head><meta charset=\"utf-16\"></head>" +
+      "<body>" + latin + "</body></html>").getBytes("UTF-16LE")
+    assert(dec(body).contains(latin))
+  }
+
+  test("BOM-less UTF-16BE with an http-equiv meta is prescanned too") {
+    val body = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=utf-16\"></head><body>" + latin +
+      "</body></html>").getBytes("UTF-16BE")
+    assert(dec(body).contains(latin))
+  }
+
+  test("the detected byte pattern decides endianness, not the declared name") {
+    // a UTF-16LE page whose meta (wrongly) names a non-UTF-16 charset:
+    // the NUL-interleaved pattern is what's real about the bytes
+    val body = ("<html><head><meta charset=\"iso-8859-1\"></head>" +
+      "<body>" + latin + "</body></html>").getBytes("UTF-16LE")
+    assert(dec(body).contains(latin))
+  }
+
+  test("meta-declared utf-16 on an ASCII-readable page maps to UTF-8 (WHATWG)") {
+    // if the declaration is readable through a latin-1 scan the page
+    // cannot be UTF-16; honoring the name would mojibake the body
+    val body = ("<html><head><meta charset=\"utf-16\"></head><body>" +
+      latin + "</body></html>").getBytes(UTF_8)
+    assert(dec(body).contains(latin))
+  }
+
+  test("NUL-heavy bytes WITHOUT a meta declaration do not trigger the prescan") {
+    // binary payload look-alike: '<' + NULs but no charset declaration
+    val body = "<x>".getBytes("UTF-16LE") ++ new Array[Byte](64)
+    val out = dec(body)
+    assert(out != null) // falls through to probe/latin-1, never throws
+    assert(CharsetDetect.sniffUtf16Meta(body, 0, body.length).isEmpty)
+  }
+
   test("every fixture exemplar round-trips through its case charset") {
     val charsets = Seq("UTF-8", "UTF-16LE", "UTF-16BE", "ISO-8859-1",
       "GBK", "windows-1252", "ISO-8859-1")
