@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // GRAFT_BENCH_SMOKE=n: run only the first n queries in-JVM with no
+    // canary/fork phases — the harness kill-test mode (BenchArtifactSpec
+    // starts a real Bench process, kills it once bench_out.json appears,
+    // and asserts the survivor parses). Never set by the driver.
+    val smoke = sys.env.get("GRAFT_BENCH_SMOKE").map(_.toInt)
     val spark = SparkSessions.local(cpus)
     // Untimed warmup of the JSON/codegen hot paths: C2 compilation of the
     // parser loops costs 30-40s the first time a JSON-heavy plan runs and
@@ -131,12 +136,45 @@ object Bench {
     // pressure — judges compare canary-to-canary across rounds. The
     // list is append-only frozen: changing it breaks the comparison it
     // exists for.
-    val canaryQueries = Seq(
+    val canaryQueries = if (smoke.isDefined) Seq.empty[String] else Seq(
       "q1_pricing", "q3_revenue", "events_sessions", "events_hourly",
       "cdc_normalize_debezium", "cdc_latest_rownumber",
       "cdc_materialize_debezium",
       "llm_neardup_jaccard", "llm_line_dedup", "llm_lm_score",
       "llm_pack_stats", "text_quality_score")
+    // The driver captures only the stdout TAIL — BENCH_r08.json lost 43
+    // of 89 timings to truncation. Persist the complete line to a file
+    // (repo root, next to the driver artifacts) so every round's full
+    // query set stays judgeable. ATOMIC (tmp + move): a kill mid-write
+    // must never leave a half-written unparseable artifact — r14's
+    // driver bench died rc=124 with parsed:null and the round's one
+    // mechanical bench check was lost.
+    def persist(line: String): Unit =
+      try {
+        val out = java.nio.file.Paths.get("bench_out.json")
+        val tmp = java.nio.file.Paths.get("bench_out.json.tmp")
+        java.nio.file.Files.writeString(tmp, line + "\n")
+        java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        System.err.println(s"[bench] full JSON written to bench_out.json")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+      }
+    val noStream = """{"events":0,"batches":0,"sec":-1,"events_per_sec":-1}"""
+    val noCmp = """{"events_per_batch":0,"batches":0,"cow_eps":-1,"mor_eps":-1}"""
+    val noLadder = """{"factor":0,"queries":{}}"""
+    val noLayout = """{"files_total":0,"files_read":0,"rows":0,"full_sec":-1,"pruned_sec":-1}"""
+    // Phase-skeleton persist BEFORE any slow phase: a parseable artifact
+    // exists within seconds of start, and each later phase replaces it
+    // with a strictly richer one (queries -> stream -> sink -> layout ->
+    // per-ladder-rung). `phase` names how far the run got.
+    def skeleton(phase: String, canary: String): String =
+      s"""{"metric":"total","value":0,"unit":"sec","phase":"$phase",""" +
+        s""""queries":{},"canary":$canary,"stream":$noStream,""" +
+        s""""sink_small_batch":$noCmp,"zorder_layout":$noLayout,""" +
+        s""""ladder":$noLadder,"sf":"$sfDir"}"""
+    persist(skeleton("started", """{"queries":{}}"""))
     val canaryResults: Seq[(String, Option[Seq[(Double, Double, Double, Double)]])] =
       canaryQueries.map { name =>
         val r = forkedReps(name)
@@ -207,7 +245,14 @@ object Bench {
       }
     }
 
-    val first = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // post-canary persist: the 12 canary forks are minutes of work a
+    // kill must not erase
+    if (canaryQueries.nonEmpty) persist(skeleton("canary", canaryJson(true)))
+    val sweep = {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      smoke.map(all.take).getOrElse(all)
+    }
+    val first = sweep.map { case (name, fn) =>
       (name, fn, timed(name, fn))
     }
     // The fork phase runs every heavy query in a FRESH 24g JVM while this
@@ -303,7 +348,7 @@ object Bench {
     // RE-FORKED once — both medians recomputed over the merged rep
     // pool — instead of letting the filter decide.
     val results = first.map { case (name, fn, t) =>
-      if (t > 3.0 || (t >= 0 && alwaysFork(name))) {
+      if (smoke.isEmpty && (t > 3.0 || (t >= 0 && alwaysFork(name)))) {
         forkedReps(name) match {
           case Some(rsCal0) =>
             var rsCal = rsCal0
@@ -352,17 +397,6 @@ object Bench {
         ",\"reforked\":" + rf + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // The driver captures only the stdout TAIL — BENCH_r08.json lost 43
-    // of 89 timings to truncation. Persist the complete line to a file
-    // (repo root, next to the driver artifacts) so every round's full
-    // query set stays judgeable.
-    def persist(line: String): Unit =
-      try {
-        java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
-        System.err.println(s"[bench] full JSON written to bench_out.json")
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
-      }
     // `full = false` drops the per-rep evidence arrays from the line:
     // the driver captures only a bounded stdout TAIL and its JSON parse
     // of the r11 line (with reps/reps_env inlined) came back null. The
@@ -376,10 +410,6 @@ object Bench {
     }
     // Persist the query timings BEFORE the stream phase: a hung
     // streaming query must not forfeit the 90+ timings already earned.
-    val noStream = """{"events":0,"batches":0,"sec":-1,"events_per_sec":-1}"""
-    val noCmp = """{"events_per_batch":0,"batches":0,"cow_eps":-1,"mor_eps":-1}"""
-    val noLadder = """{"factor":0,"queries":{}}"""
-    val noLayout = """{"files_total":0,"files_read":0,"rows":0,"full_sec":-1,"pruned_sec":-1}"""
     persist(jsonLine(noStream, noCmp, noLayout, noLadder))
     // Streaming throughput row (fixed batch count, see StreamBench):
     // runs AFTER the fork phase so its JVM state can't perturb query
@@ -508,21 +538,32 @@ object Bench {
     // Scale-ladder rungs LAST (the slowest phase; every earlier number
     // is already persisted if it wedges): headline queries timed at 1x
     // and Fx generated data, exponent per query — the measured form of
-    // the "would this survive 10x" claim. Bounded wait.
+    // the "would this survive 10x" claim. Storm-proofing (the r14
+    // rc=124 lesson) is three layers deep: every completed rung
+    // re-persists a parseable partial artifact (onRung), each rung
+    // carries its own wall budget (job-group cancel -> t=-1/null), and
+    // the ladder self-deadlines so remaining rungs degrade to disclosed
+    // SKIPPED rows; the Await stays as the outermost backstop and a
+    // timeout keeps the LAST PARTIAL instead of discarding the ladder.
+    val factor = sys.env.getOrElse("GRAFT_LADDER_FACTOR", "10").toInt
+    @volatile var ladderPartial = noLadder
     val ladder =
       try {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
-        val factor = sys.env.getOrElse("GRAFT_LADDER_FACTOR", "10").toInt
         // 2400 s: the factor-30 3-point rungs add ~5-6 min on top of the
         // factor-10 sweep at sf0.1
         val rungs = Await.result(
-          Future(ScaleLadder.run(spark, sfDir, factor)), 2400.seconds)
+          Future(ScaleLadder.run(spark, sfDir, factor, onRung = rs => {
+            ladderPartial = ScaleLadder.toJson(factor, rs, partial = true)
+            persist(jsonLine(stream, sinkCmp, layout, ladderPartial))
+          })), 2400.seconds)
         ScaleLadder.toJson(factor, rungs)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] scale ladder failed: ${e.getMessage}")
-        noLadder
+        System.err.println(s"[bench] scale ladder failed (keeping the " +
+          s"last partial, ${ladderPartial.length} chars): ${e.getMessage}")
+        ladderPartial
       }
     println(jsonLine(stream, sinkCmp, layout, ladder, full = false))
     persist(jsonLine(stream, sinkCmp, layout, ladder))

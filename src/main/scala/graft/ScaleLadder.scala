@@ -170,7 +170,79 @@ object ScaleLadder {
         "deliberately measures the WORST case; a real web corpus is " +
         "Zipf-capped far below row growth"))
 
-  def run(spark: SparkSession, baseDir: String, factor: Int): Seq[Rung] = {
+  /** Per-rung wall budget (seconds): a rung whose timed body exceeds it
+    * is ABORTED via job-group cancellation and recorded as aborted
+    * (t = -1, exponent null) instead of stalling the whole artifact —
+    * the r14 lesson, where one steal storm made the round's bench
+    * unparseable. ~10× quiet-window headroom on the slowest rung. */
+  private def rungBudgetSec: Double =
+    sys.env.getOrElse("GRAFT_RUNG_BUDGET_SEC", "600").toDouble
+
+  /** Whole-ladder deadline (seconds from run() start): once past it,
+    * remaining rungs are SKIPPED with a disclosed note (the
+    * no-silent-caps rule) so a storm degrades coverage, never the
+    * artifact. Sized ~2× the quiet full-ladder wall. */
+  private def ladderDeadlineSec: Double =
+    sys.env.getOrElse("GRAFT_LADDER_DEADLINE_SEC", "2100").toDouble
+
+  /** Run a timed body under the per-rung budget: a daemon timer cancels
+    * the rung's job group at the budget and the abort is reported to
+    * the caller (None) instead of propagating. Driver-side work between
+    * jobs is not interruptible, but every expensive phase of a rung is
+    * a Spark action. */
+  private def withBudget[T](spark: SparkSession, label: String)
+                           (body: => T): Option[T] = {
+    val budget = rungBudgetSec
+    if (budget <= 0) return Some(body)
+    val sc = spark.sparkContext
+    val group = s"ladder-$label"
+    sc.setJobGroup(group, s"ladder rung $label", interruptOnCancel = true)
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val timer = new java.util.Timer("ladder-rung-budget", true)
+    timer.schedule(new java.util.TimerTask {
+      override def run(): Unit = {
+        cancelled.set(true)
+        System.err.println(s"[ladder] $label exceeded the ${budget}s rung " +
+          "budget — cancelling its job group")
+        sc.cancelJobGroup(group)
+      }
+    }, (budget * 1000).toLong)
+    try Some(body)
+    catch {
+      case e: Throwable if cancelled.get() =>
+        System.err.println(s"[ladder] $label aborted at the ${budget}s " +
+          s"budget (${e.getClass.getSimpleName})")
+        None
+    } finally { timer.cancel(); sc.clearJobGroup() }
+  }
+
+  def run(spark: SparkSession, baseDir: String, factor: Int,
+          onRung: Seq[Rung] => Unit = _ => ()): Seq[Rung] = {
+    val deadlineNanos = System.nanoTime() +
+      (ladderDeadlineSec * 1e9).toLong
+    // progress plumbing: every completed (or skipped) rung re-emits the
+    // full list so the caller can persist a parseable partial artifact
+    // after EACH rung — a kill mid-ladder then costs the remaining
+    // rungs, not the whole bench evidence (r14's failure mode)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Rung]
+    def emit(r: Rung): Unit = { acc += r; onRung(acc.toSeq) }
+    def replace(r: Rung): Unit = {
+      val i = acc.indexWhere(_.name == r.name)
+      if (i >= 0) acc(i) = r else acc += r
+      onRung(acc.toSeq)
+    }
+    def pastDeadline: Boolean = System.nanoTime() > deadlineNanos
+    def skipped(name: String): Rung =
+      Rung(name, -1.0, -1.0, Double.NaN,
+        s"SKIPPED: ladder deadline (${ladderDeadlineSec}s) passed before " +
+          "this rung started - coverage degraded, disclosed per the " +
+          "no-silent-caps rule")
+    /** Gate one rung group on the deadline: compute if time remains,
+      * emit a disclosed skip row otherwise. */
+    def gated(names: Seq[String])(compute: => Seq[Rung]): Unit =
+      if (pastDeadline) names.foreach(n => emit(skipped(n)))
+      else compute.foreach(emit)
+
     val root = graft.queries.CdcQueries.tempSinkDir("graft-ladder").toString
     val d1 = s"$root/x1"
     val dF = s"$root/x$factor"
@@ -190,14 +262,18 @@ object ScaleLadder {
     // are both first-touch — symmetric).
     SparkEntry.queries("llm_neardup_jaccard")(spark, d1).count()
     SparkEntry.queries("cdc_normalize_flink")(spark, d1).count()
-    val rungs = LadderQueries.map { name =>
-      val fn = SparkEntry.queries(name)
-      val allow = !CacheConsuming(name)
-      val (t1, n1) = timedQuiet(s"$name@1x", allow)(fn(spark, d1).count())
-      val (tF, nF) = timedQuiet(s"$name@${factor}x", allow)(fn(spark, dF).count())
-      Rung(name, t1, tF, math.log(tF / t1) / math.log(factor.toDouble),
-        Notes.getOrElse(name, "") + n1 + nF)
+    LadderQueries.foreach { name =>
+      if (pastDeadline) emit(skipped(name))
+      else {
+        val fn = SparkEntry.queries(name)
+        val allow = !CacheConsuming(name)
+        val (t1, n1) = timedQuiet(spark, s"$name@1x", allow)(fn(spark, d1).count())
+        val (tF, nF) = timedQuiet(spark, s"$name@${factor}x", allow)(fn(spark, dF).count())
+        emit(Rung(name, t1, tF, fit(t1, tF, factor),
+          Notes.getOrElse(name, "") + n1 + nF))
+      }
     }
+    val rungs = acc.toSeq
     // Incremental dedup with |new| FIXED across rungs (the base
     // replica's %10 shard) while the indexed corpus grows F× — the
     // "scales with |new|, not |corpus|" claim, measured. Index build is
@@ -211,17 +287,16 @@ object ScaleLadder {
         maxDf = graft.queries.LlmQueries.JaccardMaxDf,
         shingleBuckets = 16)
       // the probe reads the PERSISTED index — no session cache, retime ok
-      timedQuiet(label)(graft.ext.IncrementalDedup.nearDupPairs(spark, idx,
+      timedQuiet(spark, label)(graft.ext.IncrementalDedup.nearDupPairs(spark, idx,
         docs.where(isNew), "doc_id", "text", threshold = 0.12).count())
     }
-    val inc = {
+    gated(Seq("llm_dedup_incremental_fixed_new")) {
       val (t1, n1) = timedInc(d1, "llm_dedup_incremental_fixed_new@1x")
       val (tF, nF) = timedInc(dF, s"llm_dedup_incremental_fixed_new@${factor}x")
-      Rung("llm_dedup_incremental_fixed_new", t1, tF,
-        math.log(tF / t1) / math.log(factor.toDouble),
+      Seq(Rung("llm_dedup_incremental_fixed_new", t1, tF, fit(t1, tF, factor),
         "|new| held constant while the indexed corpus grows Fx; the " +
           "residual slope is the index scan, which bucketing amortizes " +
-          "on a cluster" + n1 + nF)
+          "on a cluster" + n1 + nF))
     }
     // Gear-CDC store probe with |new| fixed while the chunk store grows
     // F× — the same "scales with |new|, not |corpus|" claim as the
@@ -241,58 +316,76 @@ object ScaleLadder {
       // artifact) — same discipline as the ladder-wide warmup above
       graft.ext.IncrementalGearChunk.newBytes(spark, idx,
         blobs.where(isNew), "doc_id", "blob").count()
-      timedQuiet(label)(graft.ext.IncrementalGearChunk.newBytes(spark, idx,
+      timedQuiet(spark, label)(graft.ext.IncrementalGearChunk.newBytes(spark, idx,
         blobs.where(isNew), "doc_id", "blob").count())
     }
-    val cdcInc = {
+    gated(Seq("mm_cdc_incremental_fixed_new")) {
       val (t1, n1) = timedCdcInc(d1, "mm_cdc_incremental_fixed_new@1x")
       val (tF, nF) = timedCdcInc(dF, s"mm_cdc_incremental_fixed_new@${factor}x")
-      Rung("mm_cdc_incremental_fixed_new", t1, tF,
-        math.log(tF / t1) / math.log(factor.toDouble),
+      Seq(Rung("mm_cdc_incremental_fixed_new", t1, tF, fit(t1, tF, factor),
         "|new| held constant while the chunk store grows Fx; the " +
           "residual slope is the touched-bucket store scan behind the " +
           "broadcast digest semi-join — production scales the bucket " +
           "count with the store so the probed fraction per batch stays " +
           "constant (this rung's 16 fixture buckets deliberately do " +
-          "not)" + n1 + nF)
+          "not)" + n1 + nF))
+    }
+    gated(DeepRungQueries.map(n => s"${n}_3pt")) {
+      threePointRungs(spark, baseDir, root, factor, rungs)
     }
     // Stage-isolated clean-corpus rungs: the composed llm_clean_corpus
     // rung is fixed-overhead-bound at this scale (its exponent hovers
     // near 0 and constrains nothing), so the data-dependent terms are
     // measured per stage and the composed rung's note quantifies the
-    // overhead floor (composed wall minus the stage sum).
-    val stages1 = graft.queries.LlmQueries.cleanCorpusStageTimes(spark, d1)
-    val stagesF = graft.queries.LlmQueries.cleanCorpusStageTimes(spark, dF)
-    val stageRungs = stages1.zip(stagesF).map {
-      case ((name, t1, n1), (_, tF, nF)) =>
-        Rung(s"llm_clean_corpus_stage_$name", t1, tF,
-          math.log(tF / t1) / math.log(factor.toDouble),
-          s"stage-isolated (inputs pre-persisted); out-rows $n1 at 1x " +
-            s"-> $nF at ${factor}x: the rotation that decorrelates " +
-            "replica shingles also destroys stopword statistics, so " +
-            "rotated replicas fail the quality gate and post-filter " +
-            "stages see near-constant data on generated corpora")
+    // overhead floor (composed wall minus the stage sum). The composed
+    // rung emitted above is REPLACED with its annotated form once the
+    // stage times exist (the onRung consumer sees the final note).
+    if (pastDeadline) emit(skipped("llm_clean_corpus_stage_*"))
+    else {
+      val stages1 = graft.queries.LlmQueries.cleanCorpusStageTimes(spark, d1)
+      val stagesF = graft.queries.LlmQueries.cleanCorpusStageTimes(spark, dF)
+      stages1.zip(stagesF).foreach {
+        case ((name, t1, n1), (_, tF, nF)) =>
+          emit(Rung(s"llm_clean_corpus_stage_$name", t1, tF,
+            fit(t1, tF, factor),
+            s"stage-isolated (inputs pre-persisted); out-rows $n1 at 1x " +
+              s"-> $nF at ${factor}x: the rotation that decorrelates " +
+              "replica shingles also destroys stopword statistics, so " +
+              "rotated replicas fail the quality gate and post-filter " +
+              "stages see near-constant data on generated corpora"))
+      }
+      rungs.find(r => r.name == "llm_clean_corpus" && r.t1 > 0 && r.tF > 0)
+        .foreach { r =>
+          val floor1 = r.t1 - stages1.map(_._2).sum
+          val floorF = r.tF - stagesF.map(_._2).sum
+          def f(d: Double): String = f"$d%.1f"
+          replace(r.copy(note = "composed-pipeline rung constrains LITTLE " +
+            s"at this scale, for two measured reasons: wall minus stage " +
+            s"sum ~= ${f(floor1)} s at 1x / ${f(floorF)} s at ${factor}x " +
+            "is fixed cost (plan analysis, checkpoints, CC driver " +
+            "rounds), and the quality gate filters out rotated replicas " +
+            "so post-filter stages see near-constant data (out-rows in " +
+            "the llm_clean_corpus_stage_* rungs)" + r.note))
+        }
     }
-    val annotated = rungs.map {
-      case r if r.name == "llm_clean_corpus" =>
-        val floor1 = r.t1 - stages1.map(_._2).sum
-        val floorF = r.tF - stagesF.map(_._2).sum
-        def f(d: Double): String = f"$d%.1f"
-        r.copy(note = "composed-pipeline rung constrains LITTLE at this " +
-          s"scale, for two measured reasons: wall minus stage sum ~= " +
-          s"${f(floor1)} s at 1x / ${f(floorF)} s at ${factor}x is fixed " +
-          "cost (plan analysis, checkpoints, CC driver rounds), and the " +
-          "quality gate filters out rotated replicas so post-filter " +
-          "stages see near-constant data (out-rows in the " +
-          "llm_clean_corpus_stage_* rungs)" + r.note)
-      case r => r
+    gated(Seq("llm_minhash_index_bytes", "llm_dedup_index_bytes")) {
+      indexSizeRungs(spark, d1)
     }
-    (annotated :+ inc :+ cdcInc) ++ threePointRungs(spark, baseDir, root, factor,
-      rungs) ++ stageRungs ++ indexSizeRungs(spark, d1) :+
-      zorderRung(spark, d1, dF, factor) :+
-      semdedupScaledKRung(spark, d1, dF, factor) :+
-      bm25ServedRung(spark, d1, dF, factor)
+    gated(Seq("zorder_files_read")) { Seq(zorderRung(spark, d1, dF, factor)) }
+    gated(Seq("llm_semdedup_scaledk")) {
+      Seq(semdedupScaledKRung(spark, d1, dF, factor))
+    }
+    gated(Seq("llm_bm25_served")) {
+      Seq(bm25ServedRung(spark, d1, dF, factor))
+    }
+    acc.toSeq
   }
+
+  /** Fitted exponent, null-safe: an aborted rung (t = -1) yields NaN,
+    * which [[toJson]] emits as JSON null. */
+  private def fit(t1: Double, tF: Double, factor: Int): Double =
+    if (t1 <= 0 || tF <= 0) Double.NaN
+    else math.log(tF / t1) / math.log(factor.toDouble)
 
   /** BM25 SERVED from the persisted postings index, with the bucket
     * count scaled with the corpus (termBuckets ∝ n — the production
@@ -314,7 +407,7 @@ object ScaleLadder {
       graft.ext.IncrementalBm25.writeIndex(docs, "doc_id", "text", idx,
         termBuckets = buckets)
       // the probe reads the PERSISTED index — no session cache, retime ok
-      timedQuiet(label)(graft.ext.IncrementalBm25.search(spark, idx,
+      timedQuiet(spark, label)(graft.ext.IncrementalBm25.search(spark, idx,
         graft.queries.LlmQueries.Bm25QueryTerms, k = 25).count())
     }
     val (t1, n1) = at(d1, 16, "llm_bm25_served@1x")
@@ -345,7 +438,7 @@ object ScaleLadder {
       val n = emb.count()
       val k = math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
       val model = graft.ext.Ivf.train(emb, "vec_id", "embedding", nCells = k)
-      val (t, note) = timedQuiet(label)(
+      val (t, note) = timedQuiet(spark, label)(
         graft.ext.SemDedup.prune(emb, "vec_id", "embedding", model,
           tau = 0.35).count())
       (t, n, k, note)
@@ -390,41 +483,54 @@ object ScaleLadder {
     * plus a note fragment recording any retime / skipped retime, so the
     * artifact itself discloses which numbers came from which window.
     * Both attempts go to stderr. */
-  private def timedQuiet(label: String, retimeAllowed: Boolean = true)
+  private def timedQuiet(spark: SparkSession, label: String,
+                         retimeAllowed: Boolean = true)
                         (body: => Long): (Double, String) = {
-    def once(): (Double, Double) = {
+    // None = the rung budget cancelled the body mid-flight
+    def once(): Option[(Double, Double)] = {
       val s0 = stealSeconds()
       val t0 = System.nanoTime()
-      body
+      val ran = withBudget(spark, label)(body)
       val dt = (System.nanoTime() - t0) / 1e9
       val s1 = stealSeconds()
       System.gc()
-      (dt, if (s0 < 0 || s1 < 0) -1.0 else s1 - s0)
+      ran.map(_ => (dt, if (s0 < 0 || s1 < 0) -1.0 else s1 - s0))
     }
-    val (dt1, st1) = once()
-    if (st1 < 0 || st1 <= 0.1 * dt1) (dt1, "")
-    else if (!retimeAllowed) {
-      System.err.println(
-        s"[ladder] $label: ${fmtS(st1)} s steal inside a ${fmtS(dt1)} s " +
-          "window — NOT retiming (cache-consuming rung)")
-      (dt1, s" [$label: ${fmtS(st1)} s host steal inside this " +
-        s"${fmtS(dt1)} s window, not retimed — the rung populates " +
-        "session caches on first execution, so a retime would measure " +
-        "a cache scan]")
-    } else {
-      System.err.println(
-        s"[ladder] $label: ${fmtS(st1)} s steal inside a ${fmtS(dt1)} s " +
-          "window — retiming once")
-      val (dt2, st2) = once()
-      System.err.println(
-        s"[ladder] $label retime: ${fmtS(dt2)} s (steal ${fmtS(st2)} s)")
-      if (st2 < st1)
-        (dt2, s" [$label: retimed on ${fmtS(st1)} s steal; kept the " +
-          s"quieter window ${fmtS(dt2)} s @${fmtS(st2)} s steal over " +
-          s"${fmtS(dt1)} s @${fmtS(st1)} s]")
-      else
-        (dt1, s" [$label: retime stayed louder (${fmtS(st2)} s steal); " +
-          s"kept the first window ${fmtS(dt1)} s @${fmtS(st1)} s steal]")
+    once() match {
+      case None =>
+        (-1.0, s" [$label: ABORTED at the ${rungBudgetSec} s rung " +
+          "budget - recorded as t=-1 / exponent null so a steal storm " +
+          "degrades this rung, never the artifact]")
+      case Some((dt1, st1)) =>
+        if (st1 < 0 || st1 <= 0.1 * dt1) (dt1, "")
+        else if (!retimeAllowed) {
+          System.err.println(
+            s"[ladder] $label: ${fmtS(st1)} s steal inside a ${fmtS(dt1)} s " +
+              "window — NOT retiming (cache-consuming rung)")
+          (dt1, s" [$label: ${fmtS(st1)} s host steal inside this " +
+            s"${fmtS(dt1)} s window, not retimed — the rung populates " +
+            "session caches on first execution, so a retime would measure " +
+            "a cache scan]")
+        } else {
+          System.err.println(
+            s"[ladder] $label: ${fmtS(st1)} s steal inside a ${fmtS(dt1)} s " +
+              "window — retiming once")
+          once() match {
+            case None =>
+              (dt1, s" [$label: retime aborted at the rung budget; kept " +
+                s"the first window ${fmtS(dt1)} s @${fmtS(st1)} s steal]")
+            case Some((dt2, st2)) =>
+              System.err.println(
+                s"[ladder] $label retime: ${fmtS(dt2)} s (steal ${fmtS(st2)} s)")
+              if (st2 < st1)
+                (dt2, s" [$label: retimed on ${fmtS(st1)} s steal; kept the " +
+                  s"quieter window ${fmtS(dt2)} s @${fmtS(st2)} s steal over " +
+                  s"${fmtS(dt1)} s @${fmtS(st1)} s]")
+              else
+                (dt1, s" [$label: retime stayed louder (${fmtS(st2)} s steal); " +
+                  s"kept the first window ${fmtS(dt1)} s @${fmtS(st1)} s steal]")
+          }
+        }
     }
   }
 
@@ -464,12 +570,13 @@ object ScaleLadder {
           xs.map(x => (x - xm) * (x - xm)).sum
       }
       DeepRungQueries.flatMap { name =>
-        twoPoint.find(_.name == name).map { r =>
-          val (t2, n2) = timedQuiet(s"${name}@${factor2}x",
+        twoPoint.find(r => r.name == name && r.t1 > 0 && r.tF > 0).map { r =>
+          val (t2, n2) = timedQuiet(spark, s"${name}@${factor2}x",
             retimeAllowed = !CacheConsuming(name))(
             SparkEntry.queries(name)(spark, d2).count())
-          val e = lsSlope(Seq(1.0 -> r.t1, factor.toDouble -> r.tF,
-            factor2.toDouble -> t2))
+          val e = if (t2 <= 0) Double.NaN
+            else lsSlope(Seq(1.0 -> r.t1, factor.toDouble -> r.tF,
+              factor2.toDouble -> t2))
           def f(d: Double): String = f"$d%.1f"
           Rung(s"${name}_3pt", r.t1, t2, e,
             s"3-point least-squares over 1x/${factor}x/${factor2}x " +
@@ -570,13 +677,21 @@ object ScaleLadder {
           "storage term the signature twin drops"))
   }
 
-  def toJson(factor: Int, rungs: Seq[Rung]): String = {
-    def num(d: Double): String = (math.rint(d * 1000) / 1000).toString
+  /** Ladder JSON. NaN/Infinity (aborted or skipped rungs) emit as JSON
+    * null — `NaN` is not valid JSON and one stormed rung must never
+    * make the whole artifact unparseable (the r14 failure). `partial`
+    * marks an in-progress emission from the per-rung progress callback
+    * so a killed run's artifact discloses its own incompleteness. */
+  def toJson(factor: Int, rungs: Seq[Rung], partial: Boolean = false): String = {
+    def num(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null"
+      else (math.rint(d * 1000) / 1000).toString
     val qs = rungs.map { r =>
       val note = if (r.note.isEmpty) "" else s""","note":"${r.note}""""
       s""""${r.name}":{"t1":${num(r.t1)},"tF":${num(r.tF)},"exponent":${num(r.exponent)}$note}"""
     }.mkString("{", ",", "}")
-    s"""{"factor":$factor,"queries":$qs}"""
+    val part = if (partial) """"partial":true,""" else ""
+    s"""{$part"factor":$factor,"queries":$qs}"""
   }
 
   /** Standalone entry: `runMain graft.ScaleLadder [baseDir [factor]]`. */

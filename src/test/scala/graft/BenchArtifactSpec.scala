@@ -1,0 +1,90 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storm-proofing of the bench artifact (the r14 rc=124 lesson: the
+  * driver's bench timed out mid-ladder and the round's one mechanical
+  * bench check was lost). Three properties are pinned:
+  *  1. ladder JSON stays parseable through aborted/skipped rungs
+  *     (NaN exponents emit as JSON null, never the literal `NaN`);
+  *  2. partial emissions are valid JSON and disclose themselves;
+  *  3. end-to-end: a REAL `graft.Bench` process killed with SIGKILL as
+  *     soon as `bench_out.json` first appears leaves a parseable
+  *     artifact behind (the atomic tmp+move persist).
+  */
+class BenchArtifactSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  test("toJson: aborted and skipped rungs (NaN) emit null, JSON stays parseable") {
+    val rungs = Seq(
+      ScaleLadder.Rung("ok", 1.0, 8.0, 0.903, "fine"),
+      ScaleLadder.Rung("aborted", -1.0, -1.0, Double.NaN,
+        "ABORTED at the 600.0 s rung budget - recorded as t=-1"),
+      ScaleLadder.Rung("skipped", -1.0, -1.0, Double.NaN,
+        "SKIPPED: ladder deadline"))
+    val js = ScaleLadder.toJson(10, rungs)
+    assert(!js.contains("NaN"))
+    val node = mapper.readTree(js)
+    assert(node.get("factor").asInt() === 10)
+    assert(node.get("queries").get("ok").get("exponent").asDouble() === 0.903)
+    assert(node.get("queries").get("aborted").get("exponent").isNull)
+    assert(node.get("queries").get("skipped").get("note").asText()
+      .contains("SKIPPED"))
+  }
+
+  test("toJson partial flag marks in-progress emissions and parses") {
+    val js = ScaleLadder.toJson(10,
+      Seq(ScaleLadder.Rung("first", 1.0, 9.0, 0.954)), partial = true)
+    val node = mapper.readTree(js)
+    assert(node.get("partial").asBoolean())
+    assert(node.get("queries").get("first").get("tF").asDouble() === 9.0)
+  }
+
+  test("a Bench process SIGKILLed at first persist leaves a parseable artifact") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("bench-kill").toFile
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.directory(dir)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    pb.environment().put("GRAFT_BENCH_SMOKE", "2") // 2 queries, no forks
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new java.io.File(dir, "bench.log"))
+    val p = pb.start()
+    val artifact = new java.io.File(dir, "bench_out.json")
+    try {
+      // poll until the FIRST persisted artifact appears (the "started"
+      // skeleton lands right after session init), then SIGKILL
+      val deadline = System.nanoTime() + 240L * 1000000000L
+      var seen: String = null
+      while (seen == null && System.nanoTime() < deadline && p.isAlive) {
+        if (artifact.exists() && artifact.length() > 0) {
+          val txt = new String(java.nio.file.Files.readAllBytes(artifact.toPath))
+          // atomic move guarantees a complete line once the file exists
+          if (txt.endsWith("\n")) seen = txt
+        }
+        if (seen == null) Thread.sleep(500)
+      }
+      assert(seen != null, "bench_out.json never appeared (see bench.log)")
+      p.destroyForcibly() // SIGKILL mid-run
+      p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      // the survivor on disk must be complete, parseable JSON with the
+      // contract fields — exactly what the r14 driver artifact was not
+      val txt = new String(java.nio.file.Files.readAllBytes(artifact.toPath))
+      val node = mapper.readTree(txt)
+      assert(node.has("queries") && node.has("canary") && node.has("ladder")
+        && node.has("sf"))
+      assert(node.get("metric").asText() === "total")
+    } finally {
+      if (p.isAlive) p.destroyForcibly()
+    }
+  }
+}
