@@ -29,14 +29,18 @@ private[ext] case class WarcRecordRow(file_id: Long, rec_idx: Int,
   *    [[parseRecords]]; records never span files so no cross-partition
   *    coordination exists, and the blob never crosses a shuffle (the
   *    [[Multimodal]] rule);
-  *  - parsing is a single forward scan over the byte array: headers are
-  *    decoded from a bounded slice, each payload is ONE copy (the
-  *    `Content-Length` slice) — no regex over the full file, no
-  *    line-splitting of megabyte blocks;
+  *  - parsing is a single forward STREAM ([[recordIterator]]): headers
+  *    are decoded line-by-line off the input, each payload is ONE copy
+  *    (the `Content-Length` read) — no regex over the full file, no
+  *    line-splitting of megabyte blocks, and one record resident at a
+  *    time;
   *  - gzip: Common Crawl writes one gzip MEMBER per record so readers
-  *    can split; [[gunzipAll]] inflates concatenated members in one
-  *    streaming pass (JDK `GZIPInputStream` handles multi-member), and
-  *    the downstream parser is byte-identical for both forms.
+  *    can split; the record stream runs THROUGH a multi-member
+  *    `GZIPInputStream` (JDK handles member boundaries), so a shard
+  *    that inflates 3-4× past its compressed size never materializes a
+  *    whole-file inflated copy — past the 2 GB array bound that copy
+  *    could not even exist. [[gunzipAll]] remains for whole-buffer
+  *    callers (JSONL).
   *
   * The writer side ([[synthesizeWet]]) exists for the fixture: the
   * corpus has no WARC files, so documents are wrapped into REAL WET
@@ -153,67 +157,125 @@ object Warc {
     b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
       (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd
 
-  /** Parse every record of one WARC file: single forward scan, one
+  /** Stream every record of one WARC file off `in` — header lines read
+    * byte-by-byte (each bounded by the loud CRLF requirement), ONE
     * payload copy per record, malformed framing fails loudly (a corrupt
-    * crawl segment should surface, not silently truncate). Gzipped
-    * input (magic-sniffed) is inflated first. */
-  def parseRecords(fileId: Long, bytesIn: Array[Byte]): Seq[WarcRecordRow] = {
-    val bytes = if (isGzip(bytesIn)) gunzipAll(bytesIn) else bytesIn
-    val out = Vector.newBuilder[WarcRecordRow]
-    var pos = 0
-    var idx = 0
-    def line(from: Int): (String, Int) = {
-      var i = from
-      while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
-      require(i + 1 < bytes.length, s"warc: unterminated header line at $from")
-      (new String(bytes, from, i - from, UTF_8), i + 2)
-    }
-    while (pos < bytes.length) {
-      val (ver, p0) = line(pos)
-      require(ver.startsWith("WARC/"), s"warc: bad version '$ver' at $pos")
-      var p = p0
-      var typ = ""; var uri = ""; var rid = ""; var date = ""
-      var ctype = ""; var clen = -1L
-      var l = line(p)
-      while (l._1.nonEmpty) {
-        val colon = l._1.indexOf(':')
-        require(colon > 0, s"warc: malformed header '${l._1}'")
-        val k = l._1.substring(0, colon).trim.toLowerCase
-        val v = l._1.substring(colon + 1).trim
-        k match {
-          case "warc-type"       => typ = v
-          case "warc-target-uri" => uri = v
-          case "warc-record-id"  => rid = v
-          case "warc-date"       => date = v
-          case "content-type"    => ctype = v
-          case "content-length"  => clen = v.toLong
-          case _                 => // unknown headers are legal; skip
+    * crawl segment should surface, not silently truncate). Streaming is
+    * the 100 TB shape: a gzip/multi-member `.wet.gz` shard wrapped in a
+    * `GZIPInputStream` keeps ONE record resident at a time instead of a
+    * whole-file inflated copy (Common Crawl segments inflate 3-4× past
+    * their ~1 GiB compressed size — past the 2 GB array bound a
+    * whole-file copy cannot even exist). */
+  def recordIterator(fileId: Long, in: java.io.InputStream): Iterator[WarcRecordRow] =
+    new scala.collection.AbstractIterator[WarcRecordRow] {
+      private var idx = 0
+      private var off = 0L // decompressed offset, for loud messages
+      private var nextRow: WarcRecordRow = _
+      private def readFully(arr: Array[Byte], what: String): Unit = {
+        var got = 0
+        while (got < arr.length) {
+          val r = in.read(arr, got, arr.length - got)
+          require(r >= 0, s"warc: truncated $what at offset $off " +
+            s"(eof after $got of ${arr.length} bytes)")
+          got += r
         }
-        p = l._2; l = line(p)
+        off += arr.length
       }
-      p = l._2 // past the blank line
-      require(clen >= 0, "warc: record without Content-Length")
-      require(p + clen + 4 <= bytes.length,
-        s"warc: truncated block (need ${clen + 4} at $p of ${bytes.length})")
-      // conversion/warcinfo blocks are UTF-8 by the WET convention;
-      // response blocks are HTTP messages whose BODY charset must be
-      // resolved (BOM -> Content-Type -> <meta> -> UTF-8/latin-1), so
-      // the head/body split happens at the BYTE level before any decode
-      // (decoding first would already have mojibaked legacy payloads).
-      val text =
-        if (typ == "response") decodeHttpResponse(bytes, p, clen.toInt)
-        else if (typ == "conversion" || typ == "warcinfo")
-          new String(bytes, p, clen.toInt, UTF_8)
-        else ""
-      require(bytes(p + clen.toInt) == '\r' && bytes(p + clen.toInt + 1) == '\n' &&
-        bytes(p + clen.toInt + 2) == '\r' && bytes(p + clen.toInt + 3) == '\n',
-        s"warc: missing record terminator at ${p + clen}")
-      out += WarcRecordRow(fileId, idx, typ, uri, rid, date, ctype, clen, text)
-      idx += 1
-      pos = p + clen.toInt + 4
+      /** One CRLF-terminated header line; None on clean EOF at a record
+        * boundary (only when `optionalEof`). */
+      private def line(optionalEof: Boolean): Option[String] = {
+        val first = in.read()
+        if (first < 0) {
+          require(optionalEof, s"warc: truncated record at offset $off")
+          return None
+        }
+        val buf = new ByteArrayOutputStream(96)
+        var b = first
+        while (true) {
+          require(b >= 0, s"warc: unterminated header line at offset $off")
+          if (b == '\n') {
+            val arr = buf.toByteArray
+            require(arr.nonEmpty && arr(arr.length - 1) == '\r',
+              s"warc: bare LF in header at offset $off")
+            off += arr.length + 1
+            return Some(new String(arr, 0, arr.length - 1, UTF_8))
+          }
+          buf.write(b)
+          b = in.read()
+        }
+        None // unreachable
+      }
+      private def advance(): Unit = {
+        nextRow = null
+        val verOpt = line(optionalEof = true)
+        if (verOpt.isEmpty) return
+        val ver = verOpt.get
+        require(ver.startsWith("WARC/"), s"warc: bad version '$ver' at offset $off")
+        var typ = ""; var uri = ""; var rid = ""; var date = ""
+        var ctype = ""; var clen = -1L
+        var l = line(optionalEof = false).get
+        while (l.nonEmpty) {
+          val colon = l.indexOf(':')
+          require(colon > 0, s"warc: malformed header '$l'")
+          val k = l.substring(0, colon).trim.toLowerCase
+          val v = l.substring(colon + 1).trim
+          k match {
+            case "warc-type"       => typ = v
+            case "warc-target-uri" => uri = v
+            case "warc-record-id"  => rid = v
+            case "warc-date"       => date = v
+            case "content-type"    => ctype = v
+            case "content-length"  => clen = v.toLong
+            case _                 => // unknown headers are legal; skip
+          }
+          l = line(optionalEof = false).get
+        }
+        require(clen >= 0, "warc: record without Content-Length")
+        require(clen <= Int.MaxValue - 8,
+          s"warc: implausible Content-Length $clen at offset $off")
+        val block = new Array[Byte](clen.toInt)
+        readFully(block, "block")
+        val term = new Array[Byte](4)
+        readFully(term, "record terminator")
+        require(term(0) == '\r' && term(1) == '\n' &&
+          term(2) == '\r' && term(3) == '\n',
+          s"warc: missing record terminator at offset $off")
+        // conversion/warcinfo blocks are UTF-8 by the WET convention;
+        // response blocks are HTTP messages whose BODY charset must be
+        // resolved (BOM -> Content-Type -> <meta> -> UTF-8/latin-1), so
+        // the head/body split happens at the BYTE level before any decode
+        // (decoding first would already have mojibaked legacy payloads).
+        val text =
+          if (typ == "response") decodeHttpResponse(block, 0, block.length)
+          else if (typ == "conversion" || typ == "warcinfo")
+            new String(block, UTF_8)
+          else ""
+        nextRow = WarcRecordRow(fileId, idx, typ, uri, rid, date, ctype, clen, text)
+        idx += 1
+      }
+      advance()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): WarcRecordRow = {
+        if (nextRow == null) throw new NoSuchElementException
+        val r = nextRow; advance(); r
+      }
     }
-    out.result()
+
+  /** Lazy per-file record stream over an in-memory blob; gzip is
+    * magic-sniffed (SOUND here, unlike TFRecord: a raw record starts
+    * with the ASCII bytes `WARC/`, which cannot collide with `1f 8b`)
+    * and inflated STREAMING through the same iterator. */
+  def recordStream(fileId: Long, bytesIn: Array[Byte]): Iterator[WarcRecordRow] = {
+    val base = new java.io.ByteArrayInputStream(bytesIn)
+    val in =
+      if (isGzip(bytesIn)) new GZIPInputStream(base, 64 * 1024)
+      else base: java.io.InputStream
+    recordIterator(fileId, new java.io.BufferedInputStream(in, 64 * 1024))
   }
+
+  /** Eager form of [[recordStream]] (specs + small fixtures). */
+  def parseRecords(fileId: Long, bytesIn: Array[Byte]): Seq[WarcRecordRow] =
+    recordStream(fileId, bytesIn).toVector
 
   /** Charset-aware decode of an HTTP response block: the head is
     * latin-1 by RFC 9112 (octets are ASCII-compatible), the body
@@ -265,7 +327,7 @@ object Warc {
     import spark.implicits._
     files.select(col(fileIdCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (fid, blob) => parseRecords(fid, blob) })
+      .mapPartitions(_.flatMap { case (fid, blob) => recordStream(fid, blob) })
   }
 
   /** The WET text extraction a corpus build starts from: conversion

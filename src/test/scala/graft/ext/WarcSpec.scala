@@ -96,6 +96,35 @@ class WarcSpec extends SparkSpecBase {
     assert(Warc.httpBody("HTTP/1.1 200 OK\r\nA: b\r\n\r\n<p>x</p>") === "<p>x</p>")
   }
 
+  test("record stream is lazy: earlier records served before a corrupt tail") {
+    val good = Warc.conversionRecord(1L, "first record") ++
+      Warc.conversionRecord(2L, "second record") ++
+      Warc.conversionRecord(3L, "third record")
+    val bad = good.clone()
+    bad(bad.length - 1) = 'X' // corrupt the LAST record's terminator
+    val it = Warc.recordStream(0L, bad)
+    assert(it.next().text === "first record") // prefetched record 2 only
+    val e = intercept[IllegalArgumentException] { it.next(); it.next() }
+    assert(e.getMessage.contains("terminator"))
+  }
+
+  test("a multi-megabyte multi-member gz shard streams record-at-a-time") {
+    // ~8 MB inflated across 400 per-record gzip members (the Common
+    // Crawl layout): the streaming reader never builds the inflated
+    // whole-file copy the old parse materialized.
+    val text = "w" * 20000
+    val recs = (0L until 400L).map(i => Warc.conversionRecord(i, text))
+    val blob = Warc.gzipPerRecord(recs)
+    var n = 0
+    val it = Warc.recordStream(7L, blob)
+    while (it.hasNext) {
+      val r = it.next()
+      assert(r.file_id === 7L && r.text.length === 20000)
+      n += 1
+    }
+    assert(n === 400)
+  }
+
   test("parse is map-side: no shuffle, blob never crosses an exchange") {
     val d = df((0L until 20L).map(i => i -> s"doc $i text"): _*)
     val dir = java.nio.file.Files.createTempDirectory("warc_plan").toString
