@@ -125,7 +125,10 @@ object ScaleLadder {
         "of shingles (43.5k vs the full index's 1.27M at sf0.1), the " +
         "lossless alternative to the maxDf recall cap; below ~t=0.5 " +
         "the plain inverted index wins and is what llm_neardup_jaccard " +
-        "uses"),
+        "uses. 3pt fit history (the r11 watchlist item): r14 measured " +
+        "0.83/0.73 across two windows (one stormed); r15 quiet fit " +
+        "0.76, within 0.01 of the unfiltered base rung's 0.75 - the " +
+        "rank-window n log n term dominates, no superlinear knee"),
     "llm_cosine_neardup_scale" ->
       ("fixed 12-plane LSH: candidates scale n^2/2^p; at 10x data a " +
         "production deployment raises nPlanes by ~log2(10) to hold the " +
