@@ -131,6 +131,7 @@ object SparkEntry {
     "llm_tfrecord_gz_roundtrip" -> (LlmQueries.tfrecordGzRoundtrip _),
     "llm_tfrecord_zst_roundtrip" -> (LlmQueries.tfrecordZstRoundtrip _),
     "llm_tfrecord_tokens_roundtrip" -> (LlmQueries.tfrecordTokensRoundtrip _),
+    "llm_tfrecord_pack_chain"  -> (LlmQueries.tfrecordPackChain _),
     "llm_chunk_chars"          -> (LlmQueries.chunkChars _),
     "llm_chunk_tokens"         -> (LlmQueries.chunkTokens _),
     "llm_chunk_stats"          -> (LlmQueries.chunkStats _),
@@ -2436,6 +2437,43 @@ object SparkEntry {
         |       CAST(length(tok) AS BIGINT) * 1000003 + pos AS tok_id,
         |       CAST(length(tok) AS FLOAT4) AS tf
         |FROM e ORDER BY doc_id, pos""".stripMargin,
+    // Training-shard delivery chain: concat-then-chunk pack assignment
+    // (the llm_pack_stats layout) -> per-pack token-id sequences
+    // concatenated in doc order -> TFRecord int64_list Examples ->
+    // read back -> length + id checksum + POSITION-WEIGHTED checksum
+    // (pins concatenation order). The oracle restates everything live:
+    // shard scramble, running offsets, within-pack offsets (start
+    // offset minus the pack's first-doc offset), per-token fingerprint
+    // ids — all BIGINT-exact in both engines.
+    "llm_tfrecord_pack_chain" ->
+      """WITH d AS (SELECT doc_id,
+        |    ((doc_id * 2654435761) % 1000000007) % 1000000 % 8 AS shard,
+        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |laid AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS so
+        |         FROM d),
+        |p AS (SELECT *, CAST(so // 2048 AS BIGINT) AS pack_id,
+        |        so - min(so) OVER (PARTITION BY shard, so // 2048) AS off_in_pack
+        |      FROM laid),
+        |docagg AS (SELECT CAST(shard AS BIGINT) AS shard, pack_id,
+        |        count(*) AS n_docs
+        |      FROM p GROUP BY 1, 2),
+        |t AS (SELECT CAST(shard AS BIGINT) AS shard, pack_id,
+        |        CAST(len(toks[u.i]) AS BIGINT) * 1000003 + (u.i - 1) AS id,
+        |        off_in_pack + (u.i - 1) AS wpos
+        |      FROM p, unnest(generate_series(1, len(toks))) AS u(i)),
+        |tokagg AS (SELECT shard, pack_id, count(*) AS n_ids,
+        |        CAST(sum(id) AS BIGINT) AS id_checksum,
+        |        CAST(sum(id * wpos) AS BIGINT) AS pos_checksum
+        |      FROM t GROUP BY 1, 2)
+        |SELECT d.shard, d.pack_id, d.n_docs,
+        |  coalesce(tk.n_ids, 0) AS n_ids,
+        |  coalesce(tk.id_checksum, 0) AS id_checksum,
+        |  coalesce(tk.pos_checksum, 0) AS pos_checksum
+        |FROM docagg d LEFT JOIN tokagg tk USING (shard, pack_id)
+        |ORDER BY shard, pack_id""".stripMargin,
     // Sliding-window chunking (ext/Chunker.scala): generate_series of
     // 1-based start offsets, substr/list_slice windows — the chunk
     // TEXT itself is hash-gated byte-for-byte, not just the counts.

@@ -2861,6 +2861,53 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** The training-shard DELIVERY chain end-to-end — what an LLM data
+    * pipeline actually hands the trainer: concat-then-chunk packing
+    * assigns documents to fixed-token-budget packs
+    * ([[graft.ext.Packing.concatChunk]], the llm_pack_stats layout),
+    * each pack's token-id sequences concatenate IN DOC ORDER into one
+    * `input_ids` list, packs ship as TFRecord Examples (`int64_list`
+    * of ~2048 ids — the accelerator feed), and verification reads the
+    * shards BACK and derives every output column from the read bytes:
+    * list length, id checksum, and a POSITION-WEIGHTED checksum that
+    * pins concatenation order (a shuffled sequence with the same ids
+    * fails the gate). The oracle restates all of it live from the
+    * original table — shard scramble, running offsets, within-pack
+    * offsets, per-token fingerprint ids. Per-pack state is bounded by
+    * the token budget, so the collect_list is the pack, never the
+    * corpus. */
+  def tfrecordPackChain(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CdcQueries.tempSinkDir("graft-tfrecord-pack").toString
+    val d = docs(spark, sfDir)
+    val docIds = d.select(col("doc_id"),
+      graft.ext.TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        expr("transform(toks, (t, i) -> CAST(length(t) AS BIGINT) * 1000003 + i)")
+          .as("ids"))
+    val assigned = graft.ext.Packing.concatChunk(d, "doc_id", "text",
+      nShards = 8, budgetTokens = 2048L)
+    val packsDf = assigned.join(docIds, "doc_id")
+      .select(col("shard").cast("long").as("shard"),
+        col("pack_id").cast("long").as("pack_id"),
+        col("doc_id"), col("ids"))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        collect_list(struct(col("doc_id"), col("ids"))).as("parts"))
+      .select(col("shard"), col("pack_id"), col("n_docs"),
+        expr("flatten(transform(sort_array(parts), s -> s.ids))").as("input_ids"))
+    graft.ext.TfRecordIo.write(packsDf.repartition(4), dir)
+    val back = graft.ext.TfRecordIo.read(spark, dir, packsDf.schema)
+    back.select(col("shard"), col("pack_id"), col("n_docs"),
+        size(col("input_ids")).cast("long").as("n_ids"),
+        expr("aggregate(input_ids, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("id_checksum"),
+        expr("CASE WHEN size(input_ids) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "aggregate(zip_with(input_ids, sequence(CAST(0 AS BIGINT), " +
+          "CAST(size(input_ids) - 1 AS BIGINT)), (x, p) -> x * p), " +
+          "CAST(0 AS BIGINT), (a, y) -> a + y) END").as("pos_checksum"))
+      .orderBy("shard", "pack_id")
+  }
+
   /** TFRecord round-trip of the REAL LLM payload — LIST features: a
     * token-id sequence (`int64_list` of many ids per example, the
     * packed-batch column every TPU-era corpus ships), the token

@@ -301,6 +301,19 @@ class TfRecordIoSpec extends SparkSpecBase {
     assert(e.getMessage.contains("crc mismatch"))
   }
 
+  test("pack-chain checksums are order-sensitive: a shuffled id sequence " +
+    "with identical ids fails the position-weighted gate") {
+    // the llm_tfrecord_pack_chain gate relies on pos_checksum pinning
+    // concatenation ORDER, not just membership — verify the arithmetic
+    // separates a permutation
+    def posChk(ids: Seq[Long]): Long =
+      ids.zipWithIndex.map { case (x, p) => x * p }.sum
+    val ids = Seq(11L, 7L, 29L, 3L)
+    val shuffled = Seq(3L, 29L, 7L, 11L)
+    assert(ids.sum === shuffled.sum) // plain checksum cannot tell them apart
+    assert(posChk(ids) !== posChk(shuffled))
+  }
+
   test("a multi-megabyte gzipped shard streams through record-at-a-time") {
     // ~8 MB inflated across 2k records: exercises the streaming path on
     // a shard where a whole-file inflated copy would dominate residency.
