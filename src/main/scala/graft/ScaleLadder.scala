@@ -381,7 +381,37 @@ object ScaleLadder {
     gated(Seq("llm_bm25_served")) {
       Seq(bm25ServedRung(spark, d1, dF, factor))
     }
+    gated(Seq("llm_tfrecord_io")) {
+      Seq(tfrecordIoRung(spark, d1, dF, factor))
+    }
     acc.toSeq
+  }
+
+  /** TFRecord container IO at scale (write + streaming read-and-decode
+    * wall): docs → CRC32C-framed `tf.train.Example` shards on the FS
+    * seam → `binaryFile` streaming read, full proto decode, count.
+    * Map-side in both directions with no shuffle (plan-asserted in
+    * PlanShapeSpec), so ~linear is the FLOOR for a container path —
+    * every byte is encoded, CRC'd, and re-verified exactly once — and
+    * the rung's claim is the ABSENCE of any superlinear term
+    * (per-record cost constant as shards grow F×). */
+  private def tfrecordIoRung(spark: SparkSession, d1: String,
+                             dF: String, factor: Int): Rung = {
+    def at(dir: String, label: String): (Double, String) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val out = s"$dir/__tfrec_io"
+      timedQuiet(spark, label) {
+        graft.ext.TfRecordIo.write(docs.repartition(8), out)
+        graft.ext.TfRecordIo.read(spark, out, docs.schema).count()
+      }
+    }
+    val (t1, n1) = at(d1, "llm_tfrecord_io@1x")
+    val (tF, nF) = at(dF, s"llm_tfrecord_io@${factor}x")
+    Rung("llm_tfrecord_io", t1, tF, fit(t1, tF, factor),
+      "container write+read+decode wall, map-side both directions: " +
+        "~linear is the IO floor (every byte encoded, CRC'd and " +
+        "re-verified once); the claim is no superlinear term as " +
+        "shards grow Fx" + n1 + nF)
   }
 
   /** Fitted exponent, null-safe: an aborted rung (t = -1) yields NaN,

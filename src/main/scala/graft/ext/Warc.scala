@@ -261,15 +261,18 @@ object Warc {
       }
     }
 
-  /** Lazy per-file record stream over an in-memory blob; gzip is
+  /** Lazy per-file record stream over an in-memory blob; gzip/zstd are
     * magic-sniffed (SOUND here, unlike TFRecord: a raw record starts
-    * with the ASCII bytes `WARC/`, which cannot collide with `1f 8b`)
-    * and inflated STREAMING through the same iterator. */
+    * with the ASCII bytes `WARC/`, which cannot collide with `1f 8b`
+    * or `28 b5 2f fd`) and inflated STREAMING through the same
+    * iterator. */
   def recordStream(fileId: Long, bytesIn: Array[Byte]): Iterator[WarcRecordRow] = {
     val base = new java.io.ByteArrayInputStream(bytesIn)
-    val in =
+    val in: java.io.InputStream =
       if (isGzip(bytesIn)) new GZIPInputStream(base, 64 * 1024)
-      else base: java.io.InputStream
+      else if (isZstd(bytesIn))
+        new com.github.luben.zstd.ZstdInputStream(base)
+      else base
     recordIterator(fileId, new java.io.BufferedInputStream(in, 64 * 1024))
   }
 

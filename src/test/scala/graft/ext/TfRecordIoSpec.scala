@@ -301,6 +301,28 @@ class TfRecordIoSpec extends SparkSpecBase {
     assert(e.getMessage.contains("crc mismatch"))
   }
 
+  test("a mixed-codec directory (raw + .gz + .zst shards) reads as one table") {
+    import spark.implicits._
+    val dirs = Seq("none", "gzip", "zstd").map { c =>
+      val d = java.nio.file.Files.createTempDirectory(s"tfrec-mix-$c").toString
+      val df = Seq((c.length.toLong, c)).toDF("id", "txt")
+      TfRecordIo.write(df.repartition(1), d, codec = c)
+      d
+    }
+    val mixed = java.nio.file.Files.createTempDirectory("tfrec-mixed")
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      val f = new java.io.File(d).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.copy(f.toPath,
+        mixed.resolve(s"shard-$i-${f.getName.stripPrefix("part-")}"))
+    }
+    val st2 = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType)))
+    val back = TfRecordIo.read(spark, mixed.toString, st2)
+      .orderBy("id", "txt").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq === Seq((4L, "gzip"), (4L, "none"), (4L, "zstd")))
+  }
+
   test("pack-chain checksums are order-sensitive: a shuffled id sequence " +
     "with identical ids fails the position-weighted gate") {
     // the llm_tfrecord_pack_chain gate relies on pos_checksum pinning

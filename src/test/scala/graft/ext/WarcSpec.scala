@@ -96,6 +96,14 @@ class WarcSpec extends SparkSpecBase {
     assert(Warc.httpBody("HTTP/1.1 200 OK\r\nA: b\r\n\r\n<p>x</p>") === "<p>x</p>")
   }
 
+  test("a zstd-compressed WET blob parses through the same record stream") {
+    val raw = Warc.buildWetFile(3L, Seq(1L -> "alpha", 2L -> "beta"))
+    val rows = Warc.parseRecords(3L, Warc.zstd(raw))
+    assert(rows.map(_.warc_type) === Seq("warcinfo", "conversion", "conversion"))
+    assert(rows.filter(_.warc_type == "conversion").map(_.text) ===
+      Seq("alpha", "beta"))
+  }
+
   test("record stream is lazy: earlier records served before a corrupt tail") {
     val good = Warc.conversionRecord(1L, "first record") ++
       Warc.conversionRecord(2L, "second record") ++
