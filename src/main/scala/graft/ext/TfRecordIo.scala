@@ -351,7 +351,11 @@ object TfRecordIo {
       private var nextRec: Array[Byte] = _
       private def advance(): Unit = {
         if (!readFully(in, head, 12, "header", off, optional = true)) {
-          nextRec = null; return
+          nextRec = null
+          // close at clean EOF: decompressor wrappers (zstd-jni
+          // especially) hold native memory that must not wait for GC
+          try in.close() catch { case _: Throwable => () }
+          return
         }
         require(readLe32(head, 8) == maskedCrc(head, 0, 8),
           s"tfrecord: length crc mismatch at offset $off")

@@ -143,11 +143,13 @@ object Warc {
   def unzstdAll(bytes: Array[Byte]): Array[Byte] = {
     val in = new com.github.luben.zstd.ZstdInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    val out = new ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](64 * 1024)
-    var n = in.read(buf)
-    while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
+    try {
+      val out = new ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close() // zstd-jni native context, not GC-managed
   }
 
   /** Zstd frame magic `28 b5 2f fd` — unlike the TFRecord/gzip pair,
@@ -208,7 +210,12 @@ object Warc {
       private def advance(): Unit = {
         nextRow = null
         val verOpt = line(optionalEof = true)
-        if (verOpt.isEmpty) return
+        if (verOpt.isEmpty) {
+          // close at clean EOF: decompressor wrappers (zstd-jni
+          // especially) hold native memory that must not wait for GC
+          try in.close() catch { case _: Throwable => () }
+          return
+        }
         val ver = verOpt.get
         require(ver.startsWith("WARC/"), s"warc: bad version '$ver' at offset $off")
         var typ = ""; var uri = ""; var rid = ""; var date = ""
