@@ -552,13 +552,15 @@ object Bench {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
-        // 2400 s: the factor-30 3-point rungs add ~5-6 min on top of the
-        // factor-10 sweep at sf0.1
+        // 3000 s backstop: must sit ABOVE the ladder's own worst case
+        // (2100 s deadline + one in-flight rung's 600 s budget + its
+        // pair member) — the deadline/budget layers are the real
+        // bounds, the Await only catches a wedged driver
         val rungs = Await.result(
           Future(ScaleLadder.run(spark, sfDir, factor, onRung = rs => {
             ladderPartial = ScaleLadder.toJson(factor, rs, partial = true)
             persist(jsonLine(stream, sinkCmp, layout, ladderPartial))
-          })), 2400.seconds)
+          })), 3000.seconds)
         ScaleLadder.toJson(factor, rungs)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale ladder failed (keeping the " +

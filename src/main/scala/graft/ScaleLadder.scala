@@ -271,7 +271,11 @@ object ScaleLadder {
         val fn = SparkEntry.queries(name)
         val allow = !CacheConsuming(name)
         val (t1, n1) = timedQuiet(spark, s"$name@1x", allow)(fn(spark, d1).count())
-        val (tF, nF) = timedQuiet(spark, s"$name@${factor}x", allow)(fn(spark, dF).count())
+        // 1x aborted -> the exponent is null either way; don't spend a
+        // second rung budget on the Fx side of a dead pair
+        val (tF, nF) =
+          if (t1 < 0) (-1.0, s" [$name@${factor}x skipped: 1x aborted]")
+          else timedQuiet(spark, s"$name@${factor}x", allow)(fn(spark, dF).count())
         emit(Rung(name, t1, tF, fit(t1, tF, factor),
           Notes.getOrElse(name, "") + n1 + nF))
       }
