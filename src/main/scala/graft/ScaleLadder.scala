@@ -254,6 +254,13 @@ object ScaleLadder {
     // directly would let session caches built by earlier bench phases
     // contaminate the 1x side.
     generate(spark, baseDir, d1, 1)
+    // a storm so bad that 1x generation alone ate the deadline must
+    // not silently start the FULL factor-F generation on top
+    if (pastDeadline) {
+      (LadderQueries ++ Seq("llm_dedup_incremental_fixed_new",
+        "mm_cdc_incremental_fixed_new")).foreach(n => emit(skipped(n)))
+      return acc.toSeq
+    }
     generate(spark, baseDir, dF, factor)
     // Untimed JIT warmup on the 1x copy (shingle/codegen + JSON parse
     // paths): without it C2 compilation lands inside the first 1x
