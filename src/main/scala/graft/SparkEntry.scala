@@ -132,6 +132,7 @@ object SparkEntry {
     "llm_tfrecord_zst_roundtrip" -> (LlmQueries.tfrecordZstRoundtrip _),
     "llm_tfrecord_tokens_roundtrip" -> (LlmQueries.tfrecordTokensRoundtrip _),
     "llm_tfrecord_pack_chain"  -> (LlmQueries.tfrecordPackChain _),
+    "llm_tfrecord_inferred_roundtrip" -> (LlmQueries.tfrecordInferredRoundtrip _),
     "llm_chunk_chars"          -> (LlmQueries.chunkChars _),
     "llm_chunk_tokens"         -> (LlmQueries.chunkTokens _),
     "llm_chunk_stats"          -> (LlmQueries.chunkStats _),
@@ -2437,6 +2438,13 @@ object SparkEntry {
         |       CAST(length(tok) AS BIGINT) * 1000003 + pos AS tok_id,
         |       CAST(length(tok) AS FLOAT4) AS tf
         |FROM e ORDER BY doc_id, pos""".stripMargin,
+    // Schema-INFERRED TFRecord read (the reference's per-batch
+    // spark.read.json inference theme, applied to the container): no
+    // schema supplied; inference yields list-superset columns and
+    // element_at recovers the scalars — original-table oracle.
+    "llm_tfrecord_inferred_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Training-shard delivery chain: concat-then-chunk pack assignment
     // (the llm_pack_stats layout) -> per-pack token-id sequences
     // concatenated in doc order -> TFRecord int64_list Examples ->

@@ -516,6 +516,67 @@ object TfRecordIo {
       }(enc)
   }
 
+  /** Infer a read schema from the shards themselves — the reference's
+    * dynamic-schema theme (per-batch `spark.read.json` inference,
+    * `glue/cdc_hudi.py:234`) applied to the container: sample up to
+    * `sampleRecords` Examples from the FIRST shard (streamed, never
+    * whole-file), union their feature kinds, and map int64 →
+    * `ArrayType(LongType)`, float → `ArrayType(FloatType)`, bytes →
+    * `ArrayType(BinaryType)`. Lists are the SAFE SUPERSET: the Example
+    * encoding cannot distinguish a scalar from a 1-element list, so
+    * inference never guesses scalar (a caller selecting
+    * `element_at(c, 1)` recovers the scalar view losslessly). A
+    * feature whose sampled lists are all empty is kindless and
+    * defaults to `ArrayType(BinaryType)`; a feature sampled with TWO
+    * kinds fails loudly. Fields sort by name, all nullable (absent
+    * features exist by design). */
+  def inferSchema(spark: SparkSession, dir: String,
+                  sampleRecords: Int = 100): StructType = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards = Seq(".tfrecord", ".tfrecord.gz", ".tfrecord.zst")
+      .flatMap(ext => Option(fs.globStatus(new Path(dirPath, s"*$ext")))
+        .toSeq.flatten)
+      .map(_.getPath).sortBy(_.getName)
+    require(shards.nonEmpty, s"tfrecord: no shards under $dir to infer from")
+    val first = shards.head
+    val raw = fs.open(first)
+    val in: InputStream = first.getName match {
+      case n if n.endsWith(".tfrecord.gz") => new GZIPInputStream(raw, 64 * 1024)
+      case n if n.endsWith(".tfrecord.zst") => new ZstdInputStream(raw)
+      case _ => raw
+    }
+    val kinds = scala.collection.mutable.Map.empty[String, DataType]
+    try {
+      frameIterator(new java.io.BufferedInputStream(in, 64 * 1024))
+        .take(sampleRecords).foreach { data =>
+          decodeExample(data).foreach { case (name, ft) =>
+            val kind: Option[DataType] =
+              if (ft.longs.nonEmpty) Some(ArrayType(LongType))
+              else if (ft.floats.nonEmpty) Some(ArrayType(FloatType))
+              else if (ft.bytess.nonEmpty) Some(ArrayType(BinaryType))
+              else None // empty list: kindless
+            kind.foreach { k =>
+              kinds.get(name) match {
+                case Some(prev) if prev != null && prev != k =>
+                  throw new IllegalArgumentException(
+                    s"tfrecord: feature '$name' sampled with two kinds " +
+                      s"($prev vs $k) — cannot infer")
+                case _ => kinds(name) = k
+              }
+            }
+            if (!kinds.contains(name) && kind.isEmpty)
+              kinds(name) = null // seen, kind pending
+          }
+        }
+    } finally in.close()
+    val fields = kinds.toSeq.sortBy(_._1).map { case (name, dt) =>
+      StructField(name,
+        if (dt == null) ArrayType(BinaryType) else dt, nullable = true)
+    }
+    StructType(fields)
+  }
+
   private def one[T](xs: Seq[T], name: String): T = {
     require(xs.length == 1,
       s"tfrecord: feature '$name' has ${xs.length} values, expected 1")

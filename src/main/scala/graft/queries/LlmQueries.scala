@@ -2861,6 +2861,29 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** TFRecord round-trip with the read schema INFERRED from the shards
+    * themselves ([[graft.ext.TfRecordIo.inferSchema]] — the
+    * reference's per-batch schema-inference theme, `glue/cdc_hudi
+    * .py:234`, applied to the container): no schema is supplied to the
+    * reader; inference yields the list-superset view (the Example
+    * encoding cannot distinguish scalars from 1-element lists), and
+    * `element_at(c, 1)` recovers the scalar columns losslessly —
+    * hash-gated against the ORIGINAL table like every roundtrip. */
+  def tfrecordInferredRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = CdcQueries.tempSinkDir("graft-tfrecord-infer").toString
+    val d = docs(spark, sfDir)
+    graft.ext.TfRecordIo.write(d.repartition(4), dir)
+    val st = graft.ext.TfRecordIo.inferSchema(spark, dir)
+    graft.ext.TfRecordIo.read(spark, dir, st)
+      .select(
+        element_at(col("doc_id"), 1).as("doc_id"),
+        element_at(col("text"), 1).cast("string").as("text"),
+        element_at(col("lang"), 1).cast("string").as("lang"),
+        element_at(col("source"), 1).cast("string").as("source"),
+        element_at(col("n_chars"), 1).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** The training-shard DELIVERY chain end-to-end — what an LLM data
     * pipeline actually hands the trainer: concat-then-chunk packing
     * assigns documents to fixed-token-budget packs

@@ -301,6 +301,51 @@ class TfRecordIoSpec extends SparkSpecBase {
     assert(e.getMessage.contains("crc mismatch"))
   }
 
+  test("inferSchema: list-superset kinds from sampled records, by name") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfrec-infer").toString
+    val df = Seq((1L, "a", 1.5f), (2L, "b", 2f)).toDF("id", "txt", "w")
+    TfRecordIo.write(df.repartition(1), dir, codec = "gzip") // inference streams gz too
+    val st = TfRecordIo.inferSchema(spark, dir)
+    assert(st.fieldNames.toSeq === Seq("id", "txt", "w")) // sorted
+    assert(st("id").dataType === ArrayType(LongType))
+    assert(st("txt").dataType === ArrayType(BinaryType))
+    assert(st("w").dataType === ArrayType(FloatType))
+    assert(st.fields.forall(_.nullable))
+    // a feature absent from record 1 but present later is still found
+    val dir2 = java.nio.file.Files.createTempDirectory("tfrec-infer2").toString
+    val df2 = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("id", "maybe")
+    TfRecordIo.write(df2.repartition(1).orderBy("id"), dir2)
+    val st2 = TfRecordIo.inferSchema(spark, dir2)
+    assert(st2.fieldNames.contains("maybe"))
+  }
+
+  test("inferSchema: conflicting kinds for one feature fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("tfrec-conflict")
+    val out = new ByteArrayOutputStream()
+    TfRecordIo.frame(out, TfRecordIo.encodeExample(Row(5L),
+      StructType(Seq(StructField("x", LongType)))))
+    TfRecordIo.frame(out, TfRecordIo.encodeExample(Row(1.5f),
+      StructType(Seq(StructField("x", FloatType)))))
+    java.nio.file.Files.write(dir.resolve("part-00000.tfrecord"),
+      out.toByteArray)
+    val e = intercept[IllegalArgumentException] {
+      TfRecordIo.inferSchema(spark, dir.toString)
+    }
+    assert(e.getMessage.contains("two kinds"))
+  }
+
+  test("inferSchema: an always-empty list defaults to binary arrays") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfrec-empty").toString
+    val df = Seq((1L, Seq.empty[Long])).toDF("id", "e")
+    TfRecordIo.write(df, dir)
+    val st = TfRecordIo.inferSchema(spark, dir)
+    assert(st("e").dataType === ArrayType(BinaryType))
+    assert(st("id").dataType === ArrayType(LongType))
+  }
+
   test("a mixed-codec directory (raw + .gz + .zst shards) reads as one table") {
     import spark.implicits._
     val dirs = Seq("none", "gzip", "zstd").map { c =>
