@@ -417,10 +417,16 @@ object TfRecordIo {
       s"tfrecord: unknown codec '$other' (none|gzip|zstd)")
   }
 
-  /** Write `df` as `part-<pid>.tfrecord[.gz|.zst]` files under `dir` —
-    * one file per non-empty partition, tmp-rename commit, stale parts
-    * cleared first (the [[AvroIo.write]] semantics verbatim). */
-  def write(df: DataFrame, dir: String, codec: String = "none"): Unit = {
+  /** Write `df` as `part-<pid>[-<k>].tfrecord[.gz|.zst]` files under
+    * `dir` — one file per non-empty partition (rolling to a new file
+    * every `maxRecordsPerFile` records when set: the TFDS bounded-shard
+    * layout, so downstream readers and trainers get uniformly sized
+    * shards regardless of upstream partition skew), tmp-rename commit
+    * per file, stale parts cleared first (the [[AvroIo.write]]
+    * semantics verbatim). */
+  def write(df: DataFrame, dir: String, codec: String = "none",
+            maxRecordsPerFile: Long = Long.MaxValue): Unit = {
+    require(maxRecordsPerFile >= 1, "tfrecord: maxRecordsPerFile must be >= 1")
     val ext = extOf(codec)
     val st = df.schema
     val spark = df.sparkSession
@@ -431,31 +437,47 @@ object TfRecordIo {
     dfs.mkdirs(dirPath)
     val stale = dfs.globStatus(new Path(dirPath, "*.tfrecord*"))
     if (stale != null) stale.foreach(s => dfs.delete(s.getPath, false))
+    val rollEvery = maxRecordsPerFile
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val tc = TaskContext.get()
-        val finalPath = new Path(dir, f"part-${tc.partitionId()}%05d$ext")
-        val tmpPath = new Path(dir,
-          f"part-${tc.partitionId()}%05d$ext.${tc.taskAttemptId()}%d.tmp")
-        val fs = finalPath.getFileSystem(conf.value)
-        val raw = fs.create(tmpPath, true)
-        val out: java.io.OutputStream = codec match {
-          case "gzip" => new GZIPOutputStream(raw, 1 << 16)
-          case "zstd" => new ZstdOutputStream(raw)
-          case _ => raw
-        }
-        try {
-          val buf = new ByteArrayOutputStream(1 << 16)
-          it.foreach { row =>
-            frame(buf, encodeExample(row, st))
-            if (buf.size() >= (1 << 16)) { buf.writeTo(out); buf.reset() }
+        val pid = tc.partitionId()
+        // single-file partitions keep the bare part-<pid> name (the
+        // r14 layout); rolled shards append a chunk index
+        def nameOf(chunk: Long): String =
+          if (rollEvery == Long.MaxValue) f"part-$pid%05d$ext"
+          else f"part-$pid%05d-$chunk%04d$ext"
+        val fs = new Path(dir).getFileSystem(conf.value)
+        def commitChunk(chunk: Long, body: java.io.OutputStream => Unit): Unit = {
+          val finalPath = new Path(dir, nameOf(chunk))
+          val tmpPath = new Path(dir,
+            s"${nameOf(chunk)}.${tc.taskAttemptId()}.tmp")
+          val raw = fs.create(tmpPath, true)
+          val out: java.io.OutputStream = codec match {
+            case "gzip" => new GZIPOutputStream(raw, 1 << 16)
+            case "zstd" => new ZstdOutputStream(raw)
+            case _ => raw
           }
-          if (buf.size() > 0) buf.writeTo(out)
-        } finally out.close()
-        if (!fs.rename(tmpPath, finalPath)) {
-          fs.delete(tmpPath, false)
-          if (!fs.exists(finalPath)) throw new java.io.IOException(
-            s"tfrecord commit failed: could not rename $tmpPath to $finalPath")
+          try body(out) finally out.close()
+          if (!fs.rename(tmpPath, finalPath)) {
+            fs.delete(tmpPath, false)
+            if (!fs.exists(finalPath)) throw new java.io.IOException(
+              s"tfrecord commit failed: could not rename $tmpPath to $finalPath")
+          }
+        }
+        var chunk = 0L
+        while (it.hasNext) {
+          commitChunk(chunk, { out =>
+            val buf = new ByteArrayOutputStream(1 << 16)
+            var n = 0L
+            while (it.hasNext && n < rollEvery) {
+              frame(buf, encodeExample(it.next(), st))
+              n += 1
+              if (buf.size() >= (1 << 16)) { buf.writeTo(out); buf.reset() }
+            }
+            if (buf.size() > 0) buf.writeTo(out)
+          })
+          chunk += 1
         }
       }
     }

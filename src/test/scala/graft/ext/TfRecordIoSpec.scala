@@ -301,6 +301,21 @@ class TfRecordIoSpec extends SparkSpecBase {
     assert(e.getMessage.contains("crc mismatch"))
   }
 
+  test("maxRecordsPerFile rolls bounded shards (the TFDS layout) and " +
+    "round-trips completely") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfrec-roll").toString
+    val df = (1L to 10L).map(i => (i, s"doc$i")).toDF("id", "txt")
+    TfRecordIo.write(df.repartition(1), dir, maxRecordsPerFile = 3)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).map(_.getName).sorted
+    assert(files.length === 4) // 3+3+3+1
+    assert(files.forall(_.matches("part-\\d{5}-\\d{4}\\.tfrecord")))
+    val back = TfRecordIo.read(spark, dir, df.schema)
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(back.toSeq === (1L to 10L))
+  }
+
   test("inferSchema: list-superset kinds from sampled records, by name") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tfrec-infer").toString
