@@ -316,6 +316,20 @@ class TfRecordIoSpec extends SparkSpecBase {
     assert(back.toSeq === (1L to 10L))
   }
 
+  test("rolled shards compose with compression: .zst chunks round-trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfrec-roll-zst").toString
+    val df = (1L to 7L).map(i => (i, s"d$i")).toDF("id", "txt")
+    TfRecordIo.write(df.repartition(1), dir, codec = "zstd",
+      maxRecordsPerFile = 2)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfrecord.zst"))
+    assert(files.length === 4) // 2+2+2+1
+    val back = TfRecordIo.read(spark, dir, df.schema)
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(back.toSeq === (1L to 7L))
+  }
+
   test("inferSchema: list-superset kinds from sampled records, by name") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tfrec-infer").toString
