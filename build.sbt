@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr straight through instead of
+// re-logging them with [info]/[error] prefixes: the round driver parses
+// graft.Bench's one-line JSON off the stdout tail, and the logger
+// prefix made BENCH_r14/r15.json rc=0 but parsed:null.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -149,18 +149,35 @@ object Bench {
     // must never leave a half-written unparseable artifact — r14's
     // driver bench died rc=124 with parsed:null and the round's one
     // mechanical bench check was lost.
-    def persist(line: String): Unit =
-      try {
-        val out = java.nio.file.Paths.get("bench_out.json")
-        val tmp = java.nio.file.Paths.get("bench_out.json.tmp")
-        java.nio.file.Files.writeString(tmp, line + "\n")
-        java.nio.file.Files.move(tmp, out,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        System.err.println(s"[bench] full JSON written to bench_out.json")
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+    // Serialized + closeable: after a ladder Await timeout the orphaned
+    // Future's onRung callback can still fire, racing the main thread's
+    // final persist on the shared tmp path — two writeString calls
+    // interleaving before the atomic move would move a TORN artifact
+    // (the exact storm the atomicity exists against). The lock makes
+    // each write+move indivisible; `persistClosed` makes the final
+    // persist terminal so a late partial can never overwrite it. Each
+    // call also gets a UNIQUE tmp name so even a same-instant second
+    // JVM (never expected) cannot share a tmp file.
+    val persistLock = new Object
+    @volatile var persistClosed = false
+    val persistSeq = new java.util.concurrent.atomic.AtomicLong(0)
+    def persistWith(line: String, terminal: Boolean): Unit =
+      persistLock.synchronized {
+        if (!persistClosed) try {
+          val out = java.nio.file.Paths.get("bench_out.json")
+          val tmp = java.nio.file.Paths.get(
+            s"bench_out.json.tmp.${persistSeq.incrementAndGet()}")
+          java.nio.file.Files.writeString(tmp, line + "\n")
+          java.nio.file.Files.move(tmp, out,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          if (terminal) persistClosed = true
+          System.err.println(s"[bench] full JSON written to bench_out.json")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+        }
       }
+    def persist(line: String): Unit = persistWith(line, terminal = false)
     val noStream = """{"events":0,"batches":0,"sec":-1,"events_per_sec":-1}"""
     val noCmp = """{"events_per_batch":0,"batches":0,"cow_eps":-1,"mor_eps":-1}"""
     val noLadder = """{"factor":0,"queries":{}}"""
@@ -567,8 +584,15 @@ object Bench {
           s"last partial, ${ladderPartial.length} chars): ${e.getMessage}")
         ladderPartial
       }
-    println(jsonLine(stream, sinkCmp, layout, ladder, full = false))
-    persist(jsonLine(stream, sinkCmp, layout, ladder))
+    persistWith(jsonLine(stream, sinkCmp, layout, ladder), terminal = true)
     spark.stop()
+    // The one-line JSON is the LAST stdout line of the process — after
+    // spark.stop() so no shutdown logging trails it, flushed so the
+    // driver's stdout-tail capture sees it unmingled (BENCH_r14/r15
+    // were rc=0 but parsed:null because the line reached the driver
+    // through sbt's logger stream; build.sbt now passes forked stdout
+    // through verbatim via OutputStrategy.StdoutOutput).
+    System.out.println(jsonLine(stream, sinkCmp, layout, ladder, full = false))
+    System.out.flush()
   }
 }

@@ -119,11 +119,13 @@ object SparkEntry {
     "warc_wet_roundtrip"       -> (LlmQueries.warcWetRoundtrip _),
     "warc_gz_roundtrip"        -> (LlmQueries.warcGzRoundtrip _),
     "warc_html_extract"        -> (LlmQueries.warcHtmlExtract _),
+    "warc_html_extract_encoded" -> (LlmQueries.warcHtmlExtractEncoded _),
     "warc_charset_extract"     -> (LlmQueries.warcCharsetExtract _),
     "warc_files_meta"          -> (LlmQueries.warcFilesMeta _),
     "llm_jsonl_roundtrip"      -> (LlmQueries.jsonlRoundtripPlain _),
     "llm_jsonl_gz_roundtrip"   -> (LlmQueries.jsonlRoundtripGz _),
     "llm_jsonl_zst_roundtrip"  -> (LlmQueries.jsonlRoundtripZst _),
+    "llm_jsonl_inferred_roundtrip" -> (LlmQueries.jsonlRoundtripInferred _),
     "llm_orc_roundtrip"        -> (LlmQueries.orcRoundtrip _),
     "llm_csv_roundtrip"        -> (LlmQueries.csvRoundtrip _),
     "llm_avro_roundtrip"       -> (LlmQueries.avroRoundtrip _),
@@ -2365,6 +2367,17 @@ object SparkEntry {
         |  'amp=& lt=< gt=> quot=' || chr(34) || ' apos=' || chr(39) ||
         |  ' dec=A hex=B' || chr(10) || 'nbsp=' || chr(160) || 'end' AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Wire-encoded twin: same extraction chain with the HTTP bodies
+    // stored AS RECEIVED (gzip / deflate / chunked / gzip+chunked per
+    // doc_id % 5, Common Crawl's storage contract); the shared oracle
+    // proves de-chunk + inflate restore the bytes exactly.
+    "warc_html_extract_encoded" ->
+      """SELECT doc_id,
+        |  'planted-title-' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  text || chr(10) ||
+        |  'amp=& lt=< gt=> quot=' || chr(34) || ' apos=' || chr(39) ||
+        |  ' dec=A hex=B' || chr(10) || 'nbsp=' || chr(160) || 'end' AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Charset-resolution chain (ext/CharsetDetect.scala): the engine
     // plants each page's HTTP body under doc_id%7 of {ctype utf-8,
     // utf-16le BOM over a wrong ctype, utf-16be BOM, <meta> latin-1,
@@ -2394,6 +2407,12 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_jsonl_zst_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Inferred-schema twin: no schema contract supplied — the struct is
+    // inferred from a bounded head probe of every shard, then parsed
+    // FAILFAST; the shared SQL proves inferred TYPES landed exactly.
+    "llm_jsonl_inferred_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Format round-trips through Spark's built-in ORC / CSV

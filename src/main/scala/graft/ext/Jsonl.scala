@@ -108,11 +108,83 @@ object Jsonl {
     out.result()
   }
 
-  /** All documents of all files: map-side line split, then codegen'd
-    * FAILFAST `from_json` against [[Schema]] — a malformed line fails
-    * the task loudly (production: feed `binaryFile` rows in here). */
-  def docs(spark: SparkSession, files: DataFrame, fileIdCol: String,
-           blobCol: String): DataFrame = {
+  /** Streaming head probe: the first `n` non-empty lines of one shard,
+    * read off the (decompressing) input byte-by-byte and stopped after
+    * `n` newlines — the whole shard is never inflated for a bounded
+    * sample (same lazy-decompression discipline as
+    * [[Warc.recordIterator]]). Used by [[inferSchema]] only; the full
+    * parse keeps [[splitLines]]' single array scan. */
+  private[ext] def headLines(bytesIn: Array[Byte], n: Int): Seq[String] = {
+    val base = new java.io.ByteArrayInputStream(bytesIn)
+    val in: java.io.InputStream =
+      if (isGzip(bytesIn)) new java.util.zip.GZIPInputStream(base, 64 * 1024)
+      else if (Warc.isZstd(bytesIn))
+        new com.github.luben.zstd.ZstdInputStream(base)
+      else base
+    val buf = new java.io.BufferedInputStream(in, 64 * 1024)
+    try {
+      val out = Vector.newBuilder[String]
+      var taken = 0
+      val bos = new java.io.ByteArrayOutputStream(256)
+      var b = buf.read()
+      while (taken < n && b >= 0) {
+        if (b == '\n') {
+          if (bos.size() > 0) { // empty lines skip, as in splitLines
+            out += new String(bos.toByteArray, UTF_8)
+            taken += 1
+            bos.reset()
+          }
+        } else bos.write(b)
+        if (taken < n) b = buf.read()
+      }
+      if (taken < n && bos.size() > 0) // final unterminated line counts
+        out += new String(bos.toByteArray, UTF_8)
+      out.result()
+    } finally {
+      // close eagerly: zstd-jni holds native memory that must not wait
+      // for GC, and the stream is abandoned mid-shard by design
+      try buf.close() catch { case _: Throwable => () }
+    }
+  }
+
+  /** Schema inference over vendor `.jsonl(.gz|.zst)` without a schema
+    * contract: sample the HEAD of EVERY shard (not just the first —
+    * the [[TfRecordIo.inferSchema]] lesson: a field first appearing in
+    * a later shard must not silently vanish), run Spark's own JSON
+    * inference over the sampled lines, and return the inferred struct.
+    * The probe is ONE bounded extra pass over shard heads
+    * (`sampleLines` lines each, streamed off the decompressor without
+    * inflating the shard), not a full second scan — the 100 TB-honest
+    * form of "infer then read". */
+  def inferSchema(spark: SparkSession, files: DataFrame, blobCol: String,
+                  sampleLines: Int = 100): StructType = {
+    import spark.implicits._
+    val heads = files.select(col(blobCol)).as[Array[Byte]]
+      .mapPartitions(_.flatMap(blob => headLines(blob, sampleLines)))
+    val inferred = spark.read
+      .option("mode", "FAILFAST")
+      .json(heads)
+      .schema
+    require(inferred.fields.nonEmpty, "jsonl: inference found no fields")
+    inferred
+  }
+
+  /** [[docs]] with the schema INFERRED from the shards ([[inferSchema]])
+    * instead of the explicit contract — the vendor-drop scenario where
+    * no schema ships with the data. Still FAILFAST: a line that breaks
+    * the inferred schema fails loudly rather than nulling. Fields a
+    * shard omits past its sampled head read as null (disclosed by the
+    * bounded-sample contract). */
+  def docsInferred(spark: SparkSession, files: DataFrame, fileIdCol: String,
+                   blobCol: String, sampleLines: Int = 100): DataFrame = {
+    val schema = inferSchema(spark, files, blobCol, sampleLines)
+    parseLines(spark, files, fileIdCol, blobCol, schema)
+  }
+
+  /** Map-side line split + codegen'd FAILFAST `from_json` against the
+    * given schema, one column per parsed field. */
+  def parseLines(spark: SparkSession, files: DataFrame, fileIdCol: String,
+                 blobCol: String, schema: StructType): DataFrame = {
     import spark.implicits._
     val lines = files.select(col(fileIdCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
@@ -121,8 +193,16 @@ object Jsonl {
       })
       .toDF("file_id", "line")
     lines.select(col("file_id"),
-        from_json(col("line"), Schema, Map("mode" -> "FAILFAST")).as("r"))
-      .select(col("r.id").as("doc_id"), col("r.text"), col("r.lang"),
-        col("r.source"), col("r.n_chars"))
+        from_json(col("line"), schema, Map("mode" -> "FAILFAST")).as("r"))
+      .select((col("file_id") +: schema.fieldNames.toSeq.map(f => col(s"r.$f"))): _*)
   }
+
+  /** All documents of all files: [[parseLines]] against the explicit
+    * [[Schema]] contract — a malformed line fails the task loudly
+    * (production: feed `binaryFile` rows in here). */
+  def docs(spark: SparkSession, files: DataFrame, fileIdCol: String,
+           blobCol: String): DataFrame =
+    parseLines(spark, files, fileIdCol, blobCol, Schema)
+      .select(col("id").as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
 }

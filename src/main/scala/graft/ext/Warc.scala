@@ -288,10 +288,18 @@ object Warc {
     recordStream(fileId, bytesIn).toVector
 
   /** Charset-aware decode of an HTTP response block: the head is
-    * latin-1 by RFC 9112 (octets are ASCII-compatible), the body
-    * charset resolves via [[CharsetDetect.decode]] against the head's
-    * own `Content-Type`. A head-only block (no CRLFCRLF) decodes as
-    * latin-1 and fails loudly downstream in [[httpBody]] — the same
+    * latin-1 by RFC 9112 (octets are ASCII-compatible), the body is
+    * first restored at the BYTE level — `Transfer-Encoding: chunked`
+    * framing removed, then `Content-Encoding: gzip/x-gzip/deflate`
+    * inflated (that order: chunking is the outermost layer the sender
+    * applied) — and only then charset-resolved via
+    * [[CharsetDetect.decode]] against the head's own `Content-Type`.
+    * Common Crawl stores bodies AS RECEIVED, so real `response` records
+    * carry both layers; decoding without this step mojibakes gzip
+    * bodies and leaks chunk-size lines into [[HtmlExtract]]. Corrupt
+    * encoding fails SOFT to the raw bytes (a crawl shard must not die
+    * on one truncated capture). A head-only block (no CRLFCRLF) decodes
+    * as latin-1 and fails loudly downstream in [[httpBody]] — the same
     * corrupt-segment discipline as the framing requires. */
   private def decodeHttpResponse(bytes: Array[Byte], off: Int, len: Int): String = {
     var i = off
@@ -302,11 +310,77 @@ object Warc {
       return new String(bytes, off, len, java.nio.charset.StandardCharsets.ISO_8859_1)
     val head = new String(bytes, off, i - off,
       java.nio.charset.StandardCharsets.ISO_8859_1)
-    val ctype = head.split("\r\n").iterator
-      .find(_.toLowerCase.startsWith("content-type:"))
-      .map(_.substring("content-type:".length).trim).getOrElse("")
+    def header(name: String): String = head.split("\r\n").iterator
+      .find(_.toLowerCase.startsWith(name + ":"))
+      .map(_.substring(name.length + 1).trim).getOrElse("")
+    val ctype = header("content-type")
     val bodyOff = i + 4
-    head + "\r\n\r\n" + CharsetDetect.decode(bytes, bodyOff, end - bodyOff, ctype)
+    val raw = java.util.Arrays.copyOfRange(bytes, bodyOff, end)
+    val framed =
+      if (header("transfer-encoding").toLowerCase.contains("chunked"))
+        try dechunk(raw) catch { case _: Throwable => raw }
+      else raw
+    val body = header("content-encoding").toLowerCase match {
+      case "gzip" | "x-gzip" =>
+        try gunzipAll(framed) catch { case _: Throwable => framed }
+      case "deflate" => try inflateDeflate(framed)
+        catch { case _: Throwable => framed }
+      case _ => framed
+    }
+    head + "\r\n\r\n" + CharsetDetect.decode(body, 0, body.length, ctype)
+  }
+
+  /** Remove RFC 9112 §7.1 chunked framing: `hex-size[;ext] CRLF data
+    * CRLF`* then `0 CRLF trailer* CRLF`. Throws on malformed framing
+    * (caller falls back to the raw bytes). */
+  private[ext] def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length)
+    var p = 0
+    def line(): String = {
+      val s = p
+      while (p + 1 < b.length && !(b(p) == '\r' && b(p + 1) == '\n')) p += 1
+      require(p + 1 < b.length, "http: chunk line never ends")
+      val l = new String(b, s, p - s, java.nio.charset.StandardCharsets.ISO_8859_1)
+      p += 2; l
+    }
+    var done = false
+    while (!done) {
+      val sizeLine = line()
+      val semi = sizeLine.indexOf(';') // chunk extensions are legal; drop
+      val hex = (if (semi >= 0) sizeLine.substring(0, semi) else sizeLine).trim
+      val n = java.lang.Long.parseLong(hex, 16)
+      require(n >= 0 && n <= b.length - p, s"http: chunk size $n out of range")
+      if (n == 0) {
+        // trailer section: header lines until the terminating blank line
+        var t = line(); while (t.nonEmpty) t = line()
+        done = true
+      } else {
+        out.write(b, p, n.toInt); p += n.toInt
+        require(p + 1 < b.length && b(p) == '\r' && b(p + 1) == '\n',
+          "http: chunk data not CRLF-terminated")
+        p += 2
+      }
+    }
+    out.toByteArray
+  }
+
+  /** `Content-Encoding: deflate` is zlib-wrapped by RFC 9110, but many
+    * real servers send RAW deflate — try zlib first, retry raw. */
+  private[ext] def inflateDeflate(b: Array[Byte]): Array[Byte] = {
+    def run(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      try {
+        val in = new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(b), inf, 64 * 1024)
+        val out = new ByteArrayOutputStream(b.length * 4)
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally inf.end()
+    }
+    try run(nowrap = false)
+    catch { case _: java.io.IOException => run(nowrap = true) }
   }
 
   /** Fixture synthesis: wrap `documents` into WET files of
@@ -425,6 +499,89 @@ object Warc {
     "WARC-Date" -> FixtureDate,
     "Content-Type" -> "application/http; msgtype=response"),
     (HttpHead + html).getBytes(UTF_8))
+
+  // ------------------------------------------------------------------
+  // Wire-encoded response bodies: real captures store the body AS
+  // RECEIVED — Content-Encoding (gzip/deflate) and Transfer-Encoding
+  // (chunked) still applied. The fixture plants one case per decode
+  // rule (doc_id % 5): identity, gzip, zlib deflate, chunked (with a
+  // chunk extension and a trailer header — both legal noise the parser
+  // must skip), and gzip-then-chunked (the layering real servers
+  // produce: entity encoded first, chunking outermost).
+  // ------------------------------------------------------------------
+
+  val HttpEncodingNumCases = 5
+
+  /** zlib-wrapped deflate (the RFC 9110 `deflate` meaning). */
+  private def zlibDeflate(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val d = new java.util.zip.DeflaterOutputStream(bos)
+    d.write(bytes); d.close(); bos.toByteArray
+  }
+
+  /** Apply RFC 9112 chunked framing in `chunkSize` pieces; the first
+    * chunk carries a chunk extension and the terminator a trailer
+    * header — legal wire noise the decoder must tolerate. */
+  private def chunkEncode(bytes: Array[Byte], chunkSize: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(bytes.length + 64)
+    var p = 0; var first = true
+    while (p < bytes.length) {
+      val n = math.min(chunkSize, bytes.length - p)
+      val ext = if (first) ";graft=fixture" else ""
+      bos.write(s"${n.toHexString}$ext\r\n".getBytes(UTF_8))
+      bos.write(bytes, p, n)
+      bos.write("\r\n".getBytes(UTF_8))
+      p += n; first = false
+    }
+    bos.write("0\r\nX-Graft-Trailer: end\r\n\r\n".getBytes(UTF_8))
+    bos.toByteArray
+  }
+
+  /** A `response` record whose HTTP body is wire-encoded per
+    * doc_id % 5 — the fixture behind `warc_html_extract_encoded`. */
+  def responseRecordEncoded(docId: Long, html: String): Array[Byte] = {
+    val plain = html.getBytes(UTF_8)
+    val (extraHeaders, body) = (docId % HttpEncodingNumCases).toInt match {
+      case 0 => ("", plain)
+      case 1 => ("Content-Encoding: gzip\r\n", gzip(plain))
+      case 2 => ("Content-Encoding: deflate\r\n", zlibDeflate(plain))
+      case 3 => ("Transfer-Encoding: chunked\r\n", chunkEncode(plain, 113))
+      case _ => ("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+        chunkEncode(gzip(plain), 113))
+    }
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Server: graft-fixture\r\n$extraHeaders\r\n").getBytes(UTF_8)
+    val block = new Array[Byte](head.length + body.length)
+    System.arraycopy(head, 0, block, 0, head.length)
+    System.arraycopy(body, 0, block, head.length, body.length)
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> targetUri(docId),
+      "WARC-Record-ID" -> s"<urn:graft:doc:$docId>",
+      "WARC-Date" -> FixtureDate,
+      "Content-Type" -> "application/http; msgtype=response"), block)
+  }
+
+  /** [[synthesizeWarc]] with wire-encoded bodies — gzip members per
+    * record as in the CC layout. */
+  def synthesizeWarcEncoded(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, docsPerFile: Int,
+      gzipped: Boolean = false): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .groupByKey(_._1 / docsPerFile)
+      .mapGroups { (fileId, it) =>
+        val recs = warcinfoRecord(fileId) +: it.toSeq.sortBy(_._1)
+          .map { case (id, t) => responseRecordEncoded(id, synthesizeHtml(id, t)) }
+        val blob = if (gzipped) gzipPerRecord(recs)
+        else {
+          val bos = new ByteArrayOutputStream(); recs.foreach(bos.write)
+          bos.toByteArray
+        }
+        (fileId, blob)
+      }
+      .toDF("file_id", "blob")
+  }
 
   /** Fixture synthesis for the raw-capture path: wrap `documents` into
     * WARC files of `response` records (same docsPerFile grouping as

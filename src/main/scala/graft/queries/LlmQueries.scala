@@ -698,6 +698,24 @@ object LlmQueries {
   def jsonlRoundtripGz(spark: SparkSession, sfDir: String): DataFrame =
     jsonlRoundtrip(spark, sfDir, codec = "gzip")
 
+  /** The vendor-drop scenario: `.jsonl.gz` shards arrive with NO schema
+    * contract — the schema is INFERRED from a bounded head probe of
+    * every shard ([[graft.ext.Jsonl.inferSchema]]), then the full parse
+    * runs FAILFAST against the inferred struct. The explicit
+    * [[graft.ext.Jsonl.Schema]] is never consulted; the select-by-name
+    * below fails loudly if inference lost a field, and the shared
+    * original-table oracle proves inferred types landed exactly
+    * (integers as BIGINT, strings as VARCHAR) — the
+    * `llm_tfrecord_inferred_roundtrip` pattern transplanted. */
+  def jsonlRoundtripInferred(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = graft.ext.Jsonl.synthesize(spark, docs(spark, sfDir),
+      "doc_id", WarcDocsPerFile, codec = "gzip")
+    graft.ext.Jsonl.docsInferred(spark, files, "file_id", "blob")
+      .select(col("id").as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Same through the `.jsonl.zst` layout Dolma/RedPajama actually ship
     * (zstd-jni comes with Spark, offline-safe) — shares the plain
     * variant's oracle SQL. */
@@ -742,6 +760,20 @@ object LlmQueries {
     * extraction rule families. */
   def warcHtmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
     val files = Warc.synthesizeWarc(spark, docs(spark, sfDir), "doc_id",
+      "text", WarcDocsPerFile, gzipped = true)
+    Warc.htmlDocs(spark, files, "file_id", "blob").orderBy("doc_id")
+  }
+
+  /** The same raw-crawl chain with each page's HTTP body WIRE-encoded
+    * per doc_id % 5: identity, `Content-Encoding: gzip`, zlib
+    * `deflate`, `Transfer-Encoding: chunked` (with chunk extension +
+    * trailer noise), and gzip-then-chunked — the layerings real
+    * captures store, since Common Crawl keeps bodies as received. The
+    * oracle is `warc_html_extract`'s reconstruction; a green hash
+    * proves de-chunk + inflate restore the byte stream exactly before
+    * charset resolution and extraction. */
+  def warcHtmlExtractEncoded(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = Warc.synthesizeWarcEncoded(spark, docs(spark, sfDir), "doc_id",
       "text", WarcDocsPerFile, gzipped = true)
     Warc.htmlDocs(spark, files, "file_id", "blob").orderBy("doc_id")
   }

@@ -133,6 +133,73 @@ class WarcSpec extends SparkSpecBase {
     assert(n === 400)
   }
 
+  test("dechunk: sizes in hex, extensions and trailers skipped, malformed throws") {
+    val body = ("5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\n" +
+      "X-Trailer: v\r\n\r\n").getBytes("UTF-8")
+    assert(new String(Warc.dechunk(body), "UTF-8") === "hello world")
+    // size larger than remaining bytes
+    intercept[IllegalArgumentException] {
+      Warc.dechunk("ff\r\nshort\r\n0\r\n\r\n".getBytes("UTF-8"))
+    }
+    // data not CRLF-terminated
+    intercept[IllegalArgumentException] {
+      Warc.dechunk("5\r\nhelloXX0\r\n\r\n".getBytes("UTF-8"))
+    }
+  }
+
+  test("inflateDeflate: zlib-wrapped and raw deflate both inflate") {
+    val plain = "deflate me please, twice over".getBytes("UTF-8")
+    val zlib = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bos)
+      d.write(plain); d.close(); bos.toByteArray
+    }
+    val raw = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bos,
+        new java.util.zip.Deflater(-1, true))
+      d.write(plain); d.close(); bos.toByteArray
+    }
+    assert(Warc.inflateDeflate(zlib).toSeq === plain.toSeq)
+    assert(Warc.inflateDeflate(raw).toSeq === plain.toSeq)
+  }
+
+  test("wire-encoded responses: gzip/deflate/chunked/gzip+chunked all extract") {
+    // ids 0..4 cover exactly the 5 encoding cases (doc_id % 5)
+    val d = df(0L -> "plain body", 1L -> "gzip body", 2L -> "deflate body",
+      3L -> "chunked body", 4L -> "gzip chunked body")
+    for (gz <- Seq(false, true)) {
+      val files = Warc.synthesizeWarcEncoded(spark, d, "doc_id", "text", 50,
+        gzipped = gz)
+      val back = Warc.htmlDocs(spark, files, "file_id", "blob")
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+      val want = (0L to 4L).zip(Seq("plain body", "gzip body", "deflate body",
+        "chunked body", "gzip chunked body")).map { case (id, t) =>
+        (id, s"planted-title-$id\n$t\n${Warc.HtmlEntityLineText}")
+      }
+      assert(back.toSeq === want, s"gz=$gz")
+    }
+  }
+
+  test("corrupt body encoding fails SOFT to raw bytes, not a dead shard") {
+    // claims gzip but the body is not: decode must fall back, and the
+    // record (plus its neighbors) still parse
+    val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      "Content-Encoding: gzip\r\n\r\n"
+    val block = (head + "<body><p>not actually gzip</p></body>").getBytes("UTF-8")
+    val rec = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: ${Warc.targetUri(9L)}\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8"))
+      b.write(block); b.write("\r\n\r\n".getBytes("UTF-8"))
+      b.toByteArray
+    }
+    val rows = Warc.parseRecords(0L, rec)
+    assert(rows.length === 1)
+    assert(rows(0).text.contains("not actually gzip"))
+  }
+
   test("parse is map-side: no shuffle, blob never crosses an exchange") {
     val d = df((0L until 20L).map(i => i -> s"doc $i text"): _*)
     val dir = java.nio.file.Files.createTempDirectory("warc_plan").toString
