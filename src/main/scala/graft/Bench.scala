@@ -443,7 +443,7 @@ object Bench {
     // git-checked — while quiet standalone runs stayed ~20.5-21k both
     // rounds), so the standalone median-of-3 is the number that
     // compares across rounds. Forked exactly like the query forks.
-    def forkedStreamEps(): Double =
+    def forkedStreamEps(): (Double, String) =
       try {
         import scala.jdk.CollectionConverters._
         val javaBin = java.nio.file.Paths.get(
@@ -455,7 +455,10 @@ object Bench {
             "graft.stream.StreamBench", "25000", "6")
         val pb = new ProcessBuilder(cmd.asJava)
         pb.environment().put("GRAFT_STREAM_WARMRUN", "1")
-        pb.environment().put("GRAFT_STREAM_REPS", "3")
+        // 5 reps with per-rep steal; StreamBench reports the median of
+        // the 3 QUIETEST reps so one hypervisor burst stops dragging
+        // the cross-round floor (the r15 19.1k-vs-22-32k window swing)
+        pb.environment().put("GRAFT_STREAM_REPS", "5")
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val p = pb.start()
         val outBuf = new java.io.ByteArrayOutputStream()
@@ -465,16 +468,22 @@ object Bench {
         drain.setDaemon(true)
         drain.start()
         val done = p.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
-        if (!done) { p.destroyForcibly(); -1.0 }
+        if (!done) { p.destroyForcibly(); (-1.0, "[]") }
         else {
           drain.join(10000)
+          val text = outBuf.toString
+          val Rep =
+            """\[stream-bench\] run\d+ sec=[0-9.]+ eps=([0-9.]+) steal=(-?[0-9.]+)""".r
+          val reps = Rep.findAllMatchIn(text).toSeq
+            .map(m => s"""{"eps":${m.group(1)},"steal":${m.group(2)}}""")
+            .mkString("[", ",", "]")
           val Eps = """\[stream-bench\] events=\d+ batches=\d+ sec=[0-9.]+ eps=([0-9.]+)""".r
-          Eps.findAllMatchIn(outBuf.toString).toSeq.lastOption
-            .map(_.group(1).toDouble).getOrElse(-1.0)
+          (Eps.findAllMatchIn(text).toSeq.lastOption
+            .map(_.group(1).toDouble).getOrElse(-1.0), reps)
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] standalone stream fork failed: ${e.getMessage}")
-        -1.0
+        (-1.0, "[]")
       }
     val stream =
       try {
@@ -499,9 +508,10 @@ object Bench {
           r
         }
         val r = runs.sortBy(_.eps).apply(runs.size / 2)
-        val sa = forkedStreamEps()
-        System.err.println(s"[bench] stream standalone (fresh JVM, median of 3) eps=${num(sa)}")
-        s"""{"events":${r.events},"batches":${r.batches},"sec":${num(r.sec)},"events_per_sec":${num(r.eps)},"standalone_eps":${num(sa)},"note":"events_per_sec rides the shared JVM warm state accumulated by the preceding query sweep (r11->r12 it moved 34.8k->31.5k with zero stream-path commits, git-checked, while quiet standalone runs stayed ~20.5-21k both rounds); standalone_eps is a fresh-JVM median-of-3 after an untimed full-size warm run and is the cross-round comparable figure"}"""
+        val (sa, saReps) = forkedStreamEps()
+        System.err.println(s"[bench] stream standalone (fresh JVM, quiet-median of 5) " +
+          s"eps=${num(sa)} reps=$saReps")
+        s"""{"events":${r.events},"batches":${r.batches},"sec":${num(r.sec)},"events_per_sec":${num(r.eps)},"standalone_eps":${num(sa)},"standalone_reps":$saReps,"note":"events_per_sec rides the shared JVM warm state accumulated by the preceding query sweep (r11->r12 it moved 34.8k->31.5k with zero stream-path commits, git-checked, while quiet standalone runs stayed ~20.5-21k both rounds); standalone_eps is a fresh-JVM median of the 3 lowest-steal of 5 reps after an untimed full-size warm run (per-rep eps+steal in standalone_reps) and is the cross-round comparable floor"}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
         noStream

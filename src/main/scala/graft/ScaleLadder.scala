@@ -181,6 +181,21 @@ object ScaleLadder {
   private def rungBudgetSec: Double =
     sys.env.getOrElse("GRAFT_RUNG_BUDGET_SEC", "600").toDouble
 
+  /** EVERY rung group the ladder can produce, for disclosed-skip
+    * emission on the early-return path — a rung name that silently
+    * vanishes from the artifact reads as "never existed" instead of
+    * "deadline", violating the no-silent-caps rule the gated() path
+    * enforces (the stage rungs have data-dependent names, so one
+    * wildcard row stands in for the family, as in the in-line path). */
+  private[graft] def allRungNames: Seq[String] =
+    LadderQueries ++
+      Seq("llm_dedup_incremental_fixed_new", "mm_cdc_incremental_fixed_new") ++
+      DeepRungQueries.map(n => s"${n}_3pt") ++
+      Seq("llm_clean_corpus_stage_*",
+        "llm_minhash_index_bytes", "llm_dedup_index_bytes",
+        "zorder_files_read", "llm_semdedup_scaledk", "llm_bm25_served",
+        "llm_tfrecord_io", "llm_tfrecord_io_rolled")
+
   /** Whole-ladder deadline (seconds from run() start): once past it,
     * remaining rungs are SKIPPED with a disclosed note (the
     * no-silent-caps rule) so a storm degrades coverage, never the
@@ -220,9 +235,10 @@ object ScaleLadder {
   }
 
   def run(spark: SparkSession, baseDir: String, factor: Int,
-          onRung: Seq[Rung] => Unit = _ => ()): Seq[Rung] = {
+          onRung: Seq[Rung] => Unit = _ => (),
+          deadlineSecOverride: Option[Double] = None): Seq[Rung] = {
     val deadlineNanos = System.nanoTime() +
-      (ladderDeadlineSec * 1e9).toLong
+      (deadlineSecOverride.getOrElse(ladderDeadlineSec) * 1e9).toLong
     // progress plumbing: every completed (or skipped) rung re-emits the
     // full list so the caller can persist a parseable partial artifact
     // after EACH rung — a kill mid-ladder then costs the remaining
@@ -257,10 +273,11 @@ object ScaleLadder {
     // a storm so bad that 1x generation alone ate the deadline must
     // not silently start the FULL factor-F generation on top
     if (pastDeadline) {
-      (LadderQueries ++ Seq("llm_dedup_incremental_fixed_new",
-        "mm_cdc_incremental_fixed_new")).foreach(n => emit(skipped(n)))
+      allRungNames.foreach(n => emit(skipped(n)))
       return acc.toSeq
     }
+    // keep the inventory honest: every name the in-line path can emit
+    // as a group must appear in allRungNames (asserted in the spec too)
     generate(spark, baseDir, dF, factor)
     // Untimed JIT warmup on the 1x copy (shingle/codegen + JSON parse
     // paths): without it C2 compilation lands inside the first 1x
@@ -395,6 +412,9 @@ object ScaleLadder {
     gated(Seq("llm_tfrecord_io")) {
       Seq(tfrecordIoRung(spark, d1, dF, factor))
     }
+    gated(Seq("llm_tfrecord_io_rolled")) {
+      Seq(tfrecordIoRolledRung(spark, d1, dF, factor))
+    }
     acc.toSeq
   }
 
@@ -423,6 +443,42 @@ object ScaleLadder {
         "~linear is the IO floor (every byte encoded, CRC'd and " +
         "re-verified once); the claim is no superlinear term as " +
         "shards grow Fx" + n1 + nF)
+  }
+
+  /** The rolled-compressed-shard layout at scale: same write+read wall
+    * as [[tfrecordIoRung]] but with `maxRecordsPerFile` FIXED and zstd
+    * compression on — shard SIZE stays constant while shard COUNT
+    * grows F× (the TFDS delivery layout), so the rung measures the
+    * per-shard roll overhead (file create, tmp-rename commit, zstd
+    * stream open/close) that the single-shard-per-partition rung never
+    * pays. Roll overhead is per-shard-constant, so ~linear is still
+    * the claim; a superlinear fit here would mean shard-roll cost
+    * grows with shard ORDINAL (a real bug at 100 TB, where one job
+    * writes millions of shards). */
+  private def tfrecordIoRolledRung(spark: SparkSession, d1: String,
+                                   dF: String, factor: Int): Rung = {
+    def at(dir: String, label: String): (Double, Long, String) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val out = s"$dir/__tfrec_io_rolled"
+      val (t, note) = timedQuiet(spark, label) {
+        graft.ext.TfRecordIo.write(docs.repartition(8), out,
+          codec = "zstd", maxRecordsPerFile = 200)
+        graft.ext.TfRecordIo.read(spark, out, docs.schema).count()
+      }
+      val shards = Option(new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .globStatus(new org.apache.hadoop.fs.Path(out, "*.tfrecord.zst")))
+        .map(_.length.toLong).getOrElse(0L)
+      (t, shards, note)
+    }
+    val (t1, s1, n1) = at(d1, "llm_tfrecord_io_rolled@1x")
+    val (tF, sF, nF) = at(dF, s"llm_tfrecord_io_rolled@${factor}x")
+    Rung("llm_tfrecord_io_rolled", t1, tF, fit(t1, tF, factor),
+      s"rolled zstd shards at FIXED maxRecordsPerFile=200 ($s1 shards " +
+        s"at 1x -> $sF at ${factor}x): shard size constant, count grows " +
+        "Fx — the TFDS layout; ~linear proves roll overhead (create + " +
+        "tmp-rename + zstd stream open/close) is per-shard-constant" +
+        n1 + nF)
   }
 
   /** Fitted exponent, null-safe: an aborted rung (t = -1) yields NaN,
@@ -602,7 +658,11 @@ object ScaleLadder {
                               root: String, factor: Int,
                               twoPoint: Seq[Rung]): Seq[Rung] = {
     val factor2 = sys.env.getOrElse("GRAFT_LADDER_FACTOR2", "30").toInt
-    if (factor2 <= factor) Nil
+    if (factor2 <= factor)
+      // config disabled the third point: disclosed, never dropped
+      DeepRungQueries.map(name => Rung(s"${name}_3pt", -1.0, -1.0, Double.NaN,
+        s"SKIPPED: GRAFT_LADDER_FACTOR2=$factor2 <= factor=$factor " +
+          "disables the third point - disclosed per the no-silent-caps rule"))
     else {
       val d2 = s"$root/x$factor2"
       generate(spark, baseDir, d2, factor2, tables = Seq("documents"))
@@ -613,21 +673,27 @@ object ScaleLadder {
         xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
           xs.map(x => (x - xm) * (x - xm)).sum
       }
-      DeepRungQueries.flatMap { name =>
-        twoPoint.find(r => r.name == name && r.t1 > 0 && r.tF > 0).map { r =>
-          val (t2, n2) = timedQuiet(spark, s"${name}@${factor2}x",
-            retimeAllowed = !CacheConsuming(name))(
-            SparkEntry.queries(name)(spark, d2).count())
-          val e = if (t2 <= 0) Double.NaN
-            else lsSlope(Seq(1.0 -> r.t1, factor.toDouble -> r.tF,
-              factor2.toDouble -> t2))
-          def f(d: Double): String = f"$d%.1f"
-          Rung(s"${name}_3pt", r.t1, t2, e,
-            s"3-point least-squares over 1x/${factor}x/${factor2}x " +
-              s"(t = ${f(r.t1)} / ${f(r.tF)} / ${f(t2)} s); tF is the " +
-              s"${factor2}x time, exponent is the fitted slope; a knee " +
-              "past the first decade would push it above the 2-point fit" +
-              n2)
+      DeepRungQueries.map { name =>
+        twoPoint.find(r => r.name == name && r.t1 > 0 && r.tF > 0) match {
+          case Some(r) =>
+            val (t2, n2) = timedQuiet(spark, s"${name}@${factor2}x",
+              retimeAllowed = !CacheConsuming(name))(
+              SparkEntry.queries(name)(spark, d2).count())
+            val e = if (t2 <= 0) Double.NaN
+              else lsSlope(Seq(1.0 -> r.t1, factor.toDouble -> r.tF,
+                factor2.toDouble -> t2))
+            def f(d: Double): String = f"$d%.1f"
+            Rung(s"${name}_3pt", r.t1, t2, e,
+              s"3-point least-squares over 1x/${factor}x/${factor2}x " +
+                s"(t = ${f(r.t1)} / ${f(r.tF)} / ${f(t2)} s); tF is the " +
+                s"${factor2}x time, exponent is the fitted slope; a knee " +
+                "past the first decade would push it above the 2-point fit" +
+                n2)
+          case None =>
+            // base pair missing or aborted: disclose, never drop
+            Rung(s"${name}_3pt", -1.0, -1.0, Double.NaN,
+              "SKIPPED: base 1x/Fx pair absent or aborted, no 3-point " +
+                "fit possible - disclosed per the no-silent-caps rule")
         }
       }
     }

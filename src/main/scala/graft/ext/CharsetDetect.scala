@@ -76,13 +76,19 @@ object CharsetDetect {
     * NUL-interleaved ASCII, so `<meta charset=…>` never matches the
     * latin-1 prelude and the page used to fall through to the latin-1
     * fallback (UTF-16LE ASCII is even valid UTF-8, so the strict probe
-    * does not save it). Detection is two independent signals, both
-    * required: the prelude's first `<` carries the UTF-16 byte pattern
-    * (`3C 00` = LE, `00 3C` = BE) with ≥35% NUL bytes overall (ASCII
-    * UTF-16 is ~50% NUL), AND the NUL-stripped prelude contains a meta
-    * charset declaration — this prescan exists for pages that declare
+    * does not save it). Detection is four independent signals, all
+    * required: ≥35% NUL bytes overall (ASCII UTF-16 is ~50% NUL); ≥90%
+    * of those NULs on ONE parity (UTF-16 zeroes the same half of every
+    * code unit — UTF-32 splits its NULs 2:1 and a NUL pad run splits
+    * 50:50, so both fail here even when they contain meta-like ASCII);
+    * the prelude's first `<` carrying the UTF-16 byte pattern for the
+    * parity-detected endianness (`3C 00` at an even offset = LE,
+    * `00 3C` with the `3C` at an odd offset = BE — markup in
+    * well-formed UTF-16 is code-unit aligned, so misaligned ASCII
+    * fails); AND the NUL-stripped prelude containing a meta charset
+    * declaration — this prescan exists for pages that declare
     * themselves ONLY in meta, and requiring the declaration keeps
-    * binary payloads from matching. The detected BYTE PATTERN decides
+    * binary payloads from matching. The detected NUL PARITY decides
     * endianness — the NUL-parity majority (LE text zeroes the ODD
     * bytes of each code unit, BE the EVEN ones; a `<`-neighbor test
     * cannot tell them apart because `3C` is followed by `00` in both);
@@ -98,10 +104,31 @@ object CharsetDetect {
       if (bytes(off + i) == 0) { if (i % 2 == 0) nulsEven += 1 else nulsOdd += 1 }
       i += 1
     }
-    if (nulsEven + nulsOdd < (n * 35) / 100) return None
+    val nuls = nulsEven + nulsOdd
+    if (nuls < (n * 35) / 100) return None
+    // gate 2, parity dominance: UTF-16 ASCII puts essentially ALL its
+    // NULs on one parity (each code unit zeroes the same half), while
+    // UTF-32 ASCII splits its three NULs 2:1 across parities (~67%
+    // majority) and a NUL pad run splits ~50:50 — require >=90% of
+    // NULs on the majority parity, which no 4-byte or padded layout
+    // reaches
+    val le = nulsOdd > nulsEven
+    if (math.max(nulsEven, nulsOdd) * 10 < nuls * 9) return None
+    // gate 3: the first '<' must carry the UTF-16 byte pattern for the
+    // parity-detected endianness (3C 00 at an even offset = LE, 00 3C
+    // with the 3C at an odd offset = BE) — markup in well-formed
+    // UTF-16 is code-unit aligned, so misaligned ASCII around NUL
+    // filler fails here
+    var j = 0
+    while (j < n && bytes(off + j) != 0x3C) j += 1
+    if (j >= n) return None
+    val patternOk =
+      if (le) j % 2 == 0 && j + 1 < n && bytes(off + j + 1) == 0
+      else j % 2 == 1 && bytes(off + j - 1) == 0
+    if (!patternOk) return None
     val stripped = new ByteArrayLike(bytes, off, n)
     MetaCharset.findFirstMatchIn(stripped.asciiNoNul)
-      .map(_ => if (nulsOdd > nulsEven) UTF_16LE else UTF_16BE)
+      .map(_ => if (le) UTF_16LE else UTF_16BE)
   }
 
   /** NUL-stripped latin-1 view of a prelude slice (the prescan's

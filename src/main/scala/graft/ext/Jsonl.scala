@@ -33,6 +33,12 @@ import org.apache.spark.sql.types._
   * Gzip sharing: [[Warc.gzip]]/[[Warc.gunzipAll]] handle the `.gz`
   * form (whole-file member; multi-member concatenations inflate in the
   * same streaming pass).
+  *
+  * Shard-size bound: a `binaryFile` row materializes the COMPRESSED
+  * shard as one JVM array, so each shard must stay under ~2 GiB even
+  * though inflation streams — keep production shards at the
+  * vendor-conventional ~1 GiB ([[TfRecordIo.requireShardsFit]] is the
+  * loud dir-level guard for dir-based readers).
   */
 object Jsonl {
 

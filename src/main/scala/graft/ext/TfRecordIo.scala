@@ -494,6 +494,8 @@ object TfRecordIo {
     * lists are the same value). */
   def read(spark: SparkSession, dir: String, st: StructType): DataFrame = {
     val fields = st.fields
+    requireShardsFit(spark, dir,
+      Seq(".tfrecord", ".tfrecord.gz", ".tfrecord.zst"))
     val blobs = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.{tfrecord,tfrecord.gz,tfrecord.zst}")
       .load(dir)
@@ -541,17 +543,23 @@ object TfRecordIo {
   /** Infer a read schema from the shards themselves — the reference's
     * dynamic-schema theme (per-batch `spark.read.json` inference,
     * `glue/cdc_hudi.py:234`) applied to the container: sample up to
-    * `sampleRecords` Examples from the FIRST shard (streamed, never
-    * whole-file), union their feature kinds, and map int64 →
-    * `ArrayType(LongType)`, float → `ArrayType(FloatType)`, bytes →
-    * `ArrayType(BinaryType)`. Lists are the SAFE SUPERSET: the Example
-    * encoding cannot distinguish a scalar from a 1-element list, so
-    * inference never guesses scalar (a caller selecting
-    * `element_at(c, 1)` recovers the scalar view losslessly). A
-    * feature whose sampled lists are all empty is kindless and
-    * defaults to `ArrayType(BinaryType)`; a feature sampled with TWO
-    * kinds fails loudly. Fields sort by name, all nullable (absent
-    * features exist by design). */
+    * `sampleRecords` Examples from the head of EVERY shard (streamed,
+    * never whole-file — a feature first appearing in a later shard
+    * must not silently drop from the schema and lose its column),
+    * union their feature kinds, and map int64 → `ArrayType(LongType)`,
+    * float → `ArrayType(FloatType)`, bytes → `ArrayType(BinaryType)`.
+    * Lists are the SAFE SUPERSET: the Example encoding cannot
+    * distinguish a scalar from a 1-element list, so inference never
+    * guesses scalar (a caller selecting `element_at(c, 1)` recovers
+    * the scalar view losslessly). A feature whose sampled lists are
+    * all empty is kindless and defaults to `ArrayType(BinaryType)`; a
+    * feature sampled with TWO kinds fails loudly, naming the shard.
+    * Fields sort by name, all nullable (absent features exist by
+    * design). Cost: O(shards × sampleRecords) bounded head reads off
+    * the driver — fine up to tens of thousands of shards; past that,
+    * supply an explicit schema (the production contract anyway). A
+    * feature appearing only PAST a shard's sampled head is still
+    * invisible — that residual bound is the disclosed contract. */
   def inferSchema(spark: SparkSession, dir: String,
                   sampleRecords: Int = 100): StructType = {
     val dirPath = new Path(dir)
@@ -561,42 +569,68 @@ object TfRecordIo {
         .toSeq.flatten)
       .map(_.getPath).sortBy(_.getName)
     require(shards.nonEmpty, s"tfrecord: no shards under $dir to infer from")
-    val first = shards.head
-    val raw = fs.open(first)
-    val in: InputStream = first.getName match {
-      case n if n.endsWith(".tfrecord.gz") => new GZIPInputStream(raw, 64 * 1024)
-      case n if n.endsWith(".tfrecord.zst") => new ZstdInputStream(raw)
-      case _ => raw
-    }
     val kinds = scala.collection.mutable.Map.empty[String, DataType]
-    try {
-      frameIterator(new java.io.BufferedInputStream(in, 64 * 1024))
-        .take(sampleRecords).foreach { data =>
-          decodeExample(data).foreach { case (name, ft) =>
-            val kind: Option[DataType] =
-              if (ft.longs.nonEmpty) Some(ArrayType(LongType))
-              else if (ft.floats.nonEmpty) Some(ArrayType(FloatType))
-              else if (ft.bytess.nonEmpty) Some(ArrayType(BinaryType))
-              else None // empty list: kindless
-            kind.foreach { k =>
-              kinds.get(name) match {
-                case Some(prev) if prev != null && prev != k =>
-                  throw new IllegalArgumentException(
-                    s"tfrecord: feature '$name' sampled with two kinds " +
-                      s"($prev vs $k) — cannot infer")
-                case _ => kinds(name) = k
+    for (shard <- shards) {
+      val raw = fs.open(shard)
+      val in: InputStream = shard.getName match {
+        case n if n.endsWith(".tfrecord.gz") => new GZIPInputStream(raw, 64 * 1024)
+        case n if n.endsWith(".tfrecord.zst") => new ZstdInputStream(raw)
+        case _ => raw
+      }
+      try {
+        frameIterator(new java.io.BufferedInputStream(in, 64 * 1024))
+          .take(sampleRecords).foreach { data =>
+            decodeExample(data).foreach { case (name, ft) =>
+              val kind: Option[DataType] =
+                if (ft.longs.nonEmpty) Some(ArrayType(LongType))
+                else if (ft.floats.nonEmpty) Some(ArrayType(FloatType))
+                else if (ft.bytess.nonEmpty) Some(ArrayType(BinaryType))
+                else None // empty list: kindless
+              kind.foreach { k =>
+                kinds.get(name) match {
+                  case Some(prev) if prev != null && prev != k =>
+                    throw new IllegalArgumentException(
+                      s"tfrecord: feature '$name' sampled with two kinds " +
+                        s"($prev vs $k, second in ${shard.getName}) — " +
+                        "cannot infer")
+                  case _ => kinds(name) = k
+                }
               }
+              if (!kinds.contains(name) && kind.isEmpty)
+                kinds(name) = null // seen, kind pending
             }
-            if (!kinds.contains(name) && kind.isEmpty)
-              kinds(name) = null // seen, kind pending
           }
-        }
-    } finally in.close()
+      } finally in.close()
+    }
     val fields = kinds.toSeq.sortBy(_._1).map { case (name, dt) =>
       StructField(name,
         if (dt == null) ArrayType(BinaryType) else dt, nullable = true)
     }
     StructType(fields)
+  }
+
+  /** `binaryFile` materializes each shard as ONE byte array, so even a
+    * COMPRESSED shard must fit the JVM array bound although inflation
+    * streams (r15). A shard past the bound would otherwise die in an
+    * opaque allocation failure deep in the scan; list the dir up front
+    * (status-only, no data read) and fail loudly naming the file and
+    * the remedy. The same bound applies to any blob fed to
+    * [[Warc.records]] / [[Jsonl.docs]] — production shard sizing
+    * should stay at the vendor-conventional ~1 GiB. */
+  private[ext] def requireShardsFit(spark: SparkSession, dir: String,
+      exts: Seq[String], bound: Long = Int.MaxValue - 8): Unit = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val over = exts
+      .flatMap(ext => Option(fs.globStatus(new Path(dirPath, s"*$ext")))
+        .toSeq.flatten)
+      .filter(_.getLen > bound)
+    require(over.isEmpty,
+      s"tfrecord: shard ${over.headOption.map(_.getPath).orNull} is " +
+        s"${over.headOption.map(_.getLen).getOrElse(0L)} bytes, over the " +
+        s"$bound-byte single-array read bound (binaryFile materializes " +
+        "one array per file) - write smaller shards (maxRecordsPerFile) " +
+        "or split the file")
   }
 
   private def one[T](xs: Seq[T], name: String): T = {

@@ -40,7 +40,10 @@ private[ext] case class WarcRecordRow(file_id: Long, rec_idx: Int,
   *    that inflates 3-4× past its compressed size never materializes a
   *    whole-file inflated copy — past the 2 GB array bound that copy
   *    could not even exist. [[gunzipAll]] remains for whole-buffer
-  *    callers (JSONL).
+  *    callers (JSONL). The COMPRESSED shard itself still rides one
+  *    `binaryFile` array, so shards must stay under ~2 GiB — Common
+  *    Crawl's ~1 GiB segments fit with headroom
+  *    ([[TfRecordIo.requireShardsFit]] is the loud dir-level guard).
   *
   * The writer side ([[synthesizeWet]]) exists for the fixture: the
   * corpus has no WARC files, so documents are wrapped into REAL WET

@@ -149,17 +149,36 @@ object StreamBench {
       graft.util.StageProf.reset()
     }
     // GRAFT_STREAM_REPS > 1: repeat the full-size run and report the
-    // MEDIAN as the final line (the machine-parsed contract below) —
-    // Bench forks this main for the fresh-JVM standalone figure.
+    // MAX-QUIET MEDIAN as the final line (the machine-parsed contract
+    // below) — Bench forks this main for the fresh-JVM standalone
+    // figure. Each rep is bracketed by a /proc/stat steal sample (the
+    // BenchOne probe): the committed figure is the median eps of the 3
+    // LOWEST-STEAL reps, so one hypervisor burst stops dragging the
+    // cross-round floor (r14 windows read 22.4-32.4k on identical code
+    // purely by window luck); every rep stays printed with its steal,
+    // the probe annotates, never hides.
+    def stealSeconds(): Double =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+        cpu(8).toDouble / 100.0
+      } catch { case _: Throwable => -1.0 }
     val reps = sys.env.getOrElse("GRAFT_STREAM_REPS", "1").toInt
     val rs = (1 to reps).map { i =>
+      val s0 = stealSeconds()
       val r = run(spark, epb, nb)
+      val s1 = stealSeconds()
+      val st = if (s0 < 0 || s1 < 0) -1.0 else s1 - s0
       if (reps > 1)
-        println(f"[stream-bench] run$i sec=${r.sec}%.3f eps=${r.eps}%.1f")
-      r
+        println(f"[stream-bench] run$i sec=${r.sec}%.3f eps=${r.eps}%.1f steal=$st%.3f")
+      (r, st)
     }
-    val r = rs.sortBy(_.eps).apply(rs.size / 2)
-    println(f"[stream-bench] events=${r.events} batches=${r.batches} sec=${r.sec}%.3f eps=${r.eps}%.1f")
+    val pool =
+      if (rs.size < 3 || rs.exists(_._2 < 0)) rs // probe unreadable: no filter
+      else rs.sortBy(_._2).take(3)
+    val byEps = pool.sortBy(_._1.eps)
+    val (r, rSteal) = byEps(byEps.size / 2)
+    println(f"[stream-bench] events=${r.events} batches=${r.batches} sec=${r.sec}%.3f eps=${r.eps}%.1f steal=$rSteal%.3f")
     if (graft.util.StageProf.enabled)
       println(s"[stream-bench] stage breakdown (cumulative wall, incl. warm batch):\n" +
         graft.util.StageProf.report())

@@ -13,6 +13,21 @@ class ScaleLadderSpec extends SparkSpecBase {
 
   private val base = "/root/testdata/sf0.001"
 
+  test("a deadline that expires during 1x generation skips EVERY rung group, disclosed") {
+    // deadline 0 = already past when the early-return check runs; the
+    // artifact must then carry a disclosed SKIPPED row for every rung
+    // group the ladder can produce — none may silently vanish
+    val rungs = ScaleLadder.run(spark, base, 2,
+      deadlineSecOverride = Some(0.0))
+    assert(rungs.map(_.name).sorted === ScaleLadder.allRungNames.sorted)
+    assert(rungs.forall(r => r.t1 == -1.0 && r.tF == -1.0 &&
+      r.exponent.isNaN && r.note.contains("SKIPPED")))
+    // the inventory itself stays sane: unique names, 3pt twins present
+    assert(ScaleLadder.allRungNames.distinct.size ===
+      ScaleLadder.allRungNames.size)
+    assert(ScaleLadder.allRungNames.count(_.endsWith("_3pt")) >= 2)
+  }
+
   test("factor-2 documents: pair structure exactly doubles, no cross-replica pairs") {
     val out = java.nio.file.Files.createTempDirectory("ladder-spec").toString
     ScaleLadder.generate(spark, base, out, factor = 2)

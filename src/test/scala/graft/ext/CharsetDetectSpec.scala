@@ -111,6 +111,26 @@ class CharsetDetectSpec extends AnyFunSuite {
     assert(CharsetDetect.sniffUtf16Meta(body, 0, body.length).isEmpty)
   }
 
+  test("UTF-32 and NUL-padded binary containing meta ASCII fail the prescan") {
+    // UTF-32: ~75% NULs and a meta declaration readable after
+    // NUL-stripping, but its three NULs per ASCII char split 2:1
+    // across parities — the >=90% parity-dominance gate rejects both
+    // endiannesses (the '<'-adjacency gate alone could not: UTF-32BE's
+    // 00 00 00 3C happens to satisfy the BE neighbor pattern)
+    for (cs <- Seq("UTF-32BE", "UTF-32LE")) {
+      val u32 = ("<html><head><meta charset=\"utf-16\"></head><body>hi</body>")
+        .getBytes(cs)
+      assert(CharsetDetect.sniffUtf16Meta(u32, 0, u32.length).isEmpty,
+        s"$cs must not prescan as UTF-16")
+    }
+    // NUL-padded binary: the pad's NULs split ~50:50 across parities,
+    // and the trailing plain-ASCII meta is not code-unit aligned
+    val pad = new Array[Byte](700) ++
+      "<meta charset=\"utf-16\">".getBytes("ISO-8859-1")
+    assert(CharsetDetect.sniffUtf16Meta(pad, 0, pad.length).isEmpty,
+      "NUL-padded binary with meta-like ASCII must not prescan")
+  }
+
   test("every fixture exemplar round-trips through its case charset") {
     val charsets = Seq("UTF-8", "UTF-16LE", "UTF-16BE", "ISO-8859-1",
       "GBK", "windows-1252", "ISO-8859-1")

@@ -350,6 +350,44 @@ class TfRecordIoSpec extends SparkSpecBase {
     assert(st2.fieldNames.contains("maybe"))
   }
 
+  test("inferSchema samples EVERY shard: a feature first seen in shard 2 survives") {
+    val dir = java.nio.file.Files.createTempDirectory("tfrec-shard2")
+    def shard(name: String, rows: Seq[Row], st: StructType): Unit = {
+      val out = new ByteArrayOutputStream()
+      rows.foreach(r => TfRecordIo.frame(out, TfRecordIo.encodeExample(r, st)))
+      java.nio.file.Files.write(dir.resolve(name), out.toByteArray)
+    }
+    shard("part-00000.tfrecord", Seq(Row(1L)),
+      StructType(Seq(StructField("id", LongType))))
+    shard("part-00001.tfrecord", Seq(Row(2L, "late")),
+      StructType(Seq(StructField("id", LongType),
+        StructField("extra", StringType))))
+    val st = TfRecordIo.inferSchema(spark, dir.toString)
+    assert(st.fieldNames.toSeq === Seq("extra", "id"),
+      "a feature first appearing in a later shard must not vanish")
+    val back = TfRecordIo.read(spark, dir.toString, st).orderBy(
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.col("id"), 1)).collect()
+    assert(back(0).getAs[Seq[Array[Byte]]]("extra") === null) // absent -> null
+    assert(new String(back(1).getAs[Seq[Array[Byte]]]("extra").head, "UTF-8")
+      === "late")
+  }
+
+  test("a shard over the single-array read bound fails loudly, naming the file") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfrec-bound").toString
+    TfRecordIo.write(Seq((1L, "a")).toDF("id", "txt").repartition(1), dir)
+    // injectable bound: a real >2 GiB fixture is not buildable in-spec
+    val e = intercept[IllegalArgumentException] {
+      TfRecordIo.requireShardsFit(spark, dir, Seq(".tfrecord"), bound = 4L)
+    }
+    assert(e.getMessage.contains("4-byte single-array read bound"))
+    assert(e.getMessage.contains(".tfrecord"))
+    assert(e.getMessage.contains("maxRecordsPerFile"))
+    // the default bound passes small shards untouched
+    TfRecordIo.requireShardsFit(spark, dir, Seq(".tfrecord"))
+  }
+
   test("inferSchema: conflicting kinds for one feature fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("tfrec-conflict")
     val out = new ByteArrayOutputStream()
