@@ -144,6 +144,9 @@ object AvroIo {
   def read(spark: SparkSession, dir: String, st: StructType): DataFrame = {
     val names = st.fields.map(_.name)
     val dts = st.fields.map(_.dataType)
+    // same single-array bound as the tfrecord reader: a container over
+    // ~2 GiB would die in an opaque allocation inside the scan
+    TfRecordIo.requireShardsFit(spark, dir, Seq(".avro"), label = "avro")
     val blobs = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.avro").load(dir)
       .select("content")

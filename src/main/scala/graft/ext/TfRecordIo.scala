@@ -616,9 +616,11 @@ object TfRecordIo {
     * (status-only, no data read) and fail loudly naming the file and
     * the remedy. The same bound applies to any blob fed to
     * [[Warc.records]] / [[Jsonl.docs]] — production shard sizing
-    * should stay at the vendor-conventional ~1 GiB. */
+    * should stay at the vendor-conventional ~1 GiB. Shared by the other
+    * dir-level binaryFile reader ([[AvroIo.read]]) via `label`. */
   private[ext] def requireShardsFit(spark: SparkSession, dir: String,
-      exts: Seq[String], bound: Long = Int.MaxValue - 8): Unit = {
+      exts: Seq[String], bound: Long = Int.MaxValue - 8,
+      label: String = "tfrecord"): Unit = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val over = exts
@@ -626,7 +628,7 @@ object TfRecordIo {
         .toSeq.flatten)
       .filter(_.getLen > bound)
     require(over.isEmpty,
-      s"tfrecord: shard ${over.headOption.map(_.getPath).orNull} is " +
+      s"$label: shard ${over.headOption.map(_.getPath).orNull} is " +
         s"${over.headOption.map(_.getLen).getOrElse(0L)} bytes, over the " +
         s"$bound-byte single-array read bound (binaryFile materializes " +
         "one array per file) - write smaller shards (maxRecordsPerFile) " +

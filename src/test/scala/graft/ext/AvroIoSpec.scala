@@ -89,4 +89,19 @@ class AvroIoSpec extends SparkSpecBase {
       MapType(StringType, LongType), nullable = true)))
     intercept[IllegalArgumentException] { AvroIo.avroSchema(nested) }
   }
+
+  test("a container over the single-array read bound fails loudly, naming the file") {
+    val dir = Files.createTempDirectory("graft-avro-bound").toString
+    AvroIo.write(fixture(), dir)
+    // injectable bound (a real >2 GiB fixture is not buildable in-spec);
+    // the avro label must land in the message, not the tfrecord default
+    val e = intercept[IllegalArgumentException] {
+      TfRecordIo.requireShardsFit(spark, dir, Seq(".avro"), bound = 4L,
+        label = "avro")
+    }
+    assert(e.getMessage.contains("avro: shard"))
+    assert(e.getMessage.contains(".avro"))
+    // read() passes small containers untouched through the default bound
+    assert(AvroIo.read(spark, dir, schema).count() === 3)
+  }
 }
