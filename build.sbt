@@ -16,6 +16,10 @@ run / fork := true
 // graft.Bench's one-line JSON off the stdout tail, and the logger
 // prefix made BENCH_r14/r15.json rc=0 but parsed:null.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and keep sbt from appending "[success] Total time" AFTER the fork
+// exits, so the bench's one-line JSON is the process's final stdout line
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
