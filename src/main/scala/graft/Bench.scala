@@ -5,9 +5,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // GRAFT_BENCH_SMOKE=n: run only the first n queries in-JVM with no
-    // canary/fork phases — the harness kill-test mode (BenchArtifactSpec
-    // starts a real Bench process, kills it once bench_out.json appears,
-    // and asserts the survivor parses). Never set by the driver.
+    // canary/fork/stream/sink/layout/ladder phases — the harness test
+    // mode (BenchArtifactSpec SIGKILLs a real Bench at first persist
+    // and asserts the survivor parses; its completion twin runs one to
+    // the end and asserts the final stdout line IS the one-line JSON).
+    // Never set by the driver.
     val smoke = sys.env.get("GRAFT_BENCH_SMOKE").map(_.toInt)
     val spark = SparkSessions.local(cpus)
     // Untimed warmup of the JSON/codegen hot paths: C2 compilation of the
@@ -486,7 +488,8 @@ object Bench {
         (-1.0, "[]")
       }
     val stream =
-      try {
+      if (smoke.isDefined) noStream // smoke = sweep-only harness mode
+      else try {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
@@ -527,7 +530,8 @@ object Bench {
     // with one inline compaction inside the window. Same bounded-wait
     // rule as the stream row.
     val sinkCmp =
-      try {
+      if (smoke.isDefined) noCmp
+      else try {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
@@ -549,7 +553,8 @@ object Bench {
     // Z-order layout row: the measured file-skipping ratio behind the
     // events_zorder_pruned oracle row. Bounded wait like the others.
     val layout =
-      try {
+      if (smoke.isDefined) noLayout
+      else try {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
@@ -575,7 +580,8 @@ object Bench {
     val factor = sys.env.getOrElse("GRAFT_LADDER_FACTOR", "10").toInt
     @volatile var ladderPartial = noLadder
     val ladder =
-      try {
+      if (smoke.isDefined) noLadder
+      else try {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global

@@ -87,4 +87,42 @@ class BenchArtifactSpec extends AnyFunSuite {
       if (p.isAlive) p.destroyForcibly()
     }
   }
+
+  test("a Bench process run to completion ends stdout with the one-line JSON") {
+    // the r14/r15 driver artifacts were rc=0 but parsed:null because the
+    // JSON reached the driver mingled into logger output — the contract
+    // is now: LAST stdout line of the process = the artifact JSON
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("bench-done").toFile
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.directory(dir)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    pb.environment().put("GRAFT_BENCH_SMOKE", "2") // sweep-only, completes fast
+    // stdout captured ALONE: Spark/log noise rides stderr by design
+    pb.redirectOutput(new java.io.File(dir, "stdout.log"))
+    pb.redirectError(new java.io.File(dir, "stderr.log"))
+    val p = pb.start()
+    val done = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    try {
+      assert(done, "bench did not complete within 300 s (see stderr.log)")
+      assert(p.exitValue() === 0)
+      val lines = java.nio.file.Files.readAllLines(
+        new java.io.File(dir, "stdout.log").toPath).asScala
+        .filter(_.nonEmpty)
+      assert(lines.nonEmpty, "no stdout at all")
+      val node = mapper.readTree(lines.last)
+      assert(node.get("metric").asText() === "total")
+      assert(node.get("queries").size() === 2)
+      assert(node.has("stream") && node.has("ladder") && node.has("sf"))
+    } finally {
+      if (p.isAlive) p.destroyForcibly()
+    }
+  }
 }
