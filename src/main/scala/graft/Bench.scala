@@ -168,7 +168,8 @@ object Bench {
         if (!persistClosed) try {
           val out = java.nio.file.Paths.get("bench_out.json")
           val tmp = java.nio.file.Paths.get(
-            s"bench_out.json.tmp.${persistSeq.incrementAndGet()}")
+            s"bench_out.json.tmp.${ProcessHandle.current().pid()}." +
+              s"${persistSeq.incrementAndGet()}")
           java.nio.file.Files.writeString(tmp, line + "\n")
           java.nio.file.Files.move(tmp, out,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,

@@ -49,17 +49,9 @@ object BenchOne {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Host-steal seconds since boot (`/proc/stat` cpu line, field 8, in
-    * clock ticks) — the direct counter for "the hypervisor ran someone
-    * else on our vCPUs". Sampled before/after each rep; the delta
-    * brackets the whole rep window, catching bursts the post-rep
-    * calibration probe can miss. -1 when unreadable (non-Linux). */
-  private def stealSeconds(): Double =
-    try {
-      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
-      cpu(8).toDouble / 100.0
-    } catch { case _: Throwable => -1.0 }
+  /** Sampled before/after each rep; the delta brackets the whole rep
+    * window, catching bursts the post-rep calibration probe can miss. */
+  private def stealSeconds(): Double = graft.util.HostProbe.stealSeconds()
 
   /** Cumulative JVM GC seconds (all collectors) — sampled before/after
     * each rep; the delta separates "the machine was slow" (cal/steal)

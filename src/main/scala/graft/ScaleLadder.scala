@@ -237,8 +237,10 @@ object ScaleLadder {
   def run(spark: SparkSession, baseDir: String, factor: Int,
           onRung: Seq[Rung] => Unit = _ => (),
           deadlineSecOverride: Option[Double] = None): Seq[Rung] = {
-    val deadlineNanos = System.nanoTime() +
-      (deadlineSecOverride.getOrElse(ladderDeadlineSec) * 1e9).toLong
+    // resolved once: skip-row notes must name the deadline that ACTUALLY
+    // expired, not the env default, when an override is in play
+    val deadlineSec = deadlineSecOverride.getOrElse(ladderDeadlineSec)
+    val deadlineNanos = System.nanoTime() + (deadlineSec * 1e9).toLong
     // progress plumbing: every completed (or skipped) rung re-emits the
     // full list so the caller can persist a parseable partial artifact
     // after EACH rung — a kill mid-ladder then costs the remaining
@@ -253,7 +255,7 @@ object ScaleLadder {
     def pastDeadline: Boolean = System.nanoTime() > deadlineNanos
     def skipped(name: String): Rung =
       Rung(name, -1.0, -1.0, Double.NaN,
-        s"SKIPPED: ladder deadline (${ladderDeadlineSec}s) passed before " +
+        s"SKIPPED: ladder deadline (${deadlineSec}s) passed before " +
           "this rung started - coverage degraded, disclosed per the " +
           "no-silent-caps rule")
     /** Gate one rung group on the deadline: compute if time remains,
@@ -555,14 +557,8 @@ object ScaleLadder {
         note1 + noteF)
   }
 
-  /** Host-steal seconds since boot (/proc/stat cpu field 8) — the same
-    * counter [[BenchOne]] samples around forked reps. -1 if unreadable. */
-  private def stealSeconds(): Double =
-    try {
-      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
-      cpu(8).toDouble / 100.0
-    } catch { case _: Throwable => -1.0 }
+  /** The same counter [[BenchOne]] samples around forked reps. */
+  private def stealSeconds(): Double = graft.util.HostProbe.stealSeconds()
 
   /** Rungs whose first execution populates session caches keyed on the
     * data dir (cachedDF'd capped pairs, the shared-normalize cache, the

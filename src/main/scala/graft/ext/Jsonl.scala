@@ -180,7 +180,13 @@ object Jsonl {
     * no schema ships with the data. Still FAILFAST: a line that breaks
     * the inferred schema fails loudly rather than nulling. Fields a
     * shard omits past its sampled head read as null (disclosed by the
-    * bounded-sample contract). */
+    * bounded-sample contract). The probe and the parse are TWO Spark
+    * jobs over `files`: with `binaryFile` input that is the documented
+    * bounded head re-read, but a DERIVED `files` lineage (an upstream
+    * shuffle or synthesis) re-executes for the probe — persist `files`
+    * first if its lineage is expensive (the caller owns that choice;
+    * auto-persisting corpus-sized blobs here would be the wrong 100 TB
+    * default). */
   def docsInferred(spark: SparkSession, files: DataFrame, fileIdCol: String,
                    blobCol: String, sampleLines: Int = 100): DataFrame = {
     val schema = inferSchema(spark, files, blobCol, sampleLines)
@@ -188,10 +194,17 @@ object Jsonl {
   }
 
   /** Map-side line split + codegen'd FAILFAST `from_json` against the
-    * given schema, one column per parsed field. */
+    * given schema, one column per parsed field. Field extraction uses
+    * `getField` with the LITERAL name, so vendor keys containing dots
+    * or backticks resolve instead of being parsed as nested paths. A
+    * schema field named `file_id` would silently collide with the
+    * reader's own file-id column — rejected loudly instead. */
   def parseLines(spark: SparkSession, files: DataFrame, fileIdCol: String,
                  blobCol: String, schema: StructType): DataFrame = {
     import spark.implicits._
+    require(!schema.fieldNames.contains("file_id"),
+      "jsonl: schema field 'file_id' collides with the reader's file-id " +
+        "column - rename the data field or parse with your own schema")
     val lines = files.select(col(fileIdCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (fid, blob) =>
@@ -200,7 +213,8 @@ object Jsonl {
       .toDF("file_id", "line")
     lines.select(col("file_id"),
         from_json(col("line"), schema, Map("mode" -> "FAILFAST")).as("r"))
-      .select((col("file_id") +: schema.fieldNames.toSeq.map(f => col(s"r.$f"))): _*)
+      .select((col("file_id") +:
+        schema.fieldNames.toSeq.map(f => col("r").getField(f).as(f))): _*)
   }
 
   /** All documents of all files: [[parseLines]] against the explicit

@@ -313,17 +313,26 @@ object Warc {
       return new String(bytes, off, len, java.nio.charset.StandardCharsets.ISO_8859_1)
     val head = new String(bytes, off, i - off,
       java.nio.charset.StandardCharsets.ISO_8859_1)
-    def header(name: String): String = head.split("\r\n").iterator
+    // one head split per record (this runs once per crawl capture): the
+    // three header lookups share it instead of re-splitting each time
+    val headerLines = head.split("\r\n")
+    def header(name: String): String = headerLines.iterator
       .find(_.toLowerCase.startsWith(name + ":"))
       .map(_.substring(name.length + 1).trim).getOrElse("")
     val ctype = header("content-type")
     val bodyOff = i + 4
+    val chunked = header("transfer-encoding").toLowerCase.contains("chunked")
+    val cenc = header("content-encoding").toLowerCase
+    val encoded = cenc == "gzip" || cenc == "x-gzip" || cenc == "deflate"
+    // identity bodies (the common case) decode in place — no byte copy
+    if (!chunked && !encoded)
+      return head + "\r\n\r\n" +
+        CharsetDetect.decode(bytes, bodyOff, end - bodyOff, ctype)
     val raw = java.util.Arrays.copyOfRange(bytes, bodyOff, end)
     val framed =
-      if (header("transfer-encoding").toLowerCase.contains("chunked"))
-        try dechunk(raw) catch { case _: Throwable => raw }
+      if (chunked) try dechunk(raw) catch { case _: Throwable => raw }
       else raw
-    val body = header("content-encoding").toLowerCase match {
+    val body = cenc match {
       case "gzip" | "x-gzip" =>
         try gunzipAll(framed) catch { case _: Throwable => framed }
       case "deflate" => try inflateDeflate(framed)

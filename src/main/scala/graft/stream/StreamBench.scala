@@ -157,12 +157,7 @@ object StreamBench {
     // cross-round floor (r14 windows read 22.4-32.4k on identical code
     // purely by window luck); every rep stays printed with its steal,
     // the probe annotates, never hides.
-    def stealSeconds(): Double =
-      try {
-        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-          .find(_.startsWith("cpu ")).get.trim.split("\\s+")
-        cpu(8).toDouble / 100.0
-      } catch { case _: Throwable => -1.0 }
+    def stealSeconds(): Double = graft.util.HostProbe.stealSeconds()
     val reps = sys.env.getOrElse("GRAFT_STREAM_REPS", "1").toInt
     val rs = (1 to reps).map { i =>
       val s0 = stealSeconds()
