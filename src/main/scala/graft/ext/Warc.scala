@@ -574,17 +574,21 @@ object Warc {
       "Content-Type" -> "application/http; msgtype=response"), block)
   }
 
-  /** [[synthesizeWarc]] with wire-encoded bodies — gzip members per
-    * record as in the CC layout. */
-  def synthesizeWarcEncoded(spark: SparkSession, docs: DataFrame,
-      idCol: String, textCol: String, docsPerFile: Int,
-      gzipped: Boolean = false): DataFrame = {
+  /** The shared shape of every record-level WARC fixture synthesis:
+    * group `docsPerFile` consecutive ids per file, warcinfo first, one
+    * record per doc in id order via `recordFn`, gzip one member per
+    * record when `gzipped` (the Common Crawl layout) else raw
+    * concatenation — the three public variants differ ONLY in the
+    * record function, so a grouping/gzip fix lands once. */
+  private def synthesizeRecords(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, docsPerFile: Int, gzipped: Boolean)(
+      recordFn: (Long, String) => Array[Byte]): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .groupByKey(_._1 / docsPerFile)
       .mapGroups { (fileId, it) =>
         val recs = warcinfoRecord(fileId) +: it.toSeq.sortBy(_._1)
-          .map { case (id, t) => responseRecordEncoded(id, synthesizeHtml(id, t)) }
+          .map { case (id, t) => recordFn(id, t) }
         val blob = if (gzipped) gzipPerRecord(recs)
         else {
           val bos = new ByteArrayOutputStream(); recs.foreach(bos.write)
@@ -595,28 +599,23 @@ object Warc {
       .toDF("file_id", "blob")
   }
 
+  /** [[synthesizeWarc]] with wire-encoded bodies — gzip members per
+    * record as in the CC layout. */
+  def synthesizeWarcEncoded(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, docsPerFile: Int,
+      gzipped: Boolean = false): DataFrame =
+    synthesizeRecords(spark, docs, idCol, textCol, docsPerFile, gzipped)(
+      (id, t) => responseRecordEncoded(id, synthesizeHtml(id, t)))
+
   /** Fixture synthesis for the raw-capture path: wrap `documents` into
     * WARC files of `response` records (same docsPerFile grouping as
     * [[synthesizeWet]]); `gzipped` = one gzip member per record (the
     * Common Crawl `.warc.gz` layout). */
   def synthesizeWarc(spark: SparkSession, docs: DataFrame, idCol: String,
                      textCol: String, docsPerFile: Int,
-                     gzipped: Boolean = false): DataFrame = {
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .groupByKey(_._1 / docsPerFile)
-      .mapGroups { (fileId, it) =>
-        val recs = warcinfoRecord(fileId) +: it.toSeq.sortBy(_._1)
-          .map { case (id, t) => responseRecord(id, synthesizeHtml(id, t)) }
-        val blob = if (gzipped) gzipPerRecord(recs)
-        else {
-          val bos = new ByteArrayOutputStream(); recs.foreach(bos.write)
-          bos.toByteArray
-        }
-        (fileId, blob)
-      }
-      .toDF("file_id", "blob")
-  }
+                     gzipped: Boolean = false): DataFrame =
+    synthesizeRecords(spark, docs, idCol, textCol, docsPerFile, gzipped)(
+      (id, t) => responseRecord(id, synthesizeHtml(id, t)))
 
   // ------------------------------------------------------------------
   // Charset fixture: the same page planted under 7 encodings, one per
@@ -694,22 +693,9 @@ object Warc {
     * `warc_charset_extract`. */
   def synthesizeWarcCharset(spark: SparkSession, docs: DataFrame,
       idCol: String, textCol: String, docsPerFile: Int,
-      gzipped: Boolean = false): DataFrame = {
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .groupByKey(_._1 / docsPerFile)
-      .mapGroups { (fileId, it) =>
-        val recs = warcinfoRecord(fileId) +: it.toSeq.sortBy(_._1)
-          .map { case (id, t) => responseRecordCharset(id, t) }
-        val blob = if (gzipped) gzipPerRecord(recs)
-        else {
-          val bos = new ByteArrayOutputStream(); recs.foreach(bos.write)
-          bos.toByteArray
-        }
-        (fileId, blob)
-      }
-      .toDF("file_id", "blob")
-  }
+      gzipped: Boolean = false): DataFrame =
+    synthesizeRecords(spark, docs, idCol, textCol, docsPerFile, gzipped)(
+      responseRecordCharset)
 
   /** Body of an HTTP response message (the block of a WARC `response`
     * record): everything past the first blank line. Fails loudly on a
