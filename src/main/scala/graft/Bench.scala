@@ -515,7 +515,7 @@ object Bench {
         val (sa, saReps) = forkedStreamEps()
         System.err.println(s"[bench] stream standalone (fresh JVM, quiet-median of 5) " +
           s"eps=${num(sa)} reps=$saReps")
-        s"""{"events":${r.events},"batches":${r.batches},"sec":${num(r.sec)},"events_per_sec":${num(r.eps)},"standalone_eps":${num(sa)},"standalone_reps":$saReps,"note":"events_per_sec rides the shared JVM warm state accumulated by the preceding query sweep (r11->r12 it moved 34.8k->31.5k with zero stream-path commits, git-checked, while quiet standalone runs stayed ~20.5-21k both rounds); standalone_eps is a fresh-JVM median of the 3 lowest-steal of 5 reps after an untimed full-size warm run (per-rep eps+steal in standalone_reps) and is the cross-round comparable floor"}"""
+        s"""{"events":${r.events},"batches":${r.batches},"sec":${num(r.sec)},"events_per_sec":${num(r.eps)},"standalone_eps":${num(sa)},"standalone_reps":$saReps,"note":"events_per_sec rides the shared JVM warm state accumulated by the preceding query sweep (r11->r12 it moved 34.8k->31.5k with zero stream-path commits, git-checked, while quiet standalone runs stayed ~20.5-21k both rounds); standalone_eps is a fresh-JVM median of the 3 lowest-steal of 5 reps after an untimed full-size warm run (per-rep eps+steal in standalone_reps; falls back to a plain median over all reps when the steal probe is unreadable or reps<3 - steal:-1 entries disclose that) and is the cross-round comparable floor"}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
         noStream

@@ -114,12 +114,21 @@ object Jsonl {
     out.result()
   }
 
+  /** Longest single line the inference probe will buffer: a line past
+    * this is not JSONL (a single-line JSON array file, a binary drop)
+    * and buffering on toward a newline that never comes would inflate
+    * the whole shard — the exact unbounded read the probe exists to
+    * avoid. Loud failure names the remedy. */
+  private[ext] val MaxProbeLineBytes: Int = 16 * 1024 * 1024
+
   /** Streaming head probe: the first `n` non-empty lines of one shard,
     * read off the (decompressing) input byte-by-byte and stopped after
     * `n` newlines — the whole shard is never inflated for a bounded
     * sample (same lazy-decompression discipline as
-    * [[Warc.recordIterator]]). Used by [[inferSchema]] only; the full
-    * parse keeps [[splitLines]]' single array scan. */
+    * [[Warc.recordIterator]]); a single line past [[MaxProbeLineBytes]]
+    * fails loudly instead of buffering the shard. Used by
+    * [[inferSchema]] only; the full parse keeps [[splitLines]]' single
+    * array scan. */
   private[ext] def headLines(bytesIn: Array[Byte], n: Int): Seq[String] = {
     val base = new java.io.ByteArrayInputStream(bytesIn)
     val in: java.io.InputStream =
@@ -140,7 +149,14 @@ object Jsonl {
             taken += 1
             bos.reset()
           }
-        } else bos.write(b)
+        } else {
+          if (bos.size() >= MaxProbeLineBytes)
+            throw new IllegalArgumentException(
+              s"jsonl: a single line exceeds $MaxProbeLineBytes bytes - " +
+                "this is not JSONL (single-line JSON array? binary?); " +
+                "supply an explicit schema or fix the shard format")
+          bos.write(b)
+        }
         if (taken < n) b = buf.read()
       }
       if (taken < n && bos.size() > 0) // final unterminated line counts

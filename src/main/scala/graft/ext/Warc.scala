@@ -599,8 +599,9 @@ object Warc {
       .toDF("file_id", "blob")
   }
 
-  /** [[synthesizeWarc]] with wire-encoded bodies — gzip members per
-    * record as in the CC layout. */
+  /** [[synthesizeWarc]] with wire-encoded bodies; `gzipped` = one gzip
+    * member per record (the CC layout — off by default, like the other
+    * synthesis variants). */
   def synthesizeWarcEncoded(spark: SparkSession, docs: DataFrame,
       idCol: String, textCol: String, docsPerFile: Int,
       gzipped: Boolean = false): DataFrame =
