@@ -22,6 +22,9 @@ class ScaleLadderSpec extends SparkSpecBase {
     assert(rungs.map(_.name).sorted === ScaleLadder.allRungNames.sorted)
     assert(rungs.forall(r => r.t1 == -1.0 && r.tF == -1.0 &&
       r.exponent.isNaN && r.note.contains("SKIPPED")))
+    // the disclosure names the deadline that ACTUALLY expired (the
+    // override), not the env default
+    assert(rungs.forall(_.note.contains("(0.0s)")))
     // the inventory itself stays sane: unique names, 3pt twins present
     assert(ScaleLadder.allRungNames.distinct.size ===
       ScaleLadder.allRungNames.size)
