@@ -47,6 +47,25 @@ object Decontamination {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Just the contaminated doc ids — for consumers that DROP flagged
+    * docs rather than read the report (the cleaning pipeline): the ids
+    * with `n_hits > 0` in [[decontaminate]]'s report, i.e. docs sharing
+    * ≥1 gram with the benchmark set. Skips the report's per-doc
+    * `n_grams` aggregate and the corpus-wide left-join-back (one fewer
+    * corpus scan and one fewer doc-keyed aggregation — guide §1.2/§2.4:
+    * don't compute what the consumer throws away); the caller
+    * anti-joins, which keeps gram-less docs exactly like the report's
+    * `contaminated = false` rows. Equivalence is spec-asserted
+    * (DecontaminationSpec). */
+  def contaminatedIds(corpus: DataFrame, bench: DataFrame, idCol: String,
+                      textCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = Dedup.shingles(bench, idCol, textCol, n)
+      .select("shingle").distinct()
+    Dedup.shingles(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+  }
+
   /** Persist the benchmark gram set once (`grams/` + `meta/` with the
     * gram size) — the incremental-ingest artifact: eval suites change
     * rarely, daily shards arrive constantly, so a production pipeline

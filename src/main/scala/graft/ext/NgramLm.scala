@@ -30,10 +30,12 @@ import org.apache.spark.sql.functions._
   * is bit-identical across engines.
   *
   * Scale design (the 100 TB contract):
-  *  - the model is two hash aggregates over the trigram/bigram streams
-  *    — map-side partial aggregation collapses each task's stream to at
-  *    most |charset|³ rows, so the shuffle is bounded by the CHARSET,
-  *    not the corpus (a 100-symbol charset caps the model at 1M rows);
+  *  - the model is ONE hash aggregate over the combined 3/2/1-gram
+  *    stream (gram length identifies the table) — map-side partial
+  *    aggregation collapses each task's stream to at most |charset|³
+  *    rows, so the shuffle is bounded by the CHARSET, not the corpus
+  *    (a 100-symbol charset caps the model at 1M rows), and training
+  *    reads the corpus exactly once;
   *  - scoring joins the model to per-document trigram COUNTS (computed
   *    with one doc-keyed aggregate), and the model side is broadcast —
   *    the document stream is never shuffled on the trigram;
@@ -54,12 +56,6 @@ object NgramLm {
           i => t.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
 
-  /** (gram, cnt) corpus counts of char n-grams. */
-  private def gramCounts(docs: DataFrame, textCol: String, n: Int): DataFrame =
-    docs.select(lower(col(textCol)).as("__graft_t"))
-      .select(explode(charGrams(col("__graft_t"), n)).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("cnt"))
-
   /** The trained model: trigram counts, context-bigram counts, and the
     * reference CHARSET (distinct characters, not a pre-aggregated size
     * — the set form is what incremental epoch unions need; see
@@ -67,10 +63,38 @@ object NgramLm {
     * caller may persist. */
   case class Model(tri: DataFrame, big: DataFrame, charset: DataFrame)
 
-  def train(ref: DataFrame, textCol: String): Model = Model(
-    tri = gramCounts(ref, textCol, 3).withColumnRenamed("cnt", "c3"),
-    big = gramCounts(ref, textCol, 2).withColumnRenamed("cnt", "c2"),
-    charset = gramCounts(ref, textCol, 1).select("gram"))
+  /** One corpus pass trains all three tables (was three passes, one per
+    * gram length — guide §2.3/§2.4: one scan + one exchange instead of
+    * three of each). The 3/2/1-grams ride a single explode into one
+    * charset-bounded aggregate; a gram's LENGTH identifies its table
+    * (substr windows are exactly n chars), so the combined counts split
+    * back exactly — per-(n, gram) counts are identical to the per-pass
+    * form, and `lower(text)` is now evaluated once per doc, not three
+    * times. Map-side partial aggregation bounds the shuffle by
+    * |charset|³ + |charset|² + |charset|, never the corpus.
+    *
+    * The combined counts are STAGED (lineage-truncating materialize,
+    * [[graft.util.Checkpoints]]) before the three per-length filters:
+    * a length filter on the grouping key pushes BELOW the aggregate,
+    * so without the barrier each Model table would re-run the full
+    * combined explode — measured 3.9 → 6.0 s on `llm_lm_score` when
+    * this was left to ReusedExchange. The staged table is
+    * charset-bounded (tiny at any corpus size), so the checkpoint
+    * costs one small job and every consumer reads it for free. */
+  def train(ref: DataFrame, textCol: String): Model = {
+    val t = col("__graft_t")
+    val counts = graft.util.Checkpoints.stage(
+      ref.select(lower(col(textCol)).as("__graft_t"))
+        .select(explode(concat(
+          charGrams(t, 3), charGrams(t, 2), charGrams(t, 1))).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt")))
+    Model(
+      tri = counts.where(length(col("gram")) === 3)
+        .select(col("gram"), col("cnt").as("c3")),
+      big = counts.where(length(col("gram")) === 2)
+        .select(col("gram"), col("cnt").as("c2")),
+      charset = counts.where(length(col("gram")) === 1).select("gram"))
+  }
 
   /** Per-document integer-bit cross-entropy under the model:
     * (idCol, n_trigrams, total_bits, bits_per_trigram), one row per doc

@@ -147,7 +147,16 @@ object PageRank {
       // per-round materialization dominates small-graph wall clock,
       // while a bounded 3-round join+agg lineage costs the planner
       // nothing — the classic iterate-then-checkpoint cadence.
-      rank = if (i % stageEvery == 0 || i == iters)
+      // EXCEPT in dangling mode: there each round consumes `rank`
+      // TWICE (contribs + the dangling-mass aggregate), so an unstaged
+      // round's subtree re-executes in every later consumer — the
+      // duplication compounds ~2× per unstaged round across the stage
+      // window (guide §2.4: a second consumer of an unmaterialized
+      // subtree is a hidden recompute). Measured (sf0.1, 10 rounds):
+      // 294 Spark jobs vs the plain variant's 144 and 4.35 s vs
+      // 2.45 s; staging the (tiny — one row per node) rank vector
+      // every round makes each round's plan execute exactly once.
+      rank = if (redistributeDangling || i % stageEvery == 0 || i == iters)
         graft.util.Checkpoints.stage(next)
       else next
     }

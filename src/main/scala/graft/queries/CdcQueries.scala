@@ -30,6 +30,12 @@ object CdcQueries {
     * `spark.sql.legacy.parquet.nanosAsLong=true`); the values are exact
     * microseconds, so `DIV 1000` + `timestamp_micros` is lossless (integer
     * division — a double-typed `/` would lose precision at 1.7e18). */
+  // NOT widened (ScanParallelism): measured A/B at sf0.1/8 cores, the
+  // added exchange was a pure tax on the window/agg consumers
+  // (events_sessions 0.59 → 0.75-0.98 s, events_hourly 0.42 → 0.49 s —
+  // their first shuffle re-partitions anyway) while the JSON
+  // normalize family stayed flat (cdc_normalize_debezium ~3.0 s both
+  // ways — from_json at this row count is not scan-bound).
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {

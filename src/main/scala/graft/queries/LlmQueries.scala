@@ -9,11 +9,30 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §2.8 north star; fixtures per FIXTURES.md §B). */
 object LlmQueries {
 
+  // widen(): the corpus ships as single-row-group parquet (one input
+  // split), so every downstream explode/parse stage would otherwise run
+  // single-threaded — see graft.util.ScanParallelism (guide §2.5);
+  // a no-op whenever the scan already plans >= cores partitions.
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.util.ScanParallelism.widen(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
 
+  // emb() is NOT widened at the reader: most embedding consumers are
+  // index-probe queries over a small batch, and the added exchange is a
+  // measured tax there (llm_cosine_topk_pq 1.16 → 1.51 s,
+  // llm_semdedup_incremental 0.71 → 1.07 s forked A/B). The heavy
+  // pair-generation consumers opt in via [[embWide]].
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Widened embeddings for the CPU-heavy pair-generation family (LSH
+    * candidate explode + exact-cosine verification): single-row-group
+    * parquet plans one split, so those stages are otherwise
+    * single-threaded (guide §2.5; measured llm_cosine_neardup
+    * 2.93 → 1.26 s forked A/B). No-op when the scan already plans
+    * >= cores partitions. */
+  private def embWide(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.ScanParallelism.widen(emb(spark, sfDir), "vec_id")
 
   /** Exact dedup: survivors (min doc_id) per distinct text + copy count.
     * The engine groups on a sha256 digest (fixed-width shuffle key); the
@@ -624,7 +643,13 @@ object LlmQueries {
     * pair count, not corpus size — isolated docs never enter the
     * iteration); the split itself is one left join against the bounded
     * comp table + a map-side hash. */
-  def splitSafe(spark: SparkSession, sfDir: String): DataFrame = {
+  def splitSafe(spark: SparkSession, sfDir: String): DataFrame =
+    splitSafeRaw(spark, sfDir).orderBy("doc_id")
+
+  /** The split WITHOUT the presentation sort — [[splitSafeStats]]
+    * consumes it three times (two leak-pair joins + the count agg), so
+    * forcing a sort under those shuffles would be wasted work. */
+  private def splitSafeRaw(spark: SparkSession, sfDir: String): DataFrame = {
     val cc = Dedup.connectedComponents(cappedPairs(spark, sfDir))
       .withColumnRenamed("id", "doc_id")
     docs(spark, sfDir)
@@ -633,7 +658,6 @@ object LlmQueries {
         when(graft.ext.Sampling.bucket(
             coalesce(col("comp"), col("doc_id"))) < ValPpm, lit("val"))
           .otherwise(lit("train")).as("split"))
-      .orderBy("doc_id")
   }
 
   /** One-row proof the constructed split is leak-free: per-split doc
@@ -641,7 +665,12 @@ object LlmQueries {
     * LIVE on both engines (the oracle re-derives components, split,
     * and crossing count independently; 0 = 0 is the gate). */
   def splitSafeStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val sp = splitSafe(spark, sfDir)
+    // Materialize the split ONCE: the plan below consumes `sp` three
+    // times (both sides of the leak-pair join + the count agg), and an
+    // unstaged split would re-run its docs-scan + component join per
+    // consumer (guide §2.4 — the three consumers now read one
+    // checkpointed table; the presentation sort is skipped entirely).
+    val sp = graft.util.Checkpoints.stage(splitSafeRaw(spark, sfDir))
     val leak = cappedPairs(spark, sfDir)
       .join(sp.select(col("doc_id").as("id_a"), col("split").as("__sa")), "id_a")
       .join(sp.select(col("doc_id").as("id_b"), col("split").as("__sb")), "id_b")
@@ -1983,11 +2012,16 @@ object LlmQueries {
     // cluster scale this is the persisted intermediate between the
     // filter and dedup stages of the pipeline — Checkpoints.stage makes
     // it a durable checkpoint when the session selects reliable mode.
+    // Anti-join on the contaminated ids instead of inner-joining the
+    // clean side of the full report: decontaminate() also computes the
+    // per-doc n_grams aggregate and left-joins it back across the whole
+    // corpus just so this caller can re-filter — contaminatedIds skips
+    // both (one fewer `kept` scan + one fewer doc-keyed aggregate;
+    // identical clean set, spec-asserted in DecontaminationSpec).
     val clean = graft.util.Checkpoints.stage(
       kept.join(
-        graft.ext.Decontamination.decontaminate(kept, bench, "doc_id", "text", n = 8)
-          .where(!col("contaminated")).select("doc_id"),
-        Seq("doc_id")))
+        graft.ext.Decontamination.contaminatedIds(kept, bench, "doc_id", "text", n = 8),
+        Seq("doc_id"), "left_anti"))
     val pairs = Dedup.jaccardPairs(clean, "doc_id", "text",
       n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
     Dedup.dedupedCorpusCC(clean, "doc_id", "text", pairs)
@@ -2022,10 +2056,11 @@ object LlmQueries {
     }
     val keptP = kept.persist()
     val (tFilter, nKept) = timed(keptP.count())
+    // same anti-join form as the composed cleanCorpus plan (the two
+    // must never drift — see cleanCorpusSplits)
     val cleanP = keptP.join(
-      graft.ext.Decontamination.decontaminate(keptP, bench, "doc_id", "text", n = 8)
-        .where(!col("contaminated")).select("doc_id"),
-      Seq("doc_id")).persist()
+      graft.ext.Decontamination.contaminatedIds(keptP, bench, "doc_id", "text", n = 8),
+      Seq("doc_id"), "left_anti").persist()
     val (tDecontam, nClean) = timed(cleanP.count())
     val pairsP = Dedup.jaccardPairs(cleanP, "doc_id", "text",
       n = 3, threshold = 0.5, maxDf = JaccardMaxDf).persist()
@@ -2551,7 +2586,7 @@ object LlmQueries {
   /** Embedding-cosine near-duplicate pairs (LSH candidates + exact
     * verify; recall property covered by scalatest, rows-only here). */
   def cosineNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.cosineNearDups(emb(spark, sfDir), "vec_id", "embedding",
+    Similarity.cosineNearDups(embWide(spark, sfDir), "vec_id", "embedding",
         threshold = 0.35) // testdata max pairwise cosine ≈0.51; 0.35 yields a real pair set
       .orderBy("id_a", "id_b")
 
@@ -2564,7 +2599,7 @@ object LlmQueries {
     * observable the scale claim rests on (rows-only; the recall/prune
     * properties live in SimilaritySpec). */
   def cosineNearDupScale(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.cosineNearDups(emb(spark, sfDir), "vec_id", "embedding",
+    Similarity.cosineNearDups(embWide(spark, sfDir), "vec_id", "embedding",
         threshold = -1.0, // keep all verified candidates; flag the dups
         nPlanes = Similarity.ScaleNPlanes, tables = Similarity.ScaleTables)
       .withColumn("is_neardup", col("sim") >= 0.35)

@@ -52,6 +52,25 @@ class DecontaminationSpec extends SparkSpecBase {
     assert(out(0).getAs[Long]("n_hits") === 1L)
   }
 
+  test("contaminatedIds equals the report's contaminated id set") {
+    // Mixed corpus: a contaminated doc, a clean doc, a short (gram-less)
+    // doc, and a doc contaminated through a repeated gram — the id-only
+    // fast path (what cleanCorpus anti-joins on) must equal the full
+    // report filtered to contaminated = true.
+    val corpus = docs((1L, "a b c d"), (2L, "x y z w"), (3L, "hi"),
+      (4L, "b c d b c d"))
+    val bench = docs((100L, "b c d e"))
+    val viaReport = Decontamination
+      .decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .where(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val direct = Decontamination
+      .contaminatedIds(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(direct === viaReport)
+    assert(direct === Set(1L, 4L))
+  }
+
   test("bloom path: report byte-equal to the exact path; sketch actually prunes") {
     // A corpus with one truly contaminated doc, one clean doc, and one
     // short doc — the bloom path must reproduce decontaminate() exactly
