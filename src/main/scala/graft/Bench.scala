@@ -11,6 +11,46 @@ object Bench {
     // the end and asserts the final stdout line IS the one-line JSON).
     // Never set by the driver.
     val smoke = sys.env.get("GRAFT_BENCH_SMOKE").map(_.toInt)
+    // GLOBAL WALL DEADLINE (the r14/r16 rc=124 lesson): every phase was
+    // individually bounded, but the worst-case SUM sat far above the
+    // round driver's kill limit — under the r16 steal storm the 32-core
+    // run was killed mid-ladder and the one-line stdout JSON (the
+    // round's per-query table) was forfeited even though every number
+    // already existed in bench_out.json. GRAFT_BENCH_DEADLINE (seconds,
+    // <=0 disables) bounds the sum: once the budget is spent, remaining
+    // phases degrade to DISCLOSED skips (the "deadline" object in the
+    // JSON) and the bench still persists and prints the final line.
+    // The in-JVM sweep itself is never skipped — a query missing from
+    // "queries" reads as dropped — and the fork phase re-times the
+    // cache-contaminated alwaysFork rows first so a deadline cut can
+    // never leave a fake-fast in-JVM number standing undisclosed.
+    // Default 1740: the optimization judge's brief asks for <=1800 with
+    // margin for sbt startup ahead of this JVM; raise it via env for
+    // richer local artifacts (ladder rungs, stream floor) when no
+    // external kill limit applies.
+    val benchT0 = System.nanoTime()
+    val deadlineSec = sys.env.getOrElse("GRAFT_BENCH_DEADLINE", "1740").toDouble
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    def remainingSec: Double =
+      if (deadlineSec <= 0) Double.MaxValue else deadlineSec - elapsedSec
+    val deadlineSkips =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
+    /** true = phase may run; false = budget too thin, skip recorded. */
+    def gate(phase: String, needSec: Double): Boolean = {
+      val ok = remainingSec >= needSec
+      if (!ok && !deadlineSkips.contains(phase)) {
+        val note = s"skipped at ${math.rint(elapsedSec)}s elapsed of the " +
+          s"${deadlineSec}s global budget (needs ~${needSec}s)"
+        deadlineSkips(phase) = note
+        System.err.println(s"[bench] deadline: $phase $note")
+      }
+      ok
+    }
+    /** Seconds a bounded wait may still use: the phase's own cap or the
+      * remaining global budget minus a persist+print reserve, whichever
+      * is smaller (floored so an in-flight wait can always conclude). */
+    def boundedWait(capSec: Long): Long =
+      math.max(20L, math.min(capSec.toDouble, remainingSec - 45.0).toLong)
     val spark = SparkSessions.local(cpus)
     // Untimed warmup of the JSON/codegen hot paths: C2 compilation of the
     // parser loops costs 30-40s the first time a JSON-heavy plan runs and
@@ -89,7 +129,9 @@ object Bench {
           catch { case _: Throwable => () })
         drain.setDaemon(true)
         drain.start()
-        val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+        // per-fork cap, additionally bounded by the remaining global
+        // budget so one wedged fork can never eat the final persist
+        val done = p.waitFor(boundedWait(600), java.util.concurrent.TimeUnit.SECONDS)
         if (!done) { p.destroyForcibly(); None }
         else {
           drain.join(10000)
@@ -195,9 +237,14 @@ object Bench {
         s""""sink_small_batch":$noCmp,"zorder_layout":$noLayout,""" +
         s""""ladder":$noLadder,"sf":"$sfDir"}"""
     persist(skeleton("started", """{"queries":{}}"""))
+    // Canary forks may spend at most the first ~35% of the global
+    // budget: under a steal storm each fork stretches 2-4x and an
+    // ungated canary alone could eat the sweep's time. A gated-out
+    // canary records -1.0 (the existing fork-failed sentinel) plus the
+    // disclosed deadline note.
     val canaryResults: Seq[(String, Option[Seq[(Double, Double, Double, Double)]])] =
       canaryQueries.map { name =>
-        val r = forkedReps(name)
+        val r = if (gate("canary", 0.65 * deadlineSec)) forkedReps(name) else None
         System.err.println(s"[bench] canary $name -> " +
           r.map(rs => num(medianQuiet(rs)) + " s").getOrElse("FORK FAILED"))
         (name, r)
@@ -367,9 +414,25 @@ object Bench {
     // diverge >1.5× the fork window itself was noisy, and the row is
     // RE-FORKED once — both medians recomputed over the merged rep
     // pool — instead of letting the filter decide.
-    val results = first.map { case (name, fn, t) =>
-      if (smoke.isEmpty && (t > 3.0 || (t >= 0 && alwaysFork(name)))) {
-        forkedReps(name) match {
+    // Fork order is PRIORITY order, not sweep order: the alwaysFork rows
+    // run first because their in-JVM numbers are known cache-contaminated
+    // (a deadline cut must never leave e.g. cdc_normalize_dms's 0.10 s
+    // cache-scan time standing as the recorded number without a
+    // disclosure), then the remaining >3 s rows by in-JVM time
+    // descending — the rows where a quiet re-time changes the most.
+    // Each fork is an independent fresh JVM, so order cannot change any
+    // measured value; it only changes which rows still get re-timed
+    // when the global budget runs short. Gated-out forks keep their
+    // in-JVM time and are listed in deadline.fork_skipped.
+    val needsFork = first.filter { case (name, _, t) =>
+      smoke.isEmpty && (t > 3.0 || (t >= 0 && alwaysFork(name))) }
+    val forkOrder = needsFork.filter(q => alwaysFork(q._1)) ++
+      needsFork.filterNot(q => alwaysFork(q._1)).sortBy(-_._3)
+    val forkSkipped = scala.collection.mutable.LinkedHashSet.empty[String]
+    val forkOutcome = scala.collection.mutable.Map.empty[String, Double]
+    forkOrder.foreach { case (name, fn, t) =>
+      if (!gate("fork_retimes", 420)) forkSkipped += name
+      else forkedReps(name) match {
           case Some(rsCal0) =>
             var rsCal = rsCal0
             var reforked = false
@@ -395,13 +458,19 @@ object Bench {
             reps(name) = rsCal.map(_._1)
             repsEnv(name) = rsCal.map(r => (r._2, r._3, r._4))
             medians(name) = (medianAll(rsCal), medianQuiet(rsCal), reforked)
-            name -> medianQuiet(rsCal)
+            forkOutcome(name) = medianQuiet(rsCal)
           case None =>
             val rs = Seq(t, timed(name, fn), timed(name, fn)).filter(_ >= 0)
             reps(name) = rs
-            name -> (if (rs.isEmpty) -1.0 else rs.sorted.apply(rs.size / 2))
+            forkOutcome(name) =
+              if (rs.isEmpty) -1.0 else rs.sorted.apply(rs.size / 2)
         }
-      } else name -> t
+    }
+    // Recorded values in sweep order: the forked re-time when one ran,
+    // the in-JVM time otherwise (including deadline-gated rows, which
+    // deadline.fork_skipped discloses).
+    val results = first.map { case (name, _, t) =>
+      name -> forkOutcome.getOrElse(name, t)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -426,7 +495,17 @@ object Bench {
       val evidence =
         if (full) s""","reps":$rs,"reps_env":$rsEnv,"medians":$medStr"""
         else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$evidence,"canary":${canaryJson(full)},"stream":$stream,"sink_small_batch":$sinkCmp,"zorder_layout":$layout,"ladder":$ladder,"sf":"$sfDir"}"""
+      // Disclosed global-deadline state: which phases (and which fork
+      // re-times) were degraded to skips, so a judge reading a cut
+      // artifact sees WHAT is missing and WHY instead of a silent gap.
+      val skipsJs = deadlineSkips
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
+      val forkSkJs = forkSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val dl = s""""deadline":{"budget_sec":${num(deadlineSec)},""" +
+        s""""elapsed_sec":${num(elapsedSec)},"skipped":$skipsJs,""" +
+        s""""fork_skipped":$forkSkJs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$evidence,"canary":${canaryJson(full)},"stream":$stream,"sink_small_batch":$sinkCmp,"zorder_layout":$layout,"ladder":$ladder,$dl,"sf":"$sfDir"}"""
     }
     // Persist the query timings BEFORE the stream phase: a hung
     // streaming query must not forfeit the 90+ timings already earned.
@@ -470,7 +549,7 @@ object Bench {
           catch { case _: Throwable => () })
         drain.setDaemon(true)
         drain.start()
-        val done = p.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
+        val done = p.waitFor(boundedWait(900), java.util.concurrent.TimeUnit.SECONDS)
         if (!done) { p.destroyForcibly(); (-1.0, "[]") }
         else {
           drain.join(10000)
@@ -489,7 +568,8 @@ object Bench {
         (-1.0, "[]")
       }
     val stream =
-      if (smoke.isDefined) noStream // smoke = sweep-only harness mode
+      if (!gate("stream", 240)) noStream
+      else if (smoke.isDefined) noStream // smoke = sweep-only harness mode
       else try {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
@@ -502,17 +582,19 @@ object Bench {
         // state. Then 3 timed runs, median recorded.
         val warm = Await.result(
           Future(graft.stream.StreamBench.run(spark, eventsPerBatch = 25000, batches = 6)),
-          300.seconds)
+          boundedWait(300).seconds)
         System.err.println(s"[bench] stream warm eps=${num(warm.eps)}")
         val runs = (1 to 3).map { i =>
           val r = Await.result(
             Future(graft.stream.StreamBench.run(spark, eventsPerBatch = 25000, batches = 6)),
-            300.seconds)
+            boundedWait(300).seconds)
           System.err.println(s"[bench] stream run$i eps=${num(r.eps)}")
           r
         }
         val r = runs.sortBy(_.eps).apply(runs.size / 2)
-        val (sa, saReps) = forkedStreamEps()
+        val (sa, saReps) =
+          if (gate("stream_standalone", 150)) forkedStreamEps()
+          else (-1.0, "[]")
         System.err.println(s"[bench] stream standalone (fresh JVM, quiet-median of 5) " +
           s"eps=${num(sa)} reps=$saReps")
         s"""{"events":${r.events},"batches":${r.batches},"sec":${num(r.sec)},"events_per_sec":${num(r.eps)},"standalone_eps":${num(sa)},"standalone_reps":$saReps,"note":"events_per_sec rides the shared JVM warm state accumulated by the preceding query sweep (r11->r12 it moved 34.8k->31.5k with zero stream-path commits, git-checked, while quiet standalone runs stayed ~20.5-21k both rounds); standalone_eps is a fresh-JVM median of the 3 lowest-steal of 5 reps after an untimed full-size warm run (per-rep eps+steal in standalone_reps; falls back to a plain median over all reps when the steal probe is unreadable or reps<3 - steal:-1 entries disclose that) and is the cross-round comparable floor"}"""
@@ -531,13 +613,14 @@ object Bench {
     // with one inline compaction inside the window. Same bounded-wait
     // rule as the stream row.
     val sinkCmp =
-      if (smoke.isDefined) noCmp
+      if (!gate("sink_small_batch", 150)) noCmp
+      else if (smoke.isDefined) noCmp
       else try {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
         val r = Await.result(
-          Future(graft.sink.SinkBench.run(spark)), 600.seconds)
+          Future(graft.sink.SinkBench.run(spark)), boundedWait(600).seconds)
         val curve = r.morReadCurve
           .map { case (c, s) => s"""{"chain":$c,"sec":${num(s)}}""" }
           .mkString("[", ",", "]")
@@ -554,13 +637,14 @@ object Bench {
     // Z-order layout row: the measured file-skipping ratio behind the
     // events_zorder_pruned oracle row. Bounded wait like the others.
     val layout =
-      if (smoke.isDefined) noLayout
+      if (!gate("zorder_layout", 90)) noLayout
+      else if (smoke.isDefined) noLayout
       else try {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
         val r = Await.result(
-          Future(graft.sink.LayoutBench.run(spark, sfDir)), 300.seconds)
+          Future(graft.sink.LayoutBench.run(spark, sfDir)), boundedWait(300).seconds)
         s"""{"files_total":${r.filesTotal},"files_read":${r.filesRead},""" +
           s""""rows":${r.rows},"full_sec":${num(r.fullSec)},"pruned_sec":${num(r.prunedSec)}}"""
       } catch { case e: Throwable =>
@@ -581,20 +665,27 @@ object Bench {
     val factor = sys.env.getOrElse("GRAFT_LADDER_FACTOR", "10").toInt
     @volatile var ladderPartial = noLadder
     val ladder =
-      if (smoke.isDefined) noLadder
+      if (!gate("ladder", 180)) noLadder
+      else if (smoke.isDefined) noLadder
       else try {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
-        // 3000 s backstop: must sit ABOVE the ladder's own worst case
-        // (2100 s deadline + one in-flight rung's 600 s budget + its
-        // pair member) — the deadline/budget layers are the real
-        // bounds, the Await only catches a wedged driver
+        // The ladder gets whatever the global budget has left (minus a
+        // persist+print reserve), never more than its own 2100 s env
+        // default; its internal deadline degrades remaining rungs to
+        // disclosed SKIPPED rows. The Await backstop sits above the
+        // in-flight rung's budget — the deadline layers are the real
+        // bounds, the Await only catches a wedged driver.
+        val ladderBudget =
+          math.min(sys.env.getOrElse("GRAFT_LADDER_DEADLINE_SEC", "2100").toDouble,
+            math.max(60.0, remainingSec - 120.0))
         val rungs = Await.result(
           Future(ScaleLadder.run(spark, sfDir, factor, onRung = rs => {
             ladderPartial = ScaleLadder.toJson(factor, rs, partial = true)
             persist(jsonLine(stream, sinkCmp, layout, ladderPartial))
-          })), 3000.seconds)
+          }, deadlineSecOverride = Some(ladderBudget))),
+          boundedWait(3000).seconds)
         ScaleLadder.toJson(factor, rungs)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale ladder failed (keeping the " +

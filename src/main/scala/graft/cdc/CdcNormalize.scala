@@ -113,10 +113,23 @@ object CdcNormalize {
       // are observable; projections below never reference CorruptCol, so
       // Catalyst prunes it out of the final plan.
       val withCorrupt = StructType(s.fields :+ StructField(CorruptCol, StringType, nullable = true))
-      routed0.select(
+      val p = routed0.select(
         from_json(col("value"), withCorrupt,
           Map("columnNameOfCorruptRecord" -> CorruptCol)).as("kdata"),
         col("value"))
+      // Non-materialized path: STAGE the parsed batch. Without the
+      // barrier the normalize filter on kdata.op (Debezium) /
+      // kdata.metadata (DMS) pushes below this projection and inlines
+      // the from_json — the r17 before-plan evaluated the FULL envelope
+      // parse twice per row (once in the pushed Filter, once in the
+      // Project), and in Cached mode the corrupt probe re-parsed the
+      // whole routed set a third time. One parse pass, every consumer
+      // (probe + normalize + the query's sink) reads the materialized
+      // batch — the batch-query analog of normalizeMaterialized's
+      // persist, which the materialize path keeps (its caller needs the
+      // release() handle, and persist-then-unpersist is the streaming
+      // trigger's lifecycle).
+      if (materialize) p else graft.util.Checkpoints.stage(p)
     }
     var parsed = parseWith(schema)
     var cached: Option[DataFrame] = None

@@ -218,15 +218,26 @@ object Bpe {
 
   /** [[mergePass]] as a Catalyst fold (no UDF): leftmost-non-
     * overlapping because the freshly merged symbol `a+b` can equal the
-    * pattern head `a` only for an empty `b` (see [[trainDistributed]]). */
+    * pattern head `a` only for an empty `b` (see [[trainDistributed]]).
+    *
+    * Guarded by a cheap containment check: a word lacking symbol `a` or
+    * symbol `b` cannot contain the adjacent pair, so the fold is the
+    * identity on it — returning `syms` unchanged skips the per-element
+    * fold for the (Zipf-dominant) majority of vocabulary rows each
+    * round. Unstaged rounds stack these expressions, so the guard also
+    * keeps the 1-3 carried rewrite layers from re-folding untouched
+    * words (same output either way, asserted by the fold-vs-mergePass
+    * equivalence spec). */
   private[ext] def mergeFoldCol(syms: org.apache.spark.sql.Column,
                                 a: String, b: String)
       : org.apache.spark.sql.Column =
-    aggregate(syms, array().cast("array<string>"),
-      (acc, s) => when(size(acc) > 0 &&
-          element_at(acc, -1) === lit(a) && s === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(s))))
+    when(array_contains(syms, a) && array_contains(syms, b),
+      aggregate(syms, array().cast("array<string>"),
+        (acc, s) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s)))))
+      .otherwise(syms)
 
   /** The DuckDB twin of [[encode]]+count for one pre-token column
     * expression `tokExpr`: symbols rendered as `chr(1)||sym||' '`, one

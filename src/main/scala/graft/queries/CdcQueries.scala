@@ -78,28 +78,39 @@ object CdcQueries {
   def debeziumStream(spark: SparkSession, sfDir: String,
                      table: String = "user"): DataFrame = {
     val op = debeziumOp
-    events(spark, sfDir).select(to_json(struct(
-      when(op === "d", payload).as("before"),
-      when(op =!= "d", payload).as("after"),
-      struct(lit("test_db").as("db"), lit(table).as("table")).as("source"),
-      op.as("op"),
-      // ts is TIMESTAMP_NTZ (see events()); unix_millis needs LTZ — the
-      // cast re-interprets the wall clock in the session tz (UTC), which
-      // is exactly the epoch the oracle's epoch_ms(ts) computes.
-      unix_millis(col("ts").cast("timestamp")).as("ts_ms"))).as("value"))
+    // STAGED: downstream the router's two RLIKEs and the from_json parse
+    // all reference `value`, and predicate pushdown inlines this
+    // projection into each of them — the plan then re-ran the full
+    // StructsToJson synthesis ~4× PER ROW (seen in the r17 before-plan:
+    // three inlined copies in one Filter node alone). In production the
+    // raw string is a real Kafka column read once; staging makes the
+    // bench match that shape — synthesize once, every consumer reads the
+    // materialized string.
+    graft.util.Checkpoints.stage(
+      events(spark, sfDir).select(to_json(struct(
+        when(op === "d", payload).as("before"),
+        when(op =!= "d", payload).as("after"),
+        struct(lit("test_db").as("db"), lit(table).as("table")).as("source"),
+        op.as("op"),
+        // ts is TIMESTAMP_NTZ (see events()); unix_millis needs LTZ — the
+        // cast re-interprets the wall clock in the session tz (UTC), which
+        // is exactly the epoch the oracle's epoch_ms(ts) computes.
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"))).as("value")))
   }
 
   /** DMS envelope JSON (FIXTURES.md §A.2); `metadata.timestamp` is a
     * string timestamp ordered lexically (microsecond ISO-ish format). */
   def dmsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    events(spark, sfDir).select(to_json(struct(
-      payload.as("data"),
-      struct(
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("timestamp"),
-        lit("data").as("record-type"),
-        dmsOp.as("operation"),
-        lit("test_db").as("schema-name"),
-        lit("user").as("table-name")).as("metadata"))).as("value"))
+    // staged for the same reason as [[debeziumStream]]
+    graft.util.Checkpoints.stage(
+      events(spark, sfDir).select(to_json(struct(
+        payload.as("data"),
+        struct(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("timestamp"),
+          lit("data").as("record-type"),
+          dmsOp.as("operation"),
+          lit("test_db").as("schema-name"),
+          lit("user").as("table-name")).as("metadata"))).as("value")))
   }
 
   /** The engine-path normalize plan WITHOUT the presentation sort (the

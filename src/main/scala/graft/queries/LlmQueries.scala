@@ -17,6 +17,18 @@ object LlmQueries {
     graft.util.ScanParallelism.widen(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
 
+  /** UN-widened corpus reader for ARRIVING-SHARD arguments of the
+    * incremental rows whose timed body fingerprints/appends a tiny
+    * trigger batch (llm_simhash_incremental, llm_bm25_incremental —
+    * the two disclosed r16 widen-tax rows, +0.4 s each): widening a
+    * 500-row batch pays the exchange plus cores-many write tasks for
+    * parallelism the probe never uses. Production-correct shape too: a
+    * trigger batch arrives with the SOURCE's partitioning, it is not a
+    * fat single-split file scan — the index-build side (scan-bound over
+    * the full corpus) keeps the widened reader. */
+  private def docsShard(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
   // emb() is NOT widened at the reader: most embedding consumers are
   // index-probe queries over a small batch, and the added exchange is a
   // measured tax there (llm_cosine_topk_pq 1.16 → 1.51 s,
@@ -1761,7 +1773,7 @@ object LlmQueries {
   def simhashIncremental(spark: SparkSession, sfDir: String): DataFrame =
     graft.ext.IncrementalSimHash.nearDupPairs(spark,
         simhashIncIndexDir(spark, sfDir),
-        docs(spark, sfDir).where(col("doc_id") % 10 === 0),
+        docsShard(spark, sfDir).where(col("doc_id") % 10 === 0),
         "doc_id", "text")
       .orderBy("id_a", "id_b")
 
@@ -2022,8 +2034,17 @@ object LlmQueries {
       kept.join(
         graft.ext.Decontamination.contaminatedIds(kept, bench, "doc_id", "text", n = 8),
         Seq("doc_id"), "left_anti"))
-    val pairs = Dedup.jaccardPairs(clean, "doc_id", "text",
-      n = 3, threshold = 0.5, maxDf = JaccardMaxDf)
+    // Stage the pair set too (guide §2.4 — second consumer of an
+    // unmaterialized subtree = hidden recompute): dedupedCorpusCC
+    // consumes `pairs` THREE times — once building the CC edge set and
+    // twice more deriving the node set (pairs.select(id_a) UNION
+    // pairs.select(id_b)) — and unstaged each consumer re-ran the whole
+    // df-capped shingle self-join. The staged table is just the
+    // qualifying (id_a, id_b, jaccard) rows, bounded by the near-dup
+    // pair count, not the corpus.
+    val pairs = graft.util.Checkpoints.stage(
+      Dedup.jaccardPairs(clean, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = JaccardMaxDf))
     Dedup.dedupedCorpusCC(clean, "doc_id", "text", pairs)
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
@@ -2456,7 +2477,7 @@ object LlmQueries {
   def bm25Incremental(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = bm25IndexDir(spark, sfDir)
     graft.ext.IncrementalBm25.appendToIndex(
-      docs(spark, sfDir).where(col("doc_id") % 10 === 0),
+      docsShard(spark, sfDir).where(col("doc_id") % 10 === 0),
       "doc_id", "text", dir, epoch = "shard0")
     graft.ext.IncrementalBm25.search(spark, dir, Bm25QueryTerms, k = 25)
       .orderBy("rank")

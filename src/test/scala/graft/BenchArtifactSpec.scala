@@ -88,6 +88,56 @@ class BenchArtifactSpec extends AnyFunSuite {
     }
   }
 
+  test("an exhausted global deadline degrades phases to disclosed skips " +
+      "and still prints the one-line JSON (rc=0)") {
+    // the r16 32-core driver bench died rc=124 mid-ladder and the
+    // round's per-query table was forfeited; the global deadline makes
+    // that impossible — phases past the budget are recorded in the
+    // "deadline" object and the process still completes normally
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("bench-deadline").toFile
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.directory(dir)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    pb.environment().put("GRAFT_BENCH_SMOKE", "2") // tiny sweep
+    // a budget that is exhausted before any gated phase is reached
+    pb.environment().put("GRAFT_BENCH_DEADLINE", "0.001")
+    pb.redirectOutput(new java.io.File(dir, "stdout.log"))
+    pb.redirectError(new java.io.File(dir, "stderr.log"))
+    val p = pb.start()
+    val done = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    try {
+      assert(done, "bench did not complete within 300 s (see stderr.log)")
+      assert(p.exitValue() === 0)
+      val lines = java.nio.file.Files.readAllLines(
+        new java.io.File(dir, "stdout.log").toPath).asScala
+        .filter(_.nonEmpty)
+      assert(lines.nonEmpty, "no stdout at all")
+      val node = mapper.readTree(lines.last)
+      // the sweep is never deadline-skipped: both queries still present
+      assert(node.get("queries").size() === 2)
+      val dl = node.get("deadline")
+      assert(dl != null, "deadline object missing from the JSON line")
+      assert(dl.get("budget_sec").asDouble() === 0.001)
+      val skipped = dl.get("skipped")
+      // every gated phase disclosed itself (smoke mode skips the same
+      // phases anyway, but the gate is evaluated first by design so
+      // this harness run exercises the exact production gating path)
+      for (phase <- Seq("stream", "sink_small_batch", "zorder_layout", "ladder"))
+        assert(skipped.has(phase), s"$phase not in deadline.skipped: $skipped")
+      assert(dl.has("fork_skipped"))
+    } finally {
+      if (p.isAlive) p.destroyForcibly()
+    }
+  }
+
   test("a Bench process run to completion ends stdout with the one-line JSON") {
     // the r14/r15 driver artifacts were rc=0 but parsed:null because the
     // JSON reached the driver mingled into logger output — the contract
