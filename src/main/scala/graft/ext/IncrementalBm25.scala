@@ -67,9 +67,13 @@ object IncrementalBm25 {
   private def writeEpoch(docs: DataFrame, idCol: String, textCol: String,
                          path: String, epoch: String, buckets: Int): Unit = {
     val p = postingsOf(docs, idCol, textCol)
+    // cluster by bucket before the partitionBy write (guide §6: without
+    // it every task emits a file per touched bucket dir — tasks × buckets
+    // tiny files per epoch, paid back as listing/open cost on every probe)
     val wtr =
       (if (buckets <= 0) p
-       else p.withColumn(BucketCol, bucketOf(col("term"), buckets)))
+       else p.withColumn(BucketCol, bucketOf(col("term"), buckets))
+        .repartition(col(BucketCol)))
         .write.mode("overwrite")
     (if (buckets <= 0) wtr else wtr.partitionBy(BucketCol))
       .parquet(s"$path/postings/__epoch=$epoch")

@@ -106,10 +106,18 @@ object IncrementalDedup {
                          path: String, n: Int, epoch: String,
                          shingleBuckets: Int): Unit = {
     val sh = Dedup.shingles(docs, idCol, textCol, n)
+    // Bucketed layout: CLUSTER by the bucket before the partitionBy
+    // write (guide §6 small files) — without it every write task emits
+    // a file into every bucket dir it touches (tasks × buckets tiny
+    // files per epoch, ~256 at bench shape), and every probe pays the
+    // listing + per-file open cost on each of its postings/df scans.
+    // One shuffle on the bucket at build/append time buys one file per
+    // (epoch, bucket).
     def bucketed(df: DataFrame): (DataFrame, Seq[String]) =
       if (shingleBuckets <= 0) (df, Nil)
       else (df.withColumn(BucketCol,
-        pmod(hash(col("shingle")), lit(shingleBuckets))), Seq(BucketCol))
+          pmod(hash(col("shingle")), lit(shingleBuckets)))
+        .repartition(col(BucketCol)), Seq(BucketCol))
     val (posts, pCols) = bucketed(sh.select(col(idCol).as("doc_id"), col("shingle")))
     val pw = posts.write.mode("overwrite")
     (if (pCols.isEmpty) pw else pw.partitionBy(pCols: _*))
@@ -149,7 +157,14 @@ object IncrementalDedup {
     val postings = dropExcluded(spark.read.parquet(s"$path/shingles"))
     val dfTable = dropExcluded(spark.read.parquet(s"$path/df"))
 
-    val newSh = Dedup.shingles(newDocs, idCol, textCol, n)
+    // STAGED (guide §2.4 — second consumer of an unmaterialized subtree
+    // = hidden recompute): the batch shingle stream feeds the bucket
+    // planning collect, the df partials, the live-gram cap, the capped
+    // batch and BOTH sides of the new-vs-new self-join — unstaged, each
+    // consumer re-ran the shard scan + explode. Batch-bounded rows, so
+    // the checkpoint is O(|new| × grams-per-doc) at any corpus size.
+    val newSh = graft.util.Checkpoints.stage(
+      Dedup.shingles(newDocs, idCol, textCol, n))
 
     // Bucketed layout: the pass-A scans only ever keep rows whose
     // shingle is a BATCH gram, so they can be partition-pruned to the
@@ -178,11 +193,17 @@ object IncrementalDedup {
     // shingles drop out HERE, before any postings scan — the broadcast
     // they ride is what keeps a stopword gram from pulling its
     // corpus-wide posting list.
-    val liveGrams = dfNew.join(dfOldForNew, Seq("shingle"), "left")
-      .where(col("df_new") + coalesce(col("df_old"), lit(0L)) <= maxDf)
-      .select("shingle")
+    // Staged too: liveGrams rides TWO broadcasts (the capped batch and
+    // the pass-A postings filter) and newCapped feeds four consumers
+    // (sizes, pass-A intersections, both sides of the new-vs-new
+    // self-join) — all bounded by the batch's gram count.
+    val liveGrams = graft.util.Checkpoints.stage(
+      dfNew.join(dfOldForNew, Seq("shingle"), "left")
+        .where(col("df_new") + coalesce(col("df_old"), lit(0L)) <= maxDf)
+        .select("shingle"))
 
-    val newCapped = newSh.join(broadcast(liveGrams), "shingle")
+    val newCapped = graft.util.Checkpoints.stage(
+      newSh.join(broadcast(liveGrams), "shingle"))
     val newSizes = newCapped.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_sh"))
 

@@ -106,9 +106,12 @@ object IncrementalMinHash {
     val sigs = Dedup.minhashSignatures(sh, idCol, bands * rows)
     val posts = Dedup.minhashBuckets(sigs, idCol, bands, rows)
       .select(col(idCol).as("doc_id"), col("band"), col("bucket"))
+    // clustered on the partition column before the write (guide §6 —
+    // one file per (epoch, partition) instead of tasks × partitions)
     val w =
       if (bucketPartitions <= 0) posts.write
       else posts.withColumn(PartCol, partitionOf(bucketPartitions))
+        .repartition(col(PartCol))
         .write.partitionBy(PartCol)
     w.mode("overwrite").parquet(s"$path/buckets/__epoch=$epoch")
   }

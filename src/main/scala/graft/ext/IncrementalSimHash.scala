@@ -89,9 +89,12 @@ object IncrementalSimHash {
     val posts = Dedup.simhashBlocks(
         fps.withColumnRenamed(fpCol, "simhash"), idCol, maxHamming)
       .select(col(idCol).as("doc_id"), col("simhash"), col("blk"), col("v"))
+    // clustered on the partition column before the write (guide §6 —
+    // one file per (epoch, partition) instead of tasks × partitions)
     val w =
       if (blockPartitions <= 0) posts.write
       else posts.withColumn(PartCol, partitionOf(blockPartitions))
+        .repartition(col(PartCol))
         .write.partitionBy(PartCol)
     w.mode("overwrite").parquet(s"$path/blocks/__epoch=$epoch")
   }

@@ -74,7 +74,10 @@ object IncrementalSpanDedup {
       if (buckets <= 0) (counts, Nil)
       else (counts.withColumn(BucketCol,
         pmod(col("fp1"), lit(buckets.toLong)).cast("int")), Seq(BucketCol))
-    val wtr = out.write.mode("overwrite")
+    // clustered on the bucket before the write (guide §6 — one file per
+    // (epoch, bucket) instead of tasks × buckets)
+    val wtr = (if (pCols.isEmpty) out else out.repartition(col(BucketCol)))
+      .write.mode("overwrite")
     (if (pCols.isEmpty) wtr else wtr.partitionBy(pCols: _*))
       .parquet(s"$path/counts/__epoch=$epoch")
   }
@@ -110,7 +113,8 @@ object IncrementalSpanDedup {
       if (buckets <= 0) (folded, Nil)
       else (folded.withColumn(BucketCol,
         pmod(col("fp1"), lit(buckets.toLong)).cast("int")), Seq(BucketCol))
-    val wtr = out.write.mode("overwrite")
+    val wtr = (if (pCols.isEmpty) out else out.repartition(col(BucketCol)))
+      .write.mode("overwrite")
     (if (pCols.isEmpty) wtr else wtr.partitionBy(pCols: _*))
       .parquet(s"${swap.stagedDir("counts")}/__epoch=base")
     meta.coalesce(1).write.mode("overwrite")

@@ -113,6 +113,12 @@ object LlmQueries {
     * qualifying pairs — a single row; the oracle recomputes all three
     * from the same window definitions. */
   def prefixCandidateStats(spark: SparkSession, sfDir: String): DataFrame = {
+    // NOT staged (measured r17): the shingle stream feeds 4 consumers,
+    // but it is a map-side scan+explode that recomputes in parallel for
+    // ~nothing, while a checkpoint must materialize every (id, shingle)
+    // string row up front — A/B 2.9 s -> 3.6 s at sf0.1/8c. §2.4's
+    // stage rule pays off for subtrees with shuffles/joins inside
+    // (cleanCorpus pairs), not for cheap wide map-side streams.
     val sh = Dedup.shingles(docs(spark, sfDir), "doc_id", "text", 3)
     val full = sh.select(col("doc_id").as("id_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
